@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.{JoinConfig, JoinStrategy}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's core capability (SURVEY §2.3): binary inner equi-join
+  * with a manually pinned physical algorithm, plus the join types the
+  * reference lists as future work (thesis §5.4/§7) that Spark gives for
+  * free — exposed here as first-class extensions.
+  *
+  * All strategies share ONE logical builder ([[equiJoin]]) so their
+  * semantics are provably identical: full M×N cross-product per duplicate
+  * key (golden simulation/simple_tables/expected_output.csv: key 7 → 3×3
+  * = 9 rows), unmatched keys dropped on both sides. The reference's
+  * broadcast-join dup-key loss (BroadcastJoin.java:84,99 `map.put` keeps
+  * one row per key) is deliberately NOT reproduced.
+  *
+  * Scale notes (100 TB design):
+  *  - strategy hints only pin the *algorithm*; partitioning, AQE skew
+  *    splitting and runtime broadcast conversion stay available.
+  *  - the key-TAB output projection happens AFTER the join so Catalyst
+  *    can prune both scans down to the joined columns actually used.
+  *  - for repeated co-located joins, [[presort]] materializes
+  *    range-partitioned sorted runs (the reference's 5-job MergeJoin
+  *    decomposition, MergeJoin.java:146-215) — on a real cluster prefer
+  *    `bucketBy().sortBy()` tables, which this mirrors.
+  */
+object Joins {
+
+  /** Shared logical builder: inner (or other-typed) equi-join with the
+    * physical strategy pinned via a join hint on the left side.
+    * Hints, not custom strategies: Catalyst's JoinSelection already
+    * implements the thesis's Figure-6.11 decision tree; hints are the
+    * idiomatic way to force one branch (SURVEY §4). */
+  def equiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      strategy: JoinStrategy = JoinStrategy.Auto,
+      joinType: String = "inner"): DataFrame = {
+    val hinted = strategy.hint.fold(left)(h => left.hint(h))
+    hinted.join(right, leftKey === rightKey, joinType)
+  }
+
+  /** J1 RepartitionJoin (reduce-side hash join) — RepartitionJoin.java:21-152. */
+  def repartitionJoin(left: DataFrame, right: DataFrame, lk: Column, rk: Column): DataFrame =
+    equiJoin(left, right, lk, rk, JoinStrategy.ShuffleHash)
+
+  /** J2 BroadcastJoin (map-side hash join) — BroadcastJoin.java:24-132.
+    * `broadcast()` on the left/small side is the declarative form of the
+    * reference's distributed-cache + per-mapper HashMap build
+    * (BroadcastJoin.java:40,61-106); zero shuffle, unlike the reference's
+    * accidental identity-reduce (setNumReduceTasks override quirk,
+    * BroadcastJoin.java:46,54). */
+  def broadcastJoin(small: DataFrame, big: DataFrame, smallKey: Column, bigKey: Column): DataFrame =
+    broadcast(small).join(big, smallKey === bigKey, "inner")
+
+  /** J3 MergeJoin (sort-merge join) — MergeJoin.java:34-263. Spark's
+    * default shuffle equi-join IS sort-merge; the hint pins it even when
+    * AQE would rather broadcast. */
+  def mergeJoin(left: DataFrame, right: DataFrame, lk: Column, rk: Column): DataFrame =
+    equiJoin(left, right, lk, rk, JoinStrategy.SortMerge)
+
+  /** The reference's sort stages (MergeJoin.java:146-215): total-order
+    * range partitioning (TotalOrderPartitioner + InputSampler ≙ Spark's
+    * RangePartitioning, which samples internally) + within-partition
+    * sort. Materialize with [[Tables.writeStage]] to reproduce the
+    * "merge-only on pre-sorted inputs" experiment (thesis Fig 6.4). */
+  def presort(df: DataFrame, key: Column, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, key).sortWithinPartitions(key)
+
+  /** Decomposed 5-stage merge-join pipeline with per-stage wall times —
+    * extract ×2, sort(+persist) ×2, merge — mirroring the reference's
+    * 6-slot stage-time array (MergeJoin.java:97,142-143,213-214,251).
+    * Returns (joined, stageTimesSec). Driver-orchestrated materialization
+    * is intentional here: it is the experiment, not the recommended plan
+    * (the recommended plan is the single-stage [[mergeJoin]]). */
+  def mergeJoinDecomposed(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      lk: Column,
+      rk: Column,
+      partitions: Int,
+      tmpDir: String): (DataFrame, Seq[Double]) = {
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // stage 1+2: key extraction (KeyExtractor.java:20-26) — here a pure
+    // projection; Catalyst fuses it into the scan.
+    val (lx, t1) = timed(left.select(lk.as("k"), struct(left.columns.map(col).toIndexedSeq: _*).as("row")))
+    val (rx, t2) = timed(right.select(rk.as("k"), struct(right.columns.map(col).toIndexedSeq: _*).as("row")))
+    // stage 3+4: total-order sort + persist (MergeJoin.java:146-215)
+    val (_, t3) = timed(Tables.writeStage(presort(lx, col("k"), partitions), s"$tmpDir/sorted_left"))
+    val (_, t4) = timed(Tables.writeStage(presort(rx, col("k"), partitions), s"$tmpDir/sorted_right"))
+    // stage 5: merge of pre-sorted runs (CompositeInputFormat.compose
+    // "inner", MergeJoin.java:217-251)
+    val sl = Tables.readStage(spark, s"$tmpDir/sorted_left")
+    val sr = Tables.readStage(spark, s"$tmpDir/sorted_right")
+    val (joined, t5) = timed(
+      sl.hint("MERGE").join(sr, sl("k") === sr("k"), "inner")
+        .select(sl("k").as("k"), sl("row").as("left_row"), sr("row").as("right_row")))
+    (joined, Seq(t1, t2, t3, t4, t5))
+  }
+
+  /** Reference output shape: `key, "l1,l2,..", "r1,r2,.."` — the text
+    * sink then renders `key TAB l,r` (RepartitionJoin.java:80). Columns
+    * are stringified with comma separators exactly like the reference's
+    * row text. */
+  def keyTabProjection(
+      joined: DataFrame,
+      key: Column,
+      leftCols: Seq[Column],
+      rightCols: Seq[Column]): DataFrame =
+    joined.select(
+      key.as("key"),
+      concat_ws(",", leftCols: _*).as("left_row"),
+      concat_ws(",", rightCols: _*).as("right_row"))
+
+  /** Full reference lifecycle for CSV inputs (entry points
+    * RepartitionJoin.main / BroadcastJoin.main / MergeJoin.main):
+    * positional CSV scan → key extraction by index → pinned-strategy
+    * inner join → `key TAB l,r` rows. */
+  def runCsvJoin(spark: SparkSession, cfg: JoinConfig): DataFrame = {
+    val left = Tables.csvPositional(spark, cfg.left)
+    val right = Tables.csvPositional(spark, cfg.right)
+    // qualify via the owning DataFrame — both sides share `_c0.._cN`
+    val cast = (df: DataFrame, i: Int) => {
+      val c = df(df.columns(i))
+      if (cfg.numericKey) c.cast("long") else c
+    }
+    cfg.partitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    val lk = cast(left, cfg.leftKeyIdx)
+    val rk = cast(right, cfg.rightKeyIdx)
+    val joined = equiJoin(left, right, lk, rk, cfg.strategy)
+    val out = keyTabProjection(
+      joined,
+      lk,
+      left.columns.map(left(_)).toIndexedSeq,
+      right.columns.map(right(_)).toIndexedSeq)
+    cfg.output.foreach(o => Tables.writeKeyTab(out.select(col("key"), concat_ws(",", col("left_row"), col("right_row"))), o))
+    out
+  }
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.JoinStrategy
+import graft.operators.Joins
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 join inventory as verifiable queries over the driver
+  * testdata, all three reference algorithms running the SAME logical
+  * query (orders ⋈ customer) exactly like the reference benchmarks one
+  * logical join under three physical plans — plus the join types the
+  * thesis defers to future work (outer/semi/anti/cross/theta), which
+  * Spark provides natively and we expose as extensions.
+  *
+  * Scale design: customer is the build/broadcast side (fits executor
+  * memory at any realistic SF for a dimension table); the fact side is
+  * never collected; the `key TAB l,r` projection happens post-join so
+  * the parquet scans prune to the referenced columns only.
+  */
+object JoinQueries {
+
+  /** orders row / customer row rendered like the reference's CSV row text
+    * (RepartitionJoin.java:80) but with doubles passed through
+    * DECIMAL(18,2) so both engines stringify identically. */
+  private val joinOracle =
+    """SELECT o_custkey AS key,
+      |  concat_ws(',', o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)), o_orderpriority) AS left_row,
+      |  concat_ws(',', c_custkey, c_name, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)), c_mktsegment) AS right_row
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  private def ordersCustomer(spark: SparkSession, dir: String, strategy: JoinStrategy): DataFrame = {
+    val o = Tables.table(spark, dir, "orders")
+    val c = Tables.table(spark, dir, "customer")
+    val joined = Joins.equiJoin(o, c, o("o_custkey"), c("c_custkey"), strategy)
+    joined.select(
+      o("o_custkey").as("key"),
+      concat_ws(",",
+        o("o_orderkey"), o("o_orderstatus"),
+        o("o_totalprice").cast("decimal(18,2)"), o("o_orderpriority")).as("left_row"),
+      concat_ws(",",
+        c("c_custkey"), c("c_name"), c("c_nationkey"),
+        c("c_acctbal").cast("decimal(18,2)"), c("c_mktsegment")).as("right_row"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    // J1 — reduce-side/shuffle hash join (RepartitionJoin.java:21-152)
+    QueryDef("join_shuffle", joinOracle)((s, d) => ordersCustomer(s, d, JoinStrategy.ShuffleHash)),
+    // J2 — map-side broadcast hash join (BroadcastJoin.java:24-132);
+    // correct cross-product semantics, NOT the reference's last-row-wins
+    QueryDef("join_broadcast", joinOracle)((s, d) => ordersCustomer(s, d, JoinStrategy.Broadcast)),
+    // J3 — sort-merge join (MergeJoin.java:34-263), single fused stage
+    QueryDef("join_merge", joinOracle)((s, d) => ordersCustomer(s, d, JoinStrategy.SortMerge)),
+    // J3 decomposed — the "merge-only over pre-sorted inputs" experiment
+    // (thesis Fig 6.4): total-order sort + materialize, then MERGE join
+    // of the sorted runs. Same logical result as join_shuffle.
+    QueryDef("join_merge_presorted", joinOracle) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_presorted"
+      val o = Tables.table(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice_d"), col("o_orderpriority"))
+      val c = Tables.table(s, d, "customer")
+      Tables.writeStage(Joins.presort(o, col("o_custkey"), 8), s"$tmp/orders")
+      Tables.writeStage(Joins.presort(c, col("c_custkey"), 8), s"$tmp/customer")
+      val so = Tables.readStage(s, s"$tmp/orders")
+      val sc = Tables.readStage(s, s"$tmp/customer")
+      so.hint("MERGE").join(sc, so("o_custkey") === sc("c_custkey"), "inner")
+        .select(
+          so("o_custkey").as("key"),
+          concat_ws(",", so("o_orderkey"), so("o_orderstatus"),
+            so("o_totalprice_d"), so("o_orderpriority")).as("left_row"),
+          concat_ws(",", sc("c_custkey"), sc("c_name"), sc("c_nationkey"),
+            sc("c_acctbal").cast("decimal(18,2)"), sc("c_mktsegment")).as("right_row"))
+    },
+    // M×N duplicate-key cross-product semantics (golden
+    // expected_output.csv: key 7 → 3×3 rows) on a self-join
+    QueryDef(
+      "join_dup_cross",
+      """SELECT a.o_custkey AS key, a.o_orderkey AS left_okey, b.o_orderkey AS right_okey
+        |FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey""".stripMargin) { (s, d) =>
+      val a = Tables.table(s, d, "orders").select(col("o_custkey"), col("o_orderkey")).alias("a")
+      val b = Tables.table(s, d, "orders").select(col("o_custkey"), col("o_orderkey")).alias("b")
+      a.join(b, col("a.o_custkey") === col("b.o_custkey"))
+        .select(col("a.o_custkey").as("key"),
+          col("a.o_orderkey").as("left_okey"), col("b.o_orderkey").as("right_okey"))
+    },
+    // semi-join — declared form of the broadcast mapper's existence
+    // filter (BroadcastJoin.java:111-113)
+    QueryDef(
+      "join_semi",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, d) =>
+      val c = Tables.table(s, d, "customer")
+      val o = Tables.table(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    // anti-join (extension; thesis §5.4 future work): customers that
+    // never produced an event (non-empty: events covers ~10% of keys)
+    QueryDef(
+      "join_anti",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin) { (s, d) =>
+      val c = Tables.table(s, d, "customer")
+      val e = Tables.table(s, d, "events")
+      c.join(e, c("c_custkey") === e("user_id"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    // left outer (extension)
+    QueryDef(
+      "join_left_outer",
+      """SELECT c_custkey AS key, o_orderkey
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.table(s, d, "customer")
+      val o = Tables.table(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .select(c("c_custkey").as("key"), o("o_orderkey"))
+    },
+    // full outer (extension)
+    QueryDef(
+      "join_full_outer",
+      """SELECT s_suppkey, s_nationkey, c_custkey, c_nationkey
+        |FROM supplier FULL JOIN customer ON s_nationkey = c_nationkey""".stripMargin) { (s, d) =>
+      val sup = Tables.table(s, d, "supplier")
+      val c = Tables.table(s, d, "customer")
+      sup.join(c, sup("s_nationkey") === c("c_nationkey"), "full_outer")
+        .select(sup("s_suppkey"), sup("s_nationkey"), c("c_custkey"), c("c_nationkey"))
+    },
+    // cartesian product (extension)
+    QueryDef(
+      "join_cross",
+      "SELECT n_nationkey, r_regionkey FROM nation CROSS JOIN region") { (s, d) =>
+      Tables.table(s, d, "nation").crossJoin(Tables.table(s, d, "region"))
+        .select(col("n_nationkey"), col("r_regionkey"))
+    },
+    // theta/band join (extension; thesis §5.4.1 defers inequality joins).
+    // Physical plan: BroadcastNestedLoopJoin with the small supplier side
+    // broadcast — the only sane shape for banded predicates at scale.
+    QueryDef(
+      "join_theta_range",
+      """SELECT p_partkey, s_suppkey FROM part JOIN supplier
+        |ON p_retailprice >= s_acctbal AND p_retailprice <= s_acctbal + 500""".stripMargin) { (s, d) =>
+      val p = Tables.table(s, d, "part")
+      val sup = Tables.table(s, d, "supplier")
+      p.join(broadcast(sup),
+        p("p_retailprice") >= sup("s_acctbal") && p("p_retailprice") <= sup("s_acctbal") + 500)
+        .select(p("p_partkey"), sup("s_suppkey"))
+    }
+  )
+}

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders / sinks covering the reference's source-sink surface
+  * (SURVEY §2.1 S1-S6):
+  *
+  *  - S1 CSV text scan (TextInputFormat line reads,
+  *    RepartitionJoin.java:115-116) → `csvPositional`
+  *  - S2 key-value text scan (KeyValueTextInputFormat, MergeJoin.java:88)
+  *    → `keyValueText`
+  *  - S3 SequenceFile intermediates (MergeJoin.java:118-119) → parquet
+  *    intermediates (`writeStage`/`readStage`) — Spark-idiomatic binary
+  *    columnar stage format
+  *  - S5 text sink `key TAB l,r` (RepartitionJoin.java:117) →
+  *    `writeKeyTab`
+  *  - S6 temp management → `deleteRecursive`
+  *
+  * Driver testdata is parquet (TESTDATA.md) → `table`.
+  */
+object Tables {
+
+  /** S1: schema-less positional CSV — columns come back as `_c0.._cN`
+    * StringType, matching the reference's untyped `split(",")[i]` row
+    * model (KeyExtractor.java:14). Accepts a file or a directory of part
+    * files (BroadcastJoin.java:76-91 iterates dirs the same way). */
+  def csvPositional(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "false").option("inferSchema", "false").csv(path)
+
+  /** S2: tab-separated `key TAB value` lines (KeyValueTextInputFormat
+    * shape, MergeJoin.java:170-171) → DataFrame(key, value). The key is
+    * the KV key, NOT a re-parse of the value (FIXTURES.md merge_join
+    * t2.txt keys 90-92 encode exactly this distinction). */
+  def keyValueText(spark: SparkSession, path: String, sep: String = "\t"): DataFrame =
+    spark.read
+      .option("header", "false")
+      .option("sep", sep)
+      .option("inferSchema", "false")
+      .csv(path)
+      .toDF("key", "value")
+
+  /** Driver-testdata parquet table: `table(spark, dir, "lineitem")`.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in the driver parquet, which Spark 4
+    * rejects by default (PARQUET_TYPE_ILLEGAL) — Spark has no nanosecond
+    * timestamp type. `nanosAsLong` surfaces it as LongType epoch-nanos;
+    * event-time operators derive micros/seconds from it explicitly (and
+    * the DuckDB oracles use epoch_ns for the same integer arithmetic). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** S5: the reference's text sink — `key TAB leftRow,rightRow` lines
+    * (RepartitionJoin.java:80, BroadcastJoin.java:112). Expects a
+    * DataFrame whose first column is the key and remaining columns are
+    * pre-concatenated row text. */
+  def writeKeyTab(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("sep", "\t").csv(path)
+
+  /** S3: stage materialization between decomposed join phases — the
+    * Spark-idiomatic replacement for the reference's SequenceFile
+    * intermediates (MergeJoin.java:118-119,204-205). Parquet keeps
+    * column pruning + predicate pushdown available to downstream stages,
+    * which SequenceFiles never could. */
+  def writeStage(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def readStage(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S6: temp-dir lifecycle (MergeJoin.java:91-95,253-256). */
+  def deleteRecursive(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val f = new java.io.File(path)
+    if (f.exists()) rm(f)
+  }
+
+  /** P1/P2 key-extraction projection (KeyExtractor.java:12-26): given a
+    * positional CSV DataFrame, produce (key, line) where key =
+    * `split(line, ",")[idx]`, optionally parsed to long — exactly the
+    * reference's two mapper variants. `line` is the re-assembled row. */
+  def extractKey(df: DataFrame, idx: Int, numeric: Boolean): DataFrame = {
+    val line = concat_ws(",", df.columns.map(col).toIndexedSeq: _*)
+    val key0 = split(line, ",").getItem(idx)
+    val key = if (numeric) key0.cast("long") else key0
+    df.select(key.as("key"), line.as("value"))
+  }
+}

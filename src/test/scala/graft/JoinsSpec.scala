@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.Joins
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+class JoinsSpec extends SparkSpec {
+
+  private def res(p: String) = getClass.getResource(p).getPath
+
+  /** Brute-force expected inner join of two (key, line) lists — the
+    * semantics the golden expected_output.csv encodes (FIXTURES.md:
+    * regenerate goldens from semantics; the shipped files are stale). */
+  private def expectedJoin(
+      left: Seq[(String, String)], right: Seq[(String, String)]): Set[(String, String, String)] =
+    (for {
+      (lk, lv) <- left
+      (rk, rv) <- right
+      if lk == rk
+    } yield (lk, lv, rv)).toSet
+
+  private def loadCsvLines(path: String): Seq[(String, String)] =
+    scala.io.Source.fromFile(path, "UTF-8").getLines().filter(_.nonEmpty)
+      .map(l => (l.split(",")(0), l)).toSeq
+
+  private def runStrategy(strategy: JoinStrategy): Set[(String, String, String)] = {
+    val cfg = JoinConfig(
+      left = res("/simple_tables/t1_nonunique.csv"),
+      right = res("/simple_tables/t2.csv"),
+      leftKeyIdx = 0, rightKeyIdx = 0, strategy = strategy)
+    Joins.runCsvJoin(spark, cfg).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+  }
+
+  private lazy val golden = expectedJoin(
+    loadCsvLines(res("/simple_tables/t1_nonunique.csv")),
+    loadCsvLines(res("/simple_tables/t2.csv")))
+
+  test("all three strategies produce identical cross-product inner-join output") {
+    for (st <- Seq(JoinStrategy.ShuffleHash, JoinStrategy.Broadcast, JoinStrategy.SortMerge, JoinStrategy.Auto)) {
+      assert(runStrategy(st) == golden, s"strategy $st diverged from golden semantics")
+    }
+    // duplicate-key cross product: key 7 appears 3× left, 5× right → 15 rows
+    assert(golden.count(_._1 == "7") == 15)
+  }
+
+  test("strategy hints pin the intended physical join operator") {
+    val o = Tables.table(spark, sf, "orders")
+    val c = Tables.table(spark, sf, "customer")
+    def planOf(st: JoinStrategy) = {
+      val df = Joins.equiJoin(o, c, o("o_custkey"), c("c_custkey"), st)
+      df.count() // force AQE final plan
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case _: ShuffledHashJoinExec => "shuffle_hash"
+        case _: BroadcastHashJoinExec => "broadcast"
+        case _: SortMergeJoinExec => "sort_merge"
+      }
+    }
+    assert(planOf(JoinStrategy.ShuffleHash) == Seq("shuffle_hash"))
+    assert(planOf(JoinStrategy.Broadcast) == Seq("broadcast"))
+    assert(planOf(JoinStrategy.SortMerge) == Seq("sort_merge"))
+  }
+
+  test("broadcast join broadcasts the small side and keeps dup-key rows (no reference J2 quirk)") {
+    import spark.implicits._
+    val small = Seq((1, "a"), (1, "b")).toDF("k", "v")   // duplicate build keys
+    val big = Seq((1, "x"), (2, "y")).toDF("k2", "w")
+    val j = Joins.broadcastJoin(small, big, col("k"), col("k2"))
+    assert(j.count() == 2) // both build rows survive — unlike BroadcastJoin.java:84
+    val plan = j.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(plan.collectFirst { case b: BroadcastHashJoinExec => b }.isDefined)
+  }
+
+  test("merge-join KV fixtures: join key is the KV key, not a value re-parse") {
+    val t1 = Tables.keyValueText(spark, res("/merge_join_tables/t1.txt"))
+    val t2 = Tables.keyValueText(spark, res("/merge_join_tables/t2.txt"))
+    val joined = Joins.mergeJoin(t1, t2, t1("key").cast("long"), t2("key").cast("long"))
+      .select(t1("key"), t1("value").as("l"), t2("value").as("r"))
+    val rows = joined.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // key 7: 1 left × 5 right
+    assert(rows.count(_._1 == "7") == 5)
+    // unicode values survive
+    assert(rows.exists(_._3 == "8,üü"))
+    // keys 90-92 exist only in t2 → dropped (and value "10,cc" never
+    // joins as if its first field were the key)
+    assert(!rows.exists(_._1 == "90"))
+  }
+
+  test("decomposed merge join equals single-stage join and reports 5 stage times") {
+    val o = Tables.table(spark, sf, "orders")
+    val c = Tables.table(spark, sf, "customer")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mj").toString
+    val (joined, times) = Joins.mergeJoinDecomposed(
+      spark, o, c, o("o_custkey"), c("c_custkey"), 4, tmp)
+    assert(times.size == 5 && times.forall(_ >= 0))
+    assert(joined.count() == o.join(c, o("o_custkey") === c("c_custkey")).count())
+    Tables.deleteRecursive(tmp)
+  }
+
+  test("key extraction projection matches reference KeyExtractor semantics") {
+    val df = Tables.csvPositional(spark, res("/simple_tables/t2.csv"))
+    val s = Tables.extractKey(df, 0, numeric = false).collect().map(r => r.getString(0)).toSet
+    assert(s.contains("93") && s.contains("0"))
+    val n = Tables.extractKey(df, 0, numeric = true)
+    assert(n.schema("key").dataType.typeName == "long")
+  }
+}
