@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (extensions — the reference has NONE in the
+  * query path, SURVEY §2.4; its only aggregation is driver-side benchmark
+  * stats, JoinSimulation.java:34-70, which [[graft.stats]] mirrors).
+  *
+  * Oracle-parity design: double sums are accumulated as DECIMAL(_,2/4)
+  * (exact, order-independent) and exported as doubles; averages are
+  * double(decimal sum)/count so both engines perform the identical single
+  * division. Partial (map-side) aggregation stays available to Spark
+  * because everything is a plain `groupBy().agg` — at 100 TB these
+  * aggregate mostly map-side and shuffle only one row per group.
+  */
+object AggQueries {
+
+  private val dec = "decimal(18,2)"
+
+  val all: Seq[QueryDef] = Seq(
+    // TPC-H Q1-shaped scan-heavy aggregate: the canonical "does partial
+    // aggregation + column pruning happen" probe.
+    QueryDef(
+      "agg_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+    // exact distinct aggregation
+    QueryDef(
+      "agg_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    },
+    // order statistics — the reference's mean/median/max task-time stats
+    // (JoinSimulation.java:34-70) as a first-class grouped aggregate.
+    // percentile (Spark) and quantile_cont (DuckDB) share the same
+    // linear-interpolation definition; round(6) absorbs last-ulp noise.
+    QueryDef(
+      "agg_stats",
+      """SELECT event_type, count(*) AS n,
+        |  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_v,
+        |  round(quantile_cont(value, 0.5), 6) AS median_v
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"),
+          (sum(col("value").cast(dec)).cast("double") / count(lit(1))).as("mean_v"),
+          round(percentile(col("value"), lit(0.5)), 6).as("median_v"))
+    },
+    // multi-dimensional aggregates: ROLLUP (extension; DuckDB-parity on
+    // the NULL super-aggregate rows)
+    QueryDef(
+      "agg_rollup",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
+    },
+    QueryDef(
+      "agg_cube",
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "customer")
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+    },
+    // join + aggregate: revenue per nation (classic star-schema shape —
+    // broadcast dims, partial agg on the fact side)
+    QueryDef(
+      "agg_join_revenue",
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (s, d) =>
+      val o = Tables.table(s, d, "orders")
+      val c = Tables.table(s, d, "customer")
+      val n = Tables.table(s, d, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    },
+    // approximate distinct (HLL sketch) — sketches differ across engines,
+    // so this is rows-only for the driver; AggSpec asserts ±5% vs exact.
+    QueryDef.unverified("agg_approx_distinct") { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+    }
+  )
+}

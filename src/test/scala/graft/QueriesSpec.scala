@@ -1,0 +1,67 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting checks over the full query registry plus physical-plan
+  * assertions — the "is this the plan you'd want at 100 TB" gate. */
+class QueriesSpec extends SparkSpec {
+
+  test("every registry query runs and yields rows at sf0.001") {
+    val empty = SparkEntry.registry.filter { q =>
+      q.fn(spark, sf).limit(1).count() == 0
+    }
+    // join_anti may legitimately be empty at tiny SF; nothing else may
+    assert(empty.map(_.name).forall(Set("join_anti")), s"empty: ${empty.map(_.name)}")
+  }
+
+  test("query names are unique and every oracle has a query") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).limit(1).count() > 0)
+  }
+
+  test("filter and projection are pushed to the parquet scan") {
+    val df = SparkEntry.queries("filter_pushdown")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(scan.contains("GreaterThan(l_quantity"), s"quantity filter not pushed")
+    // pruned read schema: only the needed columns reach the scan
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("l_extendedprice"), "column pruning failed — scan reads unused columns")
+  }
+
+  test("aggregation plans use partial (map-side) aggregation") {
+    val df = SparkEntry.queries("agg_pricing_summary")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    // two HashAggregate ops (partial + final) around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val df = SparkEntry.queries("sort_topk")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString().contains("TakeOrderedAndProject"))
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.table(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      assert(math.abs(approx(k) - e).toDouble / e < 0.05, s"$k: approx=${approx(k)} exact=$e")
+    }
+  }
+
+  test("sessionization assigns increasing session ids per user") {
+    val rows = SparkEntry.queries("window_sessionize")(spark, sf)
+      .groupBy(col("user_id")).agg(max(col("session_id")).as("m"), count(lit(1)).as("n"))
+      .collect()
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(2)))
+  }
+}
