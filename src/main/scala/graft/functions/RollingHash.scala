@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expression: rolling polynomial hash
+  * `h = fold(h*31 + codeUnit) mod m` over a string — the document
+  * fingerprint primitive (see TextAnalysis.fingerprintHof for the
+  * composed-builtin twin it must agree with, and which the DuckDB oracle
+  * mirrors via list_reduce).
+  *
+  * Why a custom Expression (SURVEY §7's "optional Catalyst work" slot):
+  * the HOF formulation materializes a per-char array per row
+  * (split → aggregate); this one is a single fused loop with full
+  * whole-stage codegen, no intermediate allocation — the preferred shape
+  * for a 100 TB corpus scan. Semantics: UTF-16 code units, which equal
+  * codepoints for the ASCII output of TextAnalysis.normalized.
+  */
+case class RollingHash(child: Expression, mod: Long = 1000000007L)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * 31L + s.charAt(i)) % mod
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $h = ($h * 31L + $s.charAt($i)) % ${mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Column-level and SQL-level entry points for graft's custom
+  * expressions. */
+object GraftFunctions {
+
+  def rolling_hash(c: Column): Column =
+    Bridge.column(RollingHash(Bridge.expression(c)))
+
+  /** Register SQL names (`SELECT graft_rolling_hash(text) ...`). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.GraftFunctions
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the documents corpus. Tokenization grain
+  * shared with the oracle: `\s+` split of trimmed text (DuckDB
+  * regexp_split_to_array). Ratios are single double divisions of exact
+  * integer counts.
+  */
+object TextQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    // token counting: whitespace tokens + BPE-ish subword estimate
+    QueryDef(
+      "text_tokens",
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+        TextAnalysis.bpeishCount(col("text")).as("n_bpeish"))
+    },
+    // quality scoring
+    QueryDef(
+      "text_quality",
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars_calc,
+        |  len(toks) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+        |       x -> x IN ('the','a','of','and','to','is','in'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |  CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_token_len
+        |FROM t""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "documents")
+        .select(col("doc_id") +: TextAnalysis.qualityProjection(col("text")): _*)
+    },
+    // heuristic language-ID with deterministic tie-break chain
+    QueryDef(
+      "text_langid",
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','is','in'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','y','es','un'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','un'))) AS s_fr,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+        |  CASE WHEN s_zh > 0 THEN 'zh'
+        |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM s""".stripMargin) { (s, d) =>
+      TextAnalysis
+        .withLangId(Tables.table(s, d, "documents"), col("text"))
+        .select(col("doc_id"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+          col("s_zh"), col("pred_lang"))
+    },
+    // document fingerprinting: custom codegen'd rolling hash (the
+    // Catalyst Expression) + md5 content hash. The oracle reproduces the
+    // rolling hash with a sequential list_reduce over codepoints.
+    QueryDef(
+      "text_fingerprint",
+      """WITH n AS (SELECT doc_id, text,
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(norm) + 1),
+        |                     i -> CAST(unicode(norm[i]) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp,
+        |  md5(text) AS content_md5
+        |FROM n""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        GraftFunctions.rolling_hash(TextAnalysis.normalized(col("text"))).as("fp"),
+        TextAnalysis.contentMd5(col("text")).as("content_md5"))
+    }
+  )
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression ↔ Column bridge. Spark 4 moved the conversion into
+  * `private[sql]` classic helpers (Column wraps a ColumnNode, not an
+  * Expression); extension libraries conventionally expose them through a
+  * small shim in the sql package namespace. This is the only file
+  * outside the graft package.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
