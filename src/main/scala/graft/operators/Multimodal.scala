@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opaque media record: binary payload + typed metadata — the storage
+  * model for image/audio/video columns at 100 TB (payload stays a
+  * parquet binary chunk; metadata is columnar and prunable). */
+final case class MediaRecord(
+    doc_id: Long,
+    media_type: String,
+    payload: Array[Byte],
+    n_chars: Long)
+
+/** Decoded-media features. In a production pipeline these come from a
+  * real decoder (JPEG dims, audio duration, ...); here the decode step
+  * is STUBBED deterministically (see [[Multimodal.decodeStub]]). */
+final case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    content_md5: String,
+    fake_width: Int,
+    fake_height: Int)
+
+/** Multimodal-column plumbing (north-star extension; BASELINE.json:6):
+  * treat media as opaque `binary` columns with typed metadata, and run
+  * decode / feature-extraction as a partition-batched typed map.
+  *
+  * The Spark-side mechanics — schema, Encoders, partition batch shape,
+  * per-partition decoder initialization — are real and tested; ONLY the
+  * media decode itself is a deterministic stub (this container ships no
+  * image/audio codecs). Swap `decodeStub` for a real codec without
+  * touching the dataflow: mapPartitions hands each task an iterator so
+  * the decoder (like a Pandas-UDF batch model) is initialized once per
+  * partition, not once per row.
+  */
+object Multimodal {
+
+  /** Pack text rows as opaque binary payloads + metadata — stands in
+    * for reading real media blobs; the binary column is genuinely
+    * BinaryType in the schema. */
+  def packBinary(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("text/plain").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("n_chars"))
+
+  /** STUB decoder — deterministic fake features derived from payload
+    * bytes + metadata. A real implementation would parse the media
+    * container here. Marked stub by contract: fake_width/fake_height
+    * are synthetic. */
+  private def decodeStub(md5: java.security.MessageDigest)(r: MediaRecord): MediaFeatures = {
+    md5.reset()
+    val digest = md5.digest(r.payload).map("%02x".format(_)).mkString
+    MediaFeatures(
+      doc_id = r.doc_id,
+      media_type = r.media_type,
+      n_bytes = r.payload.length.toLong,
+      content_md5 = digest,
+      fake_width = (32 + r.n_chars % 480).toInt,
+      fake_height = (32 + (r.n_chars * 7) % 480).toInt)
+  }
+
+  /** Partition-batched feature extraction: one decoder instance per
+    * partition, streamed over the iterator (constant memory per task
+    * regardless of partition size). */
+  def extractFeatures(spark: SparkSession, packed: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    packed.as[MediaRecord].mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      it.map(decodeStub(md5))
+    }
+  }
+
+  /** Frame sampling for time-based media: one row per sampled frame,
+    * deterministic frame count from metadata (stub for container
+    * duration). explode keeps this fully distributed — no driver loop. */
+  def sampleFrames(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(sequence(lit(0L), col("n_chars") % 10)).as("frame_idx"))
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star extension; BASELINE.json:6).
+  *
+  * Two tiers, same output contract (query_id, neighbor_id, rank, cos):
+  *  - [[topKBruteForce]]: exact baseline — broadcast the (small) query
+  *    set against the full corpus; one scan, per-query top-k via
+  *    window rank. Scales linearly in corpus size — the right shape
+  *    when queries ≪ corpus.
+  *  - [[topKIvf]]: IVF (inverted-file) — assign every vector to its
+  *    nearest centroid (bucketing the corpus), probe only the nprobe
+  *    closest clusters per query. Deterministic centroid choice (the
+  *    first nCentroids vectors by id) keeps the whole operator
+  *    SQL-reproducible; swap in k-means centroids at production scale
+  *    without changing the dataflow.
+  *
+  * All cosine math uses Dedup.dot's sequential fold — bit-identical to
+  * the DuckDB oracle.
+  */
+object Similarity {
+
+  import Dedup.{dot, withNorm}
+
+  /** Exact top-k: every query against every corpus vector. Norms are
+    * precomputed per vector; the cosine denominator multiplies
+    * query-norm × corpus-norm in that order to match the oracle. */
+  def topKBruteForce(emb: DataFrame, vec: Column, id: Column,
+      isQuery: Column, k: Int): DataFrame = {
+    val e = withNorm(emb, vec, id)
+    val q = withNorm(emb.filter(isQuery), vec, id)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vid") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF top-k with deterministic centroids (vec_id < nCentroids) and
+    * nprobe-cluster probing. Candidate set = vectors whose assigned
+    * centroid is among the query's nprobe nearest centroids. */
+  def topKIvf(emb: DataFrame, vec: Column, id: Column, isQuery: Column,
+      k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val e = withNorm(emb, vec, id)
+    val cents = withNorm(emb.filter(id < nCentroids), vec, id)
+      .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+
+    // assignment: nearest centroid per corpus vector (broadcast the
+    // centroid table — it is tiny by construction)
+    val wAssign = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vid"), col("v"), col("nrm"), col("cid"))
+
+    // probe lists: nprobe nearest centroids per query
+    val q = withNorm(emb.filter(isQuery), vec, id)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("qcos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("qrn", row_number().over(wProbe))
+      .filter(col("qrn") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+
+    // candidates: probed clusters only, then exact top-k within them
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    probes.join(assigned, Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Dedup queries. The three near-dup strategies (inverted-index Jaccard,
+  * MinHash+LSH, SimHash) share ONE oracle: the exact set of document
+  * pairs with shingle-Jaccard ≥ 0.8 — candidate generation differs, the
+  * verified output contract doesn't. Testdata has 25 planted pairs, all
+  * at J ≥ 0.9 with the next pair below 0.5, so the 0.8 threshold sits in
+  * a wide margin and the LSH miss probability at J=0.9 is ~1.6e-15.
+  */
+object DedupQueries {
+
+  /** Brute-force exact-Jaccard pairs in DuckDB — the shared near-dup
+    * oracle (tokenization mirrors TextAnalysis.tokens). */
+  private val jaccardOracle =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM t WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dedup_exact",
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin) { (s, d) =>
+      Dedup.exact(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
+    },
+    QueryDef("dedup_ngram_jaccard", jaccardOracle) { (s, d) =>
+      Dedup.ngramJaccard(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
+    },
+    QueryDef("dedup_minhash_lsh", jaccardOracle) { (s, d) =>
+      Dedup.minhashLsh(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
+    },
+    QueryDef("dedup_simhash", jaccardOracle) { (s, d) =>
+      Dedup.simhashDedup(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
+    },
+    QueryDef(
+      "dedup_embedding",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y) AS dab,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])), (x, y) -> x + y) AS daa,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])), (x, y) -> x + y) AS dbb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(dab / (sqrt(daa) * sqrt(dbb)), 6) AS cos
+        |FROM p WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.45""".stripMargin) { (s, d) =>
+      Dedup.embeddingCosinePairs(
+        Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"), 0.45)
+    }
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.table(spark, sf, "documents")
+  private lazy val emb = Tables.table(spark, sf, "embeddings")
+
+  test("LSH candidate generation finds every true near-dup pair (recall = 1 here)") {
+    val truth = Dedup.ngramJaccard(docs, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.shingles(docs, col("text"), col("doc_id"))
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(sh))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(cands), s"LSH missed ${truth -- cands}")
+    assert(truth.nonEmpty) // sf0.001 slice still carries planted dups
+  }
+
+  test("minhash miss probability at our parameters is negligible") {
+    assert(Dedup.minhashMissProbability(0.9, bands = 32, rows = 4) < 1e-12)
+  }
+
+  test("simhash is identical for identical docs, close for near-dups") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta"),
+      (4L, "one two three four five six")).toDF("doc_id", "text")
+    val sm = Dedup.simhash(d, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sm(1L) == sm(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sm(1L), sm(3L)) < hamming(sm(1L), sm(4L)))
+  }
+
+  test("shingle df-cap drops hot shingles") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i")).toDF("doc_id", "text")
+    val uncapped = Dedup.shingles(d, col("text"), col("doc_id"))
+    val capped = Dedup.shingles(d, col("text"), col("doc_id"), maxShingleDf = Some(2))
+    assert(uncapped.filter(col("s") === "x y z").count() == 3)
+    assert(capped.filter(col("s") === "x y z").count() == 0)
+  }
+
+  test("SRP-bucketed embedding dedup is a subset of brute force, deterministic") {
+    val brute = Dedup.embeddingCosinePairs(emb, col("embedding"), col("vec_id"), 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b1 = Dedup.embeddingCosineBucketed(emb, col("embedding"), col("vec_id"), 0.4, bits = 4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b2 = Dedup.embeddingCosineBucketed(emb, col("embedding"), col("vec_id"), 0.4, bits = 4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b1.subsetOf(brute))
+    assert(b1 == b2)
+  }
+
+  test("IVF results are a subset of brute-force ranking universe with perfect-probe recall on self-cluster") {
+    val ivf = Similarity.topKIvf(emb, col("embedding"), col("vec_id"),
+      col("vec_id") % 100 === 0, k = 3, nCentroids = 4, nProbe = 4) // nProbe = all → exact
+    val brute = Similarity.topKBruteForce(emb, col("embedding"), col("vec_id"),
+      col("vec_id") % 100 === 0, k = 3)
+    // probing every centroid makes IVF exhaustive → equals brute force
+    val a = ivf.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val b = brute.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("multimodal: binary payload schema + per-partition decode stub") {
+    val packed = Multimodal.packBinary(docs)
+    assert(packed.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(spark, packed)
+    val row = feats.filter(col("doc_id") === 0).head()
+    assert(row.n_bytes > 0 && row.content_md5.length == 32)
+    // md5 agrees with Spark's builtin over the same bytes
+    val viaSql = packed.select(md5(col("payload"))).head().getString(0)
+    assert(feats.filter(col("doc_id") === 0).head().content_md5 ==
+      packed.filter(col("doc_id") === 0).select(md5(col("payload"))).head().getString(0))
+    assert(viaSql.length == 32)
+  }
+}
