@@ -12,7 +12,8 @@ object SparkEntry {
   /** Every verifiable operator, grouped by module. */
   def registry: Seq[QueryDef] =
     JoinQueries.all ++ AggQueries.all ++ WindowQueries.all ++ ScalarSetQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      DataGenQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.datagen.DataGen
+import org.apache.spark.sql.functions._
+
+/** Datagen parity queries (SURVEY §2.6). Fixed parameters:
+  * rows = 10000, n = 100 unique keys, s = 0.9 skew — small enough for
+  * the oracle, shaped exactly like the reference's simulation sweeps
+  * (unique_values = ~1% of rows here vs 10% in the thesis; the math is
+  * parameter-independent). These queries ignore the sfDir: generation
+  * is the operator under test.
+  */
+object DataGenQueries {
+
+  private val zipfCdfCte =
+    """WITH k AS (SELECT i + 1 AS k, pow(CAST(i + 1 AS DOUBLE), -0.9) AS w FROM range(100) t(i)),
+      |c AS (SELECT k, sum(w) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM k),
+      |c2 AS (SELECT k, cum, max(cum) OVER () AS tot FROM c),
+      |b AS (SELECT k, greatest(CAST(0 AS BIGINT), CAST(floor(cum / tot * 10000.0 - 0.5) AS BIGINT) + 1) AS cumcnt FROM c2),
+      |d AS (SELECT k, coalesce(lag(cumcnt) OVER (ORDER BY k), 0) AS off,
+      |  cumcnt - coalesce(lag(cumcnt) OVER (ORDER BY k), 0) AS cnt FROM b)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    // G1: the deterministic attribute pool itself
+    QueryDef(
+      "datagen_attr_pool",
+      """SELECT i AS pool_idx,
+        |  substr(repeat(md5('pool' || i), 1), 1, 20) AS attr1,
+        |  substr(repeat(md5('pool' || i), 4), 1, 100) AS attr2,
+        |  substr(repeat(md5('pool' || i), 3), 1, 80) AS attr3
+        |FROM range(100) t(i)""".stripMargin) { (s, _) =>
+      s.range(100).select(
+        col("id").as("pool_idx"),
+        DataGen.poolAttr(col("id"), 20).as("attr1"),
+        DataGen.poolAttr(col("id"), 100).as("attr2"),
+        DataGen.poolAttr(col("id"), 80).as("attr3"))
+    },
+    // G2: uniform key histogram
+    QueryDef(
+      "datagen_uniform_hist",
+      """SELECT CAST(i % 100 AS BIGINT) AS key, count(*) AS n
+        |FROM range(10000) t(i) GROUP BY 1""".stripMargin) { (s, _) =>
+      DataGen.uniform(s, 10000, 100).groupBy("key").agg(count(lit(1)).as("n"))
+    },
+    // G3: Zipf quantile-sweep histogram
+    QueryDef(
+      "datagen_zipf_hist",
+      s"""$zipfCdfCte
+         |SELECT k AS key, cnt AS n FROM d WHERE cnt > 0""".stripMargin) { (s, _) =>
+      DataGen.zipfCounts(s, 10000, 100, 0.9)
+    },
+    // G3/G4: the full generated Zipf table (rid order = the reference's
+    // per-row inverse-CDF sweep order)
+    QueryDef(
+      "datagen_zipf_table",
+      s"""$zipfCdfCte,
+         |e AS (SELECT k, off, unnest(range(cnt)) AS g FROM d WHERE cnt > 0)
+         |SELECT off + g AS rid, k AS key,
+         |  substr(repeat(md5('pool' || ((off + g) % 100)), 1), 1, 20) AS attr1,
+         |  substr(repeat(md5('pool' || ((off + g + 37) % 100)), 4), 1, 100) AS attr2,
+         |  substr(repeat(md5('pool' || ((off + g + 71) % 100)), 3), 1, 80) AS attr3
+         |FROM e""".stripMargin) { (s, _) =>
+      DataGen.zipfTable(s, 10000, 100, 0.9)
+    },
+    // the reference's simulation workload in one query: unique-key left
+    // table (pseudo-shuffled) ⋈ Zipf right table, per-key match counts
+    QueryDef(
+      "datagen_join_sim",
+      s"""$zipfCdfCte,
+         |e AS (SELECT k, off, unnest(range(cnt)) AS g FROM d WHERE cnt > 0),
+         |rt AS (SELECT off + g AS rid, k AS key FROM e),
+         |lt AS (SELECT i AS lrid, (i * 1000003) % 100 AS key FROM range(100) t(i))
+         |SELECT lt.key AS key, lt.lrid AS left_rid, count(*) AS n_right
+         |FROM lt JOIN rt ON lt.key = rt.key
+         |GROUP BY lt.key, lt.lrid""".stripMargin) { (s, _) =>
+      val lt = DataGen.uniqueShuffled(s, 100).select(col("rid").as("lrid"), col("key"))
+      val rt = DataGen.zipfTable(s, 10000, 100, 0.9).select(col("key"))
+      lt.join(rt, "key").groupBy(col("key"), col("lrid").as("left_rid"))
+        .agg(count(lit(1)).as("n_right"))
+        .select(col("key"), col("left_rid"), col("n_right"))
+    },
+    // G6: skew-capacity predictor (single scalar row)
+    QueryDef(
+      "datagen_max_repeats",
+      """SELECT round(10000.0 / sum(pow(CAST(i + 1 AS DOUBLE), -0.9)), 6) AS max_repeats
+        |FROM range(100) t(i)""".stripMargin) { (s, _) =>
+      s.range(1).select(
+        round(lit(DataGen.maxZipfRepeats(100, 0.9, 10000)), 6).as("max_repeats"))
+    }
+  )
+}

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.streaming.Streaming
+
+/** Streaming queries, verified against batch SQL twins: for a finite
+  * source drained with processAllAvailable, a correct streaming
+  * aggregation must equal its batch equivalent — that equivalence IS the
+  * oracle.
+  */
+object StreamingQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "stream_window_agg",
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Streaming.windowedAgg(s, d)
+    },
+    QueryDef(
+      "stream_sessionize",
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, tus,
+        |    CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM o),
+        |g AS (SELECT user_id, event_id, tus,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events,
+        |  min(event_id) AS first_event_id
+        |FROM g GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      Streaming.sessionAgg(s, d)
+    },
+    QueryDef(
+      "stream_dedup_state",
+      """SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n
+        |FROM events GROUP BY user_id, event_type""".stripMargin) { (s, d) =>
+      Streaming.dedupState(s, d)
+    },
+    QueryDef(
+      "stream_user_counter",
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id") { (s, d) =>
+      Streaming.statefulUserCounter(s, d)
+    }
+  )
+}

@@ -1,0 +1,147 @@
+package graft.sim
+
+import graft.datagen.DataGen
+import graft.operators.Joins
+import graft.sources.Tables
+import graft.stats.Measure
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark simulation harness — the reference's JoinSimulation driver
+  * (H4/H5/H6, JoinSimulation.java:87-317): per step, generate a
+  * unique-key left table and a (Zipf-)skewed right table, run the three
+  * join algorithms over them, and append a results-CSV row using the
+  * reference's column schema (header ≙ data/results_skew.csv, so the
+  * repo's R analysis scripts remain usable).
+  *
+  * Differences by design (documented divergences):
+  *  - rt_* (reduce-task) stats are -1: Spark has no map/reduce split;
+  *    the reference emits the same sentinel under its local runner
+  *    (JoinSimulation.java:66-70).
+  *  - no merge-join maxSplits capacity cap: AQE skew-join replaces the
+  *    TotalOrderPartitioner failure mode (thesis §6.4) — the harness
+  *    exposes AQE as an axis instead.
+  */
+object Simulation {
+
+  final case class Args(
+      rows: Long = 100000,
+      steps: Int = 1,
+      increment: Long = 0,
+      uniqueValues: Long = 0, // 0 → rows / 10, the thesis's default ratio
+      reducers: Int = 32,
+      zipfSkew: Option[Double] = None,
+      doubleSkew: Boolean = false,
+      noBroadcastJoin: Boolean = false,
+      noHeader: Boolean = false,
+      aqe: Boolean = true,
+      out: String = "results.csv",
+      workDir: String = s"${sys.props("java.io.tmpdir")}/graft_sim")
+
+  def parse(argv: Array[String]): Args = {
+    def loop(a: Args, rest: List[String]): Args = rest match {
+      case "--rows" :: v :: t            => loop(a.copy(rows = v.toLong), t)
+      case "--steps" :: v :: t           => loop(a.copy(steps = v.toInt), t)
+      case "--increment" :: v :: t       => loop(a.copy(increment = v.toLong), t)
+      case "--unique-values" :: v :: t   => loop(a.copy(uniqueValues = v.toLong), t)
+      case "--reducers" :: v :: t        => loop(a.copy(reducers = v.toInt), t)
+      case "--zipf-skew" :: v :: t       => loop(a.copy(zipfSkew = Some(v.toDouble)), t)
+      case "--double-skew" :: t          => loop(a.copy(doubleSkew = true), t)
+      case "--no-broadcast-join" :: t    => loop(a.copy(noBroadcastJoin = true), t)
+      case "--no-header" :: t            => loop(a.copy(noHeader = true), t)
+      case "--no-aqe" :: t               => loop(a.copy(aqe = false), t)
+      case "--out" :: v :: t             => loop(a.copy(out = v), t)
+      case "--work-dir" :: v :: t        => loop(a.copy(workDir = v), t)
+      case Nil                           => a
+      case other :: _ => throw new IllegalArgumentException(s"unknown option: $other")
+    }
+    loop(Args(), argv.toList)
+  }
+
+  val header: String =
+    "rows,unique_values,reducers,skew," +
+      "map_records_1,reduce_records_1,mt_1,mt_med_1,mt_mu_1,mt_max_1,rt_1,rt_med_1,rt_mu_1,rt_max_1,t_repartition," +
+      "map_records_2,mt_2,mt_med_2,mt_mu_2,mt_max_2,t_broadcast," +
+      "map_records_3,mt_3,mt_med_3,mt_mu_3,mt_max_3,t_merge_1_1,t_merge_1_2,t_merge_2_1,t_merge_2_2,t_merge,t_sort_merge"
+
+  /** One sweep step: generate → run J1/J2/J3 → CSV row. */
+  def step(spark: SparkSession, a: Args, rows: Long): String = {
+    val unique = if (a.uniqueValues > 0) a.uniqueValues else math.max(1L, rows / 10)
+    val wd = s"${a.workDir}/r$rows"
+
+    // generate + materialize like the reference (inputs live on storage,
+    // joins re-read them; parquet replaces the 40-part CSV dirs)
+    val left = if (a.doubleSkew && a.zipfSkew.isDefined)
+      DataGen.zipfTable(spark, unique, unique, a.zipfSkew.get)
+    else DataGen.uniqueShuffled(spark, unique)
+    val right = a.zipfSkew match {
+      case Some(s) => DataGen.zipfTable(spark, rows, unique, s)
+      case None    => DataGen.uniform(spark, rows, unique)
+    }
+    Tables.writeStage(left, s"$wd/left")
+    Tables.writeStage(right, s"$wd/right")
+    val l = Tables.readStage(spark, s"$wd/left")
+    val r = Tables.readStage(spark, s"$wd/right")
+
+    spark.conf.set("spark.sql.shuffle.partitions", a.reducers.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", a.aqe.toString)
+
+    def fmt(d: Double): String = f"$d%.3f"
+    def taskStats(s: graft.JoinStats): String =
+      s"${fmt(s.taskTimeMedianMs / 1000)},${fmt(s.taskTimeMeanMs / 1000)},${fmt(s.taskTimeMaxMs.toDouble / 1000)}"
+
+    // J1 repartition (shuffle-hash) join
+    val (c1, s1) = Measure.measured(spark) {
+      Joins.repartitionJoin(l, r, l("key"), r("key")).count()
+    }
+    val j1 = s"${s1.shuffleRecordsWritten},$c1,${s1.taskDurationsMs.size},${taskStats(s1)},-1,-1,-1,-1,${fmt(s1.wallClockSec)}"
+
+    // J2 broadcast join (skipped like --no-broadcast-join when the small
+    // side wouldn't fit, JoinSimulation.java:176)
+    val j2 = if (a.noBroadcastJoin) "-1,-1,-1,-1,-1,-1" else {
+      val (c2, s2) = Measure.measured(spark) {
+        Joins.broadcastJoin(l, r, l("key"), r("key")).count()
+      }
+      s"${s2.shuffleRecordsWritten},${s2.taskDurationsMs.size},${taskStats(s2)},${fmt(s2.wallClockSec)}"
+    }
+
+    // J3 decomposed sort-merge pipeline with per-stage times
+    val (res3, s3) = Measure.measured(spark) {
+      val (joined, times) = Joins.mergeJoinDecomposed(
+        spark, l, r, l("key"), r("key"), a.reducers, s"$wd/mj")
+      (joined.count(), times)
+    }
+    val times = res3._2
+    val j3 = s"${s3.shuffleRecordsWritten},${s3.taskDurationsMs.size},${taskStats(s3)}," +
+      s"${times.map(fmt).mkString(",")},${fmt(s3.wallClockSec)}"
+
+    Tables.deleteRecursive(wd)
+    s"$rows,$unique,${a.reducers},${a.zipfSkew.getOrElse(0.0)},$j1,$j2,$j3"
+  }
+
+  def run(spark: SparkSession, a: Args): Seq[String] = {
+    val rowsSeq = (0 until a.steps).map(i => a.rows + i * a.increment)
+    val lines = rowsSeq.map(r => step(spark, a, r))
+    val out = new java.io.PrintWriter(new java.io.FileOutputStream(a.out))
+    try {
+      if (!a.noHeader) out.println(header)
+      lines.foreach(out.println)
+    } finally out.close()
+    lines
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-sim")
+      .config("spark.sql.shuffle.partitions", a.reducers.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, a)
+    spark.stop()
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.datagen.DataGen
+import graft.sim.Simulation
+import graft.sources.Tables
+import graft.stats.Measure
+import org.apache.spark.sql.functions._
+
+class SimStreamSpec extends SparkSpec {
+
+  test("datagen: zipf histogram is monotone-decreasing and sums to rows") {
+    val hist = DataGen.zipfCounts(spark, 10000, 100, 0.9)
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.map(_._2).sum == 10000)
+    // counts non-increasing in key (Zipf) modulo the ±1 quantile-
+    // bucketing rounding wiggle (the reference's per-row inverse-CDF
+    // sweep rounds identically)
+    assert(hist.map(_._2).sliding(2).forall(p => p.head >= p.last - 1))
+    // hottest key multiplicity ≈ closed-form predictor (G6)
+    val predicted = DataGen.maxZipfRepeats(100, 0.9, 10000)
+    assert(math.abs(hist.head._2 - predicted) / predicted < 0.01)
+  }
+
+  test("datagen: uniqueShuffled is a permutation of 0..n-1") {
+    val keys = DataGen.uniqueShuffled(spark, 101).select("key")
+      .collect().map(_.getLong(0)).toSet
+    assert(keys == (0L until 101L).toSet)
+  }
+
+  test("datagen: G5 writes the requested number of part files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_g5").toString
+    DataGen.writeCsvParts(DataGen.uniform(spark, 1000, 10), s"$tmp/t", 4)
+    val parts = new java.io.File(s"$tmp/t").listFiles().count(_.getName.startsWith("part-"))
+    assert(parts == 4)
+    Tables.deleteRecursive(tmp)
+  }
+
+  test("stats listener captures task durations and shuffle records") {
+    val li = Tables.table(spark, sf, "lineitem")
+    val (cnt, stats) = Measure.measured(spark) {
+      li.groupBy("l_returnflag").count().count()
+    }
+    assert(cnt == 3)
+    assert(stats.taskDurationsMs.nonEmpty)
+    assert(stats.shuffleRecordsWritten > 0) // partial agg rows shuffled
+    assert(stats.wallClockSec > 0)
+    assert(stats.taskTimeMaxMs >= stats.taskTimeMedianMs)
+  }
+
+  test("simulation step emits a schema-conformant CSV row") {
+    val args = Simulation.Args(rows = 5000, zipfSkew = Some(0.7),
+      workDir = java.nio.file.Files.createTempDirectory("graft_sim_t").toString)
+    val row = Simulation.step(spark, args, 5000)
+    val header = Simulation.header.split(",")
+    val cells = row.split(",")
+    assert(cells.length == header.length, s"${cells.length} != ${header.length}")
+    assert(cells(0) == "5000" && cells(1) == "500")
+    // wall-clock columns are positive
+    val tRep = cells(header.indexOf("t_repartition")).toDouble
+    val tSm = cells(header.indexOf("t_sort_merge")).toDouble
+    assert(tRep > 0 && tSm > 0)
+  }
+
+  test("streaming aggregation equals its batch twin") {
+    val streamed = graft.streaming.Streaming.dedupState(spark, sf)
+      .orderBy("user_id", "event_type").collect().map(_.toSeq)
+    val batch = Tables.table(spark, sf, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type").collect().map(_.toSeq)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("stateful user counter equals batch per-user counts") {
+    val streamed = graft.streaming.Streaming.statefulUserCounter(spark, sf)
+      .orderBy("user_id").collect().map(_.toSeq)
+    val batch = Tables.table(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(streamed.sameElements(batch))
+  }
+}
