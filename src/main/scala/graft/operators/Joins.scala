@@ -106,6 +106,38 @@ object Joins {
     (joined, Seq(t1, t2, t3, t4, t5))
   }
 
+  /** Salted equi-join for skewed keys — the manual counterpart of AQE's
+    * skew-join splitting (the reference's skew failure mode, thesis
+    * §6.4, was a partition overflowing with one hot key). The skewed
+    * side gets a deterministic salt in [0, factor); the other side is
+    * replicated across all salts. Result is provably equal to the plain
+    * join (spec-tested); cost: `factor`× replication of the small side
+    * against `factor`-way splitting of every hot key's partition. */
+  def saltedEquiJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      skewedKey: Column,
+      otherKey: Column,
+      factor: Int): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(skewed.columns.map(skewed(_)).toIndexedSeq: _*), lit(factor)))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor.toLong - 1))))
+    salted.join(replicated,
+        skewedKey === otherKey && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
+  /** Bucketed co-located join — the persistent-table equivalent of the
+    * reference's CompositeInputFormat merge (MergeJoin.java:221-243:
+    * pre-sorted co-partitioned files joined with zero shuffle). Both
+    * tables are written `bucketBy(n, key).sortBy(key)`; Catalyst then
+    * plans a SortMergeJoin with NO Exchange on either side. This is the
+    * 100 TB shape for repeatedly-joined fact tables. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** Reference output shape: `key, "l1,l2,..", "r1,r2,.."` — the text
     * sink then renders `key TAB l,r` (RepartitionJoin.java:80). Columns
     * are stringified with comma separators exactly like the reference's

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Joins
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Scale-pattern assertions: the plans that must hold at 100 TB. */
+class ScaleSpec extends SparkSpec {
+
+  test("salted join equals plain join under synthetic skew") {
+    import spark.implicits._
+    // hot key 1 with 5k rows + uniform tail
+    val skewed = ((1 to 5000).map(i => (1L, s"h$i")) ++ (1 to 1000).map(i => (i.toLong % 50 + 2, s"t$i")))
+      .toDF("k", "v")
+    val dim = (1L to 60L).map(i => (i, s"d$i")).toDF("k2", "w")
+    val plain = skewed.join(dim, col("k") === col("k2")).count()
+    val salted = Joins.saltedEquiJoin(skewed, dim, col("k"), col("k2"), 8).count()
+    assert(plain == salted)
+  }
+
+  test("bucketed co-located join plans with zero shuffle exchanges") {
+    val o = Tables.table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.table(spark, sf, "customer").select("c_custkey", "c_name")
+    Joins.writeBucketed(o, "orders_b", "o_custkey", 8)
+    Joins.writeBucketed(c, "customer_b", "c_custkey", 8)
+    val ob = spark.table("orders_b")
+    val cb = spark.table("customer_b")
+    // pin sort-merge so AQE doesn't broadcast the small test table — the
+    // assertion is about Exchange-free co-location
+    val j = ob.hint("MERGE").join(cb, ob("o_custkey") === cb("c_custkey"))
+    j.count()
+    val plan = j.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty, s"expected shuffle-free bucketed join, found ${exchanges.size} exchanges")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+  }
+
+  test("broadcast dimension join keeps the fact side shuffle-free") {
+    val df = SparkEntry.queries("agg_join_revenue")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = plan.toString()
+    assert(s.contains("BroadcastHashJoin"), "dim joins must broadcast")
+    // only the final aggregation may shuffle — never the joins
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 1, s"fact-side join shuffled: ${exchanges.size} exchanges")
+  }
+
+  test("dedup pipelines shuffle by content keys, not all-pairs (plan sanity)") {
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    // no CartesianProduct / BroadcastNestedLoop anywhere in the LSH path
+    val s = df.queryExecution.executedPlan.toString()
+    assert(!s.contains("CartesianProduct"), "LSH dedup must not plan a cartesian product")
+  }
+}
