@@ -13,7 +13,8 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     JoinQueries.all ++ AggQueries.all ++ WindowQueries.all ++ ScalarSetQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      DataGenQueries.all ++ StreamingQueries.all ++ AdvancedQueries.all
+      DataGenQueries.all ++ StreamingQueries.all ++ AdvancedQueries.all ++
+      SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -73,13 +73,40 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.8): DataFrame =
     jaccardVerify(shingles(docs, text, id, k), threshold)
 
-  /** MinHash signatures: numHashes seeded xxhash64 mins per doc, one
-    * pass over the inverted index (numHashes aggregate expressions —
-    * map-side combinable). */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 128): DataFrame =
-    sh.groupBy("doc_id").agg(
-      min(xxhash64(lit(0), col("s"))).as("m0"),
-      (1 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
+  /** MinHash signatures: numHashes mins per doc in one pass over the
+    * inverted index (map-side combinable). The hash family is
+    * Carter-Wegman: h_k(s) = h1(s) + k·h2(s) over two base xxhash64
+    * values — 2 string hashes + integer arithmetic per shingle instead
+    * of numHashes string hashes (the standard trick; ~4× cheaper here
+    * and the downstream exact-Jaccard verify makes the family choice
+    * output-invariant). */
+  /** Mersenne prime 2^31-1: universal-hash modulus small enough that
+    * a_k·h never overflows a long (Spark 4 runs ANSI mode — wrapping
+    * arithmetic throws ARITHMETIC_OVERFLOW). */
+  private val MersenneP = 2147483647L
+
+  /** Per-k affine seeds (a_k, b_k), fixed deterministic stream. */
+  private def cwSeeds(numHashes: Int): IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5eed)
+    IndexedSeq.fill(numHashes)((1L + rnd.nextInt((MersenneP - 1).toInt),
+      rnd.nextInt(MersenneP.toInt).toLong))
+  }
+
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 128): DataFrame = {
+    // ONE string hash per shingle, then per-k affine universal hashes
+    // (a_k·h + b_k) mod 2^31-1 — integer-only, decorrelated across k
+    // (a purely linear h1 + k·h2 family collapses band independence:
+    // for large k the argmin is h2-dominated, so bands stop being
+    // independent recall trials and planted pairs get missed)
+    val seeds = cwSeeds(numHashes)
+    val hashed = sh.select(
+      col("doc_id"),
+      pmod(xxhash64(col("s")), lit(MersenneP)).as("h"))
+    hashed.groupBy("doc_id").agg(
+      min(pmod(col("h") * seeds(0)._1 + seeds(0)._2, lit(MersenneP))).as("m0"),
+      (1 until numHashes).map(i =>
+        min(pmod(col("h") * seeds(i)._1 + seeds(i)._2, lit(MersenneP))).as(s"m$i")): _*)
+  }
 
   /** Probability a J-similar pair is missed by b bands of r rows:
     * (1 - J^r)^b — e.g. J=0.9, r=4, b=32 → 1.6e-15. */

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips, driver-verified: the reference's CSV text
+  * scan (S1), key-value text scan (S2) and text sink (S5) exercised
+  * end-to-end — data is written to the reference's wire formats, read
+  * back through the positional/KV loaders, and aggregated; the oracle
+  * computes the same aggregate from the original parquet, so any
+  * round-trip corruption (quoting, separators, type loss) breaks the
+  * hash. Plus deterministic hash-mod sampling (the pipeline primitive
+  * for corpus subsetting).
+  */
+object SourceQueries {
+
+  private val dec = "decimal(18,2)"
+
+  val all: Seq[QueryDef] = Seq(
+    // S1 + S5: schema-less CSV write → positional read → typed agg
+    QueryDef(
+      "csv_roundtrip",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_rt"
+      Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").option("header", "false").csv(tmp)
+      Tables.csvPositional(s, tmp)
+        .groupBy(col("_c2").as("l_returnflag"))
+        .agg(
+          sum(col("_c1").cast("double").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+    },
+    // S2 + S5: key TAB value write → KeyValueText read → keyed agg (the
+    // merge-join fixture wire format, MergeJoin.java:35,225)
+    QueryDef(
+      "kv_roundtrip",
+      """SELECT o_orderpriority AS priority, count(*) AS n, min(o_orderkey) AS min_key
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_kv_rt"
+      Tables.writeKeyTab(
+        Tables.table(s, d, "orders").select(col("o_orderpriority"), col("o_orderkey")),
+        tmp)
+      Tables.keyValueText(s, tmp)
+        .groupBy(col("key").as("priority"))
+        .agg(count(lit(1)).as("n"), min(col("value").cast("long")).as("min_key"))
+    },
+    // deterministic hash-mod sampling — reproducible corpus subsetting
+    // (multiplicative hashing, same integer arithmetic in both engines)
+    QueryDef(
+      "sample_deterministic",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE (l_orderkey * 2654435761) % 4294967296 % 100 < 10""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .filter((col("l_orderkey") * 2654435761L) % 4294967296L % 100 < 10)
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }
+  )
+}
