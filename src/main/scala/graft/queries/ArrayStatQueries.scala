@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Array aggregation, exact second-moment statistics, and string
+  * distance — completing the scalar/aggregate surface.
+  *
+  * Variance/correlation note: streaming `var_samp`/`corr` accumulate
+  * doubles in partition order (non-reproducible across engines), so
+  * these compute the closed forms from DECIMAL-exact power sums — the
+  * double arithmetic on top is a fixed sequence of ops, bit-identical
+  * cross-engine.
+  */
+object ArrayStatQueries {
+
+  private val dec = "decimal(18,2)"
+
+  val all: Seq[QueryDef] = Seq(
+    // array aggregation with deterministic order + element ops
+    QueryDef(
+      "array_functions",
+      """SELECT o_custkey,
+        |  list(o_orderkey ORDER BY o_orderkey) AS okeys,
+        |  len(list(o_orderkey ORDER BY o_orderkey)) AS n_orders,
+        |  list(o_orderkey ORDER BY o_orderkey)[1] AS first_key,
+        |  list_contains(list(o_orderkey ORDER BY o_orderkey), o_custkey * 4) AS has_x4,
+        |  list(o_orderkey ORDER BY o_orderkey)[1:3] AS first3
+        |FROM orders GROUP BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("okeys"))
+        .select(
+          col("o_custkey"),
+          col("okeys"),
+          size(col("okeys")).as("n_orders"),
+          element_at(col("okeys"), 1).as("first_key"),
+          array_contains(col("okeys"), col("o_custkey") * 4).as("has_x4"),
+          slice(col("okeys"), 1, 3).as("first3"))
+    },
+    // exact-decimal variance / stddev / correlation
+    QueryDef(
+      "agg_variance_corr",
+      """WITH s AS (SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+        |  round((sxy - sx * sy / n) /
+        |        (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_qty_price
+        |FROM s""".stripMargin) { (s, d) =>
+      val q = col("l_quantity").cast(dec)
+      val p = col("l_extendedprice").cast(dec)
+      val base = Tables.table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).cast("double").as("sx"),
+          sum(q * q).cast("double").as("sxx"),
+          sum(p).cast("double").as("sy"),
+          sum(p * p).cast("double").as("syy"),
+          sum(q * p).cast("double").as("sxy"))
+      base.select(
+        col("l_returnflag"), col("n"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 6).as("var_qty"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6).as("std_qty"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"))
+    },
+    // string edit distance (identical definition in both engines)
+    QueryDef(
+      "string_distance",
+      """SELECT p_partkey, p_brand, levenshtein(p_brand, 'Brand#33') AS dist
+        |FROM part WHERE levenshtein(p_brand, 'Brand#33') <= 2""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "part")
+        .withColumn("dist", levenshtein(col("p_brand"), lit("Brand#33")))
+        .filter(col("dist") <= 2)
+        .select(col("p_partkey"), col("p_brand"), col("dist"))
+    }
+  )
+}

@@ -4,6 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Per-user running counter row (top-level: Encoder codegen cannot call
+  * accessors on object-nested private case classes — it silently falls
+  * back to interpreted projections). */
+final case class UserCount(user_id: Long, n_events: Long)
+
 /** Structured Streaming operators (extensions — the reference is batch
   * MR only, SURVEY §2.5). The events parquet drives the streams
   * synchronously (`processAllAvailable`) so the same queries run under
@@ -77,8 +82,6 @@ object Streaming {
       .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n"))
     runToMemory(spark, agg, s"dedup_${System.nanoTime()}", OutputMode.Complete())
   }
-
-  private case class UserCount(user_id: Long, n_events: Long)
 
   /** Custom keyed state via mapGroupsWithState: per-user running event
     * counter (the KeyValueGroupedDataset stateful surface; state =
