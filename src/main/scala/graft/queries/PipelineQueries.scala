@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.{Dedup, EmbeddingAnalytics, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Composed pipeline queries — the operators working together the way a
+  * real corpus-preparation job uses them.
+  */
+object PipelineQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    // embedding-cluster cohesion monitoring
+    QueryDef(
+      "embedding_label_cohesion",
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dims AS (SELECT label,
+        |    unnest(range(1, len(v) + 1)) AS dim,
+        |    unnest(list_transform(range(1, len(v) + 1), i -> v[i])) AS x
+        |  FROM e),
+        |cent0 AS (SELECT label, dim,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+        |  FROM dims GROUP BY label, dim),
+        |cent AS (SELECT label, list(c ORDER BY dim) AS centroid FROM cent0 GROUP BY label),
+        |j AS (SELECT e.vec_id, e.label, e.v, cent.centroid FROM e JOIN cent USING (label)),
+        |sc AS (SELECT label,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * centroid[i])), (a, b) -> a + b) /
+        |    (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])), (a, b) -> a + b))) AS cos
+        |  FROM j)
+        |SELECT label, count(*) AS n,
+        |  round(CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_cos
+        |FROM sc GROUP BY label""".stripMargin) { (s, d) =>
+      EmbeddingAnalytics.labelCohesion(
+        Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"), col("label"))
+    },
+    // end-to-end corpus selection: quality gates + language filter +
+    // near-dup removal (keep the lower doc_id of each pair)
+    QueryDef(
+      "pipeline_corpus_select",
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks FROM documents),
+        |q AS (SELECT doc_id, toks, ltoks, len(toks) AS n_tokens,
+        |    CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+        |         x -> x IN ('the','a','of','and','to','is','in'))) AS DOUBLE) / len(toks) AS swr
+        |  FROM t),
+        |lang AS (SELECT doc_id,
+        |    len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','is','in'))) AS s_en,
+        |    len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+        |    len(list_filter(ltoks, x -> x IN ('el','la','de','y','es','un'))) AS s_es,
+        |    len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','un'))) AS s_fr
+        |  FROM q),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 1),
+        |                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM t WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |dups AS (SELECT db AS doc_id FROM inter
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8)
+        |SELECT q.doc_id FROM q
+        |JOIN lang ON lang.doc_id = q.doc_id
+        |WHERE q.n_tokens BETWEEN 20 AND 1000 AND q.swr >= 0.02
+        |  AND lang.s_en >= lang.s_de AND lang.s_en >= lang.s_es AND lang.s_en >= lang.s_fr
+        |  AND q.doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      // quality gates
+      val q = docs.select(col("doc_id") +: TextAnalysis.qualityProjection(col("text")): _*)
+        .filter(col("n_tokens").between(20, 1000) && col("stopword_ratio") >= 0.02)
+      // language gate (same tie-break chain as text_langid, en branch)
+      val lang = TextAnalysis.withLangId(docs, col("text"))
+        .filter(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"))
+        .select(col("doc_id").as("lang_doc_id"))
+      // near-dup removal: drop the higher id of each verified pair
+      val dups = Dedup.ngramJaccard(docs, col("text"), col("doc_id"))
+        .select(col("doc_b").as("dup_id")).distinct()
+      q.join(lang, col("doc_id") === col("lang_doc_id"), "left_semi")
+        .join(dups, col("doc_id") === col("dup_id"), "left_anti")
+        .select(col("doc_id"))
+    }
+  )
+}
