@@ -109,7 +109,9 @@ object Dedup {
   }
 
   /** Probability a J-similar pair is missed by b bands of r rows:
-    * (1 - J^r)^b — e.g. J=0.9, r=4, b=32 → 1.6e-15. */
+    * (1 - J^r)^b — e.g. J=0.9, r=4, b=16 → 2e-8 (the default), b=32 →
+    * 1.6e-15. Signature width trades this tail against aggregate cost
+    * linearly. */
   def minhashMissProbability(j: Double, bands: Int, rows: Int): Double =
     math.pow(1 - math.pow(j, rows), bands)
 
@@ -137,7 +139,7 @@ object Dedup {
     * candidates instead of quadratic. */
   def minhashLsh(docs: DataFrame, text: Column, id: Column,
       k: Int = 3, threshold: Double = 0.8,
-      numHashes: Int = 128, rows: Int = 4): DataFrame = {
+      numHashes: Int = 64, rows: Int = 4): DataFrame = {
     val sh = shingles(docs, text, id, k)
     val cands = lshCandidates(minhashSignatures(sh, numHashes), numHashes, rows)
     jaccardVerify(sh, threshold, Some(cands))

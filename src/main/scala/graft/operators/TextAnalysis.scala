@@ -81,18 +81,21 @@ object TextAnalysis {
   def contentMd5(text: Column): Column = md5(text)
 
   /** Quality metrics. All ratios are integer counts promoted to double
-    * with a single division — bit-identical cross-engine. */
+    * with a single division — bit-identical cross-engine. Divisors are
+    * nullif-guarded: ANSI mode (Spark 4 default) turns empty-text
+    * division into a runtime error, and a corpus WILL contain empty
+    * documents. */
   def qualityProjection(text: Column): Seq[Column] = {
     val toks = tokens(text)
-    val nTok = size(toks)
+    val nTok = nullif(size(toks).cast("long"), lit(0L))
     val nChar = length(text)
     val punct = regexp_count(text, lit("[.,!?;:]"))
     val stop = stopwordHits(transform(toks, lower(_)), lexicons.head._2)
     Seq(
       nChar.as("n_chars_calc"),
-      nTok.as("n_tokens"),
-      (punct.cast("double") / nChar).as("punct_ratio"),
+      size(toks).as("n_tokens"),
+      (punct.cast("double") / nullif(nChar.cast("long"), lit(0L))).as("punct_ratio"),
       (stop.cast("double") / nTok).as("stopword_ratio"),
-      ((nChar - nTok + 1).cast("double") / nTok).as("mean_token_len"))
+      ((nChar - size(toks) + 1).cast("double") / nTok).as("mean_token_len"))
   }
 }

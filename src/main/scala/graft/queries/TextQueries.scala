@@ -33,10 +33,10 @@ object TextQueries {
         |SELECT doc_id,
         |  length(text) AS n_chars_calc,
         |  len(toks) AS n_tokens,
-        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / nullif(length(text), 0) AS punct_ratio,
         |  CAST(len(list_filter(list_transform(toks, x -> lower(x)),
-        |       x -> x IN ('the','a','of','and','to','is','in'))) AS DOUBLE) / len(toks) AS stopword_ratio,
-        |  CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_token_len
+        |       x -> x IN ('the','a','of','and','to','is','in'))) AS DOUBLE) / nullif(len(toks), 0) AS stopword_ratio,
+        |  CAST(length(text) - len(toks) + 1 AS DOUBLE) / nullif(len(toks), 0) AS mean_token_len
         |FROM t""".stripMargin) { (s, d) =>
       Tables.table(s, d, "documents")
         .select(col("doc_id") +: TextAnalysis.qualityProjection(col("text")): _*)

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Dedup, Joins, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics at the edges: nulls, empties, degenerate inputs. */
+class EdgeCaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("null keys never match in equi-joins, under every strategy") {
+    val l = Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"))
+      .toDF("k", "v")
+    val r = Seq((Some(1L), "x"), (None, "y")).toDF("k2", "w")
+    for (st <- Seq(JoinStrategy.ShuffleHash, JoinStrategy.Broadcast, JoinStrategy.SortMerge)) {
+      val j = Joins.equiJoin(l, r, col("k"), col("k2"), st).collect()
+      assert(j.length == 1 && j.head.getString(1) == "a", s"strategy $st")
+    }
+    // null-safe variant DOES match nulls
+    assert(l.join(r, col("k") <=> col("k2")).count() == 2)
+  }
+
+  test("joins against empty inputs yield empty results, not errors") {
+    val l = Seq((1L, "a")).toDF("k", "v")
+    val empty = Seq.empty[(Long, String)].toDF("k2", "w")
+    assert(Joins.equiJoin(l, empty, col("k"), col("k2"), JoinStrategy.ShuffleHash).count() == 0)
+    assert(Joins.broadcastJoin(empty, l, col("k2"), col("k")).count() == 0)
+  }
+
+  test("dedup handles single-token and sub-shingle-length docs") {
+    val docs = Seq((1L, "one"), (2L, "two words"), (3L, "three words here now"),
+      (4L, "three words here now")).toDF("doc_id", "text")
+    // docs 1,2 have < k tokens → no shingles → never near-dup candidates
+    val pairs = Dedup.ngramJaccard(docs, col("text"), col("doc_id"), k = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((3L, 4L)))
+    // exact dedup still groups them
+    assert(Dedup.exact(docs, col("text"), col("doc_id")).count() == 3)
+  }
+
+  test("text metrics on empty and whitespace-only strings don't throw") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id") +: TextAnalysis.qualityProjection(col("text")): _*)
+      .collect()
+    assert(rows.length == 3) // no exceptions; ratios may be null/NaN-free ints over 1-token splits
+    val fp = df.select(TextAnalysis.fingerprintHof(col("text"))).collect().map(_.getLong(0))
+    assert(fp(0) == 0L) // empty normalized text → identity hash
+  }
+
+  test("zipf generator degenerate parameters") {
+    import graft.datagen.DataGen
+    // single key: all rows collapse to k=1
+    val one = DataGen.zipfCounts(spark, 100, 1, 0.5).collect()
+    assert(one.length == 1 && one.head.getLong(1) == 100)
+    // skew 0 = uniform-ish: counts within ±1 of each other
+    val flat = DataGen.zipfCounts(spark, 1000, 10, 0.0).collect().map(_.getLong(1))
+    assert(flat.max - flat.min <= 1)
+  }
+
+  test("cosine of a vector with itself is exactly 1 after rounding") {
+    val e = Seq((1L, Seq(0.5f, -0.25f, 0.125f)), (2L, Seq(0.5f, -0.25f, 0.125f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(e, col("embedding"), col("vec_id"), 0.99)
+    assert(pairs.head().getDouble(2) == 1.0)
+  }
+}
