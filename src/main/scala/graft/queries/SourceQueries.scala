@@ -49,6 +49,27 @@ object SourceQueries {
         .groupBy(col("key").as("priority"))
         .agg(count(lit(1)).as("n"), min(col("value").cast("long")).as("min_key"))
     },
+    // Hive-style partitioned layout round-trip: write partitioned by
+    // year, read back with a partition predicate — the scan must prune
+    // to one directory (PartitionFilters; asserted in ScaleSpec). At
+    // 100 TB this layout is what turns a full-table scan into a
+    // single-partition read.
+    QueryDef(
+      "partitioned_roundtrip",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_part_rt"
+      Tables.table(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_year") === 1997)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
     // deterministic hash-mod sampling — reproducible corpus subsetting
     // (multiplicative hashing, same integer arithmetic in both engines)
     QueryDef(

@@ -55,6 +55,27 @@ class ScaleSpec extends SparkSpec {
     assert(exchanges.size <= 1, s"fact-side join shuffled: ${exchanges.size} exchanges")
   }
 
+  test("partitioned layout prunes to the predicate's partitions") {
+    val df = SparkEntry.queries("partitioned_roundtrip")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // the year predicate must land in PartitionFilters (directory
+    // pruning), not in the data filters
+    assert(scan.metadata("PartitionFilters").contains("o_year"),
+      s"no partition filter: ${scan.metadata("PartitionFilters")}")
+    // and the scan must read only the 1997 directory's files
+    val readFiles = scan.inputRDDs().head.partitions.length
+    assert(readFiles >= 1)
+    val prunedRows = scan.metrics.get("numOutputRows").map(_.value)
+    assert(prunedRows.exists(_ < 15000), s"scan read too many rows: $prunedRows")
+  }
+
   test("dedup pipelines shuffle by content keys, not all-pairs (plan sanity)") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
     // no CartesianProduct / BroadcastNestedLoop anywhere in the LSH path
