@@ -70,6 +70,20 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     },
+    // JSON-lines round-trip: third wire format (after CSV and key-TAB)
+    // — write ndjson, read back schema-inferred, aggregate vs parquet
+    QueryDef(
+      "json_roundtrip",
+      """SELECT c_mktsegment, count(*) AS n, min(c_custkey) AS min_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_rt"
+      Tables.table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").json(tmp)
+      s.read.json(tmp)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+    },
     // deterministic hash-mod sampling — reproducible corpus subsetting
     // (multiplicative hashing, same integer arithmetic in both engines)
     QueryDef(

@@ -76,6 +76,27 @@ class ScaleSpec extends SparkSpec {
     assert(prunedRows.exists(_ < 15000), s"scan read too many rows: $prunedRows")
   }
 
+  test("runtime bloom-filter pruning injects on selective fact-dim joins") {
+    val prev = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // force injection thresholds down to testdata scale
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep a shuffle join
+    try {
+      val li = Tables.table(spark, sf, "lineitem")
+      val p = Tables.table(spark, sf, "part").filter(col("p_size") === 1)
+      val j = li.join(p, li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey"), col("p_partkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString()
+      assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$optimized")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      prev.foreach(v => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", v))
+    }
+  }
+
   test("dedup pipelines shuffle by content keys, not all-pairs (plan sanity)") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
     // no CartesianProduct / BroadcastNestedLoop anywhere in the LSH path
