@@ -155,9 +155,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc over whitespace tokens weighted by term
-    * frequency. One explode + one 64-column aggregate — two shuffles
-    * total regardless of corpus size. */
+    * frequency. One explode + ONE custom aggregate
+    * ([[graft.functions.SimHashAgg]]: a TypedImperativeAggregate whose
+    * long[64] buffer folds all bits per row — ~64× fewer aggregate
+    * expressions than the conditional-sum formulation, same result,
+    * spec-asserted). Two shuffles total regardless of corpus size. */
   def simhash(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val tf = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("t")))
+    tf.groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h"), col("w")).as("simhash"))
+  }
+
+  /** Reference column formulation of [[simhash]] (64 conditional sums) —
+    * kept as the equality oracle for the custom aggregate. */
+  private[graft] def simhashColumnar(docs: DataFrame, text: Column, id: Column): DataFrame = {
     val tf = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
       .withColumn("h", xxhash64(col("t")))

@@ -23,6 +23,14 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashMissProbability(0.9, bands = 32, rows = 4) < 1e-12)
   }
 
+  test("custom SimHashAgg equals the 64-conditional-sum column formulation") {
+    val a = Dedup.simhash(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhashColumnar(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("simhash is identical for identical docs, close for near-dups") {
     import spark.implicits._
     val d = Seq(
