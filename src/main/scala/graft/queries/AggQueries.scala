@@ -112,12 +112,30 @@ object AggQueries {
         .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
           count(lit(1)).as("n_orders"))
     },
-    // approximate distinct (HLL sketch) — sketches differ across engines,
-    // so this is rows-only for the driver; AggSpec asserts ±5% vs exact.
-    QueryDef.unverified("agg_approx_distinct") { (s, d) =>
+    // approximate distinct (HLL sketch). The sketches differ across
+    // engines, so the raw estimate can never hash-match — instead each
+    // engine checks ITS OWN sketch against ITS OWN exact count and emits
+    // the verdict. The projection is integer-only (approx*100 vs
+    // exact*95/105), so the exported (group, n_exact, within_5pct) rows
+    // are exact and hash-comparable; QueriesSpec keeps the tighter ±5%
+    // numeric assertion on the Spark side.
+    QueryDef(
+      "agg_approx_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_exact,
+        |  approx_count_distinct(l_orderkey) * 100
+        |    BETWEEN count(DISTINCT l_orderkey) * 95 AND count(DISTINCT l_orderkey) * 105
+        |    AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .select(
+          col("l_returnflag"), col("n_exact"),
+          (col("approx_orders") * 100)
+            .between(col("n_exact") * 95, col("n_exact") * 105).as("within_5pct"))
     }
   )
 }

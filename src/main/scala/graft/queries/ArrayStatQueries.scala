@@ -18,26 +18,33 @@ object ArrayStatQueries {
   private val dec = "decimal(18,2)"
 
   val all: Seq[QueryDef] = Seq(
-    // array aggregation with deterministic order + element ops
+    // array aggregation with deterministic order + element ops.
+    // Array-valued columns are projected through array_join /
+    // array_to_string: the driver's pandas comparator cannot sort or
+    // hash raw ARRAY columns (numpy.ndarray is unhashable — the round-1
+    // red), and a CSV rendering of a deterministically-sorted list
+    // carries the same information. `size()` is cast to BIGINT to match
+    // DuckDB's len().
     QueryDef(
       "array_functions",
       """SELECT o_custkey,
-        |  list(o_orderkey ORDER BY o_orderkey) AS okeys,
+        |  array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS okeys_csv,
         |  len(list(o_orderkey ORDER BY o_orderkey)) AS n_orders,
         |  list(o_orderkey ORDER BY o_orderkey)[1] AS first_key,
         |  list_contains(list(o_orderkey ORDER BY o_orderkey), o_custkey * 4) AS has_x4,
-        |  list(o_orderkey ORDER BY o_orderkey)[1:3] AS first3
+        |  array_to_string(list(o_orderkey ORDER BY o_orderkey)[1:3], ',') AS first3_csv
         |FROM orders GROUP BY o_custkey""".stripMargin) { (s, d) =>
       Tables.table(s, d, "orders")
         .groupBy("o_custkey")
         .agg(sort_array(collect_list(col("o_orderkey"))).as("okeys"))
         .select(
           col("o_custkey"),
-          col("okeys"),
-          size(col("okeys")).as("n_orders"),
+          array_join(expr("transform(okeys, x -> cast(x AS string))"), ",").as("okeys_csv"),
+          size(col("okeys")).cast("bigint").as("n_orders"),
           element_at(col("okeys"), 1).as("first_key"),
           array_contains(col("okeys"), col("o_custkey") * 4).as("has_x4"),
-          slice(col("okeys"), 1, 3).as("first3"))
+          array_join(expr("transform(slice(okeys, 1, 3), x -> cast(x AS string))"), ",")
+            .as("first3_csv"))
     },
     // exact-decimal variance / stddev / correlation
     QueryDef(

@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   * Determinism: every window/order has a total order (unique id as final
   * tie-break); running sums accumulate DECIMAL and use explicit ROWS
   * frames so Spark and DuckDB agree on frame semantics.
+  * Type parity: DuckDB `sum(INTEGER/BIGINT)` widens to HUGEINT, which
+  * pandas renders as float64 — any integer sum that SURFACES as an
+  * output column must be `CAST(... AS BIGINT)` in the oracle SQL or the
+  * hash gate sees 3.0 vs 3 (the round-1 `window_sessionize` red).
   * Scale: windows partition by high-cardinality keys (custkey/user_id) —
   * no single-partition global window anywhere except the bounded top-k,
   * which Spark executes as a per-partition TakeOrdered + driver merge.
@@ -80,8 +84,8 @@ object WindowQueries {
         |      THEN 1 ELSE 0 END AS is_new
         |  FROM events)
         |SELECT user_id, event_id,
-        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM flagged""".stripMargin) { (s, d) =>
       val byTime = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       val gapUs = 30L * 60 * 1000 * 1000

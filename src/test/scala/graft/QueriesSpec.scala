@@ -48,13 +48,18 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within 5% of exact") {
-    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the query itself carries the ±5% check as the in-engine
+    // `within_5pct` boolean (exact integer arithmetic — hash-comparable
+    // with DuckDB's own sketch-vs-exact verdict); here we assert it holds
+    // for every group and that n_exact really is the exact count
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
     val exact = Tables.table(spark, sf, "lineitem")
       .groupBy(col("l_returnflag")).agg(countDistinct(col("l_orderkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    for ((k, e) <- exact) {
-      assert(math.abs(approx(k) - e).toDouble / e < 0.05, s"$k: approx=${approx(k)} exact=$e")
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: sketch outside 5% of exact=${r.getLong(1)}")
+      assert(r.getLong(1) == exact(r.getString(0)))
     }
   }
 

@@ -39,6 +39,28 @@ def norm(v):
     return v
 
 
+def fetch(rel):
+    """Fetch through pandas, like the driver's comparator — this is what
+    surfaces DuckDB HUGEINT (e.g. sum(BIGINT)) as float64, so an
+    integer-typed Spark column vs an uncast oracle sum FAILS here too
+    (the round-1 window_sessionize red was invisible to fetchall())."""
+    df = rel.df()
+    cols = list(df.columns)
+    rows = []
+    for r in df.itertuples(index=False, name=None):
+        clean = []
+        for v in r:
+            if v is None or (isinstance(v, float) and v != v):
+                clean.append(None)
+            elif type(v).__name__ == "ndarray":
+                raise TypeError(
+                    f"raw array column (driver comparator cannot hash): {v!r:.60}")
+            else:
+                clean.append(v)
+        rows.append(tuple(clean))
+    return cols, rows
+
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -60,13 +82,18 @@ def main():
             failures += 1
             continue
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-        gcols, grows = got.columns, got.fetchall()
+        try:
+            gcols, grows = fetch(got)
+        except TypeError as e:
+            print(f"FAIL  {name}: {e}")
+            failures += 1
+            continue
         if name not in oracle:
             print(f"skip  {name}: rows-only ({len(grows)} rows)")
             continue
         try:
             exp = con.sql(oracle[name])
-            ecols, erows = exp.columns, exp.fetchall()
+            ecols, erows = fetch(exp)
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
             failures += 1
