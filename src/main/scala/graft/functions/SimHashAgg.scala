@@ -94,4 +94,105 @@ object SimHashAgg {
     Bridge.column(
       SimHashAgg(Bridge.expression(hash), Bridge.expression(weight))
         .toAggregateExpression())
+
+  /** simhash_agg_wide(array(h0..h{w-1}), weight) — multi-word (64·w bit)
+    * fingerprint as array<bigint>. */
+  def simhash_agg_wide(hashes: Column, weight: Column, words: Int): Column =
+    Bridge.column(
+      SimHashAggWide(Bridge.expression(hashes), Bridge.expression(weight), words)
+        .toAggregateExpression())
+}
+
+/** Multi-word SimHash aggregate: same signed-bit-sum fold as
+  * [[SimHashAgg]] widened to `words`·64 bits. Input is an array of
+  * `words` independent 64-bit feature hashes (e.g. xxhash64 under
+  * distinct salts); output is the packed fingerprint as array<bigint>.
+  * Wider fingerprints halve the RELATIVE banding radius at equal band
+  * width (128-bit: 32 bands of 4 bits guarantee hamming ≤ 31 ≙ the same
+  * 64-bit 16-band/≤15 fraction) — worth the 2× aggregate cost only when
+  * the corpus needs finer angular resolution than 64 planes give. */
+case class SimHashAggWide(
+    left: Expression,
+    right: Expression,
+    words: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
+
+  private val bits = words * 64
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) if right.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<bigint>, bigint) inputs")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_simhash_agg_wide"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bits)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val h = left.eval(input)
+    val w = right.eval(input)
+    if (h != null && w != null) {
+      val hs = h.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val wv = w.asInstanceOf[Long]
+      var word = 0
+      while (word < words) {
+        val hv = hs.getLong(word)
+        var i = 0
+        while (i < 64) {
+          val k = word * 64 + i
+          if (((hv >>> i) & 1L) == 1L) buf(k) += wv else buf(k) -= wv
+          i += 1
+        }
+        word += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < bits) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Long](words)
+    var word = 0
+    while (word < words) {
+      var v = 0L
+      var i = 0
+      while (i < 64) {
+        if (buf(word * 64 + i) > 0) v |= (1L << i)
+        i += 1
+      }
+      out(word) = v
+      word += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(bits * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bits)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SimHashAggWide =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHashAggWide =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SimHashAggWide =
+    copy(left = l, right = r)
 }

@@ -182,29 +182,55 @@ object Dedup {
       (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup: 16 bands × 4 bits (pigeonhole-complete for
-    * hamming ≤ 15) → hamming refine → exact-Jaccard verify.
+  /** SimHash near-dup: shingle-feature fingerprints, 4-bit bands
+    * (pigeonhole-complete for hamming ≤ 16·words − 1) → hamming refine →
+    * exact-Jaccard verify.
     *
-    * Radius calibration: measured on the sf0.1 corpus, true J ≥ 0.8
-    * pairs reach hamming 12 on 64-bit tf-weighted simhash (p99 = 11),
-    * so the old 8-band/≤7 config silently lost ~6% recall. 4-bit bands
-    * make buckets of n/16 docs — fine here; at corpus scale widen the
-    * fingerprint (128 bits) instead of narrowing bands further, keeping
-    * the guaranteed radius proportional. */
+    * Feature choice (measured, sf0.1 corpus, docs/EXPERIMENTS.md): the
+    * fingerprint hashes distinct k-shingles (Henzinger'06-style), NOT
+    * tf-weighted tokens. Token-level bits are vocabulary-correlated
+    * across UNRELATED documents (background hamming mean 18.6/64, min
+    * 4), which drives banding selectivity to ~zero — the round-1 plan
+    * admitted 98% of all pairs and 3.19 M survived the radius filter.
+    * Shingle features decorrelate the background (mean 31.9, min 17)
+    * while true J ≥ 0.8 pairs stay at hamming ≤ 11: the same banding
+    * then refines to ~450 candidates at full recall. (tf-idf weighting
+    * was also measured and is WORSE: idf amplifies exactly the rare
+    * tokens near-dup pairs differ in — true-pair hamming reaches 39.)
+    *
+    * `words` widens the fingerprint in 64-bit steps (128-bit = words 2)
+    * with proportional banding — same relative radius, finer angular
+    * resolution — for corpora where 64 planes can't separate; here the
+    * 64-bit margin (11 true vs 17 background) makes words=1 optimal.
+    * The expensive refine/verify stages see only candidate pairs, so
+    * the banded join's probe stream stays inside whole-stage codegen —
+    * nothing quadratic is ever shuffled. */
   def simhashDedup(docs: DataFrame, text: Column, id: Column,
-      maxHamming: Int = 15, threshold: Double = 0.8): DataFrame = {
-    val sm = simhash(docs, text, id)
-    val banded = sm.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 16).map(j =>
-        struct(lit(j).as("band"), shiftright(col("simhash"), j * 4).bitwiseAND(15).as("h"))): _*)).as("bh"))
-      .select(col("doc_id"), col("simhash"), col("bh.band").as("band"), col("bh.h").as("h"))
+      maxHamming: Int = 15, threshold: Double = 0.8, words: Int = 1): DataFrame = {
+    require(maxHamming < 16 * words, s"banding guarantees hamming <= ${16 * words - 1}")
+    val sh = shingles(docs, text, id)
+    val features = sh.select(col("doc_id"),
+      array((0 until words).map(w => xxhash64(lit(w), col("s"))): _*).as("hs"),
+      lit(1L).as("w"))
+    val sm = features.groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash_agg_wide(col("hs"), col("w"), words).as("fp"))
+    val banded = sm.select(col("doc_id"), col("fp"),
+      explode(array((0 until 16 * words).map { b =>
+        val (word, j) = (b / 16, b % 16)
+        struct(lit(b).as("band"),
+          shiftright(element_at(col("fp"), word + 1), j * 4).bitwiseAND(15).as("h"))
+      }: _*)).as("bh"))
+      .select(col("doc_id"), col("fp"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val hamming = (0 until words).map(w =>
+      bit_count(element_at(col("x.fp"), w + 1).bitwiseXOR(element_at(col("y.fp"), w + 1))))
+      .reduce(_ + _)
     val cands = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
-      .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
+      .filter(hamming <= maxHamming)
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    jaccardVerify(shingles(docs, text, id), threshold, Some(cands))
+    jaccardVerify(sh, threshold, Some(cands))
   }
 
   /** Elementwise double promotion of a float embedding. */

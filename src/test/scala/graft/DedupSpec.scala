@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -43,6 +43,31 @@ class DedupSpec extends SparkSpec {
     assert(sm(1L) == sm(2L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sm(1L), sm(3L)) < hamming(sm(1L), sm(4L)))
+  }
+
+  test("simhash dedup (64- and 128-bit) matches the exact jaccard output") {
+    val truth = Dedup.ngramJaccard(docs, col("text"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    val s64 = Dedup.simhashDedup(docs, col("text"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    val s128 = Dedup.simhashDedup(docs, col("text"), col("doc_id"),
+      maxHamming = 31, words = 2).collect().map(_.toSeq).toSet
+    assert(truth.nonEmpty)
+    assert(s64 == truth, s"64-bit missed ${truth -- s64}")
+    assert(s128 == truth, s"128-bit missed ${truth -- s128}")
+  }
+
+  test("wide simhash aggregate at words=1 equals the scalar aggregate") {
+    val tf = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("t")))
+    val wide = tf.groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash_agg_wide(array(col("h")), col("w"), 1).as("fp"))
+      .select(col("doc_id"), element_at(col("fp"), 1).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scalar = Dedup.simhash(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide == scalar)
   }
 
   test("shingle df-cap drops hot shingles") {
