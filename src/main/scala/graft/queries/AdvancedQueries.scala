@@ -127,15 +127,27 @@ object AdvancedQueries {
           // o_orderdate is TIMESTAMP_NTZ; under the UTC session the cast
           // is wall-clock identity, matching DuckDB's epoch_us
           unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
-      // argmax composition instead of a window: max of (time, -key) is a
-      // lexicographic struct max — partial-aggregatable map-side, no
-      // global sort of the pair set (the window form cost ~7 s at sf0.1;
-      // the oracle's row_number spells the same latest-order-first,
-      // smallest-key-tie-break semantics)
-      e.join(o, o("o_custkey") === e("user_id") && o("ous") <= e("eus"))
-        .groupBy(col("event_id"))
-        .agg(max(struct(col("ous"), (-col("o_orderkey")).as("nok"))).as("m"))
-        .select(col("event_id"), (-col("m.nok")).as("asof_orderkey"))
+      // union-merge as-of: interleave both streams sorted by (user,
+      // time), carry the latest order forward with last(... ignoreNulls)
+      // — ONE shuffle by user + ONE per-partition sort, and never a
+      // (event × earlier-order) pair set. The round-1 inequality-join +
+      // argmax form materialized every such pair before aggregating:
+      // quadratic per user history at 100×. Sort keys encode the oracle
+      // semantics exactly: kind 0 < 1 puts same-instant orders before
+      // events (ous <= eus is inclusive), okey DESC within a tied
+      // instant makes the SMALLEST orderkey the one carried forward
+      // (the oracle's row_number tie-break).
+      val stream = o.select(col("o_custkey").as("uid"), col("ous").as("t"),
+          lit(0).as("kind"), col("o_orderkey").as("okey"),
+          lit(null).cast("long").as("event_id"))
+        .unionByName(e.select(col("user_id").as("uid"), col("eus").as("t"),
+          lit(1).as("kind"), lit(null).cast("long").as("okey"), col("event_id")))
+      val w = Window.partitionBy(col("uid"))
+        .orderBy(col("t"), col("kind"), col("okey").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      stream.withColumn("asof", last(col("okey"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("asof").isNotNull)
+        .select(col("event_id"), col("asof").as("asof_orderkey"))
     }
   )
 }

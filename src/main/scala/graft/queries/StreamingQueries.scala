@@ -19,6 +19,22 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
       Streaming.windowedAgg(s, d)
     },
+    // append mode + watermark: emitted set = windows finalized by the
+    // final watermark (max event time − 30 min) — deterministic, so the
+    // oracle reproduces it with a scalar subquery. See
+    // Streaming.windowedAggAppend for why this is the bounded-state
+    // production shape.
+    QueryDef(
+      "stream_window_append",
+      """SELECT * FROM (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |    event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2)
+        |WHERE window_start_us + 3600000000 <=
+        |  (SELECT max(epoch_us(ts)) - 1800000000 FROM events)""".stripMargin) { (s, d) =>
+      Streaming.windowedAggAppend(s, d)
+    },
     QueryDef(
       "stream_sessionize",
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,

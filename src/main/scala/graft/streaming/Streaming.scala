@@ -43,10 +43,67 @@ object Streaming {
   /** Drain a stream into an in-memory table and return it as a batch
     * DataFrame — the harness's sink for verification. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode): DataFrame =
+    runToMemoryWithProgress(spark, df, name, mode)._1
+
+  /** Like [[runToMemory]] but also returns the query's progress events —
+    * the state-store metrics (rows total/removed per batch) that the
+    * bounded-state assertions need. */
+  def runToMemoryWithProgress(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    (spark.table(name), q.recentProgress.toSeq)
+  }
+
+  /** Time-ordered multi-file copy of the events table under java.io.tmpdir
+    * — the arrival sequence for the watermark/append path. Rows are
+    * range-sliced by (ts, event_id) into `nFiles` parquet files written
+    * sequentially with strictly increasing modification times, so the
+    * file source's oldest-first ordering is deterministic and every
+    * batch arrives in event-time order (no row is ever late w.r.t. the
+    * watermark set by earlier slices). Idempotent per (sfDir, nFiles). */
+  def eventsArrivalDir(spark: SparkSession, sfDir: String, nFiles: Int = 8): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_arrival_v2_${key}_$nFiles")
+    val done = new java.io.File(root, "_GRAFT_READY")
+    if (!done.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      root.mkdirs()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val n = ev.count()
+      // floor(): Column./ is DOUBLE division — an === filter on the raw
+      // quotient matches only exactly-integral values
+      val sliced = ev.withColumn("_slice",
+        least(lit(nFiles - 1), floor((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id")))
+          .cast("long") - 1) * nFiles / n)))
+      for (i <- 0 until nFiles) {
+        val part = new java.io.File(root, f"slice_$i%03d")
+        sliced.filter(col("_slice") === i).drop("_slice")
+          .coalesce(1).write.parquet(part.getPath)
+        // strictly increasing mtimes: FileStreamSource orders by timestamp
+        part.listFiles().filter(_.getName.endsWith(".parquet"))
+          .foreach(_.setLastModified((i + 1) * 60000L))
+      }
+      done.createNewFile()
+    }
+    root.getPath
+  }
+
+  /** Streaming view of the arrival dir: one time-slice file per batch. */
+  def eventsArrivalStream(spark: SparkSession, sfDir: String, nFiles: Int = 8): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = eventsArrivalDir(spark, sfDir, nFiles)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
   }
 
   /** Tumbling-window aggregation (1 h) per event type. Complete mode:
@@ -60,6 +117,34 @@ object Streaming {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total"))
     runToMemory(spark, agg, s"win_agg_${System.nanoTime()}", OutputMode.Complete())
+  }
+
+  /** Watermarked APPEND-mode tumbling-window aggregation — the
+    * production shape: the 30-minute watermark bounds state (windows
+    * whose end falls at or before `max(event time) − 30 min` are
+    * finalized, emitted once, and EVICTED from the state store;
+    * Complete mode instead retains every window forever — not a 100 TB
+    * shape). Multi-batch arrival comes from [[eventsArrivalStream]];
+    * Spark's no-data final micro-batch flushes the last finalizable
+    * windows, so the emitted set is exactly deterministic:
+    * {window | window_end ≤ global max event time − 30 min} — which is
+    * what the DuckDB oracle computes. Trailing windows above the final
+    * watermark are unemitted by design (they would emit when the next
+    * day's data arrives in a live deployment). */
+  def windowedAggAppend(spark: SparkSession, sfDir: String): DataFrame =
+    windowedAggAppendWithProgress(spark, sfDir)._1
+
+  def windowedAggAppendWithProgress(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val agg = eventTime(eventsArrivalStream(spark, sfDir))
+      .withWatermark("etime", "30 minutes")
+      .groupBy(window(col("etime"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total"))
+    runToMemoryWithProgress(spark, agg, s"win_append_${System.nanoTime()}",
+      OutputMode.Append())
   }
 
   /** Session windows per user (30 min gap) — the built-in session

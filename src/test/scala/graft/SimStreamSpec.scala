@@ -71,6 +71,34 @@ class SimStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("append mode + watermark: emits finalized windows, evicts state") {
+    val (df, progress) =
+      graft.streaming.Streaming.windowedAggAppendWithProgress(spark, sf)
+    val appended = df.collect().map(_.toSeq).toSet
+    // batch twin restricted to windows finalized by the final watermark
+    val ev = Tables.table(spark, sf, "events").withColumn("tus", expr("ts div 1000"))
+    val wm = ev.agg(max(col("tus"))).head().getLong(0) - 1800L * 1000 * 1000
+    val batch = ev
+      .groupBy((col("tus") / 3600000000L).cast("long").as("wh"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select((col("wh") * 3600000000L).as("window_start_us"), col("event_type"),
+        col("n"), col("total"))
+      .filter(col("window_start_us") + 3600000000L <= wm)
+      .collect().map(_.toSeq).toSet
+    assert(appended == batch)
+    // the watermark held back the trailing (unfinalized) windows
+    val all = ev.select((col("tus") / 3600000000L).cast("long"), col("event_type"))
+      .distinct().count()
+    assert(appended.size < all, "no window was held back — watermark inert")
+    // state eviction really happened: the state store shrank during the
+    // run (rows removed) and never accumulated every window
+    val stateOps = progress.flatMap(_.stateOperators)
+    assert(stateOps.map(_.numRowsRemoved).sum > 0, "no state rows evicted")
+    assert(stateOps.map(_.numRowsTotal).max < all,
+      "state accumulated all windows — not bounded")
+  }
+
   test("stateful user counter equals batch per-user counts") {
     val streamed = graft.streaming.Streaming.statefulUserCounter(spark, sf)
       .orderBy("user_id").collect().map(_.toSeq)
