@@ -43,14 +43,75 @@ object Similarity {
         col("rank"), round(col("cos"), 6).as("cos"))
   }
 
-  /** IVF top-k with deterministic centroids (vec_id < nCentroids) and
-    * nprobe-cluster probing. Candidate set = vectors whose assigned
-    * centroid is among the query's nprobe nearest centroids. */
-  def topKIvf(emb: DataFrame, vec: Column, id: Column, isQuery: Column,
-      k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val e = withNorm(emb, vec, id)
-    val cents = withNorm(emb.filter(id < nCentroids), vec, id)
+  /** Seed centroids: the first nCentroids vectors by id — deterministic
+    * and SQL-reproducible (the ann_ivf oracle's definition). */
+  def firstNCentroids(emb: DataFrame, vec: Column, id: Column,
+      nCentroids: Int): DataFrame =
+    withNorm(emb.filter(id < nCentroids), vec, id)
       .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** Spherical k-means (Lloyd) centroid training — the production
+    * upgrade over [[firstNCentroids]]: same (cid, cv, cn) contract, so
+    * [[topKIvfWith]] keeps the identical dataflow, only recall changes.
+    *
+    * Deterministic by construction: init = first-N-by-id, assignment
+    * tie-break by cid, per-(cluster, dim) means accumulate
+    * DECIMAL(28,12) before one double division (order-independent),
+    * fixed iteration count. A cluster that loses every point keeps its
+    * previous center. Per iteration: one broadcast-assign pass + one
+    * (cid, dim)-grouped mean — two shuffles, linear in corpus size; the
+    * centers themselves (k × dim doubles) are collected to the driver
+    * between iterations, which is the correct scale shape: centroids
+    * are small BY DEFINITION (k ≪ corpus), and a flat per-iteration
+    * plan avoids the exponential lineage a fully-lazy loop builds. */
+  def kmeansCentroids(emb: DataFrame, vec: Column, id: Column,
+      nCentroids: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = withNorm(emb, vec, id).cache()
+    var cents: Map[Long, Seq[Double]] =
+      firstNCentroids(emb, vec, id, nCentroids)
+        .select(col("cid"), col("cv")).as[(Long, Seq[Double])].collect().toMap
+    for (_ <- 0 until iters) {
+      val cdf = cents.toSeq.sortBy(_._1).toDF("cid", "cv")
+        .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+      val wAssign = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid"))
+      val assigned = e.join(broadcast(cdf), lit(true))
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("cid"), col("v"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), expr("transform(dm, p -> p.m)").as("cv"))
+        .as[(Long, Seq[Double])].collect().toMap
+      cents = cents ++ means // empty clusters keep their previous center
+    }
+    e.unpersist()
+    cents.toSeq.sortBy(_._1).toDF("cid", "cv")
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+  }
+
+  /** IVF top-k with deterministic seed centroids (vec_id < nCentroids)
+    * and nprobe-cluster probing — the SQL-reproducible configuration
+    * the driver oracle checks. */
+  def topKIvf(emb: DataFrame, vec: Column, id: Column, isQuery: Column,
+      k: Int, nCentroids: Int, nProbe: Int): DataFrame =
+    topKIvfWith(emb, vec, id, isQuery, k, nProbe,
+      firstNCentroids(emb, vec, id, nCentroids))
+
+  /** IVF top-k against an explicit centroid table ((cid, cv, cn) —
+    * [[firstNCentroids]] or [[kmeansCentroids]]). Candidate set =
+    * vectors whose assigned centroid is among the query's nprobe
+    * nearest centroids. */
+  def topKIvfWith(emb: DataFrame, vec: Column, id: Column, isQuery: Column,
+      k: Int, nProbe: Int, centroids: DataFrame): DataFrame = {
+    val e = withNorm(emb, vec, id)
+    val cents = centroids
 
     // assignment: nearest centroid per corpus vector (broadcast the
     // centroid table — it is tiny by construction)

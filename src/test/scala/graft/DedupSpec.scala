@@ -102,6 +102,31 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("k-means-trained IVF centroids: recall >= seed centroids at fixed nprobe, deterministic") {
+    val vec = col("embedding"); val id = col("vec_id")
+    val isQ = col("vec_id") % 50 === 0
+    val k = 10
+    val truth = Similarity.topKBruteForce(emb, vec, id, isQ, k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.topKIvfWith(emb, vec, id, isQ, k, nProbe = 2, cents)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val seed = recall(Similarity.firstNCentroids(emb, vec, id, 8))
+    val trained = recall(Similarity.kmeansCentroids(emb, vec, id, 8, iters = 3))
+    assert(trained >= seed, s"trained recall $trained < seed recall $seed")
+    assert(trained > 0.0)
+    // training is deterministic: identical centers on a second run
+    val c1 = Similarity.kmeansCentroids(emb, vec, id, 8, iters = 3)
+      .orderBy("cid").collect().map(_.toSeq)
+    val c2 = Similarity.kmeansCentroids(emb, vec, id, 8, iters = 3)
+      .orderBy("cid").collect().map(_.toSeq)
+    assert(c1.sameElements(c2))
+  }
+
   test("multimodal: binary payload schema + per-partition decode stub") {
     val packed = Multimodal.packBinary(docs)
     assert(packed.schema("payload").dataType.typeName == "binary")
