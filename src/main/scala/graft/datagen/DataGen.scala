@@ -53,9 +53,16 @@ object DataGen {
   /** G3 left side: every key 0..n-1 exactly once, deterministically
     * pseudo-shuffled by a coprime multiplicative permutation (the
     * reference uses Collections.shuffle; a fixed-prime stride is the
-    * reproducible equivalent). */
+    * reproducible equivalent).
+    *
+    * id·p mod n is a permutation iff gcd(p, n) = 1; since the strides
+    * are prime that fails exactly when p divides n, so the first
+    * non-dividing prime is selected (all three divide n only when
+    * n ≥ their 10^18 product — unreachable). The ANSI-mode overflow
+    * bound n·p < 2^63 caps n at ~9.2e12 rows, far above any sweep. */
   def uniqueShuffled(spark: SparkSession, n: Long): DataFrame = {
-    val p = 1000003L // prime > any test n, coprime to n for n < p
+    val p = Seq(1000003L, 1000033L, 1000037L).find(n % _ != 0).get
+    require(n <= Long.MaxValue / p, s"n=$n overflows the permutation stride")
     withAttrs(
       spark.range(n).select(col("id").as("rid"), (col("id") * p % n).as("key")),
       col("rid"))

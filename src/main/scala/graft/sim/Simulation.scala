@@ -35,6 +35,7 @@ object Simulation {
       noBroadcastJoin: Boolean = false,
       noHeader: Boolean = false,
       aqe: Boolean = true,
+      threads: Option[Int] = None, // datagen write parallelism (--threads)
       out: String = "results.csv",
       workDir: String = s"${sys.props("java.io.tmpdir")}/graft_sim")
 
@@ -50,6 +51,7 @@ object Simulation {
       case "--no-broadcast-join" :: t    => loop(a.copy(noBroadcastJoin = true), t)
       case "--no-header" :: t            => loop(a.copy(noHeader = true), t)
       case "--no-aqe" :: t               => loop(a.copy(aqe = false), t)
+      case "--threads" :: v :: t         => loop(a.copy(threads = Some(v.toInt)), t)
       case "--out" :: v :: t             => loop(a.copy(out = v), t)
       case "--work-dir" :: v :: t        => loop(a.copy(workDir = v), t)
       case Nil                           => a
@@ -58,11 +60,21 @@ object Simulation {
     loop(Args(), argv.toList)
   }
 
+  /** Column schema — character-equal to JoinSimulation.java:312-317.
+    * (The thesis's published data/*.csv files carry an OLDER 32-column
+    * variant without `file_size`/`t_merge_3` and with a trailing
+    * `t_sort_merge`; the code schema is the later superset — R scripts
+    * select columns by name, so the superset stays usable.) mt_*/rt_*
+    * are semicolon-joined per-task ms lists like the reference emits;
+    * rt_* carry the -1 sentinel (Spark has no map/reduce split — the
+    * reference's local runner emits the same sentinel,
+    * JoinSimulation.java:66-70). t_merge = t_merge_1_1 + t_merge_1_2 +
+    * t_merge_2_1 + t_merge_2_2 + t_merge_3, as in the reference. */
   val header: String =
-    "rows,unique_values,reducers,skew," +
+    "rows,unique_values,reducers,skew,file_size," +
       "map_records_1,reduce_records_1,mt_1,mt_med_1,mt_mu_1,mt_max_1,rt_1,rt_med_1,rt_mu_1,rt_max_1,t_repartition," +
       "map_records_2,mt_2,mt_med_2,mt_mu_2,mt_max_2,t_broadcast," +
-      "map_records_3,mt_3,mt_med_3,mt_mu_3,mt_max_3,t_merge_1_1,t_merge_1_2,t_merge_2_1,t_merge_2_2,t_merge,t_sort_merge"
+      "map_records_3,mt_3,mt_med_3,mt_mu_3,mt_max_3,t_merge_1_1,t_merge_1_2,t_merge_2_1,t_merge_2_2,t_merge_3,t_merge"
 
   /** One sweep step: generate → run J1/J2/J3 → CSV row. */
   def step(spark: SparkSession, a: Args, rows: Long): String = {
@@ -78,23 +90,33 @@ object Simulation {
       case Some(s) => DataGen.zipfTable(spark, rows, unique, s)
       case None    => DataGen.uniform(spark, rows, unique)
     }
-    Tables.writeStage(left, s"$wd/left")
-    Tables.writeStage(right, s"$wd/right")
+    // --threads ≙ JoinSimulation's datagen thread count: the write
+    // parallelism of the generated inputs (part-file count)
+    def gen(df: DataFrame): DataFrame = a.threads.fold(df)(df.repartition(_))
+    Tables.writeStage(gen(left), s"$wd/left")
+    Tables.writeStage(gen(right), s"$wd/right")
     val l = Tables.readStage(spark, s"$wd/left")
     val r = Tables.readStage(spark, s"$wd/right")
+    // file_size: MB of the right (t2) input, JoinSimulation.java:130-132
+    val fileSize = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(s"$wd/right")) / 1000000
+    }
 
     spark.conf.set("spark.sql.shuffle.partitions", a.reducers.toString)
     spark.conf.set("spark.sql.adaptive.enabled", a.aqe.toString)
 
+    // all times in ms like the reference; mt_* = ;-joined per-task list
     def fmt(d: Double): String = f"$d%.3f"
     def taskStats(s: graft.JoinStats): String =
-      s"${fmt(s.taskTimeMedianMs / 1000)},${fmt(s.taskTimeMeanMs / 1000)},${fmt(s.taskTimeMaxMs.toDouble / 1000)}"
+      s"${s.taskDurationsMs.mkString(";")},${fmt(s.taskTimeMedianMs)},${fmt(s.taskTimeMeanMs)},${s.taskTimeMaxMs}"
 
     // J1 repartition (shuffle-hash) join
     val (c1, s1) = Measure.measured(spark) {
       Joins.repartitionJoin(l, r, l("key"), r("key")).count()
     }
-    val j1 = s"${s1.shuffleRecordsWritten},$c1,${s1.taskDurationsMs.size},${taskStats(s1)},-1,-1,-1,-1,${fmt(s1.wallClockSec)}"
+    val j1 = s"${s1.shuffleRecordsWritten},$c1,${taskStats(s1)},-1,-1,-1,-1,${fmt(s1.wallClockSec * 1000)}"
 
     // J2 broadcast join (skipped like --no-broadcast-join when the small
     // side wouldn't fit, JoinSimulation.java:176)
@@ -102,21 +124,22 @@ object Simulation {
       val (c2, s2) = Measure.measured(spark) {
         Joins.broadcastJoin(l, r, l("key"), r("key")).count()
       }
-      s"${s2.shuffleRecordsWritten},${s2.taskDurationsMs.size},${taskStats(s2)},${fmt(s2.wallClockSec)}"
+      s"${s2.shuffleRecordsWritten},${taskStats(s2)},${fmt(s2.wallClockSec * 1000)}"
     }
 
-    // J3 decomposed sort-merge pipeline with per-stage times
+    // J3 decomposed sort-merge pipeline with per-stage times;
+    // t_merge = sum of the five stage slots (JoinSimulation.java:216-220)
     val (res3, s3) = Measure.measured(spark) {
       val (joined, times) = Joins.mergeJoinDecomposed(
         spark, l, r, l("key"), r("key"), a.reducers, s"$wd/mj")
       (joined.count(), times)
     }
-    val times = res3._2
-    val j3 = s"${s3.shuffleRecordsWritten},${s3.taskDurationsMs.size},${taskStats(s3)}," +
-      s"${times.map(fmt).mkString(",")},${fmt(s3.wallClockSec)}"
+    val timesMs = res3._2.map(_ * 1000)
+    val j3 = s"${s3.shuffleRecordsWritten},${taskStats(s3)}," +
+      s"${timesMs.map(fmt).mkString(",")},${fmt(timesMs.sum)}"
 
     Tables.deleteRecursive(wd)
-    s"$rows,$unique,${a.reducers},${a.zipfSkew.getOrElse(0.0)},$j1,$j2,$j3"
+    s"$rows,$unique,${a.reducers},${a.zipfSkew.getOrElse(0.0)},$fileSize,$j1,$j2,$j3"
   }
 
   def run(spark: SparkSession, a: Args): Seq[String] = {

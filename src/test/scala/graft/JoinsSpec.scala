@@ -95,6 +95,23 @@ class JoinsSpec extends SparkSpec {
     assert(!rows.exists(_._1 == "90"))
   }
 
+  test("merge join over multi-part fixture dirs equals the single-file result") {
+    // the reference's 3-part directories (simulation/merge_join_tables/
+    // t1/part-r-000[0-2], one part EMPTY) exercise the directory-scan +
+    // co-partitioned path; concat(parts) == the single .txt fixtures
+    val t1d = Tables.keyValueText(spark, res("/merge_join_tables/t1"))
+    val t2d = Tables.keyValueText(spark, res("/merge_join_tables/t2"))
+    val t1f = Tables.keyValueText(spark, res("/merge_join_tables/t1.txt"))
+    val t2f = Tables.keyValueText(spark, res("/merge_join_tables/t2.txt"))
+    def rows(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      Joins.mergeJoin(l, r, l("key").cast("long"), r("key").cast("long"))
+        .select(l("key"), l("value").as("lv"), r("value").as("rv"))
+        .collect().map(_.toSeq).toSet
+    val viaDirs = rows(t1d, t2d)
+    assert(viaDirs == rows(t1f, t2f))
+    assert(viaDirs.nonEmpty)
+  }
+
   test("decomposed merge join equals single-stage join and reports 5 stage times") {
     val o = Tables.table(spark, sf, "orders")
     val c = Tables.table(spark, sf, "customer")

@@ -27,6 +27,17 @@ class SimStreamSpec extends SparkSpec {
     assert(keys == (0L until 101L).toSet)
   }
 
+  test("datagen: uniqueShuffled stays a permutation when n is a multiple of the stride") {
+    // n = the first stride prime itself: id*1000003 % n would collapse
+    // to all-zero keys; the guard must fall through to the next prime
+    val n = 1000003L
+    val distinct = DataGen.uniqueShuffled(spark, n)
+      .agg(countDistinct(col("key")).as("d"), min(col("key")), max(col("key")))
+      .head()
+    assert(distinct.getLong(0) == n && distinct.getLong(1) == 0L
+      && distinct.getLong(2) == n - 1)
+  }
+
   test("datagen: G5 writes the requested number of part files") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_g5").toString
     DataGen.writeCsvParts(DataGen.uniform(spark, 1000, 10), s"$tmp/t", 4)
@@ -57,8 +68,13 @@ class SimStreamSpec extends SparkSpec {
     assert(cells(0) == "5000" && cells(1) == "500")
     // wall-clock columns are positive
     val tRep = cells(header.indexOf("t_repartition")).toDouble
-    val tSm = cells(header.indexOf("t_sort_merge")).toDouble
+    val tSm = cells(header.indexOf("t_merge")).toDouble
     assert(tRep > 0 && tSm > 0)
+    // t_merge is the sum of the five stage slots (reference semantics)
+    val slots = Seq("t_merge_1_1", "t_merge_1_2", "t_merge_2_1", "t_merge_2_2", "t_merge_3")
+      .map(c => cells(header.indexOf(c)).toDouble)
+    assert(math.abs(slots.sum - tSm) < 0.01)
+    assert(header.length == 33)
   }
 
   test("streaming aggregation equals its batch twin") {
