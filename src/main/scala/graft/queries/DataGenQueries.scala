@@ -80,6 +80,19 @@ object DataGenQueries {
         .agg(count(lit(1)).as("n_right"))
         .select(col("key"), col("left_rid"), col("n_right"))
     },
+    // heavy-hitter detection over the Zipf workload: a one-pass
+    // Misra-Gries summary (candidates) + exact candidate recount finds
+    // the hot join keys (the ones that overflow a naive partition,
+    // thesis §6.4) without ever shuffling the full key cardinality.
+    // The guarantee makes the output EXACTLY {key | freq*16 > rows},
+    // which the oracle computes from the closed-form histogram.
+    QueryDef(
+      "datagen_heavy_hitters",
+      s"""$zipfCdfCte
+         |SELECT k AS key, cnt AS freq FROM d WHERE cnt * 16 > 10000""".stripMargin) { (s, _) =>
+      graft.operators.HeavyHitters.heavyHitters(
+        DataGen.zipfTable(s, 10000, 100, 0.9), col("key"), k = 16)
+    },
     // G6: skew-capacity predictor (single scalar row)
     QueryDef(
       "datagen_max_repeats",

@@ -146,6 +146,23 @@ object JoinQueries {
       p.join(broadcast(sup),
         p("p_retailprice") >= sup("s_acctbal") && p("p_retailprice") <= sup("s_acctbal") + 500)
         .select(p("p_partkey"), sup("s_suppkey"))
+    },
+    // the same range predicate as a BINNED equi-join
+    // (operators.RangeJoin): bucket width = interval width 500, so each
+    // interval spans <= 2 buckets and the plan is a shuffle equi-join
+    // on __bin — no nested loop, no broadcast requirement. Identical
+    // output to join_theta_range (same oracle SQL); the broadcast-NLJ
+    // form above stays as the small-side baseline.
+    QueryDef(
+      "join_range_binned",
+      """SELECT p_partkey, s_suppkey FROM part JOIN supplier
+        |ON p_retailprice >= s_acctbal AND p_retailprice <= s_acctbal + 500""".stripMargin) { (s, d) =>
+      val p = Tables.table(s, d, "part")
+      val sup = Tables.table(s, d, "supplier")
+      graft.operators.RangeJoin.pointInRange(
+          p, sup, p("p_retailprice"), sup("s_acctbal"), sup("s_acctbal") + 500,
+          binWidth = 500)
+        .select(p("p_partkey"), sup("s_suppkey"))
     }
   )
 }

@@ -49,6 +49,24 @@ object SourceQueries {
         .groupBy(col("key").as("priority"))
         .agg(count(lit(1)).as("n"), min(col("value").cast("long")).as("min_key"))
     },
+    // SequenceFile<Text,Text> round-trip — the reference's ACTUAL
+    // intermediate format (MergeJoin.java:118-119), not the parquet
+    // stage replacement: write through the Hadoop sequence-file sink,
+    // read back with sc.sequenceFile, aggregate. The oracle computes
+    // the same aggregate from the parquet table, so the round-trip must
+    // be lossless end-to-end.
+    QueryDef(
+      "seqfile_roundtrip",
+      """SELECT o_orderpriority AS priority, count(*) AS n, min(o_orderkey) AS min_key
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_seq_rt"
+      Tables.writeSequenceFile(
+        Tables.table(s, d, "orders").select(col("o_orderpriority"), col("o_orderkey")),
+        tmp)
+      Tables.sequenceFileKV(s, tmp)
+        .groupBy(col("key").as("priority"))
+        .agg(count(lit(1)).as("n"), min(col("value").cast("long")).as("min_key"))
+    },
     // Hive-style partitioned layout round-trip: write partitioned by
     // year, read back with a partition predicate — the scan must prune
     // to one directory (PartitionFilters; asserted in ScaleSpec). At

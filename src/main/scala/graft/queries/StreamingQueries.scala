@@ -52,6 +52,30 @@ object StreamingQueries {
         |FROM g GROUP BY user_id, sid""".stripMargin) { (s, d) =>
       Streaming.sessionAgg(s, d)
     },
+    // append mode + watermark session windows: emitted = sessions whose
+    // end (last event + 30 min gap) the final watermark passed
+    QueryDef(
+      "stream_session_append",
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, tus,
+        |    CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM o),
+        |g AS (SELECT user_id, event_id, tus,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |agg AS (SELECT user_id, min(tus) AS session_start_us,
+        |    max(tus) AS session_last_us, count(*) AS n_events,
+        |    min(event_id) AS first_event_id
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, session_start_us, n_events, first_event_id
+        |FROM agg
+        |WHERE session_last_us + 1800000000 <=
+        |  (SELECT max(epoch_us(ts)) - 1800000000 FROM events)""".stripMargin) { (s, d) =>
+      Streaming.sessionAggAppend(s, d)
+    },
     QueryDef(
       "stream_dedup_state",
       """SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n

@@ -70,6 +70,26 @@ object Tables {
   def readStage(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S3 interop: genuine Hadoop SequenceFile<Text,Text> write/read for
+    * exchanging intermediates with the reference's own pipelines
+    * (MergeJoin.java:118-119 SequenceFileOutputFormat). The parquet
+    * stage format above remains the recommended intermediate — this is
+    * the compatibility bridge. RDD API is the right tool here: Spark
+    * has no DataFrame-level SequenceFile source, and the conversion is
+    * a per-partition record copy, not driver-side. */
+  def writeSequenceFile(df: DataFrame, path: String): Unit = {
+    deleteRecursive(path)
+    df.select(col(df.columns(0)).cast("string"), col(df.columns(1)).cast("string"))
+      .rdd.map(r => (r.getString(0), r.getString(1)))
+      .saveAsSequenceFile(path)
+  }
+
+  def sequenceFileKV(spark: SparkSession, path: String): DataFrame = {
+    val sq = spark
+    import sq.implicits._
+    spark.sparkContext.sequenceFile[String, String](path).toDF("key", "value")
+  }
+
   /** S6: temp-dir lifecycle (MergeJoin.java:91-95,253-256). */
   def deleteRecursive(path: String): Unit = {
     def rm(f: java.io.File): Unit = {

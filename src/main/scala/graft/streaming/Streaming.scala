@@ -159,6 +159,24 @@ object Streaming {
     runToMemory(spark, agg, s"sess_${System.nanoTime()}", OutputMode.Complete())
   }
 
+  /** Watermarked APPEND-mode session windows — bounded-state
+    * sessionization: a session is finalized, emitted once, and evicted
+    * when the watermark passes its end (last event + 30 min gap).
+    * Deterministic output for the same reason as [[windowedAggAppend]]:
+    * emitted = sessions with end ≤ global max event time − 30 min,
+    * which the oracle reproduces by filtering the batch sessionization
+    * on the same bound. */
+  def sessionAggAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventTime(eventsArrivalStream(spark, sfDir))
+      .withWatermark("etime", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("etime"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event_id"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("first_event_id"))
+    runToMemory(spark, agg, s"sess_append_${System.nanoTime()}", OutputMode.Append())
+  }
+
   /** Order-deterministic streaming dedup/state aggregate: first (=min)
     * event id per (user, event_type). */
   def dedupState(spark: SparkSession, sfDir: String): DataFrame = {

@@ -47,6 +47,20 @@ class QueriesSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString().contains("TakeOrderedAndProject"))
   }
 
+  test("binned range join plans an equi-join, never a nested loop") {
+    val df = SparkEntry.queries("join_range_binned")(spark, sf)
+    df.count() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "binned range join fell back to a nested loop")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "no equi-join operator in the binned plan")
+    // and it returns exactly what the theta form returns
+    val theta = SparkEntry.queries("join_theta_range")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == theta)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     // the query itself carries the ±5% check as the in-engine
     // `within_5pct` boolean (exact integer arithmetic — hash-comparable

@@ -46,6 +46,29 @@ class SimStreamSpec extends SparkSpec {
     Tables.deleteRecursive(tmp)
   }
 
+  test("Misra-Gries heavy hitters: exact result, order-independent, superset guarantee") {
+    import spark.implicits._
+    import graft.operators.HeavyHitters
+    // skewed stream: key 0 x 600, key 1 x 250, keys 2..101 x 3 each
+    val rows = Seq.fill(600)(0L) ++ Seq.fill(250)(1L) ++
+      (2L to 101L).flatMap(k => Seq.fill(3)(k))
+    val n = rows.size
+    val k = 8 // threshold n/8 = 143.75 -> exactly {0, 1}
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 * k > n).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("key").repartition(parts)
+      val got = HeavyHitters.heavyHitters(df, col("key"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"parts=$parts: $got != $exact")
+      // candidate superset holds even though 102 keys fold into 8 counters
+      val cands = HeavyHitters.candidates(df, col("key"), k)
+        .collect().map(_.getLong(0)).toSet
+      assert(exact.keySet.subsetOf(cands))
+      assert(cands.size <= k)
+    }
+  }
+
   test("stats listener captures task durations and shuffle records") {
     val li = Tables.table(spark, sf, "lineitem")
     val (cnt, stats) = Measure.measured(spark) {
