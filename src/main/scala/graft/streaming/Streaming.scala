@@ -51,9 +51,20 @@ object Streaming {
     * bounded-state assertions need. */
   def runToMemoryWithProgress(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    (spark.table(name), q.recentProgress.toSeq)
+    // Size stateful-shuffle parallelism to the state, not the batch
+    // default: these drains carry O(100) state rows, and every
+    // micro-batch commits one state-store delta PER PARTITION — at 32
+    // partitions × 9 batches that is pure fixed overhead (measured 3-4×
+    // the query's whole runtime). Production guidance is the same:
+    // stateful-stream partition count follows state volume, and it is
+    // fixed at the first checkpoint anyway.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      (spark.table(name), q.recentProgress.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Time-ordered multi-file copy of the events table under java.io.tmpdir
@@ -63,7 +74,7 @@ object Streaming {
     * file source's oldest-first ordering is deterministic and every
     * batch arrives in event-time order (no row is ever late w.r.t. the
     * watermark set by earlier slices). Idempotent per (sfDir, nFiles). */
-  def eventsArrivalDir(spark: SparkSession, sfDir: String, nFiles: Int = 8): String = {
+  def eventsArrivalDir(spark: SparkSession, sfDir: String, nFiles: Int = 6): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val root = new java.io.File(
@@ -95,7 +106,7 @@ object Streaming {
   }
 
   /** Streaming view of the arrival dir: one time-slice file per batch. */
-  def eventsArrivalStream(spark: SparkSession, sfDir: String, nFiles: Int = 8): DataFrame = {
+  def eventsArrivalStream(spark: SparkSession, sfDir: String, nFiles: Int = 6): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = eventsArrivalDir(spark, sfDir, nFiles)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
