@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators — the selection/mixing steps between
+  * raw documents and a training set. All four are single-pass,
+  * shuffle-minimal, and deterministic (reproducible corpus builds are a
+  * hard requirement: a training run must be able to cite the exact
+  * document set).
+  */
+object CorpusOps {
+
+  /** Deterministic per-row sample bucket in [0, 100): Knuth
+    * multiplicative hashing on the id — identical integer arithmetic in
+    * any engine, stable across runs/partitionings (`sample()` is
+    * neither). */
+  def sampleBucket(id: Column): Column =
+    (id * 2654435761L) % 4294967296L % 100
+
+  /** Stratified sampling: keep a row when its bucket falls under the
+    * row's stratum rate (percent, a Column so strata rates can come
+    * from a CASE, a join, or a literal map). One scan, no shuffle, no
+    * state — rates can be retuned and the sample stays a superset/
+    * subset relation of the previous one (nested samples). */
+  def stratifiedSample(df: DataFrame, id: Column, pctForRow: Column): DataFrame =
+    df.filter(sampleBucket(id) < pctForRow)
+
+  /** Quota mixing: the top `quota` rows per stratum under an explicit
+    * quality order (ties broken by id — total order, deterministic).
+    * One shuffle by stratum; rank short-circuits via WindowGroupLimit
+    * in Spark 4, so only ~quota rows per stratum survive the sort. */
+  def quotaMix(df: DataFrame, stratum: Column, quota: Int, order: Seq[Column]): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(stratum).orderBy(order: _*)))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+
+  /** Context-window packing ("concatenate then chunk", the standard
+    * packed-dataset construction): documents in id order are laid
+    * end-to-end on a token tape cut every `capacity` tokens; a doc's
+    * bin is the chunk its first token lands in, offset = position in
+    * that chunk. A running DECIMAL-exact window sum — one shuffle (the
+    * global order), no driver loop. `tokens` must be non-negative. */
+  def packBins(df: DataFrame, id: Column, tokens: Column, capacity: Long): DataFrame = {
+    val w = Window.orderBy(id).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokens).over(w) - tokens)
+      .withColumn("bin_id", (col("__cum") / capacity).cast("long"))
+      .withColumn("bin_offset", col("__cum") % capacity)
+      .drop("__cum")
+  }
+
+  /** Corpus-unigram log-probability score per document (the cheap
+    * LM-quality proxy): mean log10 of each token's corpus frequency.
+    * Token logs are rounded to 6 dp BEFORE the per-doc sum and the sum
+    * accumulates DECIMAL, so the result is order-independent and
+    * engine-reproducible (raw double log-sums are neither). Two
+    * aggregations (corpus freqs, per-doc mean) + one broadcast-size
+    * join on token — the frequency table is vocabulary-sized. */
+  def unigramLogProb(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+    val n = tok.agg(count(lit(1)).as("n"))
+    val freqs = tok.groupBy("t").agg(count(lit(1)).as("f"))
+      .crossJoin(broadcast(n))
+      .select(col("t"),
+        round(log10(col("f").cast("double") / col("n")), 6).as("logp"))
+    tok.join(broadcast(freqs), Seq("t"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("logp").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+          .as("mean_logp"))
+  }
+}

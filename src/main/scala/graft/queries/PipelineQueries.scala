@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.{Dedup, EmbeddingAnalytics, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, EmbeddingAnalytics, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,59 @@ object PipelineQueries {
         |FROM sc GROUP BY label""".stripMargin) { (s, d) =>
       EmbeddingAnalytics.labelCohesion(
         Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"), col("label"))
+    },
+    // stratified sampling: per-source rates via deterministic hash
+    // buckets (reproducible corpus builds; CorpusOps.stratifiedSample)
+    QueryDef(
+      "pipeline_stratified_sample",
+      """SELECT doc_id, source FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+        |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 80 ELSE 20 END""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      CorpusOps.stratifiedSample(docs, col("doc_id"),
+          when(col("source").isin("src0", "src1", "src2"), 80).otherwise(20))
+        .select(col("doc_id"), col("source"))
+    },
+    // quota mixing: top-N per source under a total quality order
+    QueryDef(
+      "pipeline_quota_mix",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin) { (s, d) =>
+      CorpusOps.quotaMix(Tables.table(s, d, "documents"), col("source"), 10,
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("source"))
+    },
+    // context-window packing: concatenate-then-chunk bin assignment
+    // (cum sums cast to BIGINT in the oracle — DuckDB widens window
+    // sums to HUGEINT, which the driver's pandas comparator floats)
+    QueryDef(
+      "pipeline_pack_bins",
+      """WITH t AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS ntok FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(sum(ntok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, cum // 4096 AS bin_id, cum % 4096 AS bin_offset FROM c""".stripMargin) { (s, d) =>
+      CorpusOps.packBins(Tables.table(s, d, "documents"), col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long"), capacity = 4096)
+        .select(col("doc_id"), col("bin_id"), col("bin_offset"))
+    },
+    // corpus-unigram LM scoring: mean log10 token frequency per doc
+    // (logs rounded before the DECIMAL sum — order/engine independent)
+    QueryDef(
+      "text_unigram_logprob",
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM tok),
+        |f AS (SELECT t, round(log10(CAST(count(*) AS DOUBLE) / max(n.n)), 6) AS logp
+        |  FROM tok, n GROUP BY t)
+        |SELECT tok.doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(logp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_logp
+        |FROM tok JOIN f USING (t) GROUP BY tok.doc_id""".stripMargin) { (s, d) =>
+      CorpusOps.unigramLogProb(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
     },
     // end-to-end corpus selection: quality gates + language filter +
     // near-dup removal (keep the lower doc_id of each pair)

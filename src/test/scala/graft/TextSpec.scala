@@ -57,4 +57,50 @@ class TextSpec extends SparkSpec {
     assert(rows(1).getInt(1) == 3)
     assert(rows(2).getDouble(2) > 0)               // punct ratio
   }
+
+  test("stratified samples are nested: lower rate is a subset of higher rate") {
+    import graft.operators.CorpusOps
+    val docs = Tables.table(spark, sf, "documents")
+    def ids(pct: Int) = CorpusOps.stratifiedSample(docs, col("doc_id"), lit(pct))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10 = ids(10); val s40 = ids(40); val s100 = ids(100)
+    assert(s10.subsetOf(s40) && s40.subsetOf(s100))
+    assert(s100.size == docs.count())
+    // rate is approximately honored
+    assert(math.abs(s40.size.toDouble / s100.size - 0.4) < 0.1)
+  }
+
+  test("quota mix returns at most quota rows per stratum, deterministically") {
+    import graft.operators.CorpusOps
+    val docs = Tables.table(spark, sf, "documents")
+    val mixed = CorpusOps.quotaMix(docs, col("source"), 5,
+      Seq(col("n_chars").desc, col("doc_id")))
+    val perSource = mixed.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= 5))
+    val a = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = CorpusOps.quotaMix(docs.repartition(13), col("source"), 5,
+      Seq(col("n_chars").desc, col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("pack bins: offsets within capacity, bins monotone in doc order, tape conserved") {
+    import graft.operators.CorpusOps
+    val docs = Tables.table(spark, sf, "documents")
+    val cap = 1000L
+    val packed = CorpusOps.packBins(docs, col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long"), cap)
+      .select(col("doc_id"), col("bin_id"), col("bin_offset"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+      .orderBy("doc_id").collect()
+    assert(packed.forall(r => r.getLong(2) >= 0 && r.getLong(2) < cap))
+    val bins = packed.map(_.getLong(1))
+    assert(bins.sliding(2).forall(p => p.head <= p.last), "bin ids not monotone")
+    // the tape position of each doc equals the running token total
+    var cum = 0L
+    packed.foreach { r =>
+      assert(r.getLong(1) * cap + r.getLong(2) == cum)
+      cum += r.getLong(3)
+    }
+  }
 }
