@@ -69,9 +69,26 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(c)))
 
-  /** Register SQL names (`SELECT graft_rolling_hash(text) ...`). */
+  /** Register SQL names for every custom expression/aggregate, so the
+    * plain-SQL surface (`Graft.registerViews` + `spark.sql`) reaches
+    * them too:
+    * `graft_rolling_hash(str)`, `graft_dot(arr, arr)`,
+    * `graft_simhash(hash, weight)`,
+    * `graft_misra_gries(item, k)` (k a foldable int literal). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimHashAgg(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_misra_gries",
+      exprs => {
+        val k = exprs(1).eval(null).asInstanceOf[Int]
+        MisraGriesAgg(exprs(0), k).toAggregateExpression()
+      }, "built-in")
   }
 }

@@ -16,6 +16,19 @@ class GraftFacadeSpec extends SparkSpec {
     Graft.configure(spark)
     val h = spark.sql("SELECT graft_rolling_hash('abc') AS h").head().getLong(0)
     assert(h == "abc".foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L))
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(d == 11.0)
+    // aggregates: simhash of a single token {h=3, w=1} sets exactly the
+    // bits of 3; misra_gries over a skewed stream returns the hot key
+    val sh = spark.sql(
+      "SELECT graft_simhash(h, w) AS s FROM VALUES (3L, 1L) t(h, w)").head().getLong(0)
+    assert(sh == 3L)
+    val mg = spark.sql(
+      """SELECT graft_misra_gries(x, 2) AS c
+        |FROM VALUES (7L), (7L), (7L), (1L), (2L), (3L) t(x)""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(mg.contains(7L))
   }
 
   test("query lookup returns runnable operators") {
