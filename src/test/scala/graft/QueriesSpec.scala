@@ -77,6 +77,26 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("outputs are partitioning-invariant for order-sensitive queries") {
+    // determinism contract: the queries whose algorithms are most
+    // exposed to partition/merge order (window running sums, LSH
+    // banding, sketch merges, union-merge as-of, generated tables)
+    // must produce identical row sets under different shuffle layouts
+    val names = Seq("window_sessionize", "dedup_minhash_lsh", "dedup_simhash",
+      "join_asof", "datagen_zipf_table", "datagen_heavy_hitters",
+      "text_unigram_logprob", "pipeline_pack_bins")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(parts: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try names.map(n => n -> SparkEntry.queries(n)(spark, sf)
+        .collect().map(_.toSeq).toSet).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = run("3")
+    val b = run("17")
+    names.foreach(n => assert(a(n) == b(n), s"$n differs across partitionings"))
+  }
+
   test("sessionization assigns increasing session ids per user") {
     val rows = SparkEntry.queries("window_sessionize")(spark, sf)
       .groupBy(col("user_id")).agg(max(col("session_id")).as("m"), count(lit(1)).as("n"))
