@@ -66,26 +66,81 @@ object ZipfMath {
     }
     lo.toLong
   }
+
+  /** H(n, s) with the same sequential fold order as [[cumCounts]]. */
+  def harmonicTotal(n: Long, s: Double): Double = {
+    var h = 0.0
+    var k = 1L
+    while (k <= n) { h += math.pow(k.toDouble, -s); k += 1 }
+    h
+  }
+
+  /** (rid, key) pairs for rid ∈ [start, end) WITHOUT materializing the
+    * cumulative array — the n ≫ 10⁸-keys path: a second sequential
+    * harmonic sweep emits each key's rid run as the running cumcnt
+    * passes it. O(1) memory, O(n + end − start) time per partition, and
+    * bit-identical to the array path because the harmonic folds run in
+    * the same order over the same doubles (spec-asserted equal). */
+  def emitRange(rows: Long, n: Long, s: Double,
+      start: Long, end: Long): Iterator[(Long, Long)] = {
+    val tot = harmonicTotal(n, s)
+    new Iterator[(Long, Long)] {
+      private var h = 0.0
+      private var k = 0L
+      private var cumK = 0L // cumcnt(k); rids [cum(k-1), cum(k)) get key k
+      private var rid = start
+      private def advance(): Unit =
+        while (rid >= cumK && k < n) {
+          k += 1
+          h += math.pow(k.toDouble, -s)
+          cumK = math.max(0L, math.floor(h / tot * rows.toDouble - 0.5).toLong + 1)
+        }
+      override def hasNext: Boolean = rid < end
+      override def next(): (Long, Long) = {
+        advance()
+        val out = (rid, k)
+        rid += 1
+        out
+      }
+    }
+  }
 }
 
 final case class ZipfSourceExec(
     rows: Long, n: Long, s: Double, numSlices: Int,
     override val output: Seq[Attribute]) extends LeafExecNode {
 
+  /** Above this key count the shared cumulative array (8(n+1) bytes in
+    * every task closure) stops being cheap; partitions switch to the
+    * O(1)-memory streaming sweep. 4M keys ≈ 32 MB — comfortably under
+    * typical RPC/message limits; beyond it the closure would be the
+    * scale bottleneck the array path otherwise creates at n ≫ 10⁸. */
+  private val maxMaterializedKeys = 4L << 20
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val cum = ZipfMath.cumCounts(rows, n, s)
     val totalRows = rows
+    val nKeys = n
+    val skew = s
     val slices = numSlices
+    val cum: Array[Long] =
+      if (nKeys <= maxMaterializedKeys) ZipfMath.cumCounts(totalRows, nKeys, skew)
+      else null
     sparkContext.parallelize(0 until slices, slices).mapPartitionsWithIndex {
       (slice, _) =>
         val start = slice * totalRows / slices
         val end = (slice + 1) * totalRows / slices
         val proj = UnsafeProjection.create(Array(LongType, LongType): Array[org.apache.spark.sql.types.DataType])
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
-        Iterator.range(0, (end - start).toInt).map { i =>
-          val rid = start + i
+        val pairs: Iterator[(Long, Long)] =
+          if (cum != null)
+            Iterator.range(0, (end - start).toInt).map { i =>
+              val rid = start + i
+              (rid, ZipfMath.keyFor(cum, rid))
+            }
+          else ZipfMath.emitRange(totalRows, nKeys, skew, start, end)
+        pairs.map { case (rid, key) =>
           row.update(0, rid)
-          row.update(1, ZipfMath.keyFor(cum, rid))
+          row.update(1, key)
           proj(row)
         }
     }

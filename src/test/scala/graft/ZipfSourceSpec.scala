@@ -40,6 +40,18 @@ class ZipfSourceSpec extends SparkSpec {
     })
   }
 
+  test("streaming O(1)-memory sweep equals the materialized-array path") {
+    val (rows, n, s) = (10000L, 100L, 0.9)
+    val cum = ZipfMath.cumCounts(rows, n, s)
+    val viaArray = (0L until rows).map(rid => rid -> ZipfMath.keyFor(cum, rid))
+    // full range and partition-shaped sub-ranges (incl. empty)
+    assert(ZipfMath.emitRange(rows, n, s, 0, rows).toSeq == viaArray)
+    for ((a, b) <- Seq((0L, 1L), (3333L, 6666L), (9999L, 10000L), (5000L, 5000L))) {
+      assert(ZipfMath.emitRange(rows, n, s, a, b).toSeq ==
+        viaArray.slice(a.toInt, b.toInt))
+    }
+  }
+
   test("composes with downstream operators (join + aggregate)") {
     ZipfSource.install(spark)
     val z = ZipfSource.zipf(spark, 5000, 100, 0.8)
