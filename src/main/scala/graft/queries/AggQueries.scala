@@ -93,6 +93,24 @@ object AggQueries {
         .cube(col("c_mktsegment"), col("c_nationkey"))
         .agg(count(lit(1)).as("n"))
     },
+    // explicit GROUPING SETS (not derivable from rollup/cube) with
+    // grouping() markers to disambiguate real NULLs from super-
+    // aggregate rows — the third multi-dimensional grouping surface
+    QueryDef(
+      "agg_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("bigint").as("g_status"),
+          grouping(col("o_orderpriority")).cast("bigint").as("g_priority"))
+    },
     // join + aggregate: revenue per nation (classic star-schema shape —
     // broadcast dims, partial agg on the fact side)
     QueryDef(

@@ -100,6 +100,25 @@ class SimStreamSpec extends SparkSpec {
     assert(header.length == 33)
   }
 
+  test("simulation run end-to-end: CLI args -> results CSV on disk") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sim_cli")
+    val out = s"$tmp/results.csv"
+    val lines = Simulation.run(spark, Simulation.parse(Array(
+      "--rows", "2000", "--steps", "2", "--increment", "1000",
+      "--unique-values", "200", "--reducers", "4", "--zipf-skew", "0.5",
+      "--threads", "2", "--out", out, "--work-dir", s"$tmp/work")))
+    assert(lines.size == 2)
+    val csv = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(csv.head == Simulation.header)
+    assert(csv.size == 3)
+    // rows column advances by the increment; every row parses to the
+    // full 33-cell schema
+    val r = csv.tail.map(_.split(",", -1))
+    assert(r.forall(_.length == Simulation.header.split(",").length))
+    assert(r.map(_.head) == Seq("2000", "3000"))
+    Tables.deleteRecursive(tmp.toString)
+  }
+
   test("streaming aggregation equals its batch twin") {
     val streamed = graft.streaming.Streaming.dedupState(spark, sf)
       .orderBy("user_id", "event_type").collect().map(_.toSeq)
