@@ -62,7 +62,10 @@ object Streaming {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      // called twice: the final watermark flush is a NO-DATA micro-batch,
+      // and processAllAvailable's contract only covers data batches — the
+      // second call is a cheap barrier that closes that race class
+      try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
       (spark.table(name), q.recentProgress.toSeq)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
