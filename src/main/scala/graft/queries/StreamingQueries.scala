@@ -82,6 +82,14 @@ object StreamingQueries {
         |FROM events GROUP BY user_id, event_type""".stripMargin) { (s, d) =>
       Streaming.dedupState(s, d)
     },
+    // dropDuplicatesWithinWatermark on the unique event_id: emitted =
+    // every event exactly once; state bounded by the watermark (spec
+    // asserts evictions)
+    QueryDef(
+      "stream_dedup_watermark",
+      "SELECT event_id, user_id, event_type FROM events") { (s, d) =>
+      Streaming.dedupWithinWatermark(s, d)
+    },
     QueryDef(
       "stream_user_counter",
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id") { (s, d) =>

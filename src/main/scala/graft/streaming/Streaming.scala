@@ -191,6 +191,28 @@ object Streaming {
     runToMemory(spark, agg, s"sess_append_${System.nanoTime()}", OutputMode.Append())
   }
 
+  /** Watermarked streaming dedup (`dropDuplicatesWithinWatermark`) —
+    * the bounded-state dedup operator: duplicate suppression is
+    * guaranteed within the watermark delay, and state older than the
+    * watermark is EVICTED (the spec asserts rows removed) instead of
+    * growing with the stream like an unwatermarked dropDuplicates.
+    * Keyed on event_id, which is unique in the corpus, so the emitted
+    * set is exactly the input — deterministic and oracle-comparable —
+    * while the state machinery (insert, probe, evict) is fully
+    * exercised by the multi-batch arrival. */
+  def dedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame =
+    dedupWithinWatermarkWithProgress(spark, sfDir)._1
+
+  def dedupWithinWatermarkWithProgress(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val deduped = eventTime(eventsArrivalStream(spark, sfDir))
+      .withWatermark("etime", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    runToMemoryWithProgress(spark, deduped, s"dedup_wm_${System.nanoTime()}",
+      OutputMode.Append())
+  }
+
   /** Order-deterministic streaming dedup/state aggregate: first (=min)
     * event id per (user, event_type). */
   def dedupState(spark: SparkSession, sfDir: String): DataFrame = {

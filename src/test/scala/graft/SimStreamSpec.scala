@@ -157,6 +157,17 @@ class SimStreamSpec extends SparkSpec {
       "state accumulated all windows — not bounded")
   }
 
+  test("dropDuplicatesWithinWatermark: exact passthrough on unique keys, bounded state") {
+    val (df, progress) =
+      graft.streaming.Streaming.dedupWithinWatermarkWithProgress(spark, sf)
+    val total = Tables.table(spark, sf, "events").count()
+    assert(df.count() == total) // event_id unique -> every row emitted once
+    val stateOps = progress.flatMap(_.stateOperators)
+    assert(stateOps.map(_.numRowsRemoved).sum > 0, "no dedup state evicted")
+    assert(stateOps.map(_.numRowsTotal).max < total,
+      "dedup state accumulated every key — watermark inert")
+  }
+
   test("stateful user counter equals batch per-user counts") {
     val streamed = graft.streaming.Streaming.statefulUserCounter(spark, sf)
       .orderBy("user_id").collect().map(_.toSeq)
