@@ -51,4 +51,26 @@ class JoinPropertySpec extends SparkSpec {
       assert(plain == salted, s"iteration $i")
     }
   }
+
+  test("binned range join equals the nested-loop reference on arbitrary intervals") {
+    import spark.implicits._
+    val pointGen = Gen.listOfN(60, Gen.chooseNum(-100, 100))
+    val rangeGen = Gen.listOfN(25, for {
+      lo <- Gen.chooseNum(-110, 100); w <- Gen.chooseNum(0, 37)
+    } yield (lo, lo + w))
+    for (i <- 0 until 6; binWidth <- Seq(7L, 40L)) {
+      val ps = pointGen.apply(Gen.Parameters.default, Seed(5000 + i)).get
+      val rs = rangeGen.apply(Gen.Parameters.default, Seed(6000 + i)).get
+      val points = ps.zipWithIndex.map { case (p, j) => (j.toLong, p) }.toDF("pid", "p")
+      val ranges = rs.zipWithIndex.map { case ((lo, hi), j) => (j.toLong, lo, hi) }
+        .toDF("rid", "lo", "hi")
+      val binned = graft.operators.RangeJoin.pointInRange(
+          points, ranges, col("p"), col("lo"), col("hi"), binWidth)
+        .select("pid", "rid").collect().map(_.toSeq).toSet
+      val reference = points.crossJoin(ranges)
+        .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "rid").collect().map(_.toSeq).toSet
+      assert(binned == reference, s"iteration $i binWidth=$binWidth")
+    }
+  }
 }
