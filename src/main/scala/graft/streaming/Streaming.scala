@@ -60,6 +60,10 @@ object Streaming {
     // fixed at the first checkpoint anyway.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // one-shot drains never live long enough to need background state
+    // snapshots; a long interval keeps the maintenance thread from
+    // stealing cycles mid-drain (it still runs at provider unload)
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     try {
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
       // called twice: the final watermark flush is a NO-DATA micro-batch,
