@@ -28,20 +28,34 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Distinct word k-shingles per document: (doc_id, s). The exploded,
-    * shuffled-by-shingle form IS the inverted index. */
+    * shuffled-by-shingle form IS the inverted index. Shingling runs
+    * through the custom [[graft.functions.ShingleGenerator]] — one
+    * fused tokenize→k-gram→explode pass (the HOF spelling below
+    * allocates token + index arrays per row through CodegenFallback;
+    * DedupSpec pins the two equal). */
   def shingles(docs: DataFrame, text: Column, id: Column, k: Int = 3,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val w = TextAnalysis.tokens(text)
     val sh = docs
-      .select(id.as("doc_id"), w.as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', ${(0 until k).map(j => s"w[i + $j]").mkString(", ")}))")).as("s"))
+      .select(id.as("doc_id"),
+        graft.functions.ShingleGenerator.shingles(text, k).as("s"))
       .distinct()
     maxShingleDf.fold(sh) { cap =>
       val hot = sh.groupBy("s").count().filter(col("count") > cap).select("s")
       sh.join(hot, Seq("s"), "left_anti")
     }
+  }
+
+  /** Composed-builtin twin of [[shingles]] (HOF transform + concat_ws)
+    * — kept as the equality oracle for the custom generator. */
+  private[graft] def shinglesHof(docs: DataFrame, text: Column, id: Column,
+      k: Int = 3): DataFrame = {
+    val w = TextAnalysis.tokens(text)
+    docs
+      .select(id.as("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', ${(0 until k).map(j => s"w[i + $j]").mkString(", ")}))")).as("s"))
+      .distinct()
   }
 
   /** Shingle-set sizes per doc. */

@@ -70,6 +70,24 @@ class DedupSpec extends SparkSpec {
     assert(wide == scalar)
   }
 
+  test("custom shingle generator equals the HOF formulation (corpus + edges)") {
+    import spark.implicits._
+    val a = Dedup.shingles(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Dedup.shinglesHof(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b && a.nonEmpty)
+    // edges: null, empty, whitespace-only, < k tokens, interior runs
+    val edges = Seq((1L, null), (2L, ""), (3L, "   "), (4L, "a b"),
+      (5L, "  a   b\tc  d "), (6L, "x y z")).toDF("doc_id", "text")
+    val ea = Dedup.shingles(edges, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val eb = Dedup.shinglesHof(edges, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ea == eb)
+    assert(ea == Set((5L, "a b c"), (5L, "b c d"), (6L, "x y z")))
+  }
+
   test("shingle df-cap drops hot shingles") {
     import spark.implicits._
     val d = Seq(
