@@ -41,14 +41,40 @@ object CorpusOps {
     * packed-dataset construction): documents in id order are laid
     * end-to-end on a token tape cut every `capacity` tokens; a doc's
     * bin is the chunk its first token lands in, offset = position in
-    * that chunk. A running DECIMAL-exact window sum — one shuffle (the
-    * global order), no driver loop. `tokens` must be non-negative. */
+    * that chunk.
+    *
+    * The global running sum is computed as a DISTRIBUTED two-pass
+    * prefix sum, not a global window (`Window.orderBy(id)` with no
+    * partition key funnels the whole corpus through one task — the
+    * plan Spark itself warns about): range-partition by id, sum each
+    * partition (a tiny numPartitions-row aggregate collected to the
+    * driver), broadcast the per-partition prefix offsets back, then
+    * run an ordinary per-partition window. Every stage is parallel;
+    * the output is independent of the partition boundaries because
+    * prefix sums are associative (the partitioning-invariance spec
+    * covers this query). `tokens` must be non-negative. */
   def packBins(df: DataFrame, id: Column, tokens: Column, capacity: Long): DataFrame = {
-    val w = Window.orderBy(id).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(tokens).over(w) - tokens)
+    val prepared = df
+      .withColumn("__pbid", id)
+      .withColumn("__tok", tokens)
+      .repartitionByRange(col("__pbid"))
+      .sortWithinPartitions(col("__pbid"))
+      .withColumn("__part", spark_partition_id())
+    val offsets = prepared.groupBy("__part")
+      .agg(sum(col("__tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toMap
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (p, off)) =>
+      when(col("__part") === p, lit(off)).otherwise(e)
+    }
+    val w = Window.partitionBy(col("__part")).orderBy(col("__pbid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prepared
+      .withColumn("__cum", sum(col("__tok")).over(w) - col("__tok") + offsetExpr)
       .withColumn("bin_id", (col("__cum") / capacity).cast("long"))
       .withColumn("bin_offset", col("__cum") % capacity)
-      .drop("__cum")
+      .drop("__pbid", "__tok", "__part", "__cum")
   }
 
   /** Corpus-unigram log-probability score per document (the cheap
