@@ -81,10 +81,14 @@ object Dedup {
     val joined = a.join(b, Seq("s")).filter(col("da") < col("db"))
     val restricted = candidates.fold(joined)(c => joined.join(c, Seq("da", "db"), "left_semi"))
     val inter = restricted.groupBy("da", "db").agg(count(lit(1)).as("c"))
-    val sz = sizes(sh)
+    // sizes come from the (possibly candidate-restricted) index halves:
+    // the semi-join keeps every shingle of a candidate doc, so these
+    // counts equal the full-index counts for exactly the docs that can
+    // appear in `inter` — no aggregation over the full index when LSH
+    // has already pruned it
     inter
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .join(sizes(shA).select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes(shB).select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), round(col("jaccard"), 6).as("jaccard"))
