@@ -23,13 +23,9 @@ object Explain {
   // declared cross/theta joins, and the exact all-pairs / brute-force
   // baselines whose sub-quadratic twins (SRP buckets, IVF probing) are
   // the documented scale path
-  // datagen_heavy_hitters and text_unigram_logprob join a ONE-ROW
-  // broadcast (the scalar total count) — the standard scalar-subquery
-  // shape, constant-size build side at any scale
   private val nestedLoopAllowed = Set(
     "join_cross", "join_theta_range",
-    "ann_topk_bruteforce", "ann_ivf", "dedup_embedding",
-    "datagen_heavy_hitters", "text_unigram_logprob")
+    "ann_topk_bruteforce", "ann_ivf", "dedup_embedding")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

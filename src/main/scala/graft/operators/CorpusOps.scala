@@ -86,11 +86,13 @@ object CorpusOps {
     * join on token — the frequency table is vocabulary-sized. */
   def unigramLogProb(docs: DataFrame, text: Column, id: Column): DataFrame = {
     val tok = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
-    val n = tok.agg(count(lit(1)).as("n"))
-    val freqs = tok.groupBy("t").agg(count(lit(1)).as("f"))
-      .crossJoin(broadcast(n))
-      .select(col("t"),
-        round(log10(col("f").cast("double") / col("n")), 6).as("logp"))
+    // the corpus total is the sum of the (vocabulary-sized) frequency
+    // table — a driver scalar off the same aggregation, not a separate
+    // full token scan
+    val freqCounts = tok.groupBy("t").agg(count(lit(1)).as("f"))
+    val n = freqCounts.agg(sum(col("f"))).head().getLong(0)
+    val freqs = freqCounts.select(col("t"),
+      round(log10(col("f").cast("double") / n), 6).as("logp"))
     tok.join(broadcast(freqs), Seq("t"))
       .groupBy("doc_id")
       .agg(

@@ -22,17 +22,24 @@ import org.apache.spark.sql.functions._
 object HeavyHitters {
 
   /** Exact items with frequency·k > n over a bigint item column.
-    * Output: (key, freq), the exact count per surviving item. */
+    * Output: (key, freq), the exact count per surviving item.
+    *
+    * Two passes total (the minimum): one aggregate computes the sketch
+    * AND the stream length; the ≤ k candidates and the scalar n come
+    * back to the driver (k is a config constant — the same
+    * small-by-definition shape as k-means centers) and return as an
+    * `isin` predicate, which is codegen'd and scan-pushable, so the
+    * recount pass filters before it shuffles. */
   def heavyHitters(df: DataFrame, item: Column, k: Int): DataFrame = {
     val items = df.select(item.cast("long").as("item"))
-    val cands = items
-      .agg(MisraGriesAgg.misra_gries(col("item"), k).as("c"))
-      .select(explode(col("c")).as("item"))
-    val total = items.agg(count(lit(1)).as("n"))
-    items.join(broadcast(cands), Seq("item"), "left_semi")
+    val sketch = items.agg(
+      MisraGriesAgg.misra_gries(col("item"), k).as("c"),
+      count(col("item")).as("n")).head()
+    val cands = sketch.getSeq[Long](0)
+    val n = sketch.getLong(1)
+    items.filter(col("item").isin(cands: _*))
       .groupBy("item").agg(count(lit(1)).as("freq"))
-      .crossJoin(broadcast(total))
-      .filter(col("freq") * k > col("n"))
+      .filter(col("freq") * k > n)
       .select(col("item").as("key"), col("freq"))
   }
 
