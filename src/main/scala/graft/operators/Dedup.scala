@@ -251,6 +251,51 @@ object Dedup {
     jaccardVerify(sh, threshold, Some(cands))
   }
 
+  /** Connected components over an undirected edge list → (node, rep)
+    * with rep = the component's minimum node id. Iterative min-label
+    * propagation: each round every node takes the min of its own label
+    * and its neighbors' labels; a driver-side check stops at the
+    * fixpoint (≤ graph diameter rounds — near-dup clusters are
+    * shallow). Per round: one join + one groupBy over the EDGE list
+    * (≪ corpus after verification), with localCheckpoint truncating
+    * the iterative lineage — the standard scalable CC shape
+    * (hash-to-min family); deterministic because min is order-free. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("rep", col("node")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val byNode = labels.select(col("node").as("nb"), col("rep").as("nbrep"))
+      val prop = sym.join(byNode, col("b") === col("nb"))
+        .select(col("a").as("node"), col("nbrep").as("rep"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("rep").as("rep"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("o"), "node")
+        .filter(col("n.rep") =!= col("o.rep"))
+        .limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIters rounds")
+    sym.unpersist()
+    labels
+  }
+
+  /** Cluster formation over verified near-dup pairs — the step that
+    * turns pairwise output into an actionable dedup decision: every
+    * document in a near-dup component maps to the component's minimum
+    * doc id (keep that one, drop the rest). */
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    connectedComponents(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
+
   /** Elementwise double promotion of a float embedding. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 

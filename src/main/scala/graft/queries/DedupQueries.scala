@@ -30,7 +30,38 @@ object DedupQueries {
       |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""".stripMargin
 
+  /** The jaccard pair CTEs + recursive transitive closure: each node's
+    * component representative = min over every label it can reach.
+    * (DuckDB evaluates the recursive CTE; component sizes here are tiny
+    * so the closure is cheap — the Spark side uses the iterative
+    * propagation that scales instead.) */
+  private val clusterOracle =
+    """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM t WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT da, db
+      |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+      |sym AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT a, a FROM sym
+      |  UNION
+      |  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node)
+      |SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    // near-dup CLUSTER formation: pairs -> connected components ->
+    // keep-the-min-id decision per component (the step that makes
+    // pairwise dedup output actionable)
+    QueryDef("dedup_clusters", clusterOracle) { (s, d) =>
+      Dedup.dedupClusters(
+        Dedup.ngramJaccard(Tables.table(s, d, "documents"), col("text"), col("doc_id")))
+    },
     QueryDef(
       "dedup_exact",
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_dups

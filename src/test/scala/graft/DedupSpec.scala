@@ -88,6 +88,33 @@ class DedupSpec extends SparkSpec {
     assert(ea == Set((5L, "a b c"), (5L, "b c d"), (6L, "x y z")))
   }
 
+  test("connected components equal a local union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xcc2)
+    for (trial <- 0 until 4) {
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // local union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // representative = min node in component among edge-touched nodes
+          val r = find(v.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(u => find(u.toInt) == r).min
+        }).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("shingle df-cap drops hot shingles") {
     import spark.implicits._
     val d = Seq(
