@@ -57,7 +57,14 @@ object Bench {
     val both = results.map { case (k, a, b) => s""""$k":[$a,$b]""" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"),
       s"""{"best_of_2":$line,"runs":$both}""" + "\n")
+    // print the driver-facing line BOTH before and after spark.stop():
+    // the driver regex-scrapes the sbt output tail, and round-1/2 showed
+    // the single print getting truncated/pushed out by the shutdown +
+    // [success] epilogue — two copies bracket that noise
     println(line)
+    Console.out.flush()
     spark.stop()
+    println(line)
+    Console.out.flush()
   }
 }

@@ -39,7 +39,7 @@ object DataGen {
 
   /** Row attributes from the pool, slotted by rid % 100 like the
     * reference's per-row pool sampling (deterministic stand-in). */
-  private def withAttrs(df: DataFrame, rid: Column): DataFrame =
+  private[graft] def withAttrs(df: DataFrame, rid: Column): DataFrame =
     df.withColumn("attr1", poolAttr(rid % 100, 20))
       .withColumn("attr2", poolAttr((rid + 37) % 100, 100))
       .withColumn("attr3", poolAttr((rid + 71) % 100, 80))

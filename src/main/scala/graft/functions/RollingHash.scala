@@ -87,7 +87,20 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_misra_gries",
       exprs => {
-        val k = exprs(1).eval(null).asInstanceOf[Int]
+        // typed analysis error, not an opaque ClassCastException/NPE at
+        // resolution time: k must be a foldable INT/BIGINT literal
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        val k = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) if v >= 1 && v <= Int.MaxValue => v.toInt
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`graft_misra_gries`",
+              "paramName" -> "`k`",
+              "paramType" -> "\"INT\" literal"))
+        }
         MisraGriesAgg(exprs(0), k).toAggregateExpression()
       }, "built-in")
   }

@@ -22,9 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * the hot path of every shingle-based dedup query. This generator
   * allocates only the token split and reuses one row buffer.
   *
-  * Semantics match `split(trim(text), "\s+")` exactly: Spark's split
-  * keeps Java's limit -1 behavior, so an empty trimmed string yields
-  * one empty token and (like any doc with fewer than k tokens) no
+  * Semantics match `split(trim(text), "\s+")` EXACTLY, which requires
+  * two deliberate divergences from the obvious Java spelling (round-2
+  * ADVICE): Spark/DuckDB `trim` strips ONLY space characters (Java's
+  * `String.trim` strips every char ≤ U+0020, so leading/trailing
+  * tabs/newlines would silently diverge), and Spark `split` uses
+  * limit -1 (keeps trailing empty tokens, which Java's default limit 0
+  * drops). So `"\ta b"` tokenizes to `["", "a", "b"]` and `"a b\t"` to
+  * `["a", "b", ""]` on both paths; an empty trimmed string yields one
+  * empty token and (like any doc with fewer than k tokens, k ≥ 2) no
   * shingles; null text yields no rows.
   */
 case class ShingleGenerator(child: Expression, k: Int)
@@ -45,8 +51,15 @@ case class ShingleGenerator(child: Expression, k: Int)
     val v = child.eval(input)
     if (v == null) Iterator.empty
     else {
-      val toks = v.asInstanceOf[UTF8String].toString.trim.split("\\s+")
-      if (toks.length < k || (toks.length == 1 && toks(0).isEmpty)) Iterator.empty
+      val str = v.asInstanceOf[UTF8String].toString
+      // Spark trim semantics: strip ' ' only (NOT Java String.trim)
+      var st = 0
+      var en = str.length
+      while (st < en && str.charAt(st) == ' ') st += 1
+      while (en > st && str.charAt(en - 1) == ' ') en -= 1
+      // Spark split semantics: limit -1 keeps trailing empty tokens
+      val toks = str.substring(st, en).split("\\s+", -1)
+      if (toks.length < k) Iterator.empty
       else {
         val sb = new java.lang.StringBuilder
         Iterator.range(0, toks.length - k + 1).map { i =>

@@ -46,24 +46,37 @@ object CorpusOps {
     * The global running sum is computed as a DISTRIBUTED two-pass
     * prefix sum, not a global window (`Window.orderBy(id)` with no
     * partition key funnels the whole corpus through one task — the
-    * plan Spark itself warns about): range-partition by id, sum each
-    * partition (a tiny numPartitions-row aggregate collected to the
-    * driver), broadcast the per-partition prefix offsets back, then
-    * run an ordinary per-partition window. Every stage is parallel;
-    * the output is independent of the partition boundaries because
-    * prefix sums are associative (the partitioning-invariance spec
-    * covers this query). `tokens` must be non-negative. */
+    * plan Spark itself warns about): rows are grouped into equal-width
+    * id-range buckets, each bucket is summed (a tiny nBuckets-row
+    * aggregate collected to the driver), the per-bucket prefix offsets
+    * come back as a literal CASE, then an ordinary per-bucket window
+    * finishes. Every stage is parallel; the output is independent of
+    * partition boundaries because prefix sums are associative (the
+    * partitioning-invariance spec covers this query).
+    *
+    * The bucket key is an EXPLICIT function of the id (min/max from one
+    * tiny agg job), never `spark_partition_id()` over a
+    * `repartitionByRange`: range boundaries come from sampling, so a
+    * physical-partition key is only reproducible across the offset job
+    * and the window job when the input is deterministic — a silent
+    * wrong-answer class this formulation removes (round-2 ADVICE).
+    * `id` must be numeric and unique, `tokens` non-negative. */
   def packBins(df: DataFrame, id: Column, tokens: Column, capacity: Long): DataFrame = {
-    val prepared = df
-      .withColumn("__pbid", id)
-      .withColumn("__tok", tokens)
-      .repartitionByRange(col("__pbid"))
-      .sortWithinPartitions(col("__pbid"))
-      .withColumn("__part", spark_partition_id())
+    val base = df.withColumn("__pbid", id.cast("long")).withColumn("__tok", tokens)
+    val bounds = base.agg(min("__pbid"), max("__pbid")).head()
+    if (bounds.isNullAt(0))
+      return base.withColumn("bin_id", lit(0L)).withColumn("bin_offset", lit(0L))
+        .drop("__pbid", "__tok")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val nBuckets = math.min(df.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      hi - lo + 1)
+    val span = hi - lo + 1
+    val prepared = base.withColumn("__part",
+      ((col("__pbid") - lo) * nBuckets / span).cast("long"))
     val offsets = prepared.groupBy("__part")
       .agg(sum(col("__tok")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      .scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
       .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toMap
     val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (p, off)) =>
       when(col("__part") === p, lit(off)).otherwise(e)
@@ -86,13 +99,15 @@ object CorpusOps {
     * join on token — the frequency table is vocabulary-sized. */
   def unigramLogProb(docs: DataFrame, text: Column, id: Column): DataFrame = {
     val tok = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
-    // the corpus total is the sum of the (vocabulary-sized) frequency
-    // table — a driver scalar off the same aggregation, not a separate
-    // full token scan
+    // the corpus total joins in as a broadcast 1-row aggregate OVER THE
+    // FREQUENCY TABLE, inside the same plan — both freqCounts instances
+    // share one canonicalized Exchange (ReuseExchange), so the
+    // corpus-sized tokenize+partial-agg runs ONCE (round 2 ran it twice:
+    // an eager .head() for the scalar plus the broadcast subtree)
     val freqCounts = tok.groupBy("t").agg(count(lit(1)).as("f"))
-    val n = freqCounts.agg(sum(col("f"))).head().getLong(0)
-    val freqs = freqCounts.select(col("t"),
-      round(log10(col("f").cast("double") / n), 6).as("logp"))
+    val total = freqCounts.agg(sum(col("f")).as("n"))
+    val freqs = freqCounts.join(broadcast(total), lit(true))
+      .select(col("t"), round(log10(col("f").cast("double") / col("n")), 6).as("logp"))
     tok.join(broadcast(freqs), Seq("t"))
       .groupBy("doc_id")
       .agg(

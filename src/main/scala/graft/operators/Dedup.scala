@@ -252,39 +252,92 @@ object Dedup {
   }
 
   /** Connected components over an undirected edge list → (node, rep)
-    * with rep = the component's minimum node id. Iterative min-label
-    * propagation: each round every node takes the min of its own label
-    * and its neighbors' labels; a driver-side check stops at the
-    * fixpoint (≤ graph diameter rounds — near-dup clusters are
-    * shallow). Per round: one join + one groupBy over the EDGE list
-    * (≪ corpus after verification), with localCheckpoint truncating
-    * the iterative lineage — the standard scalable CC shape
-    * (hash-to-min family); deterministic because min is order-free. */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct().cache()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("rep", col("node")).localCheckpoint()
-    var iter = 0
+    * with rep = the component's minimum node id. Alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): O(log n) rounds
+    * where min-label propagation needs O(diameter) — a path graph that
+    * took ~n rounds converges in ~log n (asserted in DedupSpec). Each
+    * round is two groupBy-min + join passes over the EDGE list (≪
+    * corpus after near-dup verification); everything is min-based, so
+    * the fixpoint (stars centered at each component's minimum) is
+    * deterministic.
+    *
+    * Memory contract: each round's edge set is materialized through an
+    * RDD-level localCheckpoint (truncates the iterative lineage); the
+    * superseded round's blocks are unpersisted as soon as the
+    * convergence check no longer needs them, so peak block-manager
+    * footprint is TWO edge lists, not one per round (the round-2 leak).
+    * Only the final converged edge set stays resident — the returned
+    * labels read from it. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges, maxIters)._1
+
+  def connectedComponentsWithRounds(edges: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+
+    // canonical (a=hi, b=lo) orientation, self-loops dropped
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .distinct()
+
+    // large-star: hook every neighbor LARGER than u to the minimum of
+    // u's closed neighborhood. Emitted edges (v, m) satisfy v > u ≥ m,
+    // so they are already canonical and self-loop-free.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a").as("u"), least(col("mb"), col("a")).as("m"))
+      sym.join(mins, col("a") === col("u"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+
+    // small-star: hook u and all its smaller neighbors to the minimum
+    // of u's closed neighborhood (edges arrive canonical, so every
+    // neighbor b < a and m = min neighbor).
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("a").agg(min("b").as("m"))
+      val hooked = e.join(mins, Seq("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+      canon(hooked)
+    }
+
+    // materialize + truncate lineage NOW; hand back the RDD so the
+    // superseded round's blocks can be freed explicitly
+    def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.localCheckpoint()
+      rdd.count(): Unit
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+
+    var (e, eRdd) = ckpt(canon(edges.select(col("a"), col("b"))))
+    var eCount = e.count()
+    var rounds = 0
     var converged = false
-    while (!converged && iter < maxIters) {
-      val byNode = labels.select(col("node").as("nb"), col("rep").as("nbrep"))
-      val prop = sym.join(byNode, col("b") === col("nb"))
-        .select(col("a").as("node"), col("nbrep").as("rep"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("rep").as("rep"))
-        .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("o"), "node")
-        .filter(col("n.rep") =!= col("o.rep"))
-        .limit(1).count() == 0
-      labels = next
-      iter += 1
+    while (!converged && rounds < maxIters) {
+      val (next, nextRdd) = ckpt(smallStar(largeStar(e)))
+      val nextCount = next.count()
+      // both sides are distinct sets: equal count + empty one-sided
+      // difference ⇒ set equality ⇒ fixpoint (forest of min-stars)
+      converged = nextCount == eCount && next.except(e).limit(1).count() == 0
+      if (converged) {
+        nextRdd.unpersist(blocking = false): Unit // next == e; keep e
+      } else {
+        eRdd.unpersist(blocking = false): Unit
+        e = next; eRdd = nextRdd; eCount = nextCount
+      }
+      rounds += 1
     }
     require(converged, s"connected components did not converge in $maxIters rounds")
-    sym.unpersist()
-    labels
+    // converged star edges are (member, component-min) pairs; centers
+    // label themselves
+    val labels = e.select(col("a").as("node"), col("b").as("rep"))
+      .union(e.select(col("b").as("node"), col("b").as("rep")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** Cluster formation over verified near-dup pairs — the step that

@@ -23,6 +23,15 @@ final case class MediaFeatures(
     fake_width: Int,
     fake_height: Int)
 
+/** Per-record decode outcome: features when the payload decodes, a
+  * typed error otherwise — a real codec fails on real data, and a 100 TB
+  * pipeline must account for every failure instead of throwing away the
+  * task (one bad blob must never kill a 10⁹-row partition). */
+final case class MediaDecodeResult(
+    doc_id: Long,
+    content_md5: Option[String],
+    error: Option[String])
+
 /** Multimodal-column plumbing (north-star extension; BASELINE.json:6):
   * treat media as opaque `binary` columns with typed metadata, and run
   * decode / feature-extraction as a partition-batched typed map.
@@ -71,6 +80,38 @@ object Multimodal {
     packed.as[MediaRecord].mapPartitions { it =>
       val md5 = java.security.MessageDigest.getInstance("MD5") // per-partition init
       it.map(decodeStub(md5))
+    }
+  }
+
+  /** Deterministic corpus corruption for exercising the decode error
+    * path: every `everyNth` doc's payload is truncated to
+    * floor(n_chars / 2) bytes — strictly fewer bytes than the declared
+    * char count, which the decoder must reject. */
+  def corruptPayloads(packed: DataFrame, everyNth: Long = 50): DataFrame =
+    packed.withColumn("payload",
+      when(col("doc_id") % everyNth === 0 && col("n_chars") > 0,
+        expr("substring(payload, 1, cast(floor(n_chars / 2) as int))"))
+        .otherwise(col("payload")))
+
+  /** Decode with per-record error accounting — the honest failure mode
+    * of the stub codec: a payload carrying fewer bytes than its declared
+    * character count cannot be a complete text/plain body, so it yields
+    * NULL features plus a typed error instead of an exception. Rows
+    * never disappear and tasks never die on bad blobs; downstream
+    * filters on `error IS NULL` (or aggregates the error histogram). */
+  def decodeWithErrors(spark: SparkSession, packed: DataFrame): Dataset[MediaDecodeResult] = {
+    import spark.implicits._
+    packed.as[MediaRecord].mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      it.map { r =>
+        if (r.payload.length < r.n_chars)
+          MediaDecodeResult(r.doc_id, None, Some("TRUNCATED_PAYLOAD"))
+        else {
+          md5.reset()
+          val digest = md5.digest(r.payload).map("%02x".format(_)).mkString
+          MediaDecodeResult(r.doc_id, Some(digest), None)
+        }
+      }
     }
   }
 

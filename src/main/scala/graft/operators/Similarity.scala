@@ -43,6 +43,26 @@ object Similarity {
         col("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Nearest-centroid assignment — `(vid, payload..., cid)` with cid =
+    * argmax over centroids of cosine, ties to the smallest cid (the
+    * same (ccos DESC, cid ASC) order the oracle's row_number uses).
+    *
+    * Implemented as `groupBy(vid).agg(max_by(...))`, NOT a row_number
+    * window: the scored relation is corpus×k rows, and a window
+    * partitioned by vid must SHUFFLE all of them before ranking, while
+    * max_by partial-aggregates map-side so the exchange carries one row
+    * per corpus vector — k× less shuffle volume. At k=1024 on a 100 TB
+    * corpus that is the difference between a feasible and an infeasible
+    * job; the outputs are identical (same floats, same tie-break). */
+  def assignNearest(e: DataFrame, cents: DataFrame, payload: Seq[String]): DataFrame = {
+    val scored = e.join(broadcast(cents), lit(true))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+    val carried = struct((("cid" +: payload).map(col)): _*)
+    scored.groupBy("vid")
+      .agg(max_by(carried, struct(col("ccos"), -col("cid"))).as("best"))
+      .select(col("vid") +: ("cid" +: payload).map(f => col(s"best.$f").as(f)): _*)
+  }
+
   /** Seed centroids: the first nCentroids vectors by id — deterministic
     * and SQL-reproducible (the ann_ivf oracle's definition). */
   def firstNCentroids(emb: DataFrame, vec: Column, id: Column,
@@ -75,12 +95,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val cdf = cents.toSeq.sortBy(_._1).toDF("cid", "cv")
         .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-      val wAssign = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid"))
-      val assigned = e.join(broadcast(cdf), lit(true))
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
-        .select(col("cid"), col("v"))
+      val assigned = assignNearest(e, cdf, Seq("v")).select(col("cid"), col("v"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
@@ -114,12 +129,9 @@ object Similarity {
     val cents = centroids
 
     // assignment: nearest centroid per corpus vector (broadcast the
-    // centroid table — it is tiny by construction)
-    val wAssign = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid"))
-    val assigned = e.join(broadcast(cents), lit(true))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
+    // centroid table — it is tiny by construction; max_by partial
+    // aggregation, not a corpus×k window — see [[assignNearest]])
+    val assigned = assignNearest(e, cents, Seq("v", "nrm"))
       .select(col("vid"), col("v"), col("nrm"), col("cid"))
 
     // probe lists: nprobe nearest centroids per query

@@ -85,6 +85,46 @@ object JoinQueries {
         .select(col("a.o_custkey").as("key"),
           col("a.o_orderkey").as("left_okey"), col("b.o_orderkey").as("right_okey"))
     },
+    // salted equi-join (operators.Joins.saltedEquiJoin): physically
+    // factor-× salt-split against a replicated build side, logically the
+    // SAME join — so it shares join_shuffle's oracle (salting is a
+    // physical rewrite; equality is the whole point)
+    QueryDef("join_salted", joinOracle) { (s, d) =>
+      val o = Tables.table(s, d, "orders")
+      val c = Tables.table(s, d, "customer")
+      Joins.saltedEquiJoin(o, c, o("o_custkey"), c("c_custkey"), factor = 8)
+        .select(
+          o("o_custkey").as("key"),
+          concat_ws(",",
+            o("o_orderkey"), o("o_orderstatus"),
+            o("o_totalprice").cast("decimal(18,2)"), o("o_orderpriority")).as("left_row"),
+          concat_ws(",",
+            c("c_custkey"), c("c_name"), c("c_nationkey"),
+            c("c_acctbal").cast("decimal(18,2)"), c("c_mktsegment")).as("right_row"))
+    },
+    // bucketed co-located join (operators.Joins.writeBucketed): both
+    // tables persisted bucketBy(8, key).sortBy(key), then sort-merge
+    // joined with ZERO exchanges (plan asserted in ScaleSpec) — same
+    // oracle as join_shuffle for the same reason as join_salted
+    QueryDef("join_bucketed", joinOracle) { (s, d) =>
+      val o = Tables.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+      val c = Tables.table(s, d, "customer")
+      Joins.writeBucketed(o, "graft_orders_bkt", "o_custkey", 8)
+      Joins.writeBucketed(c, "graft_customer_bkt", "c_custkey", 8)
+      val ob = s.table("graft_orders_bkt")
+      val cb = s.table("graft_customer_bkt")
+      ob.hint("MERGE").join(cb, ob("o_custkey") === cb("c_custkey"))
+        .select(
+          ob("o_custkey").as("key"),
+          concat_ws(",",
+            ob("o_orderkey"), ob("o_orderstatus"),
+            ob("o_totalprice").cast("decimal(18,2)"), ob("o_orderpriority")).as("left_row"),
+          concat_ws(",",
+            cb("c_custkey"), cb("c_name"), cb("c_nationkey"),
+            cb("c_acctbal").cast("decimal(18,2)"), cb("c_mktsegment")).as("right_row"))
+    },
     // semi-join — declared form of the broadcast mapper's existence
     // filter (BroadcastJoin.java:111-113)
     QueryDef(

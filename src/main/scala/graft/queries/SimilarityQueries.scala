@@ -74,6 +74,19 @@ object SimilarityQueries {
         |FROM documents""".stripMargin) { (s, d) =>
       Multimodal.extractFeatures(s, Multimodal.packBinary(Tables.table(s, d, "documents"))).toDF()
     },
+    // decode-error accounting: plant truncated payloads (every 50th
+    // doc), decode with the checked path, verify per-row error typing —
+    // bad blobs yield typed errors, never exceptions or dropped rows
+    QueryDef(
+      "media_decode_errors",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 0 AND n_chars > 0 THEN NULL ELSE md5(text) END AS content_md5,
+        |  CASE WHEN doc_id % 50 = 0 AND n_chars > 0 THEN 'TRUNCATED_PAYLOAD' END AS error
+        |FROM documents""".stripMargin) { (s, d) =>
+      Multimodal.decodeWithErrors(
+        s, Multimodal.corruptPayloads(Multimodal.packBinary(Tables.table(s, d, "documents"))))
+        .toDF()
+    },
     QueryDef(
       "media_frame_sample",
       """SELECT doc_id, unnest(range(0, n_chars % 10 + 1)) AS frame_idx

@@ -59,7 +59,10 @@ object SourceQueries {
       "seqfile_roundtrip",
       """SELECT o_orderpriority AS priority, count(*) AS n, min(o_orderkey) AS min_key
         |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_seq_rt"
+      // unique dir per invocation: writeSequenceFile is delete-then-write
+      // (not an atomic overwrite), so a shared fixed path races when two
+      // harness processes (Verify ∥ Bench, parallel test JVMs) overlap
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_seq_rt_${java.util.UUID.randomUUID().toString.take(8)}"
       Tables.writeSequenceFile(
         Tables.table(s, d, "orders").select(col("o_orderpriority"), col("o_orderkey")),
         tmp)

@@ -90,6 +90,19 @@ object StreamingQueries {
       "SELECT event_id, user_id, event_type FROM events") { (s, d) =>
       Streaming.dedupWithinWatermark(s, d)
     },
+    // stream-stream interval join (watermarks both sides, event-time
+    // bound in the condition → bounded state, evictions spec-asserted);
+    // inner join over an in-order arrival emits the full batch result
+    QueryDef(
+      "stream_stream_join",
+      """SELECT l.user_id, l.event_id AS view_event, r.event_id AS click_event,
+        |  epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
+        |FROM events l JOIN events r
+        |ON l.user_id = r.user_id AND l.event_type = 'view' AND r.event_type = 'click'
+        |  AND epoch_us(r.ts) >= epoch_us(l.ts)
+        |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 86400000000""".stripMargin) { (s, d) =>
+      Streaming.streamStreamIntervalJoin(s, d)
+    },
     QueryDef(
       "stream_user_counter",
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id") { (s, d) =>

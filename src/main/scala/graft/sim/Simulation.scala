@@ -36,6 +36,7 @@ object Simulation {
       noHeader: Boolean = false,
       aqe: Boolean = true,
       threads: Option[Int] = None, // datagen write parallelism (--threads)
+      nativeGen: Boolean = false, // Zipf via the native ZipfSource plan
       out: String = "results.csv",
       workDir: String = s"${sys.props("java.io.tmpdir")}/graft_sim")
 
@@ -52,6 +53,7 @@ object Simulation {
       case "--no-header" :: t            => loop(a.copy(noHeader = true), t)
       case "--no-aqe" :: t               => loop(a.copy(aqe = false), t)
       case "--threads" :: v :: t         => loop(a.copy(threads = Some(v.toInt)), t)
+      case "--native-gen" :: t           => loop(a.copy(nativeGen = true), t)
       case "--out" :: v :: t             => loop(a.copy(out = v), t)
       case "--work-dir" :: v :: t        => loop(a.copy(workDir = v), t)
       case Nil                           => a
@@ -82,12 +84,23 @@ object Simulation {
     val wd = s"${a.workDir}/r$rows"
 
     // generate + materialize like the reference (inputs live on storage,
-    // joins re-read them; parquet replaces the 40-part CSV dirs)
+    // joins re-read them; parquet replaces the 40-part CSV dirs).
+    // --native-gen swaps the declarative Zipf pipeline (window + explode
+    // + shuffle over the key table) for the ZipfSource physical plan —
+    // zero-shuffle partition-local generation, O(1) memory past 4M keys;
+    // ZipfSourceSpec pins the two bit-equal, so results are unchanged.
+    def zipfGen(nRows: Long, s: Double): DataFrame =
+      if (a.nativeGen) {
+        graft.plans.ZipfSource.install(spark)
+        val slices = a.threads.getOrElse(a.reducers)
+        DataGen.withAttrs(
+          graft.plans.ZipfSource.zipf(spark, nRows, unique, s, slices), col("rid"))
+      } else DataGen.zipfTable(spark, nRows, unique, s)
     val left = if (a.doubleSkew && a.zipfSkew.isDefined)
-      DataGen.zipfTable(spark, unique, unique, a.zipfSkew.get)
+      zipfGen(unique, a.zipfSkew.get)
     else DataGen.uniqueShuffled(spark, unique)
     val right = a.zipfSkew match {
-      case Some(s) => DataGen.zipfTable(spark, rows, unique, s)
+      case Some(s) => zipfGen(rows, s)
       case None    => DataGen.uniform(spark, rows, unique)
     }
     // --threads ≙ JoinSimulation's datagen thread count: the write

@@ -59,11 +59,13 @@ object Streaming {
     // stateful-stream partition count follows state volume, and it is
     // fixed at the first checkpoint anyway.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val maintKey = "spark.sql.streaming.stateStore.maintenanceInterval"
+    val prevMaint = spark.conf.getOption(maintKey)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     // one-shot drains never live long enough to need background state
     // snapshots; a long interval keeps the maintenance thread from
     // stealing cycles mid-drain (it still runs at provider unload)
-    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+    spark.conf.set(maintKey, "600s")
     try {
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
       // called twice: the final watermark flush is a NO-DATA micro-batch,
@@ -71,7 +73,14 @@ object Streaming {
       // second call is a cheap barrier that closes that race class
       try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
       (spark.table(name), q.recentProgress.toSeq)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      // restore, don't leak, the maintenance interval on the shared session
+      prevMaint match {
+        case Some(v) => spark.conf.set(maintKey, v)
+        case None => spark.conf.unset(maintKey)
+      }
+    }
   }
 
   /** Time-ordered multi-file copy of the events table under java.io.tmpdir
@@ -214,6 +223,42 @@ object Streaming {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
     runToMemoryWithProgress(spark, deduped, s"dedup_wm_${System.nanoTime()}",
+      OutputMode.Append())
+  }
+
+  /** Stream-stream interval join — the last streaming operator class:
+    * view events joined to the same user's click events within the next
+    * 24 hours, BOTH sides watermarked (30 min). The event-time bound in
+    * the join condition plus the two watermarks let Spark compute a
+    * state watermark per side and EVICT buffered rows once they can no
+    * longer match (asserted via progress metrics in SimStreamSpec) —
+    * without the bound, stream-stream join state grows forever.
+    *
+    * Determinism contract: the arrival dir is event-time ordered (no
+    * late data), so an INNER interval join emits exactly the batch join
+    * result — watermarks only bound state, they never drop rows here —
+    * which is what the DuckDB oracle computes. */
+  def streamStreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame =
+    streamStreamIntervalJoinWithProgress(spark, sfDir)._1
+
+  def streamStreamIntervalJoinWithProgress(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    def side(tag: String, typ: String): DataFrame =
+      eventTime(eventsArrivalStream(spark, sfDir))
+        .filter(col("event_type") === typ)
+        .withWatermark("etime", "30 minutes")
+        .select(col("user_id").as(s"${tag}_user"), col("event_id").as(s"${tag}_event"),
+          col("etime").as(s"${tag}_time"))
+    val views = side("l", "view")
+    val clicks = side("r", "click")
+    val joined = views.join(clicks,
+        col("l_user") === col("r_user") &&
+          col("r_time") >= col("l_time") &&
+          col("r_time") <= col("l_time") + expr("INTERVAL 24 HOURS"))
+      .select(col("l_user").as("user_id"), col("l_event").as("view_event"),
+        col("r_event").as("click_event"),
+        (unix_micros(col("r_time")) - unix_micros(col("l_time"))).as("delta_us"))
+    runToMemoryWithProgress(spark, joined, s"ss_join_${System.nanoTime()}",
       OutputMode.Append())
   }
 

@@ -77,15 +77,20 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.shinglesHof(docs, col("text"), col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(a == b && a.nonEmpty)
-    // edges: null, empty, whitespace-only, < k tokens, interior runs
+    // edges: null, empty, whitespace-only, < k tokens, interior runs,
+    // and LEADING/TRAILING tabs+newlines — Spark trim strips only
+    // spaces, so these produce empty edge tokens that Java's
+    // trim+default-split would silently drop (round-2 ADVICE)
     val edges = Seq((1L, null), (2L, ""), (3L, "   "), (4L, "a b"),
-      (5L, "  a   b\tc  d "), (6L, "x y z")).toDF("doc_id", "text")
+      (5L, "  a   b\tc  d "), (6L, "x y z"),
+      (7L, "\tp q r"), (8L, "p q r\n"), (9L, " \t u v w \n ")).toDF("doc_id", "text")
     val ea = Dedup.shingles(edges, col("text"), col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val eb = Dedup.shinglesHof(edges, col("text"), col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(ea == eb)
-    assert(ea == Set((5L, "a b c"), (5L, "b c d"), (6L, "x y z")))
+    assert(ea == eb, s"generator-only ${ea -- eb}; HOF-only ${eb -- ea}")
+    assert(ea((7L, " p q")) && ea((8L, "q r ")),
+      "leading/trailing non-space whitespace must produce empty edge tokens")
   }
 
   test("connected components equal a local union-find on random graphs") {
@@ -113,6 +118,37 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"trial $trial")
     }
+  }
+
+  test("connected components converge in O(log n) rounds on a path graph") {
+    import spark.implicits._
+    // a 64-node path has diameter 63: min-label propagation (the round-2
+    // implementation) needed ~63 rounds; large-star/small-star must stay
+    // logarithmic
+    val n = 64
+    val path = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(path)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until n).map(_.toLong -> 0L).toMap)
+    val bound = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 3
+    assert(rounds <= bound, s"path-$n took $rounds rounds (bound $bound)")
+  }
+
+  test("decode error path: truncated payloads yield typed errors, never exceptions") {
+    val decoded = Multimodal.decodeWithErrors(
+      spark, Multimodal.corruptPayloads(Multimodal.packBinary(docs), everyNth = 10)).toDF()
+    val total = docs.count()
+    assert(decoded.count() == total, "decode must never drop rows")
+    val bad = decoded.filter(col("error").isNotNull)
+    val expectedBad = docs.filter(col("doc_id") % 10 === 0 && col("n_chars") > 0).count()
+    assert(bad.count() == expectedBad && expectedBad > 0)
+    assert(bad.filter(col("content_md5").isNotNull).count() == 0,
+      "failed decodes must not carry features")
+    // intact rows still produce the correct digest
+    val ok = decoded.filter(col("error").isNull)
+    val matches = ok.join(docs, Seq("doc_id"))
+      .filter(col("content_md5") === md5(col("text"))).count()
+    assert(matches == total - expectedBad)
   }
 
   test("shingle df-cap drops hot shingles") {

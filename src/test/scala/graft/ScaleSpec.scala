@@ -97,6 +97,71 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("IVF centroid assignment partial-aggregates (max_by), never windows corpus×k") {
+    import graft.operators.{Dedup, Similarity}
+    val emb = Tables.table(spark, sf, "embeddings")
+    val e = Dedup.withNorm(emb, col("embedding"), col("vec_id"))
+    val cents = Similarity.firstNCentroids(emb, col("embedding"), col("vec_id"), 8)
+    val assigned = Similarity.assignNearest(e, cents, Seq("v", "nrm"))
+    assigned.count()
+    val plan = assigned.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the argmin must be a HashAggregate (map-side partials → shuffle of
+    // corpus rows), NOT a Window over the k-amplified scored relation
+    assert(plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      s"assignment planned a Window:\n$plan")
+    assert(plan.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s
+    }.nonEmpty, s"no aggregate in assignment plan:\n$plan")
+    // and it must compute the identical assignment as the window twin
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid"))
+    val twin = e.join(broadcast(cents), lit(true))
+      .withColumn("ccos", Dedup.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crn", row_number().over(w)).filter(col("crn") === 1)
+      .select(col("vid"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = assigned.select(col("vid"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == twin)
+  }
+
+  test("join_bucketed registry query plans with zero shuffle exchanges") {
+    val df = SparkEntry.queries("join_bucketed")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"bucketed registry join must be exchange-free, found ${exchanges.size}")
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+  }
+
+  test("unigram logprob tokenizes the corpus once (frequency Exchange reused)") {
+    val df = SparkEntry.queries("text_unigram_logprob")(spark, sf)
+    // execute THIS QueryExecution (count() would plan a separate one and
+    // leave df's plan un-adapted, hiding AQE's runtime exchange reuse)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // tokenize instances actually executed: the per-doc probe side plus
+    // ONE frequency aggregation — the corpus-total subtree must reuse
+    // the frequency Exchange (a third Generate = the round-2 shape that
+    // ran the corpus tokenize+agg twice)
+    val generates = plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(generates.size <= 2,
+      s"corpus tokenize ran ${generates.size}× (expected ≤ 2):\n$plan")
+  }
+
   test("dedup pipelines shuffle by content keys, not all-pairs (plan sanity)") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
     // no CartesianProduct / BroadcastNestedLoop anywhere in the LSH path

@@ -168,6 +168,30 @@ class SimStreamSpec extends SparkSpec {
       "dedup state accumulated every key — watermark inert")
   }
 
+  test("stream-stream interval join: equals batch join, evicts both-side state") {
+    val (df, progress) =
+      graft.streaming.Streaming.streamStreamIntervalJoinWithProgress(spark, sf)
+    val got = df.collect().map(_.toSeq).toSet
+    val ev = Tables.table(spark, sf, "events").withColumn("tus", expr("ts div 1000"))
+    val l = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event"), col("tus").as("lt"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("ru"), col("event_id").as("click_event"), col("tus").as("rt"))
+    val batch = l.join(r, col("user_id") === col("ru") &&
+        col("rt") >= col("lt") && col("rt") <= col("lt") + 86400000000L)
+      .select(col("user_id"), col("view_event"), col("click_event"),
+        (col("rt") - col("lt")).as("delta_us"))
+      .collect().map(_.toSeq).toSet
+    assert(got == batch && got.nonEmpty)
+    // the event-time bound + both-side watermarks must evict buffered
+    // rows — without eviction, stream-stream join state grows forever
+    val stateOps = progress.flatMap(_.stateOperators)
+    assert(stateOps.map(_.numRowsRemoved).sum > 0, "no join state evicted")
+    val buffered = ev.filter(col("event_type").isin("view", "click")).count()
+    assert(stateOps.map(_.numRowsTotal).max < buffered,
+      "join state accumulated every row — watermark inert")
+  }
+
   test("stateful user counter equals batch per-user counts") {
     val streamed = graft.streaming.Streaming.statefulUserCounter(spark, sf)
       .orderBy("user_id").collect().map(_.toSeq)
