@@ -50,7 +50,8 @@ object Streaming {
     * the state-store metrics (rows total/removed per batch) that the
     * bounded-state assertions need. */
   def runToMemoryWithProgress(spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+      mode: OutputMode, partitions: Int = 8)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     // Size stateful-shuffle parallelism to the state, not the batch
     // default: these drains carry O(100) state rows, and every
     // micro-batch commits one state-store delta PER PARTITION — at 32
@@ -61,7 +62,7 @@ object Streaming {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val maintKey = "spark.sql.streaming.stateStore.maintenanceInterval"
     val prevMaint = spark.conf.getOption(maintKey)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     // one-shot drains never live long enough to need background state
     // snapshots; a long interval keeps the maintenance thread from
     // stealing cycles mid-drain (it still runs at provider unload)
@@ -243,8 +244,14 @@ object Streaming {
 
   def streamStreamIntervalJoinWithProgress(spark: SparkSession, sfDir: String)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    // 4 arrival slices (vs the aggs' 6): the join commits FOUR state
+    // stores per partition per batch (left/right × key/keyWithIndex) and
+    // reads two file sources, so per-batch fixed cost is ~2× the
+    // single-operator drains; the emitted set is slice-count-invariant
+    // (inner join, in-order arrival) and 4 watermark advances still
+    // exercise eviction (spec-asserted)
     def side(tag: String, typ: String): DataFrame =
-      eventTime(eventsArrivalStream(spark, sfDir))
+      eventTime(eventsArrivalStream(spark, sfDir, nFiles = 4))
         .filter(col("event_type") === typ)
         .withWatermark("etime", "30 minutes")
         .select(col("user_id").as(s"${tag}_user"), col("event_id").as(s"${tag}_event"),
@@ -258,8 +265,10 @@ object Streaming {
       .select(col("l_user").as("user_id"), col("l_event").as("view_event"),
         col("r_event").as("click_event"),
         (unix_micros(col("r_time")) - unix_micros(col("l_time"))).as("delta_us"))
+    // 4 partitions: the join commits 4 state stores per partition per
+    // batch, so its per-batch fixed overhead is store-count bound
     runToMemoryWithProgress(spark, joined, s"ss_join_${System.nanoTime()}",
-      OutputMode.Append())
+      OutputMode.Append(), partitions = 4)
   }
 
   /** Order-deterministic streaming dedup/state aggregate: first (=min)
