@@ -23,9 +23,12 @@ object Explain {
   // declared cross/theta joins, and the exact all-pairs / brute-force
   // baselines whose sub-quadratic twins (SRP buckets, IVF probing) are
   // the documented scale path
+  // text_unigram_logprob's BNLJ is the 1-row corpus-total broadcast
+  // joined under the vocabulary table (scalar fan-out, not a pair scan)
   private val nestedLoopAllowed = Set(
     "join_cross", "join_theta_range",
-    "ann_topk_bruteforce", "ann_ivf", "dedup_embedding")
+    "ann_topk_bruteforce", "ann_ivf", "dedup_embedding",
+    "text_unigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

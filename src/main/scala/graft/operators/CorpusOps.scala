@@ -90,6 +90,39 @@ object CorpusOps {
       .drop("__pbid", "__tok", "__part", "__cum")
   }
 
+  /** Deterministic corpus shuffle — a reproducible global permutation
+    * for epoch shuffling: every row gets `shuffle_pos` = its rank under
+    * (knuth_hash(id), id). Unlike `orderBy(rand())` this is stable
+    * across runs, partitionings and engines (the multiplicative hash is
+    * plain integer arithmetic), so a training run can cite the exact
+    * example order.
+    *
+    * Distributed the same way as [[packBins]]: the hash key space
+    * [0, 2³²) is cut into explicit equal-width buckets (multiplicative
+    * hashing scatters ids uniformly, so buckets balance), per-bucket
+    * counts (a tiny nBuckets-row collect) turn into prefix offsets, and
+    * a per-bucket window finishes — no global single-task sort, no
+    * sampled range boundaries. `id` must be numeric and unique. */
+  def deterministicShuffle(df: DataFrame, id: Column): DataFrame = {
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val prepared = df
+      .withColumn("__sid", id.cast("long"))
+      .withColumn("__sk", (col("__sid") * 2654435761L) % 4294967296L)
+      .withColumn("__part", (col("__sk") * nBuckets / 4294967296L).cast("long"))
+    val offsets = prepared.groupBy("__part")
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
+      .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toMap
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (p, off)) =>
+      when(col("__part") === p, lit(off)).otherwise(e)
+    }
+    val w = Window.partitionBy(col("__part")).orderBy(col("__sk"), col("__sid"))
+    prepared
+      .withColumn("shuffle_pos", row_number().over(w).cast("long") - 1 + offsetExpr)
+      .drop("__sid", "__sk", "__part")
+  }
+
   /** Corpus-unigram log-probability score per document (the cheap
     * LM-quality proxy): mean log10 of each token's corpus frequency.
     * Token logs are rounded to 6 dp BEFORE the per-doc sum and the sum

@@ -134,9 +134,18 @@ object Joins {
     * tables are written `bucketBy(n, key).sortBy(key)`; Catalyst then
     * plans a SortMergeJoin with NO Exchange on either side. This is the
     * 100 TB shape for repeatedly-joined fact tables. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent ACROSS sessions: the default catalog is in-memory but
+    // the managed-table directory is durable, so a fresh session sees
+    // LOCATION_ALREADY_EXISTS from a previous run's files unless both
+    // the (possibly unknown) table and its leftover location go first
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Tables.deleteRecursive(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$table")
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 
   /** Reference output shape: `key, "l1,l2,..", "r1,r2,.."` — the text
     * sink then renders `key TAB l,r` (RepartitionJoin.java:80). Columns

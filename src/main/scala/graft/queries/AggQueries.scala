@@ -154,6 +154,37 @@ object AggQueries {
           col("l_returnflag"), col("n_exact"),
           (col("approx_orders") * 100)
             .between(col("n_exact") * 95, col("n_exact") * 105).as("within_5pct"))
+    },
+    // exact order statistics + deterministic mode. percentile_disc picks
+    // an actual element (SQL-standard: first value with cume_dist >= p)
+    // — exact cross-engine, unlike interpolating percentile_cont whose
+    // double interpolation isn't bit-stable. Mode is tie-broken to the
+    // SMALLEST value (both engines spell the tie-break explicitly;
+    // builtin mode() is nondeterministic on ties in both).
+    QueryDef(
+      "agg_percentile_mode",
+      """WITH f AS (SELECT l_returnflag, l_quantity FROM lineitem),
+        |m AS (SELECT l_returnflag, l_quantity AS qty, count(*) AS c FROM f GROUP BY 1, 2),
+        |md AS (SELECT l_returnflag, qty FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, qty) AS rn
+        |  FROM m) WHERE rn = 1)
+        |SELECT f.l_returnflag, quantile_disc(l_quantity, 0.5) AS p50,
+        |  quantile_disc(l_quantity, 0.9) AS p90,
+        |  min(md.qty) AS mode_qty, count(*) AS n
+        |FROM f JOIN md ON md.l_returnflag = f.l_returnflag
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val f = Tables.table(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+      val mode = f.groupBy(col("l_returnflag"), col("l_quantity").as("qty"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("l_returnflag")
+        .agg(max_by(col("qty"), struct(col("c"), -col("qty"))).as("mode_qty"))
+      f.join(broadcast(mode), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90"),
+          min(col("mode_qty")).as("mode_qty"),
+          count(lit(1)).as("n"))
     }
   )
 }

@@ -82,6 +82,23 @@ object ArrayStatQueries {
           (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
             sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"))
     },
+    // MAP-typed columns: build lang→count maps per source
+    // (map_from_entries over grouped structs), then read them back out
+    // through explode — the map round-trip IS the operator under test;
+    // the exploded output is plain columns so the driver's comparator
+    // can hash it (same rationale as array_functions' CSV rendering).
+    // Map iteration order = collect order (nondeterministic), but the
+    // exploded ROW SET is order-free and keys are unique per group.
+    QueryDef(
+      "func_map",
+      """SELECT source, lang, count(*) AS n
+        |FROM documents GROUP BY source, lang""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(map_from_entries(collect_list(struct(col("lang"), col("n")))).as("m"))
+        .select(col("source"), explode(col("m")).as(Seq("lang", "n")))
+    },
     // string edit distance (identical definition in both engines)
     QueryDef(
       "string_distance",

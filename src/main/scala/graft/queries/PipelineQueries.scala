@@ -133,6 +133,19 @@ object PipelineQueries {
       q.join(lang, col("doc_id") === col("lang_doc_id"), "left_semi")
         .join(dups, col("doc_id") === col("dup_id"), "left_anti")
         .select(col("doc_id"))
+    },
+    // deterministic epoch shuffle: reproducible global permutation via
+    // multiplicative hashing + a distributed two-pass rank (no global
+    // single-task window, no rand()) — the oracle computes the same
+    // rank with a plain window over the identical integer key
+    QueryDef(
+      "pipeline_shuffle",
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) - 1
+        |    AS shuffle_pos
+        |FROM documents""".stripMargin) { (s, d) =>
+      CorpusOps.deterministicShuffle(Tables.table(s, d, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_pos"))
     }
   )
 }

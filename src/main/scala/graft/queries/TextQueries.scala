@@ -65,6 +65,29 @@ object TextQueries {
         .select(col("doc_id"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
           col("s_zh"), col("pred_lang"))
     },
+    // intra-document repetition score — the standard LLM-corpus quality
+    // signal for boilerplate/looping text: 1 − distinct/total shingles.
+    // NON-distinct shingling (the generator without the dedup distinct),
+    // one groupBy — docs with < 3 tokens have no shingles and no row,
+    // identically in both engines.
+    QueryDef(
+      "text_repetition",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT doc_id, count(*) AS n_shingles, count(DISTINCT s) AS n_distinct,
+        |  round(1 - CAST(count(DISTINCT s) AS DOUBLE) / count(*), 6) AS rep_ratio
+        |FROM sh GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.ShingleGenerator.shingles(col("text"), 3).as("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), countDistinct(col("s")).as("n_distinct"))
+        .withColumn("rep_ratio",
+          round(lit(1) - col("n_distinct").cast("double") / col("n_shingles"), 6))
+    },
     // document fingerprinting: custom codegen'd rolling hash (the
     // Catalyst Expression) + md5 content hash. The oracle reproduces the
     // rolling hash with a sequential list_reduce over codepoints.
