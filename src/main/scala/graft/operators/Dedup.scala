@@ -306,20 +306,20 @@ object Dedup {
     }
 
     // materialize + truncate lineage NOW; hand back the RDD so the
-    // superseded round's blocks can be freed explicitly
-    def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    // superseded round's blocks can be freed explicitly, and the
+    // materializing count so convergence needs no extra job
+    def ckpt(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
       val rdd = df.rdd.localCheckpoint()
-      rdd.count(): Unit
-      (spark.createDataFrame(rdd, df.schema), rdd)
+      val n = rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd, n)
     }
 
-    var (e, eRdd) = ckpt(canon(edges.select(col("a"), col("b"))))
-    var eCount = e.count()
+    var (e, eRdd, eCount) = ckpt(canon(edges.select(col("a"), col("b"))))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIters) {
-      val (next, nextRdd) = ckpt(smallStar(largeStar(e)))
-      val nextCount = next.count()
+      val (next, nextRdd, nextCount) = ckpt(smallStar(largeStar(e)))
       // both sides are distinct sets: equal count + empty one-sided
       // difference ⇒ set equality ⇒ fixpoint (forest of min-stars)
       converged = nextCount == eCount && next.except(e).limit(1).count() == 0

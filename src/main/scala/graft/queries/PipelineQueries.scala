@@ -120,18 +120,19 @@ object PipelineQueries {
         |  AND lang.s_en >= lang.s_de AND lang.s_en >= lang.s_es AND lang.s_en >= lang.s_fr
         |  AND q.doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin) { (s, d) =>
       val docs = Tables.table(s, d, "documents")
-      // quality gates
-      val q = docs.select(col("doc_id") +: TextAnalysis.qualityProjection(col("text")): _*)
-        .filter(col("n_tokens").between(20, 1000) && col("stopword_ratio") >= 0.02)
-      // language gate (same tie-break chain as text_langid, en branch)
-      val lang = TextAnalysis.withLangId(docs, col("text"))
-        .filter(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"))
-        .select(col("doc_id").as("lang_doc_id"))
+      // quality + language gates are independent per-row projections of
+      // the SAME rows, so they fuse into one scan with the predicates
+      // ANDed — provably equal to the round-2 semi-join of two scans,
+      // one corpus pass cheaper
+      val gated = TextAnalysis.withLangId(docs, col("text"))
+        .select(Seq(col("doc_id"), col("s_en"), col("s_de"), col("s_es"), col("s_fr")) ++
+          TextAnalysis.qualityProjection(col("text")): _*)
+        .filter(col("n_tokens").between(20, 1000) && col("stopword_ratio") >= 0.02 &&
+          col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"))
       // near-dup removal: drop the higher id of each verified pair
       val dups = Dedup.ngramJaccard(docs, col("text"), col("doc_id"))
         .select(col("doc_b").as("dup_id")).distinct()
-      q.join(lang, col("doc_id") === col("lang_doc_id"), "left_semi")
-        .join(dups, col("doc_id") === col("dup_id"), "left_anti")
+      gated.join(dups, col("doc_id") === col("dup_id"), "left_anti")
         .select(col("doc_id"))
     },
     // deterministic epoch shuffle: reproducible global permutation via
