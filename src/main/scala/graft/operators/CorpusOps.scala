@@ -90,6 +90,29 @@ object CorpusOps {
       .drop("__pbid", "__tok", "__part", "__cum")
   }
 
+  /** Top-k TF-IDF keywords per document — cheap keyword/topic features
+    * for corpus curation. Deterministic end-to-end: scores are rounded
+    * to 6 dp BEFORE ranking and ties break on the token, so the top-k
+    * set is engine-reproducible. Dataflow: one tokenize → per-(doc,
+    * token) counts (map-side combinable) → vocabulary-sized df table
+    * broadcast back → per-doc WindowGroupLimit rank (Spark 4 keeps only
+    * ~k rows per doc through the sort). The doc count N is a driver
+    * scalar off a column-pruned count — one metadata-cheap scan, not a
+    * second corpus pass. */
+  def tfidfTopK(docs: DataFrame, text: Column, id: Column, k: Int): DataFrame = {
+    val n = docs.count().toDouble
+    val tf = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))
+    tf.join(broadcast(dfreq), Seq("t"))
+      .withColumn("score",
+        round(col("tf").cast("double") * log10(lit(n) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("t").as("keyword"), col("rank"), col("score"))
+  }
+
   /** Deterministic corpus shuffle — a reproducible global permutation
     * for epoch shuffling: every row gets `shuffle_pos` = its rank under
     * (knuth_hash(id), id). Unlike `orderBy(rand())` this is stable

@@ -185,6 +185,26 @@ object AggQueries {
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90"),
           min(col("mode_qty")).as("mode_qty"),
           count(lit(1)).as("n"))
+    },
+    // sketch percentile with an in-engine accuracy envelope (same
+    // pattern as agg_approx_distinct): the GK sketch's rank error at
+    // accuracy 10000 is ≤ n/10000 ranks — far inside 1% of the exact
+    // value here — so the exported boolean is deterministically true
+    // and the oracle asserts the same envelope over the exact quantile
+    QueryDef(
+      "agg_approx_percentile",
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.5) AS exact_p50,
+        |  true AS within_1pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          (abs(col("approx_p50") - col("exact_p50")) <= col("exact_p50") * 0.01)
+            .as("within_1pct"))
     }
   )
 }

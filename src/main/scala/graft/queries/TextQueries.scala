@@ -65,6 +65,44 @@ object TextQueries {
         .select(col("doc_id"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
           col("s_zh"), col("pred_lang"))
     },
+    // top-3 TF-IDF keywords per document (CorpusOps.tfidfTopK):
+    // deterministic keyword extraction — scores rounded before ranking,
+    // token tie-break, WindowGroupLimit keeps ~3 rows per doc
+    QueryDef(
+      "text_tfidf_topk",
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, t,
+        |    round(CAST(tf AS DOUBLE) * log10(CAST(n.n AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN dfreq USING (t), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rnk
+        |  FROM s)
+        |SELECT doc_id, t AS keyword, rnk, score FROM r WHERE rnk <= 3""".stripMargin) { (s, d) =>
+      graft.operators.CorpusOps.tfidfTopK(
+        Tables.table(s, d, "documents"), col("text"), col("doc_id"), k = 3)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // PII-style scrubbing: redact digit runs and @-handles (the
+    // pattern class a curation pipeline masks before training), with
+    // per-doc redaction accounting. Patterns stay in the regex subset
+    // Java and RE2 agree on.
+    QueryDef(
+      "text_scrub",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[0-9]+')) + len(regexp_extract_all(text, '@[A-Za-z0-9_]+')) AS n_redactions,
+        |  md5(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+        |                     '@[A-Za-z0-9_]+', '<USER>', 'g')) AS scrubbed_md5
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        (regexp_count(col("text"), lit("[0-9]+")) +
+          regexp_count(col("text"), lit("@[A-Za-z0-9_]+"))).as("n_redactions"),
+        md5(regexp_replace(regexp_replace(col("text"), "[0-9]+", "<NUM>"),
+          "@[A-Za-z0-9_]+", "<USER>")).as("scrubbed_md5"))
+    },
     // intra-document repetition score — the standard LLM-corpus quality
     // signal for boilerplate/looping text: 1 − distinct/total shingles.
     // NON-distinct shingling (the generator without the dedup distinct),
