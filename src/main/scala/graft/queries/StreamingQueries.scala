@@ -76,6 +76,14 @@ object StreamingQueries {
         |  (SELECT max(epoch_us(ts)) - 1800000000 FROM events)""".stripMargin) { (s, d) =>
       Streaming.sessionAggAppend(s, d)
     },
+    // checkpointed parquet file sink: exactly-once landing — read-back
+    // aggregate equals the batch aggregate iff no row is lost/duplicated
+    QueryDef(
+      "stream_sink_parquet",
+      """SELECT event_type, count(*) AS n, min(event_id) AS min_event
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Streaming.streamToParquetSink(s, d)
+    },
     QueryDef(
       "stream_dedup_state",
       """SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n

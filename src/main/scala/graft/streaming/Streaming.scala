@@ -271,6 +271,29 @@ object Streaming {
       OutputMode.Append(), partitions = 4)
   }
 
+  /** Streaming ETL to a checkpointed parquet FILE sink — the
+    * production landing-zone shape (the other streaming queries drain
+    * to the memory sink, which is harness-only). Exactly-once by
+    * construction: the file sink's transaction log + checkpoint commit
+    * each batch atomically, so the read-back table contains every input
+    * row exactly once — which is precisely what the oracle checks. A
+    * unique sink/checkpoint dir per invocation keeps concurrent
+    * harness processes from sharing a transaction log. */
+  def streamToParquetSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val q = eventsStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", s"$root/data")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .start()
+    try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
+    spark.read.parquet(s"$root/data")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"))
+  }
+
   /** Order-deterministic streaming dedup/state aggregate: first (=min)
     * event id per (user, event_type). */
   def dedupState(spark: SparkSession, sfDir: String): DataFrame = {
