@@ -40,6 +40,44 @@ object AdvancedQueries {
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(20)
     },
+    // TPC-H Q5-shaped SIX-way join: two broadcastable dims (region,
+    // nation) + the local-supplier equi-chain across customer/orders/
+    // lineitem/supplier — the canonical join-order + multi-broadcast
+    // probe (Catalyst pushes the region filter through nation, and the
+    // fact chain shuffles only on its join keys)
+    QueryDef(
+      "q5_local_supplier",
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name""".stripMargin) { (s, d) =>
+      val c = Tables.table(s, d, "customer")
+      val o = Tables.table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1997-01-01").cast("date"))
+      val li = Tables.table(s, d, "lineitem")
+      val sup = Tables.table(s, d, "supplier")
+      val n = Tables.table(s, d, "nation")
+      val r = Tables.table(s, d, "region").filter(col("r_name") === "ASIA")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(li, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup),
+          li("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg(
+          sum(li("l_extendedprice").cast(dec) * (lit(1) - li("l_discount").cast(dec)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
     // correlated scalar subquery: customers above their nation's mean
     QueryDef(
       "subquery_above_nation_avg",
