@@ -53,6 +53,27 @@ object WindowQueries {
         col("o_custkey"), col("o_orderkey"),
         sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("running_total"))
     },
+    // RANGE frame (value-based, not row-based): 30-day rolling spend
+    // per customer. RANGE frames are order-tie-safe by definition (the
+    // frame depends on ORDER BY VALUES, so peers always share a
+    // result) — the deterministic way to window event-time without a
+    // unique tie-break column. Day grain keeps the bound integral.
+    QueryDef(
+      "window_range_frame",
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 86400000000
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
+        |FROM orders""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        // o_orderdate is TIMESTAMP_NTZ; the UTC session tz makes the
+        // cast's epoch identical to DuckDB's epoch_us of the naive value
+        .orderBy((unix_micros(col("o_orderdate").cast("timestamp")) / 86400000000L).cast("long"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.table(s, d, "orders").select(
+        col("o_orderkey"),
+        sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("rolling_30d"))
+    },
     // lag/lead — event-time deltas in integer MICROS. ts is epoch-nanos
     // long (nanosAsLong); DuckDB reads the same parquet as a µs-truncated
     // TIMESTAMP, so µs (`ts div 1000` ≡ epoch_us) is the common grain.

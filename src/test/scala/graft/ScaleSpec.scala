@@ -97,6 +97,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits skewed partitions at runtime (the reference's §6.4 failure mode)") {
+    import spark.implicits._
+    // one hot key carrying most rows — the shape that overflowed the
+    // reference's TotalOrderPartitioner; thresholds forced down to
+    // testdata scale so the optimization triggers
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = ((1 to 60000).map(i => (1L, s"hot$i")) ++
+        (1 to 2000).map(i => (i.toLong % 100 + 2, s"t$i"))).toDF("k", "v")
+      val dim = (1L to 101L).map(i => (i, s"d$i")).toDF("k2", "w")
+      val j = skewed.hint("MERGE").join(dim, col("k") === col("k2"))
+      j.collect() // execute THIS QueryExecution so the adaptive plan is final
+      val plan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // query stages hide their subtree from TreeNode children, so
+      // match the rendered plan: AQE marks the join and the shuffle read
+      val rendered = plan.toString
+      assert(rendered.contains("skew=true") && rendered.contains("skewed"),
+        s"AQE did not mark the join skew-optimized:\n$rendered")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("IVF centroid assignment partial-aggregates (max_by), never windows corpus×k") {
     import graft.operators.{Dedup, Similarity}
     val emb = Tables.table(spark, sf, "embeddings")
