@@ -9,6 +9,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * back to interpreted projections). */
 final case class UserCount(user_id: Long, n_events: Long)
 
+/** Open-session accumulator for the custom-state sessionizer. */
+final case class SessionAcc(startUs: Long, lastUs: Long, n: Long, minId: Long)
+
+/** Closed-session row emitted by the custom-state sessionizer (same
+  * column contract as the built-in session_window queries). */
+final case class SessionOut(
+    user_id: Long, session_start_us: Long, n_events: Long, first_event_id: Long)
+
 /** Structured Streaming operators (extensions — the reference is batch
   * MR only, SURVEY §2.5). The events parquet drives the streams
   * synchronously (`processAllAvailable`) so the same queries run under
@@ -301,6 +309,66 @@ object Streaming {
       .groupBy(col("user_id"), col("event_type"))
       .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n"))
     runToMemory(spark, agg, s"dedup_${System.nanoTime()}", OutputMode.Complete())
+  }
+
+  /** Custom-state sessionization via flatMapGroupsWithState with an
+    * EVENT-TIME TIMEOUT — the full hand-rolled counterpart of
+    * [[sessionAggAppend]]'s built-in session_window, exercising the
+    * hardest corner of the KeyValueGroupedDataset surface: per-key
+    * state transitions, append-mode emission, and watermark-driven
+    * timeouts evicting idle state.
+    *
+    * Emission contract (deterministic for the in-order arrival dir):
+    * a session closes and emits either when a successor event ≥ gap
+    * later arrives (any batch — so every non-final session is always
+    * emitted), or when the event-time timeout fires, i.e. the final
+    * watermark strictly passes last + gap at millisecond grain —
+    * exactly what the oracle computes. Timeout timestamps are clamped
+    * above the current watermark (a key idle across a multi-day batch
+    * would otherwise set a timeout in the watermark's past, which
+    * Spark rejects); clamping never changes the emitted set because
+    * the final no-data batch fires every past-due timeout anyway. */
+  def sessionizeCustomState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 1800000000L
+    val gapMs = gapUs / 1000
+    // the watermark column must survive the projection — the event-time
+    // timeout is resolved against it
+    val src = eventTime(eventsArrivalStream(spark, sfDir))
+      .select(col("user_id"), col("event_id"), unix_micros(col("etime")).as("tus"),
+        col("etime"))
+      .withWatermark("etime", "30 minutes")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    val out = src.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, events: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+            state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.startUs, s.n, s.minId))
+          } else {
+            // shuffled iterators carry no order — restore event time order
+            val evs = events.toArray.sortBy(e => (e._3, e._2))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var acc = state.getOption.orNull
+            for ((_, eid, tus, _) <- evs) {
+              if (acc != null && tus - acc.lastUs >= gapUs) {
+                closed += SessionOut(user, acc.startUs, acc.n, acc.minId)
+                acc = null
+              }
+              acc =
+                if (acc == null) SessionAcc(tus, tus, 1L, eid)
+                else SessionAcc(acc.startUs, tus, acc.n + 1, math.min(acc.minId, eid))
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(
+              math.max(acc.lastUs / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.iterator
+          }
+      }
+    runToMemory(spark, out.toDF(), s"sess_custom_${System.nanoTime()}", OutputMode.Append())
   }
 
   /** Custom keyed state via mapGroupsWithState: per-user running event

@@ -192,6 +192,28 @@ class SimStreamSpec extends SparkSpec {
       "join state accumulated every row — watermark inert")
   }
 
+  test("RocksDB state store produces identical append-mode output") {
+    // the 100 TB state backend: HDFS-backed stores keep state on the
+    // JVM heap (bounded by executor memory); RocksDB spills to local
+    // disk and is the production choice once keyed state outgrows
+    // memory. Same query, same emitted set — only the provider differs.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = graft.streaming.Streaming.windowedAggAppend(spark, sf)
+        .collect().map(_.toSeq).toSet
+      spark.conf.unset(key) // default HDFS-backed provider
+      val default = graft.streaming.Streaming.windowedAggAppend(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(rocks == default && rocks.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful user counter equals batch per-user counts") {
     val streamed = graft.streaming.Streaming.statefulUserCounter(spark, sf)
       .orderBy("user_id").collect().map(_.toSeq)
