@@ -105,6 +105,33 @@ object SourceQueries {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
     },
+    // schema evolution: two parquet batches with different column sets
+    // (an old writer without `lang`, a new writer with it) read back
+    // through mergeSchema — the lake-format reality at 100 TB, where a
+    // table's files span schema versions. Missing columns surface as
+    // NULL; the oracle reproduces the per-batch nullability.
+    QueryDef(
+      "schema_evolution_roundtrip",
+      """SELECT source,
+        |  count(*) AS n,
+        |  count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_old_writer,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_lang
+        |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_schema_evo"
+      val docs = Tables.table(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"))
+        .write.mode("overwrite").parquet(s"$tmp/b=0")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/b=1")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/b=0", s"$tmp/b=1")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("doc_id") % 2 === 0, 1)).as("n_old_writer"),
+          count(when(col("doc_id") % 2 === 1, col("lang"))).as("n_lang"))
+    },
     // deterministic hash-mod sampling — reproducible corpus subsetting
     // (multiplicative hashing, same integer arithmetic in both engines)
     QueryDef(
