@@ -90,6 +90,35 @@ object CorpusOps {
       .drop("__pbid", "__tok", "__part", "__cum")
   }
 
+  /** Corpus-bigram conditional log-probability per document — the
+    * second-order LM-quality proxy alongside [[unigramLogProb]]:
+    * mean log10 P(w₂|w₁) over the doc's adjacent token pairs, with
+    * P(w₂|w₁) = corpus count(w₁w₂) / count(w₁·). Head counts derive
+    * from the (bigram-vocabulary-sized) pair table, never a second
+    * corpus scan; per-doc means accumulate DECIMAL on 6-dp-rounded
+    * token logs, so the output is order-independent and
+    * engine-reproducible. Docs with fewer than two tokens have no
+    * bigrams and no row. */
+  def bigramLogProb(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val bg = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val headCounts = pairCounts.groupBy("w1").agg(sum(col("cb")).as("ch"))
+    val probs = pairCounts.join(headCounts, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log10(col("cb").cast("double") / col("ch")), 6).as("logp"))
+    bg.join(broadcast(probs), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("logp").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+          .as("mean_logp"))
+  }
+
   /** Top-k TF-IDF keywords per document — cheap keyword/topic features
     * for corpus curation. Deterministic end-to-end: scores are rounded
     * to 6 dp BEFORE ranking and ties break on the token, so the top-k

@@ -135,6 +135,24 @@ object PipelineQueries {
       gated.join(dups, col("doc_id") === col("dup_id"), "left_anti")
         .select(col("doc_id"))
     },
+    // second-order LM scoring: mean corpus-bigram conditional logprob
+    // per doc (CorpusOps.bigramLogProb) — head counts derived from the
+    // pair table, one corpus tokenize for the model build
+    QueryDef(
+      "text_bigram_logprob",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]})) AS u
+        |  FROM t WHERE len(w) >= 2)),
+        |pc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |hc AS (SELECT w1, sum(cb) AS ch FROM pc GROUP BY 1),
+        |pr AS (SELECT w1, w2, round(log10(CAST(cb AS DOUBLE) / ch), 6) AS logp
+        |  FROM pc JOIN hc USING (w1))
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(logp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_logp
+        |FROM bg JOIN pr USING (w1, w2) GROUP BY 1""".stripMargin) { (s, d) =>
+      CorpusOps.bigramLogProb(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
+    },
     // deterministic epoch shuffle: reproducible global permutation via
     // multiplicative hashing + a distributed two-pass rank (no global
     // single-task window, no rand()) — the oracle computes the same
