@@ -87,21 +87,38 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_misra_gries",
       exprs => {
-        // typed analysis error, not an opaque ClassCastException/NPE at
-        // resolution time: k must be a foldable INT/BIGINT literal
-        import org.apache.spark.sql.catalyst.expressions.Literal
-        import org.apache.spark.sql.types.{IntegerType, LongType}
-        val k = exprs(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case Literal(v: Long, LongType) if v >= 1 && v <= Int.MaxValue => v.toInt
+        // typed analysis errors, not an opaque ClassCastException/NPE at
+        // resolution time: k must be a FOLDABLE integer expression
+        // (literals and constant arithmetic both qualify) in [1, 2³¹)
+        val kExpr = exprs(1)
+        if (!kExpr.foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`graft_misra_gries`",
+              "paramName" -> "`k`",
+              "paramType" -> "\"INT\""))
+        val k = kExpr.eval(null) match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
           case _ => throw new org.apache.spark.sql.AnalysisException(
             errorClass = "NON_FOLDABLE_ARGUMENT",
             messageParameters = Map(
               "funcName" -> "`graft_misra_gries`",
               "paramName" -> "`k`",
-              "paramType" -> "\"INT\" literal"))
+              "paramType" -> "\"INT\""))
         }
-        MisraGriesAgg(exprs(0), k).toAggregateExpression()
+        if (k < 1 || k > Int.MaxValue)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INVALID_NUMERIC_LITERAL_RANGE",
+            messageParameters = Map(
+              "rawStrippedQualifier" -> k.toString,
+              "typeName" -> "graft_misra_gries parameter k",
+              "minValue" -> "1",
+              "maxValue" -> Int.MaxValue.toString))
+        MisraGriesAgg(exprs(0), k.toInt).toAggregateExpression()
       }, "built-in")
   }
 }

@@ -15,9 +15,12 @@ object CorpusOps {
   /** Deterministic per-row sample bucket in [0, 100): Knuth
     * multiplicative hashing on the id — identical integer arithmetic in
     * any engine, stable across runs/partitionings (`sample()` is
-    * neither). */
+    * neither). The multiply runs in DECIMAL(38,0): a long×long product
+    * overflows for ids ≥ ~3.5e9 (ANSI mode throws), and multi-billion-row
+    * corpora are exactly this operator's domain; DuckDB's equivalent
+    * integer arithmetic auto-widens to 128-bit the same way. */
   def sampleBucket(id: Column): Column =
-    (id * 2654435761L) % 4294967296L % 100
+    ((id.cast("decimal(38,0)") * 2654435761L) % 4294967296L % 100).cast("long")
 
   /** Stratified sampling: keep a row when its bucket falls under the
     * row's stratum rate (percent, a Column so strata rates can come
@@ -68,11 +71,18 @@ object CorpusOps {
       return base.withColumn("bin_id", lit(0L)).withColumn("bin_offset", lit(0L))
         .drop("__pbid", "__tok")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val nBuckets = math.min(df.sparkSession.sessionState.conf.numShufflePartitions.toLong,
-      hi - lo + 1)
-    val span = hi - lo + 1
+    // bucket arithmetic runs in DOUBLE space: (id - lo) * nBuckets in
+    // longs overflows for 64-bit-wide id ranges (ANSI mode throws).
+    // Double conversion is monotone non-decreasing, which is the only
+    // property the prefix sum needs — precision loss past 2^53 merely
+    // merges adjacent ids into one bucket; least() guards the hi edge.
+    val span = hi.toDouble - lo.toDouble + 1
+    val nBuckets = math.min(
+      df.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      math.max(1L, math.min(Long.MaxValue.toDouble, span).toLong))
     val prepared = base.withColumn("__part",
-      ((col("__pbid") - lo) * nBuckets / span).cast("long"))
+      least(lit(nBuckets - 1),
+        floor((col("__pbid").cast("double") - lo.toDouble) * nBuckets / span).cast("long")))
     val offsets = prepared.groupBy("__part")
       .agg(sum(col("__tok")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
@@ -94,8 +104,11 @@ object CorpusOps {
     * second-order LM-quality proxy alongside [[unigramLogProb]]:
     * mean log10 P(w₂|w₁) over the doc's adjacent token pairs, with
     * P(w₂|w₁) = corpus count(w₁w₂) / count(w₁·). Head counts derive
-    * from the (bigram-vocabulary-sized) pair table, never a second
-    * corpus scan; per-doc means accumulate DECIMAL on 6-dp-rounded
+    * from the distinct-pair table, never a second corpus scan. Unlike
+    * the unigram vocabulary, the distinct-BIGRAM table grows with
+    * corpus size, so it is NOT force-broadcast: the probability join
+    * shuffles on (w1, w2) and AQE broadcasts only when the pair table
+    * actually fits. Per-doc means accumulate DECIMAL on 6-dp-rounded
     * token logs, so the output is order-independent and
     * engine-reproducible. Docs with fewer than two tokens have no
     * bigrams and no row. */
@@ -111,7 +124,7 @@ object CorpusOps {
     val probs = pairCounts.join(headCounts, Seq("w1"))
       .select(col("w1"), col("w2"),
         round(log10(col("cb").cast("double") / col("ch")), 6).as("logp"))
-    bg.join(broadcast(probs), Seq("w1", "w2"))
+    bg.join(probs, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -157,9 +170,12 @@ object CorpusOps {
     * sampled range boundaries. `id` must be numeric and unique. */
   def deterministicShuffle(df: DataFrame, id: Column): DataFrame = {
     val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    // decimal multiply: long×long overflows for ids ≥ ~3.5e9 (see
+    // sampleBucket); __sk < 2^32 so the bucket product stays in range
     val prepared = df
       .withColumn("__sid", id.cast("long"))
-      .withColumn("__sk", (col("__sid") * 2654435761L) % 4294967296L)
+      .withColumn("__sk",
+        ((col("__sid").cast("decimal(38,0)") * 2654435761L) % 4294967296L).cast("long"))
       .withColumn("__part", (col("__sk") * nBuckets / 4294967296L).cast("long"))
     val offsets = prepared.groupBy("__part")
       .agg(count(lit(1)).as("c"))

@@ -333,11 +333,17 @@ object Dedup {
     }
     require(converged, s"connected components did not converge in $maxIters rounds")
     // converged star edges are (member, component-min) pairs; centers
-    // label themselves
-    val labels = e.select(col("a").as("node"), col("b").as("rep"))
+    // label themselves. Nodes whose ONLY edges were self-loops are
+    // singleton components — canon() drops their edges, so they are
+    // re-added here with rep = themselves (the operator's contract is
+    // one output row per node appearing in the input).
+    val starLabels = e.select(col("a").as("node"), col("b").as("rep"))
       .union(e.select(col("b").as("node"), col("b").as("rep")))
       .distinct()
-    (labels, rounds)
+    val selfOnly = edges.filter(col("a") === col("b"))
+      .select(col("a").as("node"), col("a").as("rep")).distinct()
+      .join(starLabels.select("node"), Seq("node"), "left_anti")
+    (starLabels.union(selfOnly), rounds)
   }
 
   /** Cluster formation over verified near-dup pairs — the step that

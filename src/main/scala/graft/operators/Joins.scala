@@ -134,6 +134,12 @@ object Joins {
     * tables are written `bucketBy(n, key).sortBy(key)`; Catalyst then
     * plans a SortMergeJoin with NO Exchange on either side. This is the
     * 100 TB shape for repeatedly-joined fact tables. */
+  /** Process-suffixed table name for harness-created bucketed tables:
+    * the default catalog is in-memory but the warehouse directory is
+    * shared, so concurrent harness processes must not overwrite each
+    * other's table locations mid-read. */
+  def processTable(base: String): String = s"${base}_p${ProcessHandle.current().pid()}"
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     // idempotent ACROSS sessions: the default catalog is in-memory but

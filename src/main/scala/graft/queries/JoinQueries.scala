@@ -111,10 +111,11 @@ object JoinQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderpriority"))
       val c = Tables.table(s, d, "customer")
-      Joins.writeBucketed(o, "graft_orders_bkt", "o_custkey", 8)
-      Joins.writeBucketed(c, "graft_customer_bkt", "c_custkey", 8)
-      val ob = s.table("graft_orders_bkt")
-      val cb = s.table("graft_customer_bkt")
+      val (ot, ct) = (Joins.processTable("graft_orders_bkt"), Joins.processTable("graft_customer_bkt"))
+      Joins.writeBucketed(o, ot, "o_custkey", 8)
+      Joins.writeBucketed(c, ct, "c_custkey", 8)
+      val ob = s.table(ot)
+      val cb = s.table(ct)
       ob.hint("MERGE").join(cb, ob("o_custkey") === cb("c_custkey"))
         .select(
           ob("o_custkey").as("key"),

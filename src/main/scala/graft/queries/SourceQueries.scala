@@ -59,10 +59,10 @@ object SourceQueries {
       "seqfile_roundtrip",
       """SELECT o_orderpriority AS priority, count(*) AS n, min(o_orderkey) AS min_key
         |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
-      // unique dir per invocation: writeSequenceFile is delete-then-write
-      // (not an atomic overwrite), so a shared fixed path races when two
-      // harness processes (Verify ∥ Bench, parallel test JVMs) overlap
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_seq_rt_${java.util.UUID.randomUUID().toString.take(8)}"
+      // process-scoped unique dir: a shared fixed path races when two
+      // harness processes (Verify ∥ Bench, parallel test JVMs) overlap,
+      // and scratchDir also bounds accumulation across invocations
+      val tmp = Tables.scratchDir("graft_seq_rt")
       Tables.writeSequenceFile(
         Tables.table(s, d, "orders").select(col("o_orderpriority"), col("o_orderkey")),
         tmp)
@@ -117,7 +117,8 @@ object SourceQueries {
         |  count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_old_writer,
         |  count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_lang
         |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_schema_evo"
+      // process-scoped unique dir — same race class as seqfile_roundtrip
+      val tmp = Tables.scratchDir("graft_schema_evo")
       val docs = Tables.table(s, d, "documents")
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("source"))
@@ -138,8 +139,10 @@ object SourceQueries {
       "sample_deterministic",
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE (l_orderkey * 2654435761) % 4294967296 % 100 < 10""".stripMargin) { (s, d) =>
+      // decimal multiply like CorpusOps.sampleBucket: long×long overflows
+      // for keys ≥ ~3.5e9 under ANSI mode
       Tables.table(s, d, "lineitem")
-        .filter((col("l_orderkey") * 2654435761L) % 4294967296L % 100 < 10)
+        .filter((col("l_orderkey").cast("decimal(38,0)") * 2654435761L) % 4294967296L % 100 < 10)
         .select(col("l_orderkey"), col("l_linenumber"))
     }
   )

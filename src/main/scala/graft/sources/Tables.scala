@@ -90,6 +90,21 @@ object Tables {
     spark.sparkContext.sequenceFile[String, String](path).toDF("key", "value")
   }
 
+  /** Process-unique scratch directory path under java.io.tmpdir, with
+    * bounded accumulation: this PROCESS's previous dirs for the same
+    * prefix are deleted first (safe — harness invocations within a
+    * process are sequential and fully consume their outputs), while
+    * other processes' dirs are never touched, so concurrent Verify ∥
+    * Bench ∥ test JVMs cannot race each other's files. */
+  def scratchDir(prefix: String): String = {
+    val pid = ProcessHandle.current().pid()
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"${prefix}_p${pid}_"))
+      .foreach(f => deleteRecursive(f.getPath))
+    s"${tmp.getPath}/${prefix}_p${pid}_${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
   /** S6: temp-dir lifecycle (MergeJoin.java:91-95,253-256). */
   def deleteRecursive(path: String): Unit = {
     def rm(f: java.io.File): Unit = {

@@ -294,7 +294,7 @@ object Streaming {
     * unique sink/checkpoint dir per invocation keeps concurrent
     * harness processes from sharing a transaction log. */
   def streamToParquetSink(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val root = graft.sources.Tables.scratchDir("graft_stream_sink")
     val q = eventsStream(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .writeStream.format("parquet")

@@ -134,6 +134,16 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= bound, s"path-$n took $rounds rounds (bound $bound)")
   }
 
+  test("connected components keep self-loop-only nodes as singletons") {
+    import spark.implicits._
+    // (5,5) is a singleton; (1,1) also has a real edge — exactly one
+    // row per input node either way
+    val edges = Seq((1L, 2L), (1L, 1L), (5L, 5L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+  }
+
   test("decode error path: truncated payloads yield typed errors, never exceptions") {
     val decoded = Multimodal.decodeWithErrors(
       spark, Multimodal.corruptPayloads(Multimodal.packBinary(docs), everyNth = 10)).toDF()

@@ -174,8 +174,8 @@ class ScaleSpec extends SparkSpec {
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.isEmpty,
       s"bucketed registry join must be exchange-free, found ${exchanges.size}")
-    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
-    spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+    spark.sql(s"DROP TABLE IF EXISTS ${Joins.processTable("graft_orders_bkt")}")
+    spark.sql(s"DROP TABLE IF EXISTS ${Joins.processTable("graft_customer_bkt")}")
   }
 
   test("unigram logprob tokenizes the corpus once (frequency Exchange reused)") {
