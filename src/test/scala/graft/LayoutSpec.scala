@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Changelog, Layout}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Layout-management efficiency claims: compaction actually reduces file
+  * counts to the size target, and range clustering actually produces
+  * skippable (disjoint-range) files. Content parity for the same
+  * operators is the LayoutQueries oracle gate.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("compact folds 64 ingest files into the size-targeted count") {
+    val in = Tables.scratchDir("spec_compact_in")
+    val out = Tables.scratchDir("spec_compact_out")
+    Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(in)
+    assert(Layout.dataFiles(in).size == 64)
+    val planned = Layout.compact(spark, in, out, targetFileBytes = 32L * 1024 * 1024)
+    val got = Layout.dataFiles(out).size
+    assert(got == planned, s"planned $planned files, wrote $got")
+    assert(got < 64 && got >= 1)
+    // ceil(bytes/target) honors the target: one more file would mean
+    // some file had to exceed targetFileBytes on average
+    assert(planned == math.max(1L,
+      (Layout.dataBytes(in) + 32L * 1024 * 1024 - 1) / (32L * 1024 * 1024)).toInt)
+    Tables.deleteRecursive(in); Tables.deleteRecursive(out)
+  }
+
+  test("range-clustered files cover pairwise-disjoint key ranges") {
+    val out = Tables.scratchDir("spec_range_cluster")
+    Layout.rangeClusteredWrite(
+      Tables.table(spark, sf, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      "o_orderkey", numFiles = 8, outDir = out)
+    val files = Layout.dataFiles(out).map(_.getPath).sorted
+    assert(files.size >= 4, s"expected multiple clustered files, got ${files.size}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping file ranges: hi=$hi lo2=$lo2")
+      case _ =>
+    }
+    Tables.deleteRecursive(out)
+  }
+
+  test("cdc latest snapshot drops tombstoned keys and keeps max seq") {
+    import spark.implicits._
+    val ch = Seq(
+      (1L, 10L, "U", "signup", 1.0),
+      (1L, 20L, "U", "click", 2.0),
+      (2L, 11L, "U", "view", 3.0),
+      (2L, 30L, "D", "error", 4.0),
+      (3L, 5L, "D", "error", 5.0),
+      (3L, 6L, "U", "view", 6.0)
+    ).toDF("key", "seq", "op", "attr", "amount")
+    val snap = Changelog.latestSnapshot(ch)
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(snap.toSeq == Seq((1L, 20L, "click"), (3L, 6L, "view")))
+  }
+
+  test("scd2 history closes versions in sequence order") {
+    import spark.implicits._
+    val ch = Seq(
+      (1L, 10L, "U", "signup", 1.0),
+      (1L, 20L, "U", "click", 2.0),
+      (1L, 30L, "D", "error", 3.0)
+    ).toDF("key", "seq", "op", "attr", "amount")
+    val hist = Changelog.scd2History(ch).orderBy("valid_from")
+      .collect()
+      .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(6)))
+    assert(hist.toSeq == Seq(
+      (10L, Some(20L), false), (20L, Some(30L), false), (30L, None, false)))
+  }
+}
