@@ -204,6 +204,31 @@ object JoinQueries {
           p, sup, p("p_retailprice"), sup("s_acctbal"), sup("s_acctbal") + 500,
           binWidth = 500)
         .select(p("p_partkey"), sup("s_suppkey"))
+    },
+    // runtime bloom-filter pruning: the selective orders predicate is
+    // turned into a bloom filter probed inside the lineitem scan (plan
+    // asserted in ScaleSpec). Materialized eagerly inside the conf
+    // scope so the optimizer sees the bloom confs; the aggregate result
+    // is rows-small by construction.
+    QueryDef(
+      "join_bloom_pruned",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Joins.withSessionConfs(s, Joins.bloomFilterConfs: _*) {
+        val o = Tables.table(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1995)
+        val l = Tables.table(s, d, "lineitem")
+        val df = Joins.bloomPrunedJoin(l, o, col("l_orderkey"), col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      }
     }
   )
 }

@@ -77,13 +77,12 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("runtime bloom-filter pruning injects on selective fact-dim joins") {
-    val prev = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    // force injection thresholds down to testdata scale
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep a shuffle join
-    try {
+    // conf-scoped via withSessionConfs — the earlier form of this test
+    // restored only creationSideThreshold and leaked the 0-byte
+    // application-side threshold into every later suite in the JVM
+    Joins.withSessionConfs(spark,
+      Joins.bloomFilterConfs :+
+        ("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB"): _*) {
       val li = Tables.table(spark, sf, "lineitem")
       val p = Tables.table(spark, sf, "part").filter(col("p_size") === 1)
       val j = li.join(p, li("l_partkey") === p("p_partkey"))
@@ -91,9 +90,6 @@ class ScaleSpec extends SparkSpec {
       val optimized = j.queryExecution.optimizedPlan.toString()
       assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter"),
         s"no runtime bloom filter injected:\n$optimized")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      prev.foreach(v => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", v))
     }
   }
 
@@ -194,6 +190,26 @@ class ScaleSpec extends SparkSpec {
     val generates = plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
     assert(generates.size <= 2,
       s"corpus tokenize ran ${generates.size}× (expected ≤ 2):\n$plan")
+  }
+
+  test("runtime bloom filter prunes the fact scan of a selective dim join") {
+    Joins.withSessionConfs(spark, Joins.bloomFilterConfs: _*) {
+      val o = Tables.table(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1995)
+      val l = Tables.table(spark, sf, "lineitem")
+      val j = Joins.bloomPrunedJoin(l, o, col("l_orderkey"), col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val s = plan.toString()
+      assert(s.contains("might_contain"),
+        s"expected an injected bloom-filter probe on the fact side:\n$s")
+    }
+    // conf scope restored — later tests must see the defaults again
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold") != "0")
   }
 
   test("dedup pipelines shuffle by content keys, not all-pairs (plan sanity)") {
