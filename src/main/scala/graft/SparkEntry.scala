@@ -15,7 +15,8 @@ object SparkEntry {
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       DataGenQueries.all ++ StreamingQueries.all ++ AdvancedQueries.all ++
       SourceQueries.all ++ ArrayStatQueries.all ++ PipelineQueries.all ++
-      WindowSetQueries2.all ++ ChangelogQueries.all ++ LayoutQueries.all
+      WindowSetQueries2.all ++ ChangelogQueries.all ++ LayoutQueries.all ++
+      GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
