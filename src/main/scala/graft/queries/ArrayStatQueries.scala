@@ -99,6 +99,51 @@ object ArrayStatQueries {
         .agg(map_from_entries(collect_list(struct(col("lang"), col("n")))).as("m"))
         .select(col("source"), explode(col("m")).as(Seq("lang", "n")))
     },
+    // higher-order array functions: filter/exists/forall/aggregate/
+    // zip_with/transform over the tokenized part name — every lambda
+    // shape Spark offers, each reproduced by DuckDB's list lambdas.
+    // Counts/sums surface as BIGINT on both engines (list_sum returns
+    // HUGEINT in DuckDB, aggregate's accumulator is a long here).
+    QueryDef(
+      "func_higher_order",
+      """WITH w AS (SELECT p_partkey, str_split(p_name, ' ') AS ws FROM part)
+        |SELECT p_partkey,
+        |  CAST(len(list_filter(ws, w -> length(w) > 5)) AS BIGINT) AS n_long,
+        |  (len(list_filter(ws, w -> NOT regexp_matches(w, '^[a-z]+$'))) = 0) AS all_alpha,
+        |  (len(list_filter(ws, w -> starts_with(w, 'b'))) > 0) AS any_b,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS total_len,
+        |  CAST(list_sum(list_transform(range(1, len(ws) + 1), i -> i * length(ws[i]))) AS BIGINT) AS idx_weighted,
+        |  array_to_string(list_transform(ws, w -> upper(w)), '_') AS caps
+        |FROM w""".stripMargin) { (s, d) =>
+      val ws = split(col("p_name"), " ")
+      Tables.table(s, d, "part").select(
+        col("p_partkey"),
+        size(filter(ws, w => length(w) > 5)).cast("long").as("n_long"),
+        forall(ws, w => w.rlike("^[a-z]+$")).as("all_alpha"),
+        exists(ws, w => w.startsWith("b")).as("any_b"),
+        aggregate(ws, lit(0L), (a, w) => a + length(w)).as("total_len"),
+        aggregate(
+          zip_with(ws, sequence(lit(1), size(ws)), (w, i) => (i * length(w)).cast("long")),
+          lit(0L), (a, x) => a + x).as("idx_weighted"),
+        concat_ws("_", transform(ws, w => upper(w))).as("caps"))
+    },
+    // higher-order MAP functions: map_from_arrays → transform_values →
+    // map_filter → explode back to plain columns (same hashability
+    // rationale as func_map). Keys deduplicated first — Spark throws on
+    // duplicate map keys by design.
+    QueryDef(
+      "func_map_hof",
+      """WITH w AS (SELECT p_partkey, unnest(list_distinct(str_split(p_name, ' '))) AS word
+        |  FROM part)
+        |SELECT p_partkey, word, CAST(2 * length(word) AS BIGINT) AS dlen
+        |FROM w WHERE 2 * length(word) > 8""".stripMargin) { (s, d) =>
+      val wd = array_distinct(split(col("p_name"), " "))
+      val m = map_from_arrays(wd, transform(wd, w => length(w).cast("long")))
+      Tables.table(s, d, "part")
+        .select(col("p_partkey"),
+          explode(map_filter(transform_values(m, (_, v) => v * 2), (_, v) => v > 8))
+            .as(Seq("word", "dlen")))
+    },
     // string edit distance (identical definition in both engines)
     QueryDef(
       "string_distance",
