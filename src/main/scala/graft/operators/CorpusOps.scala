@@ -40,6 +40,22 @@ object CorpusOps {
       .filter(col("__rn") <= quota)
       .drop("__rn")
 
+  /** Weighted deterministic interleave — the training-data mixing
+    * primitive: each source's rows are spread along a virtual position
+    * axis at a density proportional to its weight, so reading the
+    * output in `pos` order yields sources mixed at their target ratios
+    * from the very first row (the low-discrepancy schedule pos =
+    * (2i−1)/(2w), here in exact ×10⁶ fixed-point so both engines
+    * truncate identically). Scale shape: one window partitioned BY
+    * SOURCE (bounded cardinality, no global ordering anywhere); a
+    * prefix of the mix is selected by a plain `pos` filter, not a
+    * global sort-limit. */
+  def interleave(df: DataFrame, source: Column, order: Column, weight: Column): DataFrame =
+    df.withColumn("w", weight)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(source).orderBy(order)))
+      .withColumn("pos", expr("CAST(((2 * rn - 1) * 1000000) div (2 * w) AS BIGINT)"))
+
   /** Context-window packing ("concatenate then chunk", the standard
     * packed-dataset construction): documents in id order are laid
     * end-to-end on a token tape cut every `capacity` tokens; a doc's

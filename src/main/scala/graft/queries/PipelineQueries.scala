@@ -35,6 +35,25 @@ object PipelineQueries {
       EmbeddingAnalytics.labelCohesion(
         Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"), col("label"))
     },
+    // weighted interleave: even-indexed sources get 3× the sampling
+    // density of odd-indexed ones; the emitted prefix (pos ≤ 4.0 in
+    // ×10⁶ fixed-point) therefore mixes sources at exactly 3:1 without
+    // any global sort (CorpusOps.interleave)
+    QueryDef(
+      "pipeline_interleave",
+      """WITH r AS (SELECT doc_id, source,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 3 ELSE 1 END AS w,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(((2 * rn - 1) * 1000000) // (2 * w) AS BIGINT) AS pos
+        |FROM r WHERE ((2 * rn - 1) * 1000000) // (2 * w) <= 4000000""".stripMargin) { (s, d) =>
+      CorpusOps.interleave(
+          Tables.table(s, d, "documents"),
+          col("source"), col("doc_id"),
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 3).otherwise(1))
+        .filter(col("pos") <= 4000000L)
+        .select(col("doc_id"), col("source"), col("pos"))
+    },
     // stratified sampling: per-source rates via deterministic hash
     // buckets (reproducible corpus builds; CorpusOps.stratifiedSample)
     QueryDef(
