@@ -141,6 +141,24 @@ object StreamingQueries {
       "stream_user_counter",
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id") { (s, d) =>
       Streaming.statefulUserCounter(s, d)
+    },
+    // foreachBatch CDC apply: per-batch upsert-merge into a versioned
+    // parquet snapshot (tombstones override, write-then-swap). Final
+    // state = the batch latest-snapshot query, independent of slicing.
+    QueryDef(
+      "stream_upsert_sink",
+      """WITH ch AS (
+        |  SELECT user_id AS key, event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_type AS attr, value AS amount
+        |  FROM events),
+        |ranked AS (
+        |  SELECT key, seq, op, attr, amount,
+        |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |  FROM ch)
+        |SELECT key, seq AS last_seq, attr AS last_event, amount AS last_value
+        |FROM ranked WHERE rn = 1 AND op <> 'D'""".stripMargin) { (s, d) =>
+      Streaming.streamUpsertSink(s, d)
     }
   )
 }

@@ -308,6 +308,46 @@ object Streaming {
       .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"))
   }
 
+  /** Streaming CDC apply — foreachBatch upsert-merge into a versioned
+    * parquet state directory: each micro-batch of change records is
+    * merged with the current snapshot by `groupBy(key).max_by(seq)`
+    * (tombstones kept IN state so a delete arriving in batch N
+    * overrides an upsert from batch N−1), the merged snapshot is
+    * written to a new version directory, and the live pointer swaps
+    * only after the write commits — readers never observe a partial
+    * state. This is the merge-into loop a lake-format sink (Delta/Hudi)
+    * runs natively; on files it is rewrite-and-swap.
+    *
+    * Determinism: the merge is an argmax over the unique `seq`, so the
+    * final state is independent of batch slicing AND arrival order —
+    * the oracle is the batch latest-snapshot query. */
+  def streamUpsertSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Tables.scratchDir("graft_upsert_sink")
+    val stateDir = s"$root/state"
+    val changes = graft.operators.Changelog.fromEvents(eventsArrivalStream(spark, sfDir))
+    val payload = struct(col("seq"), col("op"), col("attr"), col("amount"))
+    val q = changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val cur = new java.io.File(stateDir)
+        val merged = (if (cur.exists()) batch.unionByName(s.read.parquet(stateDir)) else batch)
+          .groupBy("key").agg(max_by(payload, col("seq")).as("last"))
+          .select(col("key"), col("last.seq").as("seq"), col("last.op").as("op"),
+            col("last.attr").as("attr"), col("last.amount").as("amount"))
+        val next = new java.io.File(s"$root/state_v$batchId")
+        merged.write.mode("overwrite").parquet(next.getPath) // materialize BEFORE swap
+        graft.sources.Tables.deleteRecursive(stateDir)
+        require(next.renameTo(cur), s"state swap failed at batch $batchId")
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
+    spark.read.parquet(stateDir)
+      .filter(col("op") =!= "D")
+      .select(col("key"), col("seq").as("last_seq"), col("attr").as("last_event"),
+        col("amount").as("last_value"))
+  }
+
   /** Order-deterministic streaming dedup/state aggregate: first (=min)
     * event id per (user, event_type). */
   def dedupState(spark: SparkSession, sfDir: String): DataFrame = {
