@@ -77,6 +77,30 @@ object DedupQueries {
     QueryDef("dedup_simhash", jaccardOracle) { (s, d) =>
       Dedup.simhashDedup(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
     },
+    // incremental dedup: the delta batch (doc_id ≡ 0 mod 5) checked
+    // against the existing corpus (everything else) through the banded
+    // index — per-ingest cost O(delta), full-recall verify
+    QueryDef(
+      "dedup_incremental",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 GROUP BY 1, 2)
+        |SELECT da AS new_doc, db AS dup_of,
+        |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        col("text"), col("doc_id"))
+    },
     QueryDef(
       "dedup_embedding",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
