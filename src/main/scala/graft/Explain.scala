@@ -24,11 +24,12 @@ object Explain {
   // baselines whose sub-quadratic twins (SRP buckets, IVF probing) are
   // the documented scale path
   // text_unigram_logprob's BNLJ is the 1-row corpus-total broadcast
-  // joined under the vocabulary table (scalar fan-out, not a pair scan)
+  // joined under the vocabulary table (scalar fan-out, not a pair scan);
+  // feature_binning broadcasts its 1-row quantile boundaries the same way
   private val nestedLoopAllowed = Set(
     "join_cross", "join_theta_range",
     "ann_topk_bruteforce", "ann_ivf", "dedup_embedding",
-    "text_unigram_logprob")
+    "text_unigram_logprob", "feature_binning")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -212,6 +212,17 @@ class ScaleSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold") != "0")
   }
 
+  test("dynamic partition pruning injects a runtime partition filter") {
+    val df = SparkEntry.queries("join_dpp")(spark, sf)
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$plan")
+  }
+
   test("dedup pipelines shuffle by content keys, not all-pairs (plan sanity)") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
     // no CartesianProduct / BroadcastNestedLoop anywhere in the LSH path
