@@ -82,16 +82,22 @@ object AnalyticsQueries {
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE year(o_orderdate) IN (
-        |  SELECT DISTINCT year(l_shipdate) FROM lineitem WHERE year(l_shipdate) = 1997)
+        |  SELECT year(l_shipdate) FROM lineitem GROUP BY 1 HAVING min(l_orderkey) % 2 = 0)
         |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
       val tmp = Tables.scratchDir("graft_dpp_rt")
       Tables.table(s, d, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
       val fact = s.read.parquet(tmp)
+      // the dim's year set is AGGREGATE-derived (years whose min order
+      // key is even) — deliberately not constant-foldable, so the
+      // optimizer cannot turn it into a static partition filter and
+      // must inject a DYNAMIC pruning subquery on the fact scan
       val dim = Tables.table(s, d, "lineitem")
-        .select(year(col("l_shipdate")).as("y")).distinct()
-        .filter(col("y") === 1997)
+        .groupBy(year(col("l_shipdate")).as("y"))
+        .agg(min(col("l_orderkey")).as("mk"))
+        .filter(col("mk") % 2 === 0)
+        .select("y")
       fact.join(dim, fact("o_year") === dim("y"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
