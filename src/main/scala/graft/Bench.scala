@@ -57,14 +57,20 @@ object Bench {
     val both = results.map { case (k, a, b) => s""""$k":[$a,$b]""" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"),
       s"""{"best_of_2":$line,"runs":$both}""" + "\n")
-    // print the driver-facing line BOTH before and after spark.stop():
-    // the driver regex-scrapes the sbt output tail, and round-1/2 showed
-    // the single print getting truncated/pushed out by the shutdown +
-    // [success] epilogue — two copies bracket that noise
+    // The driver regex-scrapes only the last ~2 KiB of sbt output; with
+    // 120+ queries the full line (~2.8 KiB) is always truncated mid-JSON
+    // there (BENCH_r02/r03 `parsed: null`). So: full line first for the
+    // archive/bench_local readers, then a COMPACT line — same schema,
+    // `queries` limited to the slowest entries so the whole object fits
+    // intact inside the tail window — printed LAST, after spark.stop(),
+    // so nothing but sbt's `[success]` epilogue follows it.
     println(line)
     Console.out.flush()
     spark.stop()
-    println(line)
+    val slowest = results.map { case (k, a, b) => (k, math.min(a, b)) }
+      .sortBy(-_._2).take(20)
+      .map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_full":"bench_local.json","sf":"$sfDir"}""")
     Console.out.flush()
   }
 }
