@@ -367,12 +367,10 @@ object Dedup {
     // materialize + truncate lineage NOW; hand back the RDD so the
     // superseded round's blocks can be freed explicitly, and the
     // materializing count so convergence needs no extra job
+    // (Tungsten-level — see Iterate.ckpt)
     def ckpt(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
-      val rdd = df.rdd.localCheckpoint()
-      val n = rdd.count()
-      (spark.createDataFrame(rdd, df.schema), rdd, n)
-    }
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow], Long) =
+      Iterate.ckpt(df)
 
     var (e, eRdd, eCount) = ckpt(canon(edges.select(col("a"), col("b"))))
     var rounds = 0

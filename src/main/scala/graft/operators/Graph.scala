@@ -33,24 +33,29 @@ object Graph {
     * symmetrize first (then every endpoint is a source). Dangling mass
     * is dropped, the standard non-normalized formulation. */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000L,
-      damping: Long = 850000L): DataFrame = {
+      damping: Long = 850000L, edgesDistinct: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val base = scale - damping
 
-    def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
-      val rdd = df.rdd.localCheckpoint()
-      rdd.count(): Unit
-      (spark.createDataFrame(rdd, df.schema), rdd)
+    def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+      val (out, rdd, _) = Iterate.ckpt(df)
+      (out, rdd)
     }
 
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // `edgesDistinct = true` lets callers that already deduplicated (or
+    // construct provably duplicate-free edges, e.g. a symmetrized
+    // distinct bipartite list) skip a full edge-list shuffle here
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (edgesDistinct) e0 else e0.distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) materialized once, reused by every round
     val (edC, _) = ckpt(e.join(deg, "src"))
-    val nodes = edC.select(col("src").as("node")).distinct()
+    // nodes materialized once too — left lazy it would re-run a full
+    // edge-list distinct inside EVERY round's plan (6× the edge scan)
+    val (nodes, _) = ckpt(edC.select(col("src").as("node")).distinct())
 
     var ranks = nodes.withColumn("rank", lit(scale))
-    var prevRdd: org.apache.spark.rdd.RDD[Row] = null
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
     for (_ <- 1 to iters) {
       val contribs = edC.join(ranks, edC("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graft.Bridge
+
+/** The materialize-and-truncate step shared by the fixed-point operators
+  * (connected components, PageRank, BFS). Each round's state vector is
+  * localCheckpoint-ed so lineage stays O(1) across rounds, and the RDD
+  * handle is returned so the SUPERSEDED round's blocks can be freed
+  * explicitly (`DataFrame.localCheckpoint` has no unpersist path — the
+  * round-2 block-manager leak).
+  *
+  * The checkpoint happens at the Tungsten `InternalRow` level
+  * (`queryExecution.toRdd`): the public `df.rdd` / `createDataFrame`
+  * pair would deserialize InternalRow→Row at materialization AND
+  * convert Row→InternalRow again on every round's re-scan — pure
+  * overhead, ~2× on iteration-heavy operators. Rows are `.copy()`-ed
+  * before caching because Tungsten iterators reuse row buffers (the
+  * same rule `Dataset.checkpoint` follows internally).
+  */
+object Iterate {
+
+  /** Materialize `df` now; return (re-readable frame, freeable RDD
+    * handle, materialized row count — convergence checks come free). */
+  def ckpt(df: DataFrame): (DataFrame, RDD[InternalRow], Long) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    val n = rdd.count()
+    (Bridge.internalDf(df.sparkSession, rdd, df.schema), rdd, n)
+  }
+}

@@ -43,7 +43,11 @@ object GraphQueries {
       val d0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("src"), (col("o_custkey") + 10000000L).as("dst"))
         .distinct()
-      Graph.pageRank(d0.union(d0.select(col("dst"), col("src"))), iters)
+      // d0 is distinct and src/dst live in disjoint key ranges (custkey
+      // offset by 10M), so the symmetrized union is duplicate-free —
+      // pageRank can skip its defensive edge dedup shuffle
+      Graph.pageRank(d0.union(d0.select(col("dst"), col("src"))), iters,
+        edgesDistinct = true)
     }
   )
 }

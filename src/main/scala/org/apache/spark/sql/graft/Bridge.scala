@@ -19,4 +19,19 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** DataFrame over an RDD[InternalRow] (SparkSession.
+    * internalCreateDataFrame is private[sql]). Iterative operators
+    * (connected components, PageRank) re-materialize a small state
+    * vector every round via `localCheckpoint`; going through the public
+    * `df.rdd`/`createDataFrame` pair would convert
+    * InternalRow→Row→InternalRow on every round's full scan. This stays
+    * at the Tungsten representation — callers MUST pass rows that are
+    * safe to retain (i.e. `.map(_.copy())` before caching, same rule
+    * `Dataset.checkpoint` itself follows). */
+  def internalDf(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
