@@ -43,4 +43,36 @@ object EmbeddingAnalytics {
         (sum(col("cos").cast(dec)).cast("double") / count(lit(1))).as("mean_cos"))
       .select(col("label"), col("n"), round(col("mean_cos"), 6).as("mean_cos"))
   }
+
+  /** Upper-triangle Gramian of the embedding matrix: G(i,j) = Σ over
+    * vectors of xᵢ·xⱼ, 1-based dims, i ≤ j — the d×d statistic PCA
+    * needs (covariance = G/n − μμᵀ; the d×d eigen-solve is a
+    * driver-side triviality on a d≪n matrix, exactly how MLlib's
+    * RowMatrix does PCA — only THIS aggregation is distributed work).
+    *
+    * Shape: the d(d+1)/2 products per row come from two chained
+    * generators (posexplode, then posexplode of the tail slice) — a
+    * fully pipelined scan, NO self-join, no pre-aggregation shuffle;
+    * partial aggregation collapses each map partition to ≤ d(d+1)/2
+    * rows before the only exchange. Float products are exact in double;
+    * they are quantized by floor(p·10¹²) — floor is bit-identical
+    * across engines, unlike decimal-cast ROUNDING, whose half-up vs
+    * half-even tie rule differs between Spark and DuckDB — and the
+    * quantized units accumulate as DECIMAL(38,0) (exact, order-free,
+    * no bigint overflow at any corpus size). */
+  def gramian(emb: DataFrame, vec: Column): DataFrame = {
+    val pairs = emb.select(vec.as("e"))
+      .select(col("e"), posexplode(col("e")).as(Seq("p", "xi")))
+      .select(col("p"), col("xi"),
+        posexplode(slice(col("e"), col("p") + 1, size(col("e")) - col("p")))
+          .as(Seq("q", "xj")))
+    pairs
+      .select(
+        (col("p") + 1).cast("long").as("i"),
+        (col("p") + col("q") + 1).cast("long").as("j"),
+        floor(col("xi").cast("double") * col("xj").cast("double") * lit(1e12))
+          .cast("decimal(38,0)").as("prod"))
+      .groupBy("i", "j")
+      .agg((sum(col("prod")).cast("double") / lit(1e12)).as("g"))
+  }
 }

@@ -70,4 +70,74 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle count over undirected `edges(u, v)` (distinct,
+    * canonical u < v). Node-iterator with DEGREE ORIENTATION
+    * (Ortmann/Brandes; the MapReduce classic is Suri & Vassilvitskii's
+    * MR-NodeIterator++): every edge is directed from its lower endpoint
+    * to its higher endpoint under the total order (degree, id), wedges
+    * are built only at each edge's LOW node, and a wedge counts iff the
+    * closing edge exists. Each triangle has exactly one minimum vertex
+    * under the order, so it is counted exactly once.
+    *
+    * Scale shape: orientation bounds every node's out-degree by
+    * O(√|E|), so the wedge join produces Σ outdeg² = O(|E|^1.5) rows
+    * worst-case — the best possible for exact counting — instead of the
+    * Σ deg² blowup a hub node causes without orientation. All three
+    * steps are equi-joins (degree join, wedge self-join on the low
+    * node, closing-edge LEFT SEMI); nothing is broadcast-sized by
+    * assumption, nothing is quadratic in nodes. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    // orient low → high under (degree, id); carry the head's order key
+    // so wedge endpoints can be ordered without re-joining degrees
+    val uLow = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uLow, col("u")).otherwise(col("v")).as("a"),
+      when(uLow, col("v")).otherwise(col("u")).as("b"),
+      when(uLow, col("dv")).otherwise(col("du")).as("db"))
+    val e1 = oriented.select(col("a"), col("b").as("b1"), col("db").as("db1"))
+    val e2 = oriented.select(col("a"), col("b").as("b2"), col("db").as("db2"))
+    val wedges = e1.join(e2, "a")
+      .where(col("db1") < col("db2") ||
+        (col("db1") === col("db2") && col("b1") < col("b2")))
+    wedges
+      .join(oriented.select(col("a").as("b1"), col("b").as("b2")),
+        Seq("b1", "b2"), "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Multi-source BFS: minimum hop distance from any seed, up to
+    * `maxHops` rounds, over directed `edges(src, dst)`. Returns
+    * (node, dist) for every reached node (seeds at 0). Frontier-
+    * restricted expansion: round i only expands nodes first reached at
+    * round i−1, so total join work is O(Σ frontier-degree) = O(|E|)
+    * across all rounds, not O(|E|·rounds). Distances are integers and
+    * min() is order-free — bit-stable, oracle-reproducible.
+    *
+    * Scale shape: edges checkpointed once; the distance vector (≤ one
+    * row per reached node) is the only per-round state, checkpointed
+    * with superseded blocks freed (Iterate.ckpt). */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val (eC, _, _) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    var (dist, distRdd, _) =
+      Iterate.ckpt(seeds.select(col("node")).distinct().withColumn("dist", lit(0)))
+    for (i <- 1 to maxHops) {
+      val cand = dist.where(col("dist") === i - 1)
+        .join(eC, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(i).as("dist"))
+      val merged = dist.union(cand).groupBy("node").agg(min("dist").as("dist"))
+      val (m, mRdd, _) = Iterate.ckpt(merged)
+      distRdd.unpersist(blocking = false): Unit
+      dist = m
+      distRdd = mRdd
+    }
+    dist
+  }
 }

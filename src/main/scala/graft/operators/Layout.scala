@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical data-layout management — the operators that keep a 100 TB
@@ -57,4 +57,48 @@ object Layout {
     df.repartitionByRange(numFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").parquet(outDir)
+
+  /** Morton/Z-value of two numeric columns, `bits` bits each: both are
+    * min-max normalized to [0, 2^bits) integer grid cells (the mins and
+    * maxes computed in the same pass, broadcast back as a 1-row join —
+    * never collected) and their bits interleaved, `a` taking the odd
+    * (higher) positions. The expression tree is 2·bits shift-and-mask
+    * terms — fully codegen'd, no UDF. */
+  def zValue(a: Column, b: Column, aMin: Column, aMax: Column,
+      bMin: Column, bMax: Column, bits: Int = 16): Column = {
+    val top = (1L << bits) - 1
+    def cell(v: Column, lo: Column, hi: Column): Column =
+      least(lit(top), floor(
+        (v.cast("double") - lo.cast("double")) /
+          ((hi.cast("double") - lo.cast("double")) + lit(1e-12)) * (1L << bits))
+        .cast("long"))
+    val ca = cell(a, aMin, aMax)
+    val cb = cell(b, bMin, bMax)
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(ca, i).bitwiseAND(1L), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(cb, i).bitwiseAND(1L), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustered write on TWO dimensions: range-partition + sort
+    * by the interleaved Morton value, so every output file covers a
+    * small axis-aligned box in (dimA, dimB) space and parquet min/max
+    * footers prune files for selective predicates on EITHER column (or
+    * both) — what 1-D range clustering cannot give the second
+    * dimension. This is the layout Delta's OPTIMIZE ZORDER BY and
+    * Iceberg's sort-order rewrite maintain at lake scale. */
+  def zorderClusteredWrite(df: DataFrame, colA: String, colB: String,
+      numFiles: Int, outDir: String, bits: Int = 16): Unit = {
+    val bounds = df.agg(
+      min(col(colA)).as("a_min"), max(col(colA)).as("a_max"),
+      min(col(colB)).as("b_min"), max(col(colB)).as("b_max"))
+    df.join(broadcast(bounds), lit(true))
+      .withColumn("__z", zValue(col(colA), col(colB),
+        col("a_min"), col("a_max"), col("b_min"), col("b_max"), bits))
+      .drop("a_min", "a_max", "b_min", "b_max")
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
 }

@@ -71,6 +71,24 @@ object LayoutQueries {
       s.read.parquet(out)
         .filter(col("o_orderkey").between(1000, 5000))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    // Z-order clustered write + two-sided box read-back: the Morton
+    // interleave gives BOTH columns tight per-file min/max footers
+    // (box-skip asserted in LayoutSpec); content parity checked here
+    QueryDef(
+      "layout_zorder",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 400
+        |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin) { (s, d) =>
+      val out = Tables.scratchDir("graft_zorder")
+      Layout.zorderClusteredWrite(
+        Tables.table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "o_custkey", "o_totalprice", numFiles = 16, outDir = out)
+      s.read.parquet(out)
+        .filter(col("o_custkey").between(100, 400) &&
+          col("o_totalprice").between(50000, 150000))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }
   )
 }

@@ -11,6 +11,21 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
+    // upper-triangle Gramian of the embedding matrix (the distributed
+    // half of PCA); chained-generator pipeline on the Spark side, flat
+    // unnest join on the oracle side, decimal-exact sums on both
+    QueryDef(
+      "embedding_gram",
+      """WITH flat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |  FROM embeddings)
+        |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+        |  CAST(sum(CAST(floor(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS g
+        |FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      EmbeddingAnalytics.gramian(
+        Tables.table(s, d, "embeddings"), col("embedding"))
+    },
     // embedding-cluster cohesion monitoring
     QueryDef(
       "embedding_label_cohesion",

@@ -45,4 +45,51 @@ class GraphSpec extends SparkSpec {
     val got = Graph.pageRank(edges, 3).collect().map(_.getLong(1)).toSeq
     assert(got == Seq(1000000L, 1000000L))
   }
+
+  /** All C(n,3) vertex triples with pairwise edges — the O(n³) truth. */
+  private def naiveTriangles(edges: Seq[(Long, Long)]): Long = {
+    val es = edges.map { case (u, v) => (u min v, u max v) }.toSet
+    val vs = es.flatMap { case (u, v) => Seq(u, v) }.toSeq.sorted
+    vs.combinations(3).count {
+      case Seq(x, y, z) => es((x, y)) && es((x, z)) && es((y, z))
+      case _            => false
+    }
+  }
+
+  test("degree-oriented triangle count matches the all-triples truth") {
+    import spark.implicits._
+    // two overlapping cliques K4{1..4} and K3{4,5,6}, a pendant, a
+    // 4-cycle (no triangle), and a hub touching everything once
+    val cliques =
+      (1L to 4L).combinations(2).map { case Seq(a, b) => (a, b) }.toSeq ++
+        Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L),
+          (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)) ++
+        (1L to 13L).map(i => (20L, i))
+    val got = Graph.triangleCount(cliques.toDF("u", "v")).head().getLong(0)
+    assert(got == naiveTriangles(cliques), s"got $got")
+    // K4 has 4 triangles, K3 one, hub closes one per clique edge (7+3... )
+    assert(got >= 5)
+  }
+
+  test("bfs computes min hop distances and leaves unreachable nodes out") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus shortcut 1-4; 9 isolated-from-seed
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (8L, 9L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got = Graph.bfs(edges, Seq(1L).toDF("node"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2))
+  }
+
+  test("bfs distances are frontier-order-independent across partitionings") {
+    import spark.implicits._
+    val und = (1L to 30L).map(i => (i, i % 30 + 1)) ++ Seq((1L, 15L), (7L, 22L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val seeds = Seq(1L, 20L).toDF("node")
+    val a = Graph.bfs(edges.toDF("src", "dst").repartition(1), seeds, 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val b = Graph.bfs(edges.toDF("src", "dst").repartition(11), seeds, 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

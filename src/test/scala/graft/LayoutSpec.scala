@@ -51,6 +51,41 @@ class LayoutSpec extends SparkSpec {
     Tables.deleteRecursive(out)
   }
 
+  test("z-order files prune a 2-D box better than 1-D clustering's second dimension") {
+    val src = Tables.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val zDir = Tables.scratchDir("spec_zorder")
+    val rDir = Tables.scratchDir("spec_zorder_1d")
+    Layout.zorderClusteredWrite(src, "o_custkey", "o_totalprice", 16, zDir)
+    Layout.rangeClusteredWrite(src, "o_custkey", 16, rDir)
+
+    // per-file [min,max] of a column, from the written files themselves
+    def ranges(dir: String, c: String): Seq[(Double, Double)] =
+      Layout.dataFiles(dir).map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+        (r.getDouble(0), r.getDouble(1))
+      }
+    def overlaps(rs: Seq[(Double, Double)], lo: Double, hi: Double): Int =
+      rs.count { case (mn, mx) => mx >= lo && mn <= hi }
+
+    // a PRICE-ONLY predicate: 1-D custkey clustering cannot skip any
+    // file for it, z-order must skip most
+    val zPrice = overlaps(ranges(zDir, "o_totalprice"), 50000, 100000)
+    val rPrice = overlaps(ranges(rDir, "o_totalprice"), 50000, 100000)
+    val zFiles = Layout.dataFiles(zDir).size
+    assert(rPrice >= 15, s"1-D layout unexpectedly skips price files ($rPrice)")
+    assert(zPrice <= zFiles / 2,
+      s"z-order should skip most files for a price slab: $zPrice of $zFiles overlap")
+    // and the first dimension still prunes: a narrow custkey slab
+    // touches a minority of z-ordered files
+    val custHi = src.agg(max("o_custkey")).head().getLong(0).toDouble
+    val zCust = overlaps(ranges(zDir, "o_custkey"), 1, custHi / 8)
+    assert(zCust <= zFiles / 2,
+      s"z-order should prune a custkey slab too: $zCust of $zFiles overlap")
+    Tables.deleteRecursive(zDir); Tables.deleteRecursive(rDir)
+  }
+
   test("cdc latest snapshot drops tombstoned keys and keeps max seq") {
     import spark.implicits._
     val ch = Seq(
