@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Dedup, Graph}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the iterative graph operators (docs/EXPERIMENTS.md):
+  * PageRank, connected components, and multi-source BFS over a
+  * deterministic synthetic multigraph generated entirely inside the
+  * engine (`spark.range` + Knuth multiplicative hashing — no data
+  * files, no driver-side materialization, same posture as the native
+  * Zipf source runs).
+  *
+  * Usage: runMain graft.GraphScale <nEdges> [nNodesDivisor=10] [cpus=32]
+  * Prints one JSON line per operator with wall seconds and output rows.
+  */
+object GraphScale {
+  def main(args: Array[String]): Unit = {
+    val nEdges = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val div = args.lift(1).map(_.toLong).getOrElse(10L)
+    val cpus = args.lift(2).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val nNodes = math.max(2L, nEdges / div)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-graph-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic pseudo-random directed multigraph: src is a block
+    // sweep (every node appears as a source, out-degree nEdges/nNodes),
+    // dst an xxhash64 scatter. A plain multiplicative hash mod nNodes
+    // would NOT work: for src = id % nNodes the lifts id + j·nNodes all
+    // map to the same dst ((K·nNodes) mod nNodes = 0) and the graph
+    // degenerates into a permutation — xxhash64 doesn't factor through
+    // id mod nNodes
+    def edges = spark.range(nEdges).select(
+      (col("id") % nNodes).as("src"),
+      pmod(xxhash64(col("id")), lit(nNodes)).as("dst"))
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","edges":$nEdges,"nodes":$nNodes,"sec":$s%.2f,"rows":$rows}""")
+      Console.out.flush()
+    }
+
+    timed("pagerank_6") {
+      Graph.pageRank(edges, iters = 6, edgesDistinct = false).count()
+    }
+    timed("bfs_6") {
+      val seeds = spark.range(5).select(col("id").as("node"))
+      Graph.bfs(edges.union(edges.select(col("dst").as("src"), col("src").as("dst"))),
+        seeds, maxHops = 6).count()
+    }
+    timed("connected_components") {
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+        edges.select(col("src").as("a"), col("dst").as("b")))
+      val n = labels.count()
+      println(s"""{"op":"cc_rounds","rounds":$rounds}""")
+      n
+    }
+    spark.stop()
+  }
+}

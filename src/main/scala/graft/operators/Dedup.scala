@@ -100,6 +100,31 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.8): DataFrame =
     jaccardVerify(shingles(docs, text, id, k), threshold)
 
+  /** Directional CONTAINMENT: |sh(inner) ∩ sh(outer)| / |sh(inner)| ≥
+    * threshold, ordered pairs. Jaccard misses sub-document duplication
+    * (a doc quoted inside a much larger one scores J ≈ |A|/|B| → 0);
+    * containment is the measure corpus pipelines use for quote and
+    * boilerplate detection. Same inverted-index shape as
+    * [[jaccardVerify]] — the join is bounded by shingle document
+    * frequency, never pairs × corpus; at production scale the pair
+    * generation drops in behind the LSH candidate index exactly like
+    * the Jaccard verify does. */
+  def containment(docs: DataFrame, text: Column, id: Column,
+      k: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val sh = shingles(docs, text, id, k)
+    val a = sh.select(col("doc_id").as("inner_doc"), col("s"))
+    val b = sh.select(col("doc_id").as("outer_doc"), col("s"))
+    val inter = a.join(b, Seq("s"))
+      .filter(col("inner_doc") =!= col("outer_doc"))
+      .groupBy("inner_doc", "outer_doc").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes(sh).select(col("doc_id").as("inner_doc"), col("n")), Seq("inner_doc"))
+      .withColumn("containment", col("c").cast("double") / col("n"))
+      .filter(col("containment") >= threshold)
+      .select(col("inner_doc"), col("outer_doc"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** MinHash signatures: numHashes mins per doc in one pass over the
     * inverted index (map-side combinable). The hash family is
     * Carter-Wegman: h_k(s) = h1(s) + k·h2(s) over two base xxhash64

@@ -78,6 +78,37 @@ object AdvancedQueries {
             .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
     },
+    // TPC-H Q9-shaped product-type profit: part-filtered lineitem fact
+    // chain to (nation, year) — the classic join-order probe with a
+    // LIKE-filtered dim (part is filtered BEFORE the join, so Catalyst
+    // broadcasts the 13% survivor set and the fact chain shuffles only
+    // on l_orderkey); profit accumulates in exact decimal
+    QueryDef(
+      "q9_product_profit",
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%re%'
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+      val p = Tables.table(s, d, "part").filter(col("p_name").like("%re%"))
+      val sup = Tables.table(s, d, "supplier")
+      val o = Tables.table(s, d, "orders")
+      val n = Tables.table(s, d, "nation")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name").as("nation"), year(o("o_orderdate")).as("o_year"))
+        .agg(
+          sum(li("l_extendedprice").cast(dec) * (lit(1) - li("l_discount").cast(dec)))
+            .cast("double").as("profit"),
+          count(lit(1)).as("n_lines"))
+    },
     // correlated scalar subquery: customers above their nation's mean
     QueryDef(
       "subquery_above_nation_avg",
@@ -186,6 +217,39 @@ object AdvancedQueries {
       stream.withColumn("asof", last(col("okey"), ignoreNulls = true).over(w))
         .filter(col("kind") === 1 && col("asof").isNotNull)
         .select(col("event_id"), col("asof").as("asof_orderkey"))
+    },
+    // FORWARD as-of: for each ORDER, the customer's EARLIEST event at
+    // or after the order date ("next session after purchase") — the
+    // same union-merge, scanned in descending time order so the
+    // carried-forward row is always the nearest future one. Same
+    // single-shuffle/no-pair-set shape as the backward form; kind 0
+    // before 1 at a tied instant keeps >= inclusive, event_id DESC
+    // makes the smallest event win the same-instant tie
+    QueryDef(
+      "join_asof_forward",
+      """WITH pairs AS (
+        |  SELECT o.o_orderkey, e.event_id,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |      ORDER BY epoch_us(e.ts) ASC, e.event_id) AS rn
+        |  FROM orders o JOIN events e
+        |    ON e.user_id = o.o_custkey AND epoch_us(e.ts) >= epoch_us(o.o_orderdate))
+        |SELECT o_orderkey, event_id AS next_event_id FROM pairs WHERE rn = 1""".stripMargin) { (s, d) =>
+      val e = Tables.table(s, d, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("eus"))
+      val o = Tables.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
+      val stream = e.select(col("user_id").as("uid"), col("eus").as("t"),
+          lit(0).as("kind"), col("event_id").as("ekey"),
+          lit(null).cast("long").as("o_orderkey"))
+        .unionByName(o.select(col("o_custkey").as("uid"), col("ous").as("t"),
+          lit(1).as("kind"), lit(null).cast("long").as("ekey"), col("o_orderkey")))
+      val w = Window.partitionBy(col("uid"))
+        .orderBy(col("t").desc, col("kind"), col("ekey").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      stream.withColumn("nxt", last(col("ekey"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("nxt").isNotNull)
+        .select(col("o_orderkey"), col("nxt").as("next_event_id"))
     }
   )
 }

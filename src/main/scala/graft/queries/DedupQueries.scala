@@ -71,6 +71,24 @@ object DedupQueries {
     QueryDef("dedup_ngram_jaccard", jaccardOracle) { (s, d) =>
       Dedup.ngramJaccard(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
     },
+    // directional containment (sub-document duplication): ordered pairs
+    // where ≥90% of the inner doc's shingles appear in the outer doc
+    QueryDef(
+      "dedup_containment",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ob, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT ia AS inner_doc, ob AS outer_doc,
+        |  round(CAST(c AS DOUBLE) / sa.n, 6) AS containment
+        |FROM inter JOIN sz sa ON sa.doc_id = ia
+        |WHERE CAST(c AS DOUBLE) / sa.n >= 0.9""".stripMargin) { (s, d) =>
+      Dedup.containment(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
+    },
     QueryDef("dedup_minhash_lsh", jaccardOracle) { (s, d) =>
       Dedup.minhashLsh(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
     },

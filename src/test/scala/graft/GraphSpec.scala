@@ -81,6 +81,25 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2))
   }
 
+  test("triangle count matches the all-triples truth on random graphs (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // random undirected graphs: 18 nodes, each possible edge kept i.i.d.
+    val pairs = (1L to 18L).combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val mask = Gen.listOfN(pairs.size, Gen.chooseNum(0, 99))
+    for (i <- 0 until 6) {
+      val keep = mask.apply(Gen.Parameters.default, Seed(5000 + i)).get
+      val p = 15 + 10 * i // densities 15%..65%
+      val edges = pairs.zip(keep).collect { case (e, m) if m < p => e }
+      if (edges.nonEmpty) {
+        val got = Graph.triangleCount(edges.toDF("u", "v")).head().getLong(0)
+        val want = naiveTriangles(edges)
+        assert(got == want, s"density $p%: got $got want $want")
+      }
+    }
+  }
+
   test("bfs distances are frontier-order-independent across partitionings") {
     import spark.implicits._
     val und = (1L to 30L).map(i => (i, i % 30 + 1)) ++ Seq((1L, 15L), (7L, 22L))
