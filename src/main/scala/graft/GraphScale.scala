@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * files, no driver-side materialization, same posture as the native
   * Zipf source runs).
   *
-  * Usage: runMain graft.GraphScale <nEdges> [nNodesDivisor=10] [cpus=32]
+  * Usage: runMain graft.GraphScale <nEdges> [nNodesDivisor=10] [cpus=32] [zipfSkew=0]
+  * With zipfSkew > 0 the destination degrees follow Zipf(s) (the G3
+  * quantile sweep) — node 0 is a hub receiving ~1/H(n,s) of ALL edges.
   * Prints one JSON line per operator with wall seconds and output rows.
   */
 object GraphScale {
@@ -19,6 +21,7 @@ object GraphScale {
     val nEdges = args.headOption.map(_.toLong).getOrElse(1000000L)
     val div = args.lift(1).map(_.toLong).getOrElse(10L)
     val cpus = args.lift(2).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val skew = args.lift(3).map(_.toDouble).getOrElse(0.0)
     val nNodes = math.max(2L, nEdges / div)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,9 +39,21 @@ object GraphScale {
     // map to the same dst ((K·nNodes) mod nNodes = 0) and the graph
     // degenerates into a permutation — xxhash64 doesn't factor through
     // id mod nNodes
-    def edges = spark.range(nEdges).select(
-      (col("id") % nNodes).as("src"),
-      pmod(xxhash64(col("id")), lit(nNodes)).as("dst"))
+    val edgePlan =
+      if (skew > 0)
+        // Zipf in-degrees: dst = G3 quantile-sweep key (hub = node 0),
+        // src = hash scatter of the row id (decorrelated from the
+        // key-sorted rid order)
+        graft.datagen.DataGen.zipfTable(spark, nEdges, nNodes, skew)
+          .select(pmod(xxhash64(col("rid")), lit(nNodes)).as("src"),
+            (col("key") - 1).as("dst"))
+      else spark.range(nEdges).select(
+        (col("id") % nNodes).as("src"),
+        pmod(xxhash64(col("id")), lit(nNodes)).as("dst"))
+    // materialize generation OUTSIDE the timed region so operator
+    // timings are comparable across generator modes (the Zipf sweep's
+    // window-cumsum + explode is generator cost, not graph cost)
+    val (edges, _, _) = graft.operators.Iterate.ckpt(edgePlan)
 
     def timed(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()

@@ -51,10 +51,17 @@ object CorpusOps {
     * prefix of the mix is selected by a plain `pos` filter, not a
     * global sort-limit. */
   def interleave(df: DataFrame, source: Column, order: Column, weight: Column): DataFrame =
-    df.withColumn("w", weight)
-      .withColumn("rn",
+    // __-prefixed internals (quotaMix convention) so a caller's own
+    // w/rn columns survive; rn is widened to BIGINT BEFORE the
+    // multiply — row_number() is IntegerType and (2·rn−1)·10⁶
+    // overflows 32 bits at rn ≥ 1074 (ANSI mode would throw on any
+    // source past ~1k rows)
+    df.withColumn("__w", weight)
+      .withColumn("__rn",
         row_number().over(Window.partitionBy(source).orderBy(order)))
-      .withColumn("pos", expr("CAST(((2 * rn - 1) * 1000000) div (2 * w) AS BIGINT)"))
+      .withColumn("pos",
+        expr("CAST(((2 * CAST(__rn AS BIGINT) - 1) * 1000000) div (2 * __w) AS BIGINT)"))
+      .drop("__w", "__rn")
 
   /** Context-window packing ("concatenate then chunk", the standard
     * packed-dataset construction): documents in id order are laid

@@ -169,15 +169,23 @@ object Dedup {
 
   def minhashBandsFor(numHashes: Int, rows: Int): Int = numHashes / rows
 
-  /** LSH candidate pairs from banded signatures. */
-  def lshCandidates(sigs: DataFrame, numHashes: Int = 128, rows: Int = 4): DataFrame = {
+  /** Banded band-hash buckets per doc: (doc_id, band, h) — the shared
+    * LSH index construction used by both the batch candidate join and
+    * the incremental delta-vs-corpus join (one definition, so the
+    * stored-corpus index and a delta's banding can never drift). */
+  def bandedBuckets(sigs: DataFrame, numHashes: Int, rows: Int): DataFrame = {
     val bands = minhashBandsFor(numHashes, rows)
     val bandCols = (0 until bands).map { bId =>
       struct(lit(bId).as("band"),
         xxhash64((bId * rows until (bId + 1) * rows).map(i => col(s"m$i")): _*).as("h"))
     }
-    val exploded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
+  /** LSH candidate pairs from banded signatures. */
+  def lshCandidates(sigs: DataFrame, numHashes: Int = 128, rows: Int = 4): DataFrame = {
+    val exploded = bandedBuckets(sigs, numHashes, rows)
     exploded.alias("x").join(exploded.alias("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -317,15 +325,7 @@ object Dedup {
       numHashes: Int = 64, rows: Int = 4): DataFrame = {
     val shBase = shingles(base, text, id, k)
     val shDelta = shingles(delta, text, id, k)
-    def bands(sigs: DataFrame): DataFrame = {
-      val nBands = minhashBandsFor(numHashes, rows)
-      val bandCols = (0 until nBands).map { bId =>
-        struct(lit(bId).as("band"),
-          xxhash64((bId * rows until (bId + 1) * rows).map(i => col(s"m$i")): _*).as("h"))
-      }
-      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
-        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    }
+    def bands(sigs: DataFrame): DataFrame = bandedBuckets(sigs, numHashes, rows)
     val cands = bands(minhashSignatures(shDelta, numHashes)).alias("x")
       .join(bands(minhashSignatures(shBase, numHashes)).alias("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h"))

@@ -49,10 +49,10 @@ object Graph {
     val e = if (edgesDistinct) e0 else e0.distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) materialized once, reused by every round
-    val (edC, _) = ckpt(e.join(deg, "src"))
+    val (edC, edRdd) = ckpt(e.join(deg, "src"))
     // nodes materialized once too — left lazy it would re-run a full
     // edge-list distinct inside EVERY round's plan (6× the edge scan)
-    val (nodes, _) = ckpt(edC.select(col("src").as("node")).distinct())
+    val (nodes, nodesRdd) = ckpt(edC.select(col("src").as("node")).distinct())
 
     var ranks = nodes.withColumn("rank", lit(scale))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
@@ -60,13 +60,27 @@ object Graph {
       val contribs = edC.join(ranks, edC("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
+      // (damping·s) div scale via the exact identity
+      //   damping·(q·scale + r) div scale = damping·q + (damping·r) div scale
+      // — the naive product overflows BIGINT under ANSI mode once a hub
+      // accumulates ~1.1e13 micro-units (a 10^7-in-degree hub at full
+      // rank, i.e. exactly the Zipf-hub regime at billion-node scale);
+      // each decomposed term stays under 2^63 up to ~10^13 nodes
       val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          expr(s"CAST($base + ($damping * coalesce(s, 0)) div $scale AS BIGINT)").as("rank"))
+          expr(s"CAST($base + $damping * (coalesce(s, 0) div $scale) " +
+            s"+ ($damping * (coalesce(s, 0) % $scale)) div $scale AS BIGINT)").as("rank"))
       val (nextDf, rdd) = ckpt(next)
       if (prevRdd != null) prevRdd.unpersist(blocking = false): Unit
       ranks = nextDf
       prevRdd = rdd
+    }
+    // the returned ranks frame reads its OWN checkpoint blocks only —
+    // free the edge-list/nodes copies now rather than leaking them for
+    // the session lifetime (the round-2 block-manager-leak class)
+    if (iters > 0) {
+      edRdd.unpersist(blocking = false): Unit
+      nodesRdd.unpersist(blocking = false): Unit
     }
     ranks
   }
@@ -125,7 +139,7 @@ object Graph {
     * row per reached node) is the only per-round state, checkpointed
     * with superseded blocks freed (Iterate.ckpt). */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val (eC, _, _) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    val (eC, eRdd, _) = Iterate.ckpt(edges.select(col("src"), col("dst")))
     var (dist, distRdd, _) =
       Iterate.ckpt(seeds.select(col("node")).distinct().withColumn("dist", lit(0)))
     for (i <- 1 to maxHops) {
@@ -138,6 +152,8 @@ object Graph {
       dist = m
       distRdd = mRdd
     }
+    // final dist reads only its own checkpoint — free the edge copy
+    eRdd.unpersist(blocking = false): Unit
     dist
   }
 }

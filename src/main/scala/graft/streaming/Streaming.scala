@@ -330,6 +330,20 @@ object Streaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val cur = new java.io.File(stateDir)
+        // crash recovery: a death between "delete old state" and
+        // "rename new version into place" leaves only state_v<N> on
+        // disk — complete the interrupted swap before merging. The
+        // checkpoint then REPLAYS batch N against it, which is safe:
+        // the merge is an argmax over unique seq (tombstones kept), so
+        // re-merging already-applied records is idempotent
+        if (!cur.exists()) {
+          val vs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith("state_v"))
+          if (vs.nonEmpty) {
+            val newest = vs.maxBy(_.getName.stripPrefix("state_v").toLong)
+            require(newest.renameTo(cur), s"state recovery failed at batch $batchId")
+          }
+        }
         val merged = (if (cur.exists()) batch.unionByName(s.read.parquet(stateDir)) else batch)
           .groupBy("key").agg(max_by(payload, col("seq")).as("last"))
           .select(col("key"), col("last.seq").as("seq"), col("last.op").as("op"),
