@@ -229,4 +229,25 @@ class ScaleSpec extends SparkSpec {
     val s = df.queryExecution.executedPlan.toString()
     assert(!s.contains("CartesianProduct"), "LSH dedup must not plan a cartesian product")
   }
+
+  test("q9 profit rollup broadcasts the filtered dims; fact chain shuffle-joins once") {
+    val df = SparkEntry.queries("q9_product_profit")(spark, sf)
+    df.collect(): Unit // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString()
+    // part/supplier/nation ride broadcast; only the lineitem⋈orders
+    // fact join may shuffle — at 100 TB that is the whole ballgame
+    assert(plan.contains("BroadcastHashJoin"), "filtered dims must broadcast")
+    val shuffleJoins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shuffleJoins <= 1, s"fact chain should shuffle-join at most once, saw $shuffleJoins")
+  }
+
+  test("embedding gramian plans generators + aggregation, never a self-join") {
+    val df = SparkEntry.queries("embedding_gram")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    // the d(d+1)/2 pair products come from chained Generate nodes in a
+    // single pipelined scan; a join would shuffle the corpus twice
+    assert(plan.contains("Generate"), "pair products must come from generators")
+    assert(!plan.contains("Join"), s"gramian must not self-join")
+    assert(plan.contains("HashAggregate"), "partial aggregation expected")
+  }
 }
