@@ -11,6 +11,16 @@ import graft.streaming.Streaming
 object StreamingQueries {
 
   val all: Seq[QueryDef] = Seq(
+    // stream-static enrichment: per-batch broadcast hash join against
+    // the customer dim (stateless), stateful agg downstream
+    QueryDef(
+      "stream_enrich_static",
+      """SELECT c_nationkey, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      Streaming.streamEnrichStatic(s, d)
+    },
     QueryDef(
       "stream_window_agg",
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,

@@ -308,6 +308,23 @@ object Streaming {
       .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"))
   }
 
+  /** Stream-static enrichment — the most common streaming join at
+    * scale: each micro-batch hash-joins against a BROADCAST dimension
+    * snapshot (stateless — no watermarks, no join state store; the dim
+    * is re-broadcast per batch, which is why production dims for this
+    * pattern are curated small/mid tables, not facts). Aggregation
+    * downstream is the usual stateful piece. */
+  def streamEnrichStatic(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = graft.sources.Tables.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val enriched = eventsStream(spark, sfDir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    runToMemory(spark, enriched, s"enrich_${System.nanoTime()}", OutputMode.Complete())
+  }
+
   /** Streaming CDC apply — foreachBatch upsert-merge into a versioned
     * parquet state directory: each micro-batch of change records is
     * merged with the current snapshot by `groupBy(key).max_by(seq)`
