@@ -45,6 +45,7 @@ object Graft {
   def configure(spark: SparkSession): SparkSession = {
     GraftFunctions.register(spark)
     ZipfSource.install(spark)
+    plans.ArgmaxRewrite.install(spark)
     spark
   }
 

@@ -162,6 +162,7 @@ object ZipfStrategy extends SparkStrategy {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => ZipfStrategy)
+    e.injectOptimizerRule(_ => ArgmaxRewrite)
   }
 }
 

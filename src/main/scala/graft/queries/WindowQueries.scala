@@ -25,6 +25,26 @@ object WindowQueries {
   private val dec = "decimal(18,2)"
 
   val all: Seq[QueryDef] = Seq(
+    // first event per user, written in the row_number top-1 window idiom
+    // — the injected plans.ArgmaxRewrite optimizer rule plans it as a
+    // min_by aggregation (map-side partial agg, no WindowExec, no
+    // per-group sort); ArgmaxRewriteSpec pins the plan shape and the
+    // rule-off equality, this entry pins end-to-end semantics vs DuckDB
+    QueryDef(
+      "window_top1_rewrite",
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin) { (s, d) =>
+      graft.plans.ArgmaxRewrite.install(s)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      Tables.table(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    },
     // ranking trio over a deterministic total order
     QueryDef(
       "window_rank",
