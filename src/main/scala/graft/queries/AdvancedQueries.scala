@@ -109,6 +109,58 @@ object AdvancedQueries {
             .cast("double").as("profit"),
           count(lit(1)).as("n_lines"))
     },
+    // TPC-H Q10-shaped returned-item report: date-windowed orders ⋈
+    // returnflag-filtered lineitem ⋈ customer ⋈ broadcast nation, wide
+    // GROUP BY, deterministic top-20 (TakeOrderedAndProject — no global
+    // sort at scale)
+    QueryDef(
+      "q10_returned_items",
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  round(c_acctbal, 2) AS acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val c = Tables.table(s, d, "customer")
+      val o = Tables.table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1996-04-01").cast("date"))
+      val li = Tables.table(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      val n = Tables.table(s, d, "nation")
+      o.join(li, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(c("c_custkey"), c("c_name"), c("c_acctbal"), n("n_name"))
+        .agg(sum(li("l_extendedprice").cast(dec) * (lit(1) - li("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    // correlated LATERAL subquery with per-group ORDER BY + LIMIT — the
+    // SQL surface for top-n-per-group; Catalyst decorrelates it (there
+    // is no per-nation re-execution: the inner query becomes a single
+    // distributed rank-limit over customer)
+    QueryDef(
+      "join_lateral_topn",
+      """SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin) { (s, d) =>
+      graft.Graft.registerViews(s, d)
+      s.sql(
+        """SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal
+          |FROM nation, LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)
+    },
     // correlated scalar subquery: customers above their nation's mean
     QueryDef(
       "subquery_above_nation_avg",
