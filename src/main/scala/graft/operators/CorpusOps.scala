@@ -214,6 +214,62 @@ object CorpusOps {
       .drop("__sid", "__sk", "__part")
   }
 
+  /** Per-source distribution drift: KL(P_source ‖ P_corpus) over token
+    * unigram distributions — the standard "is this source unlike the
+    * rest of the corpus" monitor in a data pipeline (spiking KL flags
+    * format breaks, language shifts, spam injection).
+    *
+    * Every per-token log ratio is rounded to 6 dp and the weighted sum
+    * accumulates DECIMAL (the [[unigramLogProb]] determinism contract),
+    * so output is order-independent and engine-reproducible. Plan shape:
+    * ONE corpus tokenize → (source, token) counts; source totals, corpus
+    * token totals, and the grand total all re-aggregate that table (the
+    * shuffled partial-agg Exchange is shared via ReuseExchange — the
+    * corpus is scanned once); the scoring join is vocabulary-sized. KL
+    * is well-defined because every source token occurs in the corpus
+    * distribution by construction. */
+  def sourceDrift(docs: DataFrame, text: Column, source: Column): DataFrame = {
+    val tok = docs.select(source.as("source"), explode(TextAnalysis.tokens(text)).as("t"))
+    val cs = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val ns = cs.groupBy("source").agg(sum(col("c")).as("n"))
+    val ct = cs.groupBy("t").agg(sum(col("c")).as("c_all"))
+    val nt = ct.agg(sum(col("c_all")).as("n_all"))
+    // (c·N) and (c_all·n_s) stay < 2^53: exact in long AND after the
+    // double cast, so both engines compute the identical ratio
+    val term = round(log10((col("c") * col("n_all")).cast("double") /
+      (col("c_all") * col("n")).cast("double")), 6).cast("decimal(18,6)")
+    cs.join(ct, Seq("t"))
+      .join(broadcast(ns), Seq("source"))
+      .join(broadcast(nt), lit(true))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("c").cast("decimal(18,0)") * term).cast("double").as("__kl_num"))
+      .select(col("source"), (col("__kl_num") / col("n")).as("kl"),
+        col("n").cast("long").as("n_tokens"))
+  }
+
+  /** Weighted sampling WITHOUT replacement, deterministic: the
+    * Efraimidis–Spirakis A-ES scheme (each row gets key = u^(1/w) for
+    * uniform u; the k largest keys are an exact weight-proportional
+    * sample) with the uniform drawn from md5(id) instead of an RNG —
+    * reproducible across runs, partitionings, and engines, like every
+    * sampler in this module. One scan + one TakeOrdered(k): no shuffle
+    * of the corpus, the top-k heap merges per-partition (the 100 TB
+    * shape — contrast `orderBy(key).limit(k)`, which would global-sort).
+    * Ties (astronomically unlikely with 32-bit u) break by id.
+    * `weight` must be a positive number. */
+  def weightedTopKSample(df: DataFrame, id: Column, weight: Column, k: Int): DataFrame = {
+    // first 8 md5 hex chars → uniform in [0,1) with 2^32 resolution;
+    // the same expression is writable in any engine with md5() (the
+    // oracle uses DuckDB's hex cast) — double pow is IEEE on both
+    val u = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    df.withColumn("__wkey", pow(u, lit(1.0) / weight.cast("double")))
+      .withColumn("__wid", id)
+      .orderBy(col("__wkey").desc, col("__wid"))
+      .limit(k)
+      .drop("__wkey", "__wid")
+  }
+
   /** Corpus-unigram log-probability score per document (the cheap
     * LM-quality proxy): mean log10 of each token's corpus frequency.
     * Token logs are rounded to 6 dp BEFORE the per-doc sum and the sum

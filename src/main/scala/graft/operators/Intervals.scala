@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval analytics over event streams: the sweep-line family
+  * (max-concurrency / peak-load), built scale-first.
+  *
+  * The textbook formulation is a +1/−1 point list with a running sum
+  * under `Window.partitionBy(group).orderBy(t)` — but that funnels every
+  * row of a group through ONE task (the same global-window trap
+  * [[CorpusOps.packBins]] avoids), and a group here is typically "one
+  * event type over the whole corpus". Instead the sweep runs as a
+  * distributed two-pass prefix sum over TIME buckets:
+  *
+  *  1. points are bucketed by an explicit monotone function of t
+  *     (min/max from one tiny agg job — reproducible across jobs, unlike
+  *     `spark_partition_id()`; see the round-2 ADVICE note on packBins);
+  *  2. per-(group, bucket) delta totals — a rows→(G×B) aggregation that
+  *     combines map-side — are turned into per-bucket starting offsets
+  *     with a window over that TINY table (G×B rows, nothing collected
+  *     to the driver);
+  *  3. offsets broadcast-join back and an ordinary per-(group, bucket)
+  *     window finishes the running sum in parallel.
+  *
+  * Every stage is parallel and partition-count-independent; the only
+  * serial state is the G×B offset table. */
+object Intervals {
+
+  /** Peak concurrent intervals per group. Intervals are half-open
+    * `[start, end)`: an interval ending at t frees its slot before one
+    * starting at t occupies it (the −1 sorts before the +1). `start`/
+    * `end` must cast to long (any monotone clock — epoch micros here);
+    * rows where either is null are ignored. Output: one row per group,
+    * `(group-column-name, max_concurrent)`. */
+  def maxConcurrency(df: DataFrame, group: Column, start: Column, end: Column): DataFrame = {
+    val groupName = df.select(group).columns.head
+    val pts = df
+      .filter(start.isNotNull && end.isNotNull)
+      .select(group.as("__g"), start.cast("long").as("__t"), lit(1).as("__d"))
+      .unionByName(df.filter(start.isNotNull && end.isNotNull)
+        .select(group.as("__g"), end.cast("long").as("__t"), lit(-1).as("__d")))
+    val bounds = pts.agg(min("__t"), max("__t")).head()
+    if (bounds.isNullAt(0))
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(groupName,
+            df.select(group).schema.head.dataType),
+          org.apache.spark.sql.types.StructField("max_concurrent",
+            org.apache.spark.sql.types.LongType))))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // double-space bucket arithmetic: monotone non-decreasing is the only
+    // property the prefix sum needs (same contract as packBins); ties at
+    // a bucket edge land in one bucket because the key is a function of
+    // t alone
+    val span = hi.toDouble - lo.toDouble + 1
+    val nBuckets = math.min(
+      df.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      math.max(1L, math.min(Long.MaxValue.toDouble, span).toLong))
+    val bucketed = pts.withColumn("__part",
+      least(lit(nBuckets - 1),
+        floor((col("__t").cast("double") - lo.toDouble) * nBuckets / span).cast("long")))
+    // pass 1: per-(group, bucket) totals — partial-aggregates map-side —
+    // then EXCLUSIVE prefix per group over the tiny G×B table
+    val wOff = Window.partitionBy("__g").orderBy("__part")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__g", "__part")
+      .agg(sum("__d").cast("long").as("__s"))
+      .withColumn("__off", coalesce(sum("__s").over(wOff), lit(0L)))
+      .select(col("__g").as("__og"), col("__part").as("__op"), col("__off"))
+    // pass 2: per-bucket running sum + bucket offset; −1 sorts before +1
+    // at equal t (half-open semantics); per-group max partial-aggregates
+    val wRun = Window.partitionBy("__g", "__part").orderBy("__t", "__d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets), col("__g") === col("__og") && col("__part") === col("__op"))
+      .withColumn("__run", sum(col("__d")).over(wRun).cast("long") + col("__off"))
+      .groupBy(col("__g").as(groupName))
+      .agg(max(col("__run")).as("max_concurrent"))
+  }
+
+  /** Time-series resampling: densify a per-(key, index) table onto the
+    * full integer index grid [min(idx), max(idx)] of each key, carrying
+    * the last observed `fillCol` forward into the gaps (the standard
+    * daily-rollup → continuous-series step).
+    *
+    * Output: every `daily` column (null on gap rows) + `<fillCol>_filled`
+    * + `is_gap`. Scale shape: the grid generation is one small per-key
+    * aggregate + an explode (output-proportional, no driver work), the
+    * join is co-partitioned on (key, idx), and the forward fill is a
+    * per-KEY window — the natural scale-out axis for time series.
+    * Caller contract: `idx` is an integer index (day number, hour
+    * number) and key spans are bounded — a key with observations eons
+    * apart explodes its span; clamp upstream. */
+  def forwardFillGrid(daily: DataFrame, key: String, idx: String, fillCol: String): DataFrame = {
+    val spans = daily.groupBy(col(key).as("__k"))
+      .agg(min(col(idx)).as("__lo"), max(col(idx)).as("__hi"))
+    val grid = spans.select(col("__k"), explode(sequence(col("__lo"), col("__hi"))).as("__i"))
+    // grid derives FROM daily, so this is a self-join: dataset-instance
+    // column refs (daily(fillCol)) would point at pre-dedup attribute
+    // ids and fail analysis — rename the right side's join keys and
+    // resolve everything by NAME after the join
+    val right = daily.withColumnRenamed(key, "__dk").withColumnRenamed(idx, "__di")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(right, col("__k") === col("__dk") && col("__i") === col("__di"), "left_outer")
+      .withColumn(s"${fillCol}_filled", last(col(fillCol), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col(fillCol).isNull)
+      .drop("__dk", "__di")
+      .withColumnRenamed("__k", key).withColumnRenamed("__i", idx)
+  }
+}

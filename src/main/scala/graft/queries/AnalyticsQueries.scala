@@ -102,6 +102,55 @@ object AnalyticsQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    // peak concurrency per event type (sweep line over 30-minute
+    // activity intervals): the oracle is the textbook single-window
+    // form; the engine runs [[Intervals.maxConcurrency]]'s distributed
+    // two-pass prefix sum — no per-group single-task window
+    QueryDef(
+      "events_concurrency",
+      """WITH pts AS (
+        |  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 1800000000 AS t, -1 FROM events),
+        |run AS (
+        |  SELECT event_type, CAST(sum(delta) OVER (PARTITION BY event_type
+        |    ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM pts)
+        |SELECT event_type, max(c) AS max_concurrent FROM run GROUP BY event_type""".stripMargin) { (s, d) =>
+      val e = Tables.table(s, d, "events")
+        .select(col("event_type"), expr("ts div 1000").as("tus"))
+      graft.operators.Intervals.maxConcurrency(e, col("event_type"),
+        col("tus"), col("tus") + 1800000000L)
+    },
+    // time-series gap fill: per-user daily rollup densified onto the
+    // full day grid with forward-filled values (Intervals.forwardFillGrid
+    // — per-key window, output-proportional grid, no driver work)
+    QueryDef(
+      "events_gap_fill",
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(range(min(day), max(day) + 1)) AS day
+        |  FROM daily GROUP BY user_id),
+        |j AS (
+        |  SELECT g.user_id, g.day, d.v, coalesce(d.n_events, 0) AS n_events,
+        |    d.v IS NULL AS is_gap
+        |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  n_events, is_gap
+        |FROM j""".stripMargin) { (s, d) =>
+      val daily = Tables.table(s, d, "events")
+        .groupBy(col("user_id"), expr("ts div 1000 div 86400000000").as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"),
+          count(lit(1)).as("n_events"))
+      graft.operators.Intervals.forwardFillGrid(daily, "user_id", "day", "v")
+        .select(col("user_id"), col("day"), col("v_filled"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"), col("is_gap"))
     }
   )
 }

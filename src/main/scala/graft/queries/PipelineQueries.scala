@@ -81,6 +81,22 @@ object PipelineQueries {
           when(col("source").isin("src0", "src1", "src2"), 80).otherwise(20))
         .select(col("doc_id"), col("source"))
     },
+    // weighted sampling without replacement (Efraimidis–Spirakis keys
+    // from md5-deterministic uniforms — longer docs proportionally more
+    // likely): one scan + TakeOrdered(k), no corpus shuffle
+    QueryDef(
+      "pipeline_weighted_sample",
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0,
+        |        1.0 / n_chars) AS k
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars FROM keyed ORDER BY k DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      CorpusOps.weightedTopKSample(
+        Tables.table(s, d, "documents").filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), 50)
+    },
     // quota mixing: top-N per source under a total quality order
     QueryDef(
       "pipeline_quota_mix",

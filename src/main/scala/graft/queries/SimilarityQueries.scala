@@ -92,6 +92,19 @@ object SimilarityQueries {
       """SELECT doc_id, unnest(range(0, n_chars % 10 + 1)) AS frame_idx
         |FROM documents""".stripMargin) { (s, d) =>
       Multimodal.sampleFrames(Tables.table(s, d, "documents"))
+    },
+    // edit-distance similarity self-join (typo-class near-duplicates):
+    // symmetric-delete signatures → bucket join → exact levenshtein
+    // verify on candidates only (operators.StringSimilarity); the
+    // oracle is the O(n²) all-pairs form, which the engine never runs
+    QueryDef(
+      "join_editdistance",
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) { (s, d) =>
+      graft.operators.StringSimilarity.editDistanceSelfJoin(
+        Tables.table(s, d, "customer"), col("c_custkey"), col("c_name"), tau = 1)
     }
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.functions.GraftFunctions
-import graft.operators.TextAnalysis
+import graft.operators.{CorpusOps, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -125,6 +125,26 @@ object TextQueries {
         .agg(count(lit(1)).as("n_shingles"), countDistinct(col("s")).as("n_distinct"))
         .withColumn("rep_ratio",
           round(lit(1) - col("n_distinct").cast("double") / col("n_shingles"), 6))
+    },
+    // per-source distribution drift: KL(source ‖ corpus) over token
+    // unigrams (CorpusOps.sourceDrift — one corpus tokenize, decimal-
+    // stable scoring; the pipeline's source-health monitor)
+    QueryDef(
+      "text_source_drift",
+      """WITH tok AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |cs AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT source, sum(c) AS n FROM cs GROUP BY 1),
+        |ct AS (SELECT t, sum(c) AS c_all FROM cs GROUP BY 1),
+        |nt AS (SELECT sum(c_all) AS n_all FROM ct)
+        |SELECT cs.source,
+        |  CAST(CAST(sum(CAST(cs.c AS DECIMAL(18,0)) *
+        |      CAST(round(log10((cs.c * nt.n_all)::DOUBLE / (ct.c_all * ns.n)::DOUBLE), 6)
+        |        AS DECIMAL(18,6))) AS DOUBLE) / ns.n AS DOUBLE) AS kl,
+        |  CAST(ns.n AS BIGINT) AS n_tokens
+        |FROM cs JOIN ct USING (t) JOIN ns USING (source), nt
+        |GROUP BY cs.source, ns.n""".stripMargin) { (s, d) =>
+      CorpusOps.sourceDrift(Tables.table(s, d, "documents"), col("text"), col("source"))
     },
     // document fingerprinting: custom codegen'd rolling hash (the
     // Catalyst Expression) + md5 content hash. The oracle reproduces the

@@ -83,8 +83,8 @@ object TpchQueries {
         |JOIN customer ON c_custkey = o_custkey
         |JOIN nation n1 ON n1.n_nationkey = s_nationkey
         |JOIN nation n2 ON n2.n_nationkey = c_nationkey
-        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
         |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
       val li = Tables.table(s, d, "lineitem")
       val sup = Tables.table(s, d, "supplier")
@@ -94,7 +94,9 @@ object TpchQueries {
       // needs its own join; pre-filtering each copy to the two named
       // nations keeps the broadcast minimal and lets the disjunction
       // above prune the asymmetric combinations
-      val pair = Seq("NATION_1", "NATION_2")
+      // this pair has traffic in BOTH directions at every sf (incl. the
+      // sf0.001 smoke slice — NATION_1/2 were empty there)
+      val pair = Seq("NATION_13", "NATION_19")
       val n1 = Tables.table(s, d, "nation").filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
       val n2 = Tables.table(s, d, "nation").filter(col("n_name").isin(pair: _*))
@@ -104,8 +106,8 @@ object TpchQueries {
         .join(broadcast(c), c("c_custkey") === o("o_custkey"))
         .join(broadcast(n1), col("n1_key") === sup("s_nationkey"))
         .join(broadcast(n2), col("n2_key") === c("c_nationkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_13" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_13"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(li("l_shipdate")).as("l_year"))
         .agg(sum(disc(li)).cast("double").as("revenue"), count(lit(1)).as("n"))

@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{CorpusOps, Intervals, StringSimilarity}
+import org.apache.spark.sql.functions._
+
+/** Truth-table and invariance tests for the sweep-line, edit-distance
+  * join, and weighted-sample operators. */
+class MiscOpsSpec extends SparkSpec {
+
+  test("maxConcurrency matches brute-force on random intervals, any partitioning") {
+    import spark.implicits._
+    // deterministic pseudo-random intervals with heavy overlap
+    val rows = (0 until 400).map { i =>
+      val g = s"g${i % 3}"
+      val s0 = (i * 2654435761L) % 997
+      (g, s0, s0 + 1 + (i * 40503L) % 50)
+    }
+    val df = rows.toDF("g", "s", "e")
+    // brute force: concurrency at start point t = count of intervals
+    // [s,e) containing t; peak is attained at some start point
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map { case (_, t, _) =>
+        rs.count { case (_, s0, e0) => s0 <= t && t < e0 }
+      }.max.toLong
+    }
+    for (parts <- Seq(1, 3, 7)) {
+      val got = Intervals.maxConcurrency(df.repartition(parts), col("g"), col("s"), col("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"at $parts partitions")
+    }
+  }
+
+  test("maxConcurrency half-open semantics: touching intervals do not stack") {
+    import spark.implicits._
+    val df = Seq(("a", 0L, 10L), ("a", 10L, 20L), ("a", 20L, 30L)).toDF("g", "s", "e")
+    val got = Intervals.maxConcurrency(df, col("g"), col("s"), col("e")).head()
+    assert(got.getLong(1) == 1L, "[0,10) and [10,20) must not overlap")
+  }
+
+  test("editDistanceSelfJoin equals brute force: substitution, insert, delete, unicode") {
+    import spark.implicits._
+    val names = Seq(
+      "kitten", "sitten", "sittin", // substitution chain
+      "kitte", "kittens", // delete / insert from kitten
+      "café", "cafe", "cafés", // unicode substitution + insert
+      "", "a", // empty-string edge
+      "totally-different")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "s")
+    for (tau <- Seq(1, 2)) {
+      val got = StringSimilarity.editDistanceSelfJoin(df, col("id"), col("s"), tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = (for {
+        (a, i) <- names.zipWithIndex; (b, j) <- names.zipWithIndex if i < j
+        d = levDist(a, b) if d <= tau
+      } yield (i.toLong, j.toLong, d)).toSet
+      assert(got == brute, s"tau=$tau")
+    }
+  }
+
+  test("editDistanceSelfJoin signature volume is linear, never all-pairs") {
+    import spark.implicits._
+    // 200 ids, pairwise distance ≥ 2 apart except planted neighbors —
+    // candidate pairs must stay near the true-pair count, not n²/2
+    val df = (0 until 200).map(i => (i.toLong, f"item-$i%05d")).toDF("id", "s")
+    val out = StringSimilarity.editDistanceSelfJoin(df, col("id"), col("s"), 1)
+    val truePairs = out.count()
+    // true pairs: ids differing in one digit position (zero-padded) —
+    // brute force the expectation
+    val brute = (for {
+      i <- 0 until 200; j <- (i + 1) until 200
+      if levDist(f"item-$i%05d", f"item-$j%05d") <= 1
+    } yield 1).size
+    assert(truePairs == brute)
+  }
+
+  test("weightedTopKSample is the exact A-ES top-k and partitioning-invariant") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, (i % 37) + 1)).toDF("doc_id", "w")
+    val ref = CorpusOps.weightedTopKSample(df, col("doc_id"), col("w"), 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(ref.size == 25)
+    val re = CorpusOps.weightedTopKSample(df.repartition(7), col("doc_id"), col("w"), 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(re == ref, "sample must not depend on partitioning")
+    // heavier rows must be overrepresented vs a uniform draw: mean
+    // weight of the sample strictly above the population mean
+    val all = (1 to 300).map(i => (i % 37) + 1)
+    val sampleMean = all.zipWithIndex.collect { case (w, i) if ref(i + 1L) => w }.sum / 25.0
+    assert(sampleMean > all.sum.toDouble / all.size)
+  }
+
+  test("forwardFillGrid densifies, carries last value, flags gaps") {
+    import spark.implicits._
+    // key a: days 10..15 with observations at 10,11,14 (double gap 12-13,
+    // gap 15 absent because grid ends at the LAST observation);
+    // key b: single observation (degenerate 1-day grid)
+    val daily = Seq(("a", 10L, 1.0), ("a", 11L, 2.0), ("a", 14L, 5.0), ("b", 99L, 7.0))
+      .toDF("k", "day", "v")
+    val got = Intervals.forwardFillGrid(daily, "k", "day", "v")
+      .select("k", "day", "v_filled", "is_gap")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    val expected = Set(
+      ("a", 10L, 1.0, false), ("a", 11L, 2.0, false),
+      ("a", 12L, 2.0, true), ("a", 13L, 2.0, true),
+      ("a", 14L, 5.0, false), ("b", 99L, 7.0, false))
+    assert(got == expected)
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+}
