@@ -74,13 +74,17 @@ object GraftFunctions {
     * them too:
     * `graft_rolling_hash(str)`, `graft_dot(arr, arr)`,
     * `graft_simhash(hash, weight)`,
-    * `graft_misra_gries(item, k)` (k a foldable int literal). */
+    * `graft_misra_gries(item, k)` (k a foldable int literal),
+    * `graft_cms_estimate(sketch, item)` (probe for the builtin
+    * `count_min_sketch` aggregate's binary output). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cms_estimate", exprs => CmsEstimate(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash",
       exprs => SimHashAgg(exprs(0), exprs(1)).toAggregateExpression(), "built-in")

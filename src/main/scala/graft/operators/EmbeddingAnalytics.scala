@@ -19,6 +19,29 @@ object EmbeddingAnalytics {
 
   private val dec = "decimal(28,12)"
 
+  /** Per-dimension min-max int8 quantization — the vector-index
+    * compression step (4× over float32; IVF/PQ pipelines quantize
+    * exactly like this before building codebooks). Output is LONG form
+    * (vec_id, pos, q ∈ [0,255]) so downstream ops stay columnar.
+    *
+    * Deterministic across engines by construction: float→double widening
+    * is exact, and (v−lo)/(hi−lo)·255 uses only IEEE-exact-rounded
+    * ops — both engines floor the identical double. Degenerate
+    * dimensions (hi = lo) quantize to 0. Scale shape: one posexplode
+    * pass, per-dim stats partial-aggregate to d rows, broadcast back —
+    * the corpus shuffles once on pos. */
+  def quantizeInt8(emb: DataFrame, id: Column, vec: Column): DataFrame = {
+    val e = emb.select(id.as("vec_id"), posexplode(Dedup.asDouble(vec)).as(Seq("pos", "v")))
+    val st = e.groupBy(col("pos").as("__sp"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    e.join(broadcast(st), col("pos") === col("__sp"))
+      .select(col("vec_id"), col("pos"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255)).cast("long"))
+          .as("q"))
+  }
+
   /** (label, centroid: array<double>, n) — elementwise mean per label. */
   def labelCentroids(emb: DataFrame, vec: Column, label: Column): DataFrame = {
     val dims = emb.select(label.as("label"), posexplode(Dedup.asDouble(vec)).as(Seq("dim", "v")))

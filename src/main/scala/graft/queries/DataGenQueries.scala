@@ -93,6 +93,32 @@ object DataGenQueries {
       graft.operators.HeavyHitters.heavyHitters(
         DataGen.zipfTable(s, 10000, 100, 0.9), col("key"), k = 16)
     },
+    // count-min sketch build + probe: per-event-type CMS over user_id
+    // (the builtin aggregate), probed with the custom CmsEstimate
+    // Expression. The CMS guarantee is checked IN-ENGINE (estimate ≥
+    // exact always; ≤ exact + ⌈εN⌉ at 99% confidence — deterministic
+    // here: fixed data + fixed seed) and exported as a boolean the
+    // oracle asserts TRUE, the agg_approx_distinct envelope pattern;
+    // exact per-pair counts hash-match as normal columns.
+    QueryDef(
+      "sketch_count_min",
+      """WITH exact AS (SELECT event_type, user_id, count(*) AS n_exact
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, n_exact, TRUE AS within_bound
+        |FROM exact""".stripMargin) { (s, d) =>
+      val ev = graft.sources.Tables.table(s, d, "events")
+      val sk = ev.groupBy("event_type")
+        .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42)).as("cms"),
+          count(lit(1)).as("n_type"))
+      val exact = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("n_exact"))
+      exact.join(broadcast(sk), "event_type")
+        .withColumn("est",
+          graft.functions.CmsEstimate.estimate(col("cms"), col("user_id")))
+        .select(col("event_type"), col("user_id"), col("n_exact"),
+          (col("est") >= col("n_exact") &&
+            col("est") <= col("n_exact") + ceil(lit(0.001) * col("n_type")).cast("long"))
+            .as("within_bound"))
+    },
     // G6: skew-capacity predictor (single scalar row)
     QueryDef(
       "datagen_max_repeats",

@@ -26,6 +26,23 @@ object PipelineQueries {
       EmbeddingAnalytics.gramian(
         Tables.table(s, d, "embeddings"), col("embedding"))
     },
+    // per-dimension int8 quantization (vector-index compression):
+    // float→double widening is exact and the scale arithmetic is
+    // IEEE-exact-rounded, so both engines floor the identical double
+    QueryDef(
+      "embedding_quantize",
+      """WITH e AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings),
+        |st AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM e GROUP BY pos)
+        |SELECT e.vec_id, CAST(e.pos AS INT) AS pos,
+        |  CAST(CASE WHEN hi = lo THEN 0
+        |    ELSE least(255, floor((e.v - lo) / (hi - lo) * 255)) END AS BIGINT) AS q
+        |FROM e JOIN st ON e.pos = st.pos""".stripMargin) { (s, d) =>
+      EmbeddingAnalytics.quantizeInt8(
+        Tables.table(s, d, "embeddings"), col("vec_id"), col("embedding"))
+    },
     // embedding-cluster cohesion monitoring
     QueryDef(
       "embedding_label_cohesion",

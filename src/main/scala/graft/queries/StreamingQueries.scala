@@ -169,6 +169,27 @@ object StreamingQueries {
         |SELECT key, seq AS last_seq, attr AS last_event, amount AS last_value
         |FROM ranked WHERE rn = 1 AND op <> 'D'""".stripMargin) { (s, d) =>
       Streaming.streamUpsertSink(s, d)
+    },
+    // incremental view maintenance: the snapshot's grouped rollup
+    // (per last-attr: live keys + exact-decimal total) maintained from
+    // per-key deltas — per-batch work is O(changed keys), never a
+    // snapshot recompute; final state equals the batch query below
+    QueryDef(
+      "stream_incremental_agg",
+      """WITH ch AS (
+        |  SELECT user_id AS key, event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_type AS attr, value AS amount
+        |  FROM events),
+        |ranked AS (
+        |  SELECT key, seq, op, attr, amount,
+        |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |  FROM ch)
+        |SELECT attr, count(*) AS n_keys,
+        |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |GROUP BY attr""".stripMargin) { (s, d) =>
+      Streaming.streamIncrementalAgg(s, d)
     }
   )
 }

@@ -107,6 +107,27 @@ class MiscOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("CmsEstimate: probe never undercounts and is reachable from SQL") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // heavy skew: key 7 dominates — exactly where CMS collisions land
+    val items = ((1 to 5000).map(_ => 7L) ++ (1 to 2000).map(i => (i % 400).toLong))
+      .toDF("x")
+    items.createOrReplaceTempView("cms_items")
+    val checked = spark.sql(
+      """WITH sk AS (SELECT count_min_sketch(x, 0.01d, 0.95d, 1) AS s FROM cms_items),
+        |exact AS (SELECT x, count(*) AS c FROM cms_items GROUP BY x)
+        |SELECT exact.x, c, graft_cms_estimate(sk.s, exact.x) AS est
+        |FROM exact, sk""".stripMargin)
+    val rows = checked.collect()
+    assert(rows.length == 400) // keys 0..399; the hot key 7 is one of them
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)),
+      "count-min must never undercount")
+    // the hot key has no heavier colliders: its estimate is exact
+    val hot = rows.find(_.getLong(0) == 7L).get
+    assert(hot.getLong(2) >= 5000L)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

@@ -222,4 +222,16 @@ class SimStreamSpec extends SparkSpec {
       .orderBy("user_id").collect().map(_.toSeq)
     assert(streamed.sameElements(batch))
   }
+
+  test("incremental agg maintenance is slicing-invariant and exact") {
+    // the maintained aggregate must be BIT-equal however the changelog
+    // is sliced into batches (1 batch = degenerate full recompute;
+    // 6 batches = six retract/apply rounds over decimal state)
+    val one = graft.streaming.Streaming.streamIncrementalAgg(spark, sf, nFiles = 1)
+      .orderBy("attr").collect().map(_.toSeq)
+    val six = graft.streaming.Streaming.streamIncrementalAgg(spark, sf, nFiles = 6)
+      .orderBy("attr").collect().map(_.toSeq)
+    assert(one.sameElements(six))
+    assert(one.nonEmpty)
+  }
 }
