@@ -70,4 +70,19 @@ object Changelog {
       col("amount"))
       .withColumn("is_current", col("valid_to").isNull && col("op") =!= "D")
   }
+
+  /** Time travel: reconstruct the keyed table state AS OF each probe
+    * sequence point — the point-in-time join against the SCD2 validity
+    * intervals (`valid_from ≤ p < valid_to`, open version = NULL bound,
+    * tombstoned versions excluded). `probes` must be a SMALL relation
+    * (one column `as_of`): it broadcasts, so the history side streams
+    * through the interval filter with no shuffle at all — at 100 TB
+    * this is a map-only scan per reconstruction batch. Output:
+    * (as_of, key, attr, amount) per key live at that point. */
+  def asOfSnapshot(history: DataFrame, probes: DataFrame): DataFrame =
+    history.join(broadcast(probes),
+        col("valid_from") <= col("as_of") &&
+          (col("valid_to").isNull || col("valid_to") > col("as_of")))
+      .filter(col("op") =!= "D")
+      .select(col("as_of"), col("key"), col("attr"), col("amount"))
 }

@@ -42,6 +42,27 @@ object ChangelogQueries {
         |    AND op <> 'D') AS is_current
         |FROM ch""".stripMargin) { (s, d) =>
       Changelog.scd2History(Changelog.fromEvents(Tables.table(s, d, "events")))
+    },
+    // time travel: the table state AS OF three historical sequence
+    // points — a point-in-time join against the SCD2 validity
+    // intervals; probes broadcast, history streams map-only
+    QueryDef(
+      "cdc_time_travel",
+      s"""WITH $changelogSql,
+        |h AS (
+        |  SELECT key, seq AS valid_from,
+        |    lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to,
+        |    op, attr, amount
+        |  FROM ch),
+        |p AS (SELECT CAST(unnest([2500, 5000, 7500]) AS BIGINT) AS as_of)
+        |SELECT p.as_of, h.key, h.attr, h.amount
+        |FROM h JOIN p ON h.valid_from <= p.as_of
+        |  AND (h.valid_to IS NULL OR h.valid_to > p.as_of)
+        |WHERE h.op <> 'D'""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val history = Changelog.scd2History(
+        Changelog.fromEvents(Tables.table(s, d, "events")))
+      Changelog.asOfSnapshot(history, Seq(2500L, 5000L, 7500L).toDF("as_of"))
     }
   )
 }

@@ -119,6 +119,29 @@ object DataGenQueries {
             col("est") <= col("n_exact") + ceil(lit(0.001) * col("n_type")).cast("long"))
             .as("within_bound"))
     },
+    // HLL sketch ALGEBRA: per-(type, day) sketches unioned across days,
+    // then estimated — the pre-aggregated distinct-count architecture
+    // (store tiny daily sketches, answer any date-range distinct by
+    // union, never rescan raw events). Envelope asserted in-engine vs
+    // the exact distinct, exported as the oracle's TRUE boolean.
+    QueryDef(
+      "sketch_hll_union",
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      val ev = graft.sources.Tables.table(s, d, "events")
+        .select(col("event_type"), col("user_id"),
+          expr("ts div 1000 div 86400000000").as("day"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val est = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(broadcast(est), Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (col("n_est") * 100).between(col("n_exact") * 95, col("n_exact") * 105)
+            .as("within_5pct"))
+    },
     // G6: skew-capacity predictor (single scalar row)
     QueryDef(
       "datagen_max_repeats",

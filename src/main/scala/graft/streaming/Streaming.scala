@@ -403,6 +403,11 @@ object Streaming {
     val root = graft.sources.Tables.scratchDir("graft_incr_agg")
     val stateDir = s"$root/state"
     val dec = "decimal(18,2)"
+    // per-batch joins/aggs carry O(keys)=150 rows: size the shuffle to
+    // the state (same rationale as runToMemoryWithProgress), restore in
+    // the finally below
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val changes = graft.operators.Changelog.fromEvents(
       eventsArrivalStream(spark, sfDir, nFiles))
     val payload = struct(col("seq"), col("op"), col("attr"), col("amount"))
@@ -470,7 +475,11 @@ object Streaming {
       }
       .option("checkpointLocation", s"$root/ckpt")
       .start()
-    try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable(); q.processAllAvailable() }
+    finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.read.parquet(s"$stateDir/agg")
       .filter(col("n_keys") > 0)
       .select(col("attr"), col("n_keys"), col("total").cast("double").as("total"))
