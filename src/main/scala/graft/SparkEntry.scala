@@ -16,7 +16,8 @@ object SparkEntry {
       DataGenQueries.all ++ StreamingQueries.all ++ AdvancedQueries.all ++
       SourceQueries.all ++ ArrayStatQueries.all ++ PipelineQueries.all ++
       WindowSetQueries2.all ++ ChangelogQueries.all ++ LayoutQueries.all ++
-      GraphQueries.all ++ AnalyticsQueries.all ++ TpchQueries.all
+      GraphQueries.all ++ AnalyticsQueries.all ++ TpchQueries.all ++
+      CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

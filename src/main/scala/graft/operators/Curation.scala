@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the remaining steps of a large-scale
+  * training-data build that [[CorpusOps]]/[[Dedup]]/[[TextAnalysis]]
+  * don't cover: benchmark decontamination, retrieval chunking,
+  * reproducible splits/samples, distribution profiling and skew
+  * diagnostics (the thesis's §6.4 concern, generalized into a reusable
+  * operator: `/root/reference/thesis.pdf` studies join failure under
+  * Zipf skew; `skewProfile` is the measurement that predicts it).
+  *
+  * Everything is codegen'd Column arithmetic with an exact DuckDB twin;
+  * integer math is kept in ranges both engines compute identically
+  * (products bounded before division, floor-division only on
+  * nonnegative operands).
+  */
+object Curation {
+
+  /** Benchmark decontamination — flag corpus documents sharing any word
+    * k-shingle with a benchmark/eval set (the overlap check every
+    * training-data pipeline runs before a model sees the corpus;
+    * Brown et al. 2020 §4 style n-gram matching).
+    *
+    * Scale shape: the benchmark side is SMALL by construction (eval
+    * sets are thousands of docs), so its distinct shingle set is
+    * broadcast — the 100 TB corpus is scanned once, shingled by the
+    * fused [[graft.functions.ShingleGenerator]], hash-probed against
+    * the broadcast set, and partially aggregated map-side. No shuffle
+    * ever carries corpus shingles; the exchange moves one row per
+    * contaminated (doc, matched-count) pair.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      text: Column, id: Column, k: Int = 3): DataFrame = {
+    val corpusSh = Dedup.shingles(corpus, text, id, k)
+    val benchSh = Dedup.shingles(benchmark, text, id, k)
+      .select(col("s")).distinct()
+    corpusSh.join(broadcast(benchSh), Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Retrieval/context chunking: overlapping token windows of `window`
+    * tokens every `stride` tokens (stride < window ⇒ overlap), the
+    * standard RAG / long-context preprocessing step. Every token is
+    * covered; the final chunk is the only short one. Pure per-row
+    * generator arithmetic — embarrassingly parallel, no shuffle.
+    *
+    * Chunk count = 1 + ceil(max(0, n−window)/stride), computed as
+    * `(greatest(0, n−window) + stride−1) div stride` so the floor
+    * division only ever sees nonnegative operands (Spark `div`
+    * truncates toward zero, DuckDB `//` floors — equal only at ≥ 0).
+    */
+  def chunkOverlap(docs: DataFrame, text: Column, id: Column,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    docs
+      .select(id.as("doc_id"), TextAnalysis.tokens(text).as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(expr(
+          s"sequence(0, (greatest(0, n - $window) + ${stride - 1}) div $stride)")).as("i"))
+      .select(
+        col("doc_id"),
+        col("i").cast("long").as("chunk_idx"),
+        least(lit(window), col("n") - col("i") * stride).cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("w"), col("i") * stride + 1, lit(window))).as("chunk_text"))
+  }
+
+  /** Bag-of-words dedup: exact dedup on the SORTED token multiset —
+    * catches reordered/shuffled copies that byte-level
+    * [[Dedup.exact]] misses while staying a single hash aggregation
+    * (one shuffle keyed by content hash, same scale shape as exact
+    * dedup; sort_array is per-row CPU, not a shuffle).
+    */
+  def bagOfWords(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.groupBy(
+        md5(concat_ws(" ", sort_array(TextAnalysis.tokens(text)))).as("bow_md5"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Reproducible train/val/test assignment from the id alone —
+    * [[CorpusOps.sampleBucket]]'s multiplicative hash, split on fixed
+    * bucket thresholds. Stateless and deterministic: any worker, any
+    * partitioning, any engine assigns the same row the same split
+    * (the property that makes a split auditable at 100 TB — no stored
+    * assignment table, no RNG seed coordination).
+    */
+  def trainSplit(df: DataFrame, id: Column,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = CorpusOps.sampleBucket(id)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Weighted Bernoulli sampling: keep a row with probability
+    * proportional to a bounded integer weight (here: up-weight longer
+    * documents, capped). The coin is the id's multiplicative hash
+    * reduced mod 10⁶ against an integer threshold — exact, stateless,
+    * reproducible, one filter over one scan (the deterministic
+    * counterpart of A-Res weighted sampling for the common case where
+    * a rate, not an exact sample size, is specified).
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      maxWeight: Int, perWeightPpm: Int): DataFrame =
+    df.filter(
+      (id.cast("decimal(38,0)") * 2654435761L) % 4294967296L % 1000000L <
+        least(weight, lit(maxWeight)).cast("long") * perWeightPpm)
+
+  /** Robust per-group outlier profile: median + MAD (median absolute
+    * deviation) of a numeric column per group, plus the count outside
+    * median ± 3·MAD — the quality-filter statistic that, unlike
+    * mean/stddev, a few garbage documents cannot drag. Two grouped
+    * median aggregations + one count, all shuffled by the (bounded-
+    * cardinality) group key; medians over integers interpolate to
+    * dyadic rationals, bit-exact in both engines.
+    */
+  def madOutliers(df: DataFrame, group: Column, x: Column): DataFrame = {
+    val g = df.select(group.as("g"), x.cast("double").as("x"))
+    val med = g.groupBy("g").agg(median(col("x")).as("med"))
+    val dev = g.join(med, Seq("g"))
+      .withColumn("dev", abs(col("x") - col("med")))
+    val mad = dev.groupBy("g")
+      .agg(first(col("med")).as("med"), median(col("dev")).as("mad"))
+    dev.drop("med").join(mad, Seq("g"))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        count(when(abs(col("x") - col("med")) > lit(3) * col("mad"), 1)).as("n_outliers"))
+      .withColumnRenamed("g", "grp")
+  }
+
+  /** Key-distribution skew profile: key count, row count, hottest-key
+    * frequency and share (ppm), and the exact Gini coefficient (ppm) of
+    * the key-frequency distribution — the one-row diagnostic that says
+    * whether a join/aggregation on this key needs salting or AQE skew
+    * handling before you run it (the reference's sort-merge join died
+    * at Zipf s≈1.0, thesis §6.4; this operator is how you see that
+    * coming).
+    *
+    * Distributed shape: one aggregation keys→frequencies, then the
+    * rank-sum Σ i·cᵢ collapses through the FREQUENCY HISTOGRAM — tied
+    * frequencies occupy a contiguous rank block whose rank-sum is
+    * closed-form (v·(m·start + m(m+1)/2)) — so the only ordered pass
+    * runs over distinct frequency VALUES (≤ a few thousand even at
+    * 100 TB; frequencies collide massively), never over the key set.
+    * Sums run in DECIMAL(38,0): Σ i·cᵢ reaches n_keys²-scale and long
+    * overflow at ~10⁹ keys would throw under ANSI mode.
+    */
+  def skewProfile(df: DataFrame, key: Column): DataFrame = {
+    val f = df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+    val h = f.groupBy("c").agg(count(lit(1)).as("m"))
+    val h2 = h.withColumn("start",
+      coalesce(
+        sum(col("m")).over(
+          Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    // rank-sum of a tied block in DECIMAL(38,0) throughout: m·start and
+    // the triangular number m(m+1)/2 both reach n_keys² scale, far past
+    // long; the triangular term picks whichever of m, m+1 is even to
+    // halve BEFORE multiplying so no step ever needs a fractional scale
+    h2.agg(
+        sum(col("m")).cast("decimal(38,0)").as("nk"),
+        sum(col("c").cast("decimal(38,0)") * col("m")).cast("decimal(38,0)").as("nr"),
+        max(col("c")).as("maxf"),
+        sum(expr(
+          """CAST(c AS DECIMAL(38,0)) * (
+            |  CAST(m AS DECIMAL(38,0)) * start +
+            |  CASE WHEN m % 2 = 0 THEN CAST(m div 2 AS DECIMAL(38,0)) * (m + 1)
+            |       ELSE CAST(m AS DECIMAL(38,0)) * ((m + 1) div 2) END)""".stripMargin))
+          .as("s1"))
+      .select(
+        col("nk").cast("long").as("n_keys"),
+        col("nr").cast("long").as("n_rows"),
+        col("maxf").as("max_freq"),
+        expr("CAST(CAST(maxf AS DECIMAL(38,0)) * 1000000 div nr AS BIGINT)").as("top1_ppm"),
+        expr("CAST((2 * s1 - (nk + 1) * nr) * 1000000 div (nk * nr) AS BIGINT)").as("gini_ppm"))
+  }
+
+  /** One-pass multi-column profile: null count, exact distinct count,
+    * min and max for each requested column, unpivoted to one row per
+    * column — the dataset-card statistics block. All columns profile in
+    * a SINGLE aggregation job (Spark plans the multi-distinct via one
+    * Expand), so profiling cost is one scan regardless of column count,
+    * not one job per column.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(
+          lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__min").as("min_v"),
+          col(s"${c}__max").as("max_v"))): _*)).as("p"))
+      .select("p.*")
+  }
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.Curation
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries — benchmark decontamination, RAG chunking,
+  * reproducible splits/samples, distribution profiling, and the skew
+  * diagnostic that generalizes the reference thesis's §6.4 failure
+  * analysis into a reusable operator.
+  */
+object CurationQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    // benchmark decontamination: src0 plays the eval set; every other
+    // source is corpus. A doc is contaminated if it shares any word
+    // 3-shingle with the eval set; n_shared counts its distinct shared
+    // shingles (triage order for manual review).
+    QueryDef(
+      "pipeline_decontaminate",
+      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM sh c JOIN bench USING (s) WHERE c.source <> 'src0'
+        |GROUP BY c.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      Curation.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        col("text"), col("doc_id"))
+    },
+    // overlapping token chunks (window 32, stride 24 ⇒ 8-token overlap)
+    QueryDef(
+      "text_chunk_overlap",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |c AS (SELECT doc_id, w, len(w) AS n,
+        |    1 + (greatest(0, len(w) - 32) + 23) // 24 AS nc FROM t),
+        |e AS (SELECT doc_id, n, unnest(range(0, nc)) AS i FROM c)
+        |SELECT e.doc_id, CAST(e.i AS BIGINT) AS chunk_idx,
+        |  least(32, e.n - e.i * 24) AS n_tok,
+        |  array_to_string(list_slice(c.w, e.i * 24 + 1, least(e.i * 24 + 32, e.n)), ' ') AS chunk_text
+        |FROM e JOIN c ON e.doc_id = c.doc_id""".stripMargin) { (s, d) =>
+      Curation.chunkOverlap(
+        Tables.table(s, d, "documents"), col("text"), col("doc_id"),
+        window = 32, stride = 24)
+    },
+    // sorted-token-multiset dedup (catches word-order shuffles that
+    // byte-exact dedup misses)
+    QueryDef(
+      "dedup_bow",
+      """SELECT md5(array_to_string(list_sort(regexp_split_to_array(trim(text), '\s+')), ' ')) AS bow_md5,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      Curation.bagOfWords(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
+    },
+    // stateless reproducible train/val/test assignment (80/10/10)
+    QueryDef(
+      "pipeline_train_split",
+      """SELECT doc_id,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin) { (s, d) =>
+      Curation.trainSplit(Tables.table(s, d, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("split"))
+    },
+    // weighted Bernoulli sample: keep probability n_chars/1000 (capped)
+    QueryDef(
+      "sample_weighted",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 % 1000000 < least(n_chars, 1000) * 1000""".stripMargin) { (s, d) =>
+      Curation.weightedSample(
+        Tables.table(s, d, "documents"), col("doc_id"), col("n_chars"),
+        maxWeight = 1000, perWeightPpm = 1000)
+        .select(col("doc_id"), col("n_chars"))
+    },
+    // robust per-source length profile: median, MAD, count outside 3·MAD
+    QueryDef(
+      "quality_mad_outliers",
+      """WITH m AS (SELECT source AS grp, median(n_chars) AS med FROM documents GROUP BY source),
+        |d AS (SELECT m.grp, dd.n_chars, m.med, abs(dd.n_chars - m.med) AS dev
+        |  FROM documents dd JOIN m ON dd.source = m.grp),
+        |a AS (SELECT grp, median(dev) AS mad FROM d GROUP BY grp)
+        |SELECT d.grp, count(*) AS n, min(d.med) AS med, min(a.mad) AS mad,
+        |  count(CASE WHEN abs(d.n_chars - d.med) > 3 * a.mad THEN 1 END) AS n_outliers
+        |FROM d JOIN a ON d.grp = a.grp
+        |GROUP BY d.grp""".stripMargin) { (s, d) =>
+      Curation.madOutliers(
+        Tables.table(s, d, "documents"), col("source"), col("n_chars"))
+    },
+    // key-distribution skew diagnostic over the join key the reference
+    // benchmarks on (thesis §6.4: sort-merge died at Zipf s≈1.0 — this
+    // one-row profile is the advance warning)
+    QueryDef(
+      "datagen_skew_profile",
+      """WITH f AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |h AS (SELECT c, count(*) AS m FROM f GROUP BY c),
+        |h2 AS (SELECT c, m,
+        |    COALESCE(sum(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM h),
+        |s AS (SELECT CAST(sum(m) AS HUGEINT) AS nk, CAST(sum(c * m) AS HUGEINT) AS nr,
+        |    max(c) AS maxf,
+        |    CAST(sum(CAST(c AS HUGEINT) * (m * start + (m * (m + 1)) // 2)) AS HUGEINT) AS s1
+        |  FROM h2)
+        |SELECT CAST(nk AS BIGINT) AS n_keys, CAST(nr AS BIGINT) AS n_rows, maxf AS max_freq,
+        |  CAST(CAST(maxf AS HUGEINT) * 1000000 // nr AS BIGINT) AS top1_ppm,
+        |  CAST((2 * s1 - (nk + 1) * nr) * 1000000 // (nk * nr) AS BIGINT) AS gini_ppm
+        |FROM s""".stripMargin) { (s, d) =>
+      Curation.skewProfile(Tables.table(s, d, "lineitem"), col("l_orderkey"))
+    },
+    // one-pass dataset-card column profile over lineitem's key/measure
+    // columns (single aggregation job for all columns)
+    QueryDef(
+      "profile_columns", {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount")
+        cols.map(c =>
+          s"""SELECT '$c' AS col_name,
+             |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+             |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+      }) { (s, d) =>
+      Curation.profileColumns(
+        Tables.table(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount"))
+    }
+  )
+}

@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{Curation, Dedup}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.table(spark, sf, "documents")
+  private lazy val lineitem = Tables.table(spark, sf, "lineitem")
+
+  test("chunkOverlap covers every token exactly; strides and tails are right") {
+    val w = 8; val s = 5
+    val chunks = Curation.chunkOverlap(docs, col("text"), col("doc_id"), w, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val nTokens = docs
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet == nTokens.keySet)
+    for ((id, cs) <- chunks) {
+      val n = nTokens(id)
+      val sorted = cs.sortBy(_._2)
+      // chunk i starts at i*s+1 and carries min(w, n - i*s) tokens;
+      // the last chunk must reach token n and no chunk may be empty
+      sorted.zipWithIndex.foreach { case ((_, idx, nt), i) =>
+        assert(idx == i)
+        assert(nt == math.min(w, n - i * s), s"doc $id chunk $i")
+        assert(nt > 0)
+      }
+      assert(sorted.last._2 * s + sorted.last._3 == n, s"doc $id tail")
+      // consecutive chunks overlap by w-s except possibly the short tail
+      assert(sorted.size == 1 + math.max(0, n - w + s - 1) / s)
+    }
+  }
+
+  test("chunk text reassembles the document when deduped by stride prefix") {
+    val w = 8; val s = 8 // stride == window: exact partition of the tape
+    val got = Curation.chunkOverlap(docs, col("text"), col("doc_id"), w, s)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+        .getField("chunk_text")).as("rebuilt"))
+    val joined = docs.select(col("doc_id"),
+        concat_ws(" ", split(trim(col("text")), "\\s+")).as("norm"))
+      .join(got, "doc_id")
+      .filter(col("rebuilt") =!= col("norm"))
+    assert(joined.count() == 0)
+  }
+
+  test("decontaminate equals brute-force shingle intersection") {
+    val bench = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val got = Curation.decontaminate(corpus, bench, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bSet = Dedup.shingles(bench, col("text"), col("doc_id"))
+      .select("s").distinct().collect().map(_.getString(0)).toSet
+    val expect = Dedup.shingles(corpus, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(p => bSet.contains(p._2))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got == expect)
+    assert(got.nonEmpty) // the sf0.001 slice still shares shingles
+  }
+
+  test("trainSplit is a partition and respects the hash thresholds") {
+    val r = Curation.trainSplit(docs, col("doc_id"))
+      .select(col("doc_id"), col("split")).collect()
+    assert(r.map(_.getLong(0)).distinct.length == r.length)
+    val byName = r.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byName.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byName("train") > byName.getOrElse("val", 0))
+    // spot-check the arithmetic against the documented formula
+    r.foreach { row =>
+      val b = (BigInt(row.getLong(0)) * BigInt(2654435761L)) % 4294967296L % 100
+      val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(row.getString(1) == expect)
+    }
+  }
+
+  test("skewProfile matches the direct rank-sum gini on real keys") {
+    val got = Curation.skewProfile(lineitem, col("l_orderkey")).collect()(0)
+    // direct (small-data) computation: sort freqs ascending, gini ppm
+    val freqs = lineitem.groupBy("l_orderkey").count()
+      .collect().map(_.getLong(1)).sorted
+    val k = freqs.length.toLong
+    val n = freqs.sum
+    val s1 = freqs.zipWithIndex.map { case (c, i) => BigInt(i + 1) * c }.sum
+    val gini = (2 * s1 - BigInt(k + 1) * n) * 1000000 / (BigInt(k) * n)
+    assert(got.getLong(0) == k)
+    assert(got.getLong(1) == n)
+    assert(got.getLong(2) == freqs.max)
+    assert(got.getLong(3) == freqs.max * 1000000L / n)
+    assert(got.getLong(4) == gini.toLong)
+  }
+
+  test("skewProfile gini is 0 for uniform keys and ~1 for one hot key") {
+    import spark.implicits._
+    val uniform = (1 to 100).flatMap(k => Seq.fill(5)(k)).toDF("k")
+    assert(Curation.skewProfile(uniform, col("k")).collect()(0).getLong(4) == 0L)
+    val spiked = (Seq.fill(9999)(1) ++ (2 to 101)).toDF("k")
+    val g = Curation.skewProfile(spiked, col("k")).collect()(0).getLong(4)
+    assert(g > 950000L, s"expected near-1 gini, got $g ppm")
+  }
+
+  test("madOutliers computes exact median/MAD and flags planted outliers") {
+    import spark.implicits._
+    val df = (Seq(10, 12, 14, 16, 18, 500).map(("a", _)) ++
+      Seq(5, 5, 5, 5).map(("b", _))).toDF("g", "x")
+    val r = Curation.madOutliers(df, col("g"), col("x"))
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(1), row.getDouble(2), row.getDouble(3), row.getLong(4))).toMap
+    // group a: sorted 10,12,14,16,18,500 -> med 15, devs 5,3,1,1,3,485 -> mad 3
+    assert(r("a") == ((6L, 15.0, 3.0, 1L)))
+    assert(r("b") == ((4L, 5.0, 0.0, 0L)))
+  }
+
+  test("profileColumns matches direct per-column aggregates in one Expand pass") {
+    val cols = Seq("l_orderkey", "l_quantity")
+    val prof = Curation.profileColumns(lineitem, cols)
+    // multi-distinct profiles plan through a single Expand, not N jobs
+    assert(prof.queryExecution.executedPlan.toString.contains("Expand"))
+    val got = prof.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    for (c <- cols) {
+      val d = lineitem.agg(
+        count(when(col(c).isNull, 1)), count_distinct(col(c)),
+        min(col(c)).cast("double"), max(col(c)).cast("double")).collect()(0)
+      assert(got(c) == ((d.getLong(0), d.getLong(1), d.getDouble(2), d.getDouble(3))), c)
+    }
+  }
+
+  test("weightedSample keeps exactly the rows under their integer threshold") {
+    val kept = Curation.weightedSample(docs, col("doc_id"), col("n_chars"),
+        maxWeight = 1000, perWeightPpm = 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id", "n_chars").collect()
+    val expect = all.filter { r =>
+      val h = (BigInt(r.getLong(0)) * BigInt(2654435761L)) % 4294967296L % 1000000
+      h < math.min(r.getLong(1), 1000L) * 1000
+    }.map(_.getLong(0)).toSet
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < all.length)
+  }
+}
