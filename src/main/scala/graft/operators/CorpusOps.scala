@@ -12,15 +12,27 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  /** Deterministic per-row sample bucket in [0, 100): Knuth
-    * multiplicative hashing on the id — identical integer arithmetic in
-    * any engine, stable across runs/partitionings (`sample()` is
-    * neither). The multiply runs in DECIMAL(38,0): a long×long product
-    * overflows for ids ≥ ~3.5e9 (ANSI mode throws), and multi-billion-row
-    * corpora are exactly this operator's domain; DuckDB's equivalent
-    * integer arithmetic auto-widens to 128-bit the same way. */
-  def sampleBucket(id: Column): Column =
-    ((id.cast("decimal(38,0)") * 2654435761L) % 4294967296L % 100).cast("long")
+  /** (id · 2654435761) mod 2³² — Knuth multiplicative hashing on the
+    * id, identical integer arithmetic in any engine, stable across
+    * runs/partitionings (`sample()` is neither). Computed entirely in
+    * LONG codegen arithmetic via a 16-bit split:
+    *   id·C mod 2³² = (lo16·C + ((hi16·C) mod 2¹⁶)·2¹⁶) mod 2³²
+    * with every intermediate < 2⁴⁸ — no overflow for ANY nonnegative
+    * long id, where the naive long product throws under ANSI mode at
+    * ids ≥ ~3.5e9 (multi-billion-row corpora are exactly this
+    * operator's domain). An earlier DECIMAL(38,0) spelling was exact
+    * too but ran every row through BigDecimal — ~10× the per-row cost
+    * of this all-long form (measured at sf0.1). Oracles keep the plain
+    * `(id * 2654435761) % 4294967296` text: DuckDB auto-widens to
+    * 128-bit, and the two forms agree for all nonnegative ids. */
+  def hash32(id: Column): Column = {
+    val lo = id.cast("long").bitwiseAND(lit(65535L))
+    val hi = shiftright(id.cast("long"), 16).bitwiseAND(lit(65535L))
+    (lo * 2654435761L + (hi * 2654435761L % 65536L) * 65536L) % 4294967296L
+  }
+
+  /** Deterministic per-row sample bucket in [0, 100) from [[hash32]]. */
+  def sampleBucket(id: Column): Column = hash32(id) % 100L
 
   /** Stratified sampling: keep a row when its bucket falls under the
     * row's stratum rate (percent, a Column so strata rates can come
@@ -193,12 +205,11 @@ object CorpusOps {
     * sampled range boundaries. `id` must be numeric and unique. */
   def deterministicShuffle(df: DataFrame, id: Column): DataFrame = {
     val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions.toLong
-    // decimal multiply: long×long overflows for ids ≥ ~3.5e9 (see
-    // sampleBucket); __sk < 2^32 so the bucket product stays in range
+    // overflow-free all-long [[hash32]]; __sk < 2^32 so the bucket
+    // product stays in double-exact range
     val prepared = df
       .withColumn("__sid", id.cast("long"))
-      .withColumn("__sk",
-        ((col("__sid").cast("decimal(38,0)") * 2654435761L) % 4294967296L).cast("long"))
+      .withColumn("__sk", hash32(col("__sid")))
       .withColumn("__part", (col("__sk") * nBuckets / 4294967296L).cast("long"))
     val offsets = prepared.groupBy("__part")
       .agg(count(lit(1)).as("c"))

@@ -108,7 +108,7 @@ object Curation {
   def weightedSample(df: DataFrame, id: Column, weight: Column,
       maxWeight: Int, perWeightPpm: Int): DataFrame =
     df.filter(
-      (id.cast("decimal(38,0)") * 2654435761L) % 4294967296L % 1000000L <
+      CorpusOps.hash32(id) % 1000000L <
         least(weight, lit(maxWeight)).cast("long") * perWeightPpm)
 
   /** Robust per-group outlier profile: median + MAD (median absolute

@@ -33,7 +33,8 @@ object Graph {
     * symmetrize first (then every endpoint is a source). Dangling mass
     * is dropped, the standard non-normalized formulation. */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000L,
-      damping: Long = 850000L, edgesDistinct: Boolean = false): DataFrame = {
+      damping: Long = 850000L, edgesDistinct: Boolean = false,
+      broadcastRanks: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val base = scale - damping
 
@@ -57,7 +58,14 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(scale))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
     for (_ <- 1 to iters) {
-      val contribs = edC.join(ranks, edC("src") === ranks("node"))
+      // `broadcastRanks`: when the node set is dimension-scale (fits an
+      // executor), shipping the rank table to the edge partitions keeps
+      // the big edge list entirely UNSHUFFLED every round — the only
+      // exchange left is the map-side-combined contribution aggregate.
+      // At billion-node scale leave it false: the shuffle join is the
+      // partitioned-edge (Pregel-style) shape.
+      val rhs = if (broadcastRanks) broadcast(ranks) else ranks
+      val contribs = edC.join(rhs, edC("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       // (damping·s) div scale via the exact identity
@@ -66,7 +74,8 @@ object Graph {
       // accumulates ~1.1e13 micro-units (a 10^7-in-degree hub at full
       // rank, i.e. exactly the Zipf-hub regime at billion-node scale);
       // each decomposed term stays under 2^63 up to ~10^13 nodes
-      val next = nodes.join(contribs, Seq("node"), "left")
+      val next = nodes.join(
+          if (broadcastRanks) broadcast(contribs) else contribs, Seq("node"), "left")
         .select(col("node"),
           expr(s"CAST($base + $damping * (coalesce(s, 0) div $scale) " +
             s"+ ($damping * (coalesce(s, 0) % $scale)) div $scale AS BIGINT)").as("rank"))
@@ -138,12 +147,17 @@ object Graph {
     * Scale shape: edges checkpointed once; the distance vector (≤ one
     * row per reached node) is the only per-round state, checkpointed
     * with superseded blocks freed (Iterate.ckpt). */
-  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      broadcastFrontier: Boolean = false): DataFrame = {
     val (eC, eRdd, _) = Iterate.ckpt(edges.select(col("src"), col("dst")))
     var (dist, distRdd, _) =
       Iterate.ckpt(seeds.select(col("node")).distinct().withColumn("dist", lit(0)))
     for (i <- 1 to maxHops) {
-      val cand = dist.where(col("dist") === i - 1)
+      // broadcastFrontier: same trade as pageRank's broadcastRanks — a
+      // dimension-scale frontier ships to the edge partitions so the
+      // edge list never re-shuffles per hop
+      val frontier = dist.where(col("dist") === i - 1)
+      val cand = (if (broadcastFrontier) broadcast(frontier) else frontier)
         .join(eC, col("node") === col("src"))
         .select(col("dst").as("node"), lit(i).as("dist"))
       val merged = dist.union(cand).groupBy("node").agg(min("dist").as("dist"))

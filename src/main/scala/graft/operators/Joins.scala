@@ -128,6 +128,47 @@ object Joins {
       .drop("__salt")
   }
 
+  /** Profile-driven PARTIAL salting — [[saltedEquiJoin]] upgraded with
+    * the measurement step: one frequency pass over the skewed side finds
+    * the keys hotter than `hotThreshold` (the skew [[Curation.skewProfile]]
+    * quantifies), and ONLY those keys pay the salt machinery. Cold keys
+    * join exactly as before (salt 0, no replication), so the build side
+    * is replicated `factor`× for the hot-key ROWS only — at Zipf s≈1
+    * (where the reference's merge join died, thesis §6.4) the hot set is
+    * a handful of keys, and full-table replication would waste
+    * factor×|build| rows to fix them. The hot set is broadcast twice
+    * (it is tiny by construction: at most n_rows/hotThreshold keys).
+    * Result is provably equal to the plain join (spec-tested). */
+  def autoSaltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      skewedKey: Column,
+      otherKey: Column,
+      hotThreshold: Long,
+      factor: Int): DataFrame = {
+    val hot = skewed.groupBy(skewedKey.as("__hk"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > hotThreshold)
+      .select(col("__hk"))
+    val salted = skewed
+      .join(broadcast(hot), skewedKey === col("__hk"), "left")
+      .withColumn("__salt",
+        when(col("__hk").isNotNull,
+          pmod(xxhash64(skewed.columns.map(skewed(_)).toIndexedSeq: _*), lit(factor.toLong)))
+          .otherwise(lit(0L)))
+      .drop("__hk")
+    val replicated = other
+      .join(broadcast(hot), otherKey === col("__hk"), "left")
+      .withColumn("__salt",
+        explode(
+          when(col("__hk").isNotNull, sequence(lit(0L), lit(factor.toLong - 1)))
+            .otherwise(array(lit(0L)))))
+      .drop("__hk")
+    salted.join(replicated,
+        skewedKey === otherKey && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
   /** Bucketed co-located join — the persistent-table equivalent of the
     * reference's CompositeInputFormat merge (MergeJoin.java:221-243:
     * pre-sorted co-partitioned files joined with zero shuffle). Both

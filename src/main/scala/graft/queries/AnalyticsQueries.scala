@@ -151,6 +151,60 @@ object AnalyticsQueries {
       graft.operators.Intervals.forwardFillGrid(daily, "user_id", "day", "v")
         .select(col("user_id"), col("day"), col("v_filled"),
           coalesce(col("n_events"), lit(0L)).as("n_events"), col("is_gap"))
+    },
+    // sliding-window event rate (10-minute windows every 5 minutes) via
+    // Spark's `window()` bucketing; the oracle re-derives the window
+    // assignment with integer epoch-microsecond arithmetic (each event
+    // lands in exactly dur/slide = 2 windows), pinning Spark's
+    // alignment semantics rather than trusting them
+    QueryDef(
+      "events_sliding_rate",
+      """WITH e AS (SELECT epoch_us(ts) AS tus, value FROM events),
+        |w AS (SELECT (tus // 300000000) * 300000000 - k * 300000000 AS wstart, value
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS k))
+        |SELECT wstart AS wstart_us, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM w GROUP BY wstart""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "events")
+        .withColumn("t", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("t"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(unix_micros(col("w.start")).as("wstart_us"), col("n"), col("total"))
+    },
+    // rolling per-user anomaly score: mean/variance over the last 10
+    // events from DECIMAL-exact frame sums, z-score in double (both
+    // engines evaluate the identical IEEE expression tree over identical
+    // decimal-derived operands — bit-equal without rounding tricks)
+    QueryDef(
+      "events_rolling_zscore",
+      """WITH f AS (
+        |  SELECT event_id, user_id, value,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS ssq
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, n,
+        |  CASE WHEN n >= 5 AND (ssq - s * s / n) / (n - 1) > 0
+        |    THEN (value - s / n) / sqrt((ssq - s * s / n) / (n - 1)) END AS z
+        |FROM f""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(expr("ts div 1000"), col("event_id"))
+        .rowsBetween(-9, 0)
+      val dec = col("value").cast("decimal(18,2)")
+      Tables.table(s, d, "events")
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(dec).over(w).cast("double"))
+        .withColumn("ssq", sum(dec * dec).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("n"),
+          when(col("n") >= 5 &&
+              (col("ssq") - col("s") * col("s") / col("n")) / (col("n") - 1) > 0,
+            (col("value") - col("s") / col("n")) /
+              sqrt((col("ssq") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+            .as("z"))
     }
   )
 }

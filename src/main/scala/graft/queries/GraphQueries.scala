@@ -69,8 +69,10 @@ object GraphQueries {
       // d0 is distinct and src/dst live in disjoint key ranges (custkey
       // offset by 10M), so the symmetrized union is duplicate-free —
       // pageRank can skip its defensive edge dedup shuffle
+      // supplier+customer node set is dimension-scale → rank table
+      // broadcasts; the 1M+-row edge list never re-shuffles per round
       Graph.pageRank(d0.union(d0.select(col("dst"), col("src"))), iters,
-        edgesDistinct = true)
+        edgesDistinct = true, broadcastRanks = true)
     },
     // exact triangle count on the orders co-purchase-window graph (two
     // orders connected iff same customer AND same year — per-group
@@ -108,7 +110,7 @@ object GraphQueries {
       val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = Tables.table(s, d, "supplier")
         .where(col("s_suppkey") <= 5).select(col("s_suppkey").as("node"))
-      Graph.bfs(edges, seeds, bfsHops)
+      Graph.bfs(edges, seeds, bfsHops, broadcastFrontier = true)
     }
   )
 }

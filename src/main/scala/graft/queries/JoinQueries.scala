@@ -85,6 +85,25 @@ object JoinQueries {
         .select(col("a.o_custkey").as("key"),
           col("a.o_orderkey").as("left_okey"), col("b.o_orderkey").as("right_okey"))
     },
+    // profile-driven PARTIAL salting: keys with > 15 orders (the upper
+    // tail) are detected in a frequency pass and only they are salted/
+    // replicated — the measured-then-mitigated version of join_salted
+    // (same oracle; the spec additionally pins equality to the
+    // unsalted join)
+    QueryDef("join_auto_salted", joinOracle) { (s, d) =>
+      val o = Tables.table(s, d, "orders")
+      val c = Tables.table(s, d, "customer")
+      Joins.autoSaltedJoin(o, c, o("o_custkey"), c("c_custkey"),
+          hotThreshold = 15L, factor = 8)
+        .select(
+          o("o_custkey").as("key"),
+          concat_ws(",",
+            o("o_orderkey"), o("o_orderstatus"),
+            o("o_totalprice").cast("decimal(18,2)"), o("o_orderpriority")).as("left_row"),
+          concat_ws(",",
+            c("c_custkey"), c("c_name"), c("c_nationkey"),
+            c("c_acctbal").cast("decimal(18,2)"), c("c_mktsegment")).as("right_row"))
+    },
     // salted equi-join (operators.Joins.saltedEquiJoin): physically
     // factor-× salt-split against a replicated build side, logically the
     // SAME join — so it shares join_shuffle's oracle (salting is a

@@ -139,10 +139,10 @@ object SourceQueries {
       "sample_deterministic",
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE (l_orderkey * 2654435761) % 4294967296 % 100 < 10""".stripMargin) { (s, d) =>
-      // decimal multiply like CorpusOps.sampleBucket: long×long overflows
-      // for keys ≥ ~3.5e9 under ANSI mode
+      // CorpusOps.sampleBucket: overflow-free all-long split arithmetic
+      // (equal to the oracle's widening multiply for any nonneg key)
       Tables.table(s, d, "lineitem")
-        .filter((col("l_orderkey").cast("decimal(38,0)") * 2654435761L) % 4294967296L % 100 < 10)
+        .filter(graft.operators.CorpusOps.sampleBucket(col("l_orderkey")) < 10)
         .select(col("l_orderkey"), col("l_linenumber"))
     }
   )

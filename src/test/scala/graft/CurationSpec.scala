@@ -62,6 +62,19 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty) // the sf0.001 slice still shares shingles
   }
 
+  test("hash32 split-long form equals the widening multiply on edge ids") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 65535L, 65536L, 2654435761L, Int.MaxValue.toLong,
+      (1L << 32) - 1, 1L << 32, 3500000000L, 1L << 52, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select(col("id"), graft.operators.CorpusOps.hash32(col("id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val expect = ((BigInt(id) * 2654435761L) % (BigInt(1) << 32)).toLong
+      assert(got(id) == expect, s"id $id")
+    }
+  }
+
   test("trainSplit is a partition and respects the hash thresholds") {
     val r = Curation.trainSplit(docs, col("doc_id"))
       .select(col("doc_id"), col("split")).collect()

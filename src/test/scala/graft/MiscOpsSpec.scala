@@ -128,6 +128,63 @@ class MiscOpsSpec extends SparkSpec {
     assert(hot.getLong(2) >= 5000L)
   }
 
+  test("sliding window() assignment equals explicit two-shifted-tumbling arithmetic") {
+    val e = graft.sources.Tables.table(spark, sf, "events")
+      .select(expr("ts div 1000").as("tus"), col("value"))
+    // Spark's window(): 10-minute windows sliding every 5
+    val viaWindow = e
+      .withColumn("t", expr("timestamp_micros(tus)"))
+      .groupBy(window(col("t"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("wstart"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the oracle arithmetic: each event in windows floor(t/slide)*slide - k·slide
+    val manual = e
+      .select(explode(expr(
+        "array((tus div 300000000) * 300000000, (tus div 300000000) * 300000000 - 300000000)")).as("wstart"))
+      .groupBy("wstart").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaWindow == manual)
+    assert(viaWindow.values.sum == 2 * e.count())
+  }
+
+  test("rolling z-score matches a driver-side replication of the same formula") {
+    import spark.implicits._
+    val rows = Seq( // one user, ts strictly increasing, values with a spike
+      (1L, 100L, 10.0), (2L, 200L, 12.0), (3L, 300L, 11.0), (4L, 400L, 13.0),
+      (5L, 500L, 12.0), (6L, 600L, 95.0), (7L, 700L, 11.5), (8L, 800L, 12.5))
+    val df = rows.map { case (id, t, v) => (id, t * 1000, 7L, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(expr("ts div 1000"), col("event_id"))
+      .rowsBetween(-9, 0)
+    val dec = col("value").cast("decimal(18,2)")
+    val got = df
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(dec).over(w).cast("double"))
+      .withColumn("ssq", sum(dec * dec).over(w).cast("double"))
+      .select(col("event_id"), col("n"),
+        when(col("n") >= 5 &&
+            (col("ssq") - col("s") * col("s") / col("n")) / (col("n") - 1) > 0,
+          (col("value") - col("s") / col("n")) /
+            sqrt((col("ssq") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+          .as("z"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    rows.indices.foreach { i =>
+      val frame = rows.slice(math.max(0, i - 9), i + 1).map(_._3)
+      val n = frame.length
+      val s = frame.map(BigDecimal(_)).sum.toDouble
+      val ssq = frame.map(v => BigDecimal(v) * BigDecimal(v)).sum.toDouble
+      val varv = (ssq - s * s / n) / (n - 1)
+      val expect =
+        if (n >= 5 && varv > 0) Some((rows(i)._3 - s / n) / math.sqrt(varv)) else None
+      assert(got(rows(i)._1) == ((n.toLong, expect)), s"event ${rows(i)._1}")
+    }
+    // the spike (id 6) must be flagged as a strong positive outlier
+    assert(got(6L)._2.get > 2.0)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
