@@ -190,6 +190,41 @@ object CorpusOps {
       .select(col("doc_id"), col("t").as("keyword"), col("rank"), col("score"))
   }
 
+  /** BM25 retrieval scoring (Robertson-Sparck Jones idf, Lucene's +1
+    * form) for a fixed query term set — the ranking function a RAG
+    * retrieval stage runs over [[Curation.chunkOverlap]] output. Token
+    * stream is filtered to the query terms BEFORE the tf aggregation,
+    * so the expensive (doc, term) shuffle carries query-matching tokens
+    * only — at 100 TB the full-vocabulary tf table never exists; df and
+    * the length stats are tiny and broadcast. Determinism: ln is the
+    * single engine-sensitive step, rounded to 6 places (the corpus-LM
+    * recipe); every other operand is integer-derived IEEE arithmetic,
+    * and per-term scores go through a DECIMAL sum so doc score is
+    * addition-order-free. Top-k is a TakeOrdered over (score desc, id). */
+  def bm25TopK(docs: DataFrame, text: Column, id: Column, query: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok.filter(col("t").isin(query: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .withColumn("s",
+        round(
+          round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6) *
+            (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))),
+          6))
+      .groupBy("doc_id")
+      .agg(round(sum(col("s").cast("decimal(28,12)")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Deterministic corpus shuffle — a reproducible global permutation
     * for epoch shuffling: every row gets `shuffle_pos` = its rank under
     * (knuth_hash(id), id). Unlike `orderBy(rand())` this is stable

@@ -85,6 +85,29 @@ object TextQueries {
         Tables.table(s, d, "documents"), col("text"), col("doc_id"), k = 3)
         .withColumnRenamed("rank", "rnk")
     },
+    // BM25 retrieval for a fixed query (CorpusOps.bm25TopK): the RAG
+    // ranking stage. Token stream filtered to query terms before the
+    // (doc, term) shuffle; ln rounded per the corpus-LM recipe; scores
+    // decimal-summed per doc so the top-10 order is total and exact
+    QueryDef(
+      "text_bm25_topk",
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('join', 'merge', 'vector', 'stream') GROUP BY 1, 2),
+        |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |sc AS (SELECT tf.doc_id,
+        |    round(round(ln((st.n - df + 0.5) / (df + 0.5) + 1), 6)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6) AS s
+        |  FROM tf JOIN dfreq USING (t) JOIN dl ON tf.doc_id = dl.doc_id, st)
+        |SELECT doc_id, round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      graft.operators.CorpusOps.bm25TopK(
+        Tables.table(s, d, "documents"), col("text"), col("doc_id"),
+        query = Seq("join", "merge", "vector", "stream"), k = 10)
+    },
     // PII-style scrubbing: redact digit runs and @-handles (the
     // pattern class a curation pipeline masks before training), with
     // per-doc redaction accounting. Patterns stay in the regex subset

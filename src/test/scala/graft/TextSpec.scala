@@ -84,6 +84,26 @@ class TextSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bm25: tf monotone, rare terms outweigh common, long docs penalized") {
+    import graft.operators.CorpusOps
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat dog fish bird mouse"),        // 1x cat
+      (2L, "cat cat dog fish bird"),          // 2x cat, same length
+      (3L, "cat dog fish bird mouse horse cow pig hen duck goat sheep"), // 1x cat, longer
+      (4L, "rare dog fish bird mouse"),       // 1x rare (df=1)
+      (5L, "dog fish bird mouse wolf"),       // no query terms
+      (6L, "cat dog fish bird mouse"))        // duplicate of 1
+    val scores = CorpusOps.bm25TopK(docs.toDF("doc_id", "text"),
+        col("text"), col("doc_id"), query = Seq("cat", "rare"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!scores.contains(5L))                  // no match, no row
+    assert(scores(2L) > scores(1L))               // higher tf wins
+    assert(scores(1L) > scores(3L))               // length normalization
+    assert(scores(4L) > scores(1L))               // df=1 term beats df=4 term
+    assert(scores(1L) == scores(6L))              // identical docs tie exactly
+  }
+
   test("pack bins: offsets within capacity, bins monotone in doc order, tape conserved") {
     import graft.operators.CorpusOps
     val docs = Tables.table(spark, sf, "documents")
