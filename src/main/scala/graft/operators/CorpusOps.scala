@@ -225,6 +225,34 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Document-level co-occurrence PMI over the `vocab` most frequent
+    * tokens — phrase/collocation detection. The pair space is bounded
+    * by construction: the vocabulary is cut to `vocab` terms FIRST
+    * (deterministic df-desc/token order), broadcast, and only then do
+    * per-doc token sets self-join — ≤ vocab²/2 pairs per doc no matter
+    * how large the corpus, versus the unusable full-vocabulary pair
+    * explosion. PMI's log is the one engine-sensitive op (round-6
+    * recipe); its argument is exact integer arithmetic widened once. */
+  def cooccurrencePmi(docs: DataFrame, text: Column, id: Column,
+      vocab: Int): DataFrame = {
+    val tok = docs
+      .select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+      .distinct()
+    val n = docs.select(id).agg(count(lit(1)).as("nd"))
+    val top = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(vocab)
+    val ft = tok.join(broadcast(top), Seq("t"))
+    val a = ft.select(col("doc_id"), col("t").as("ta"), col("c").as("ca"))
+    val b = ft.select(col("doc_id"), col("t").as("tb"), col("c").as("cb"))
+    a.join(b, Seq("doc_id")).filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("c_ab"), first(col("ca")).as("ca"), first(col("cb")).as("cb"))
+      .crossJoin(broadcast(n))
+      .select(col("ta"), col("tb"), col("c_ab"),
+        round(log((col("c_ab") * col("nd")).cast("double") / (col("ca") * col("cb"))), 6)
+          .as("pmi"))
+  }
+
   /** Deterministic corpus shuffle — a reproducible global permutation
     * for epoch shuffling: every row gets `shuffle_pos` = its rank under
     * (knuth_hash(id), id). Unlike `orderBy(rand())` this is stable

@@ -111,4 +111,43 @@ object Intervals {
       .drop("__dk", "__di")
       .withColumnRenamed("__k", key).withColumnRenamed("__i", idx)
   }
+
+  /** Exact per-key least-squares trend: slope of `y` against time `x`,
+    * the drift detector for per-entity metrics. Closed form
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with every sum EXACT:
+    * x is re-based per key (x − min x, so squares stay ~span² instead
+    * of epoch², keeping Σx² inside DECIMAL(38) up to ~10⁹ rows/key on
+    * multi-year spans) and accumulated in decimal; the single division
+    * happens once, in double, on identical operands in any engine.
+    * Keys with < 2 points or zero time variance yield NULL slope. Two
+    * shuffles on the (bounded-cardinality) key: min-x, then the sums. */
+  def trendSlope(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    val base = df.select(key.as("k"), x.cast("long").as("x"),
+      y.cast("decimal(18,2)").as("y"))
+    val mins = base.groupBy("k").agg(min(col("x")).as("x0"))
+    // DECIMAL(19,0) re-based x: 19+19 and 19+18 both fit DuckDB's
+    // p1+p2 ≤ 38 multiply bound, so the oracle runs the identical
+    // exact accumulation; the final closed form then runs in DOUBLE
+    // over the exact sums — same IEEE expression tree in both engines
+    val agg = base.join(mins, Seq("k"))
+      .withColumn("xd", (col("x") - col("x0")).cast("decimal(19,0)"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xd")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("xd") * col("y")).cast("double").as("sxy"),
+        sum(col("xd") * col("xd")).cast("double").as("sxx"))
+    // reported per HOUR, rounded to 6 places: the per-microsecond slope
+    // is ~1e-11-scale where a 1-ulp difference in the two engines'
+    // decimal→double casts (int128 vs BigDecimal rounding) survives the
+    // division; the 3.6e9 rescale lifts it to unit scale where round-6
+    // absorbs that noise
+    agg.select(col("k").as("grp"), col("n"),
+      when(col("n") >= 2 &&
+          col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0,
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * 3600000000L, 6))
+        .as("slope_hr"))
+  }
 }

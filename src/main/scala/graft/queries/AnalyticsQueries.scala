@@ -172,6 +172,28 @@ object AnalyticsQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
         .select(unix_micros(col("w.start")).as("wstart_us"), col("n"), col("total"))
     },
+    // per-user least-squares value trend (Intervals.trendSlope): exact
+    // decimal sums, one double division — the per-entity drift detector
+    QueryDef(
+      "events_trend_slope",
+      """WITH b AS (SELECT user_id AS k, epoch_us(ts) AS x,
+        |    CAST(value AS DECIMAL(18,2)) AS y FROM events),
+        |m AS (SELECT k, min(x) AS x0 FROM b GROUP BY k),
+        |s AS (SELECT b.k, count(*) AS n,
+        |    CAST(sum(CAST(b.x - m.x0 AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(b.x - m.x0 AS DECIMAL(19,0)) * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(b.x - m.x0 AS DECIMAL(19,0)) * CAST(b.x - m.x0 AS DECIMAL(19,0))) AS DOUBLE) AS sxx
+        |  FROM b JOIN m ON b.k = m.k GROUP BY b.k)
+        |SELECT k AS grp, n,
+        |  CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+        |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600000000, 6)
+        |  END AS slope_hr
+        |FROM s""".stripMargin) { (s, d) =>
+      graft.operators.Intervals.trendSlope(
+        Tables.table(s, d, "events"),
+        col("user_id"), expr("ts div 1000"), col("value"))
+    },
     // rolling per-user anomaly score: mean/variance over the last 10
     // events from DECIMAL-exact frame sums, z-score in double (both
     // engines evaluate the identical IEEE expression tree over identical

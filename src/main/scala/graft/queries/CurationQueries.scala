@@ -113,6 +113,23 @@ object CurationQueries {
         |FROM s""".stripMargin) { (s, d) =>
       Curation.skewProfile(Tables.table(s, d, "lineitem"), col("l_orderkey"))
     },
+    // per-source quantile normalization: a doc's length mapped to its
+    // within-source percentile — the calibration that makes quality
+    // thresholds comparable across sources with different length
+    // distributions. percent_rank over a doc_id-tie-broken order is
+    // deterministic and dyadic-exact in both engines.
+    QueryDef(
+      "quality_quantile_normalize",
+      """SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS qn
+        |FROM documents""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          percent_rank().over(
+            Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id")))
+            .as("qn"))
+    },
     // one-pass dataset-card column profile over lineitem's key/measure
     // columns (single aggregation job for all columns)
     QueryDef(

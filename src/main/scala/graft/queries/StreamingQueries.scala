@@ -45,6 +45,23 @@ object StreamingQueries {
         |  (SELECT max(epoch_us(ts)) - 1800000000 FROM events)""".stripMargin) { (s, d) =>
       Streaming.windowedAggAppend(s, d)
     },
+    // SLIDING windows in watermarked append mode: each event in two
+    // 10-min windows; emitted set = windows finalized by the final
+    // watermark (same determinism argument as stream_window_append;
+    // batch events_sliding_rate pins the assignment arithmetic)
+    QueryDef(
+      "stream_sliding_append",
+      """SELECT * FROM (
+        |  WITH e AS (SELECT epoch_us(ts) AS tus, value FROM events),
+        |  w AS (SELECT (tus // 300000000) * 300000000 - k * 300000000 AS wstart, value
+        |    FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS k))
+        |  SELECT wstart AS wstart_us, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM w GROUP BY wstart)
+        |WHERE wstart_us + 600000000 <=
+        |  (SELECT max(epoch_us(ts)) - 1800000000 FROM events)""".stripMargin) { (s, d) =>
+      Streaming.slidingWindowAppend(s, d)
+    },
     QueryDef(
       "stream_sessionize",
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,

@@ -85,6 +85,26 @@ object TextQueries {
         Tables.table(s, d, "documents"), col("text"), col("doc_id"), k = 3)
         .withColumnRenamed("rank", "rnk")
     },
+    // token co-occurrence PMI over the 20 most frequent tokens
+    // (CorpusOps.cooccurrencePmi): collocation detection with the pair
+    // space bounded by the broadcast vocabulary cut, never the corpus
+    QueryDef(
+      "text_cooccurrence_pmi",
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |top AS (SELECT t, count(*) AS c FROM tok GROUP BY t ORDER BY c DESC, t LIMIT 20),
+        |ft AS (SELECT tok.doc_id, tok.t, top.c FROM tok JOIN top USING (t)),
+        |p AS (SELECT a.t AS ta, b.t AS tb, count(*) AS c_ab,
+        |    min(a.c) AS ca, min(b.c) AS cb
+        |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
+        |  GROUP BY a.t, b.t)
+        |SELECT ta, tb, c_ab,
+        |  round(ln(CAST(c_ab * nd.nd AS DOUBLE) / (ca * cb)), 6) AS pmi
+        |FROM p, nd""".stripMargin) { (s, d) =>
+      graft.operators.CorpusOps.cooccurrencePmi(
+        Tables.table(s, d, "documents"), col("text"), col("doc_id"), vocab = 20)
+    },
     // BM25 retrieval for a fixed query (CorpusOps.bm25TopK): the RAG
     // ranking stage. Token stream filtered to query terms before the
     // (doc, term) shuffle; ln rounded per the corpus-LM recipe; scores

@@ -189,6 +189,24 @@ object Streaming {
       OutputMode.Append())
   }
 
+  /** SLIDING windows (10 min every 5) in watermarked append mode — the
+    * overlapping-window variant of [[windowedAggAppend]]: each event
+    * contributes to dur/slide = 2 windows, and a window is emitted
+    * once and evicted when the watermark passes its end. Emitted set =
+    * {window | end ≤ max event time − 30 min}, same determinism
+    * argument as the tumbling form; the batch `events_sliding_rate`
+    * query pins the window-assignment arithmetic itself. */
+  def slidingWindowAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventTime(eventsArrivalStream(spark, sfDir))
+      .withWatermark("etime", "30 minutes")
+      .groupBy(window(col("etime"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(unix_micros(col("window.start")).as("wstart_us"),
+        col("n"), col("total"))
+    runToMemory(spark, agg, s"slide_append_${System.nanoTime()}", OutputMode.Append())
+  }
+
   /** Session windows per user (30 min gap) — the built-in session
     * operator; merge semantics are arrival-order independent. */
   def sessionAgg(spark: SparkSession, sfDir: String): DataFrame = {

@@ -185,6 +185,40 @@ class MiscOpsSpec extends SparkSpec {
     assert(got(6L)._2.get > 2.0)
   }
 
+  test("trendSlope recovers an exact line, nulls degenerate groups") {
+    import graft.operators.Intervals
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0L, 1.0), (1L, 3600000000L, 3.0), (1L, 7200000000L, 5.0), // y = 2/hr
+      (2L, 100L, 4.0), (2L, 100L, 9.0),                              // zero x-variance
+      (3L, 42L, 7.0))                                                // single point
+    val got = Intervals.trendSlope(rows.toDF("k", "x", "y"),
+        col("k"), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, Some(2.0))))
+    assert(got(2L) == ((2L, None)))
+    assert(got(3L) == ((1L, None)))
+  }
+
+  test("cooccurrence PMI: always-together pair positive, never-together absent") {
+    import graft.operators.CorpusOps
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta delta"),
+      (3L, "alpha beta epsilon"), (4L, "gamma delta epsilon"))
+    val r = CorpusOps.cooccurrencePmi(docs.toDF("doc_id", "text"),
+        col("text"), col("doc_id"), vocab = 10)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getDouble(3))).toMap
+    // alpha+beta co-occur in all 3 of their docs: pmi = ln(3*4/(3*3)) = ln(4/3)
+    assert(r(("alpha", "beta"))._1 == 3L)
+    assert(math.abs(r(("alpha", "beta"))._2 - math.log(4.0 / 3)) < 1e-6)
+    // alpha and gamma share exactly one doc: ln(1*4/(3*2)) < 0
+    assert(r(("alpha", "gamma"))._2 < 0)
+    // beta and gamma co-occur once; beta+epsilon once; no phantom pairs
+    assert(!r.contains(("beta", "zeta")))
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
