@@ -25,11 +25,19 @@ object Explain {
   // the documented scale path
   // text_unigram_logprob's BNLJ is the 1-row corpus-total broadcast
   // joined under the vocabulary table (scalar fan-out, not a pair scan);
-  // feature_binning broadcasts its 1-row quantile boundaries the same way
+  // feature_binning broadcasts its 1-row quantile boundaries the same
+  // way. The same tiny-broadcast scalar fan-out accounts for:
+  // text_bm25_topk + text_cooccurrence_pmi + text_source_drift (1-row
+  // corpus stats under per-term/per-pair rows), q22_dormant_customers
+  // (scalar-average gate subquery), and cdc_time_travel (the SMALL
+  // as-of probe relation broadcast over the streamed history — interval
+  // predicate, no equi key by design, map-only at scale).
   private val nestedLoopAllowed = Set(
     "join_cross", "join_theta_range",
     "ann_topk_bruteforce", "ann_ivf", "dedup_embedding",
-    "text_unigram_logprob", "feature_binning")
+    "text_unigram_logprob", "feature_binning",
+    "text_bm25_topk", "text_cooccurrence_pmi", "text_source_drift",
+    "q22_dormant_customers", "cdc_time_travel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -133,6 +133,36 @@ object SourceQueries {
           count(when(col("doc_id") % 2 === 0, 1)).as("n_old_writer"),
           count(when(col("doc_id") % 2 === 1, col("lang"))).as("n_lang"))
     },
+    // binaryFile-source ingest — the real multimodal ingestion path:
+    // one opaque blob file per document (written distributed,
+    // partition-local IO), read back through Spark's `binaryFile`
+    // source with doc identity recovered from the path and content
+    // fingerprinted in-engine. The oracle fingerprints the same bytes
+    // from the parquet text column, so the file round-trip must be
+    // byte-lossless. (On a cluster the write targets shared storage;
+    // the dataflow is identical.)
+    QueryDef(
+      "media_binary_ingest",
+      """SELECT doc_id, md5(text) AS content_md5,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin) { (s, d) =>
+      val tmp = Tables.scratchDir("graft_binfiles")
+      new java.io.File(tmp).mkdirs()
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.bin"),
+              r.getString(1).getBytes("UTF-8")): Unit
+          }
+        }
+      s.read.format("binaryFile").load(tmp)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          md5(col("content")).as("content_md5"),
+          length(col("content")).cast("long").as("n_bytes"))
+    },
     // deterministic hash-mod sampling — reproducible corpus subsetting
     // (multiplicative hashing, same integer arithmetic in both engines)
     QueryDef(
