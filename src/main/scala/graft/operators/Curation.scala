@@ -59,6 +59,10 @@ object Curation {
       "need 1 <= stride <= window")
     docs
       .select(id.as("doc_id"), TextAnalysis.tokens(text).as("w"))
+      // null text → no chunks (same contract as the shingle generator);
+      // without this, greatest/least IGNORE the null token count and a
+      // phantom empty chunk appears
+      .filter(col("w").isNotNull)
       .withColumn("n", size(col("w")))
       .select(col("doc_id"), col("w"), col("n"),
         explode(expr(
@@ -77,8 +81,12 @@ object Curation {
     * dedup; sort_array is per-row CPU, not a shuffle).
     */
   def bagOfWords(docs: DataFrame, text: Column, id: Column): DataFrame =
+    // null-guarded: concat_ws SKIPS a null array, which would silently
+    // merge null-text docs into the empty-string bag; the oracle's
+    // md5(NULL) = NULL keeps them a separate (null-keyed) group
     docs.groupBy(
-        md5(concat_ws(" ", sort_array(TextAnalysis.tokens(text)))).as("bow_md5"))
+        when(text.isNotNull,
+          md5(concat_ws(" ", sort_array(TextAnalysis.tokens(text))))).as("bow_md5"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Reproducible train/val/test assignment from the id alone —

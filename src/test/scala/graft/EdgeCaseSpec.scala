@@ -63,4 +63,42 @@ class EdgeCaseSpec extends SparkSpec {
     val pairs = Dedup.embeddingCosinePairs(e, col("embedding"), col("vec_id"), 0.99)
     assert(pairs.head().getDouble(2) == 1.0)
   }
+
+  test("curation operators survive null, empty, and whitespace-only text") {
+    import graft.operators.Curation
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, "   "), (4L, "one"), (5L, "a b c"))
+      .toDF("doc_id", "text")
+    // chunking: null text drops the doc (null tokens -> null sequence ->
+    // explode emits nothing); empty/whitespace docs chunk their empty
+    // tokens without throwing
+    val chunks = Curation.chunkOverlap(docs, col("text"), col("doc_id"), 4, 2)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(!chunks.exists(_._1 == 1L))
+    assert(chunks.count(_._1 == 5L) == 1 && chunks.find(_._1 == 5L).get._2 == "a b c")
+    // bag-of-words dedup: null text keys a separate NULL group (oracle
+    // md5(NULL) semantics); "" and "   " share the single-empty-token bag
+    val bow = Curation.bagOfWords(docs, col("text"), col("doc_id")).collect()
+    assert(bow.map(_.getLong(2)).sum == 5L)
+    val emptyBag = bow.filter(_.getLong(2) == 2L)
+    assert(emptyBag.length == 1 && emptyBag.head.getLong(1) == 2L)
+    assert(bow.exists(r => r.isNullAt(0) && r.getLong(2) == 1L))
+    // decontamination: no shingles on either side -> empty result, no throw
+    assert(Curation.decontaminate(
+      docs.filter(col("doc_id") <= 3), docs.filter(col("doc_id") === 4),
+      col("text"), col("doc_id")).count() == 0)
+  }
+
+  test("skewProfile and trendSlope handle single-row and empty inputs") {
+    import graft.operators.{Curation, Intervals}
+    val one = Seq((7L, 100L, 2.5)).toDF("k", "x", "y")
+    val sp = Curation.skewProfile(one, col("k")).collect()
+    assert(sp.length == 1 && sp(0).getLong(0) == 1L && sp(0).getLong(4) == 0L)
+    val ts = Intervals.trendSlope(one, col("k"), col("x"), col("y")).collect()
+    assert(ts.length == 1 && ts(0).isNullAt(2))
+    val empty = one.filter(col("k") === -1)
+    assert(Curation.skewProfile(empty, col("k")).collect()
+      .forall(_.isNullAt(0))) // empty agg -> null stats row, no divide error
+    assert(Intervals.trendSlope(empty, col("k"), col("x"), col("y")).count() == 0)
+  }
 }
