@@ -28,7 +28,15 @@ object CorpusOps {
   def hash32(id: Column): Column = {
     val lo = id.cast("long").bitwiseAND(lit(65535L))
     val hi = shiftright(id.cast("long"), 16).bitwiseAND(lit(65535L))
-    (lo * 2654435761L + (hi * 2654435761L % 65536L) * 65536L) % 4294967296L
+    // NONNEGATIVE ids only — a negative id's low 32 bits hash to a
+    // value the oracle's sign-following modulo would never produce, so
+    // fail loudly instead of silently mis-bucketing (the DECIMAL form
+    // this replaced matched the oracle over the full long domain; every
+    // current caller feeds surrogate keys ≥ 0)
+    when(id.cast("long") >= 0,
+        (lo * 2654435761L + (hi * 2654435761L % 65536L) * 65536L) % 4294967296L)
+      .otherwise(raise_error(
+        concat(lit("graft hash32: negative id "), id.cast("string"))).cast("long"))
   }
 
   /** Deterministic per-row sample bucket in [0, 100) from [[hash32]]. */
@@ -249,7 +257,12 @@ object CorpusOps {
       .agg(count(lit(1)).as("c_ab"), first(col("ca")).as("ca"), first(col("cb")).as("cb"))
       .crossJoin(broadcast(n))
       .select(col("ta"), col("tb"), col("c_ab"),
-        round(log((col("c_ab") * col("nd")).cast("double") / (col("ca") * col("cb"))), 6)
+        // counts widen to double BEFORE multiplying: c_ab·nd in long
+        // overflows under ANSI mode at multi-billion-doc corpora (the
+        // hash32/skewProfile overflow class); double products round
+        // identically in both engines
+        round(log(col("c_ab").cast("double") * col("nd") /
+          (col("ca").cast("double") * col("cb"))), 6)
           .as("pmi"))
   }
 

@@ -34,12 +34,20 @@ object Curation {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       text: Column, id: Column, k: Int = 3): DataFrame = {
-    val corpusSh = Dedup.shingles(corpus, text, id, k)
+    // corpus shingles are NOT pre-deduplicated: Dedup.shingles ends in
+    // a distinct() whose exchange would carry every corpus (doc,
+    // shingle) pair — the exact shuffle this operator exists to avoid.
+    // Instead the raw generator output probes the broadcast set first,
+    // and count_distinct dedupes ONLY the matched pairs (partial
+    // aggregation starts map-side, so the one exchange carries
+    // contaminated pairs alone).
+    val corpusSh = corpus.select(id.as("doc_id"),
+      graft.functions.ShingleGenerator.shingles(text, k).as("s"))
     val benchSh = Dedup.shingles(benchmark, text, id, k)
       .select(col("s")).distinct()
     corpusSh.join(broadcast(benchSh), Seq("s"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count_distinct(col("s")).as("n_shared"))
   }
 
   /** Retrieval/context chunking: overlapping token windows of `window`

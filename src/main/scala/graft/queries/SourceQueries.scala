@@ -145,11 +145,14 @@ object SourceQueries {
       "media_binary_ingest",
       """SELECT doc_id, md5(text) AS content_md5,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin) { (s, d) =>
+        |FROM documents WHERE text IS NOT NULL""".stripMargin) { (s, d) =>
       val tmp = Tables.scratchDir("graft_binfiles")
       new java.io.File(tmp).mkdirs()
+      // null-text docs have no payload to land as a file — both sides
+      // skip them explicitly (an unguarded getString would NPE the task)
       Tables.table(s, d, "documents")
         .select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           it.foreach { r =>
             java.nio.file.Files.write(

@@ -100,7 +100,7 @@ object TextQueries {
         |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
         |  GROUP BY a.t, b.t)
         |SELECT ta, tb, c_ab,
-        |  round(ln(CAST(c_ab * nd.nd AS DOUBLE) / (ca * cb)), 6) AS pmi
+        |  round(ln(CAST(c_ab AS DOUBLE) * nd.nd / (CAST(ca AS DOUBLE) * cb)), 6) AS pmi
         |FROM p, nd""".stripMargin) { (s, d) =>
       graft.operators.CorpusOps.cooccurrencePmi(
         Tables.table(s, d, "documents"), col("text"), col("doc_id"), vocab = 20)

@@ -73,6 +73,38 @@ class CurationSpec extends SparkSpec {
       val expect = ((BigInt(id) * 2654435761L) % (BigInt(1) << 32)).toLong
       assert(got(id) == expect, s"id $id")
     }
+    // negative ids would silently diverge from the oracle's
+    // sign-following modulo — the operator must refuse them loudly
+    val ex = intercept[Exception] {
+      Seq(-1L).toDF("id")
+        .select(graft.operators.CorpusOps.hash32(col("id"))).collect()
+    }
+    assert(ex.getMessage.contains("negative id"))
+  }
+
+  test("decontaminate never shuffles raw corpus postings (broadcast-probe plan)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val bench = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val df = Curation.decontaminate(corpus, bench, col("text"), col("doc_id"))
+    df.count() // finalize any adaptive re-plan before inspecting
+    def strip(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case other => Seq(other)
+    }
+    val root = strip(df.queryExecution.executedPlan).head
+    val joins = root.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "bench set must broadcast-probe")
+    // the streamed (corpus) side below the join must be shuffle-free:
+    // a pre-join distinct would hash-partition every (doc_id, shingle)
+    joins.foreach { j =>
+      val streamed = if (j.buildSide.toString.contains("Right")) j.left else j.right
+      assert(streamed.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        "corpus postings must reach the broadcast probe unshuffled")
+    }
   }
 
   test("trainSplit is a partition and respects the hash thresholds") {
