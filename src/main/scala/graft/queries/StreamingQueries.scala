@@ -164,6 +164,25 @@ object StreamingQueries {
         |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 86400000000""".stripMargin) { (s, d) =>
       Streaming.streamStreamIntervalJoin(s, d)
     },
+    // LEFT OUTER stream-stream interval join: inner matches plus
+    // null-padded unmatched views. The fixture's flush row advances the
+    // final watermark past every view's 24 h window, so every unmatched
+    // view emits — Streaming.streamStreamLeftJoin
+    QueryDef(
+      "stream_stream_left_join",
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+        |m AS (SELECT v.user_id, v.event_id AS view_event, c.event_id AS click_event,
+        |    c.t - v.t AS delta_us
+        |  FROM v JOIN c ON v.user_id = c.user_id AND c.t >= v.t AND c.t <= v.t + 86400000000)
+        |SELECT user_id, view_event, click_event, delta_us FROM m
+        |UNION ALL
+        |SELECT v.user_id, v.event_id AS view_event, NULL AS click_event, NULL AS delta_us
+        |FROM v
+        |WHERE NOT EXISTS (SELECT 1 FROM c
+        |    WHERE c.user_id = v.user_id AND c.t >= v.t AND c.t <= v.t + 86400000000)""".stripMargin) { (s, d) =>
+      Streaming.streamStreamLeftJoin(s, d)
+    },
     QueryDef(
       "stream_user_counter",
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id") { (s, d) =>

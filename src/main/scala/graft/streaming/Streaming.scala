@@ -99,11 +99,13 @@ object Streaming {
     * file source's oldest-first ordering is deterministic and every
     * batch arrives in event-time order (no row is ever late w.r.t. the
     * watermark set by earlier slices). Idempotent per (sfDir, nFiles). */
-  def eventsArrivalDir(spark: SparkSession, sfDir: String, nFiles: Int = 6): String = {
+  def eventsArrivalDir(spark: SparkSession, sfDir: String, nFiles: Int = 6,
+      flush: Boolean = false): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_arrival_v2_${key}_$nFiles")
+      sys.props("java.io.tmpdir"),
+      s"graft_arrival_v2_${key}_$nFiles${if (flush) "f" else ""}")
     val done = new java.io.File(root, "_GRAFT_READY")
     if (!done.exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(root)
@@ -125,6 +127,43 @@ object Streaming {
         part.listFiles().filter(_.getName.endsWith(".parquet"))
           .foreach(_.setLastModified((i + 1) * 60000L))
       }
+      // `flush`: TWO far-future slices — the operational "advance the
+      // watermark to flush held state" pattern. Two because
+      // stream-stream OUTER joins emit their null rows only while a
+      // DATA batch runs (measured: the trailing no-data batch evicts
+      // aggregation state but not join state): the first flush batch
+      // moves the watermark, the second is the data batch that evicts
+      // under it. Each slice carries one 'view' AND one 'click' row —
+      // parquet pushdown otherwise SKIPS the whole file on a side's
+      // type filter (single-type min==max footer stats) and the
+      // watermark never sees it (measured too). The rows are inert:
+      // unique negative user ids can never equi-match anything, each
+      // slice's click precedes its view so even same-user pairing
+      // would fail the interval, and the synthetic views' own outer
+      // windows (+24 h past their far-future times) stay above the
+      // final watermark, so they are held in state, never emitted.
+      if (flush) {
+        val maxTs = ev.agg(max(col("ts"))).collect()(0).getLong(0)
+        for (j <- 0 until 2) {
+          val part = new java.io.File(root, f"slice_${nFiles + j}%03d_flush")
+          val h = 3600L * 1000000000L
+          ev.limit(1).select(
+              explode(array(
+                struct(lit(-(4L * j + 1)).as("event_id"),
+                  lit(maxTs + (26 + 2 * j) * h).as("ts"),
+                  lit(-(4L * j + 1)).as("user_id"), lit("view").as("event_type"),
+                  lit(0.0).as("value"), lit(null).cast("string").as("props")),
+                struct(lit(-(4L * j + 2)).as("event_id"),
+                  lit(maxTs + (25 + 2 * j) * h).as("ts"),
+                  lit(-(4L * j + 2)).as("user_id"), lit("click").as("event_type"),
+                  lit(0.0).as("value"), lit(null).cast("string").as("props"))))
+                .as("r"))
+            .select(col("r.*"))
+            .coalesce(1).write.parquet(part.getPath)
+          part.listFiles().filter(_.getName.endsWith(".parquet"))
+            .foreach(_.setLastModified((nFiles + 1 + j) * 60000L))
+        }
+      }
       done.createNewFile()
     }
     root.getPath
@@ -137,9 +176,10 @@ object Streaming {
     * per-batch state-store commits are the drains' dominant fixed cost
     * — 4 watermark advances still exercise multi-batch eviction
     * (spec-asserted). */
-  def eventsArrivalStream(spark: SparkSession, sfDir: String, nFiles: Int = 4): DataFrame = {
+  def eventsArrivalStream(spark: SparkSession, sfDir: String, nFiles: Int = 4,
+      flush: Boolean = false): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dir = eventsArrivalDir(spark, sfDir, nFiles)
+    val dir = eventsArrivalDir(spark, sfDir, nFiles, flush)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -301,6 +341,41 @@ object Streaming {
     // batch, so its per-batch fixed overhead is store-count bound
     runToMemoryWithProgress(spark, joined, s"ss_join_${System.nanoTime()}",
       OutputMode.Append(), partitions = 4)
+  }
+
+  /** LEFT OUTER stream-stream interval join — the outer variant of
+    * [[streamStreamIntervalJoin]]: matched pairs emit like the inner
+    * join; an UNMATCHED view emits its null-padded row only when the
+    * state watermark proves no click can ever arrive for it (its
+    * 24-hour match window has passed the final watermark). That late
+    * emission is the whole point of the operator class — the engine
+    * holds the outer row exactly as long as a match is still possible,
+    * then releases it with nulls, keeping state bounded the entire
+    * time. The fixture's far-future flush row pushes the final
+    * watermark past every view's window, so the emitted outer set is
+    * exactly ALL unmatched views — the oracle's plain NOT EXISTS. */
+  def streamStreamLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // watermark BEFORE the type filter: the fixture's flush row must
+    // advance the watermark (outer-null emission expires state one
+    // no-data batch after the move that frees it) and then vanish from
+    // the data path — so the emitted outer set is simply ALL unmatched
+    // views, with no threshold coupling in the oracle
+    def side(tag: String, typ: String): DataFrame =
+      eventTime(eventsArrivalStream(spark, sfDir, nFiles = 4, flush = true))
+        .withWatermark("etime", "30 minutes")
+        .filter(col("event_type") === typ)
+        .select(col("user_id").as(s"${tag}_user"), col("event_id").as(s"${tag}_event"),
+          col("etime").as(s"${tag}_time"))
+    val joined = side("l", "view").join(side("r", "click"),
+        col("l_user") === col("r_user") &&
+          col("r_time") >= col("l_time") &&
+          col("r_time") <= col("l_time") + expr("INTERVAL 24 HOURS"),
+        "left_outer")
+      .select(col("l_user").as("user_id"), col("l_event").as("view_event"),
+        col("r_event").as("click_event"),
+        (unix_micros(col("r_time")) - unix_micros(col("l_time"))).as("delta_us"))
+    runToMemory(spark, joined, s"ss_left_${System.nanoTime()}",
+      OutputMode.Append())
   }
 
   /** Streaming ETL to a checkpointed parquet FILE sink — the
