@@ -172,6 +172,25 @@ object AnalyticsQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
         .select(unix_micros(col("w.start")).as("wstart_us"), col("n"), col("total"))
     },
+    // cohort retention matrix: users grouped by first-activity week,
+    // counted per subsequent week offset — the standard product-
+    // analytics rollup. Two grouped aggregations on bounded keys; week
+    // arithmetic is integer epoch division shared with the oracle.
+    QueryDef(
+      "events_retention",
+      """WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id)
+        |SELECT c.cohort, w.wk - c.cohort AS week_offset,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val w = Tables.table(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000 div 604800000000").as("wk"))
+      val c = w.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      w.join(c, Seq("user_id"))
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    },
     // per-user least-squares value trend (Intervals.trendSlope): exact
     // decimal sums, one double division — the per-entity drift detector
     QueryDef(

@@ -374,8 +374,10 @@ object Streaming {
       .select(col("l_user").as("user_id"), col("l_event").as("view_event"),
         col("r_event").as("click_event"),
         (unix_micros(col("r_time")) - unix_micros(col("l_time"))).as("delta_us"))
-    runToMemory(spark, joined, s"ss_left_${System.nanoTime()}",
-      OutputMode.Append())
+    // 4 partitions for the same reason as the inner interval join: the
+    // join commits 4 state stores per partition per batch
+    runToMemoryWithProgress(spark, joined, s"ss_left_${System.nanoTime()}",
+      OutputMode.Append(), partitions = 4)._1
   }
 
   /** Streaming ETL to a checkpointed parquet FILE sink — the
