@@ -45,6 +45,22 @@ object StreamingQueries {
         |  (SELECT max(epoch_us(ts)) - 1800000000 FROM events)""".stripMargin) { (s, d) =>
       Streaming.windowedAggAppend(s, d)
     },
+    // LATE-data drop: the fixture replays the corpus's earliest event
+    // after the watermark has passed its window; the watermark drops it
+    // (progress-asserted in SimStreamSpec), so the result equals the
+    // append aggregation over the real events alone — same oracle as
+    // stream_window_append
+    QueryDef(
+      "stream_late_drop",
+      """SELECT * FROM (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |    event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2)
+        |WHERE window_start_us + 3600000000 <=
+        |  (SELECT max(epoch_us(ts)) - 1800000000 FROM events)""".stripMargin) { (s, d) =>
+      Streaming.windowedAggLateDrop(s, d)
+    },
     // SLIDING windows in watermarked append mode: each event in two
     // 10-min windows; emitted set = windows finalized by the final
     // watermark (same determinism argument as stream_window_append;

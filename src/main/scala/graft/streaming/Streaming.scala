@@ -100,12 +100,12 @@ object Streaming {
     * batch arrives in event-time order (no row is ever late w.r.t. the
     * watermark set by earlier slices). Idempotent per (sfDir, nFiles). */
   def eventsArrivalDir(spark: SparkSession, sfDir: String, nFiles: Int = 6,
-      flush: Boolean = false): String = {
+      flush: Boolean = false, late: Boolean = false): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_arrival_v2_${key}_$nFiles${if (flush) "f" else ""}")
+      s"graft_arrival_v2_${key}_$nFiles${if (flush) "f" else ""}${if (late) "l" else ""}")
     val done = new java.io.File(root, "_GRAFT_READY")
     if (!done.exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(root)
@@ -164,6 +164,21 @@ object Streaming {
             .foreach(_.setLastModified((nFiles + 1 + j) * 60000L))
         }
       }
+      // `late`: one final slice replaying the corpus's EARLIEST event
+      // (synthetic id −9) — by the time it arrives, the watermark sits
+      // at max event time − 30 min, far past its window, so a correct
+      // watermarked operator must DROP it (spec-asserted via
+      // numRowsDroppedByWatermark; the oracle over the real events
+      // proves no window was corrupted).
+      if (late) {
+        val first = ev.orderBy(col("ts"), col("event_id")).limit(1)
+        val part = new java.io.File(root, f"slice_$nFiles%03d_late")
+        first.select(lit(-9L).as("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .coalesce(1).write.parquet(part.getPath)
+        part.listFiles().filter(_.getName.endsWith(".parquet"))
+          .foreach(_.setLastModified((nFiles + 1) * 60000L))
+      }
       done.createNewFile()
     }
     root.getPath
@@ -177,9 +192,9 @@ object Streaming {
     * — 4 watermark advances still exercise multi-batch eviction
     * (spec-asserted). */
   def eventsArrivalStream(spark: SparkSession, sfDir: String, nFiles: Int = 4,
-      flush: Boolean = false): DataFrame = {
+      flush: Boolean = false, late: Boolean = false): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dir = eventsArrivalDir(spark, sfDir, nFiles, flush)
+    val dir = eventsArrivalDir(spark, sfDir, nFiles, flush, late)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -226,6 +241,30 @@ object Streaming {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total"))
     runToMemoryWithProgress(spark, agg, s"win_append_${System.nanoTime()}",
+      OutputMode.Append())
+  }
+
+  /** [[windowedAggAppend]] over the LATE-arrival fixture: the final
+    * slice replays the corpus's earliest event after the watermark has
+    * reached max event time − 30 min, and the watermark DROPS it — the
+    * result equals the append aggregation over the real events alone
+    * (the oracle), and the drop itself is observable in the progress
+    * metrics (numRowsDroppedByWatermark ≥ 1, spec-asserted). This is
+    * the one watermark behavior the in-order fixtures can't show:
+    * correctness under genuinely late data. */
+  def windowedAggLateDrop(spark: SparkSession, sfDir: String): DataFrame =
+    windowedAggLateDropWithProgress(spark, sfDir)._1
+
+  def windowedAggLateDropWithProgress(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val agg = eventTime(eventsArrivalStream(spark, sfDir, late = true))
+      .withWatermark("etime", "30 minutes")
+      .groupBy(window(col("etime"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total"))
+    runToMemoryWithProgress(spark, agg, s"late_drop_${System.nanoTime()}",
       OutputMode.Append())
   }
 

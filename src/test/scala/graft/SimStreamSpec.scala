@@ -192,6 +192,21 @@ class SimStreamSpec extends SparkSpec {
       "join state accumulated every row — watermark inert")
   }
 
+  test("late data is dropped by the watermark, not merged into closed windows") {
+    val (df, progress) =
+      graft.streaming.Streaming.windowedAggLateDropWithProgress(spark, sf)
+    // the replayed earliest event (id -9) must NOT appear in any window:
+    // result equals the append aggregation over the real events alone
+    val clean = graft.streaming.Streaming.windowedAggAppend(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val got = df.collect().map(_.toSeq).toSet
+    assert(got == clean && got.nonEmpty)
+    // and the drop is observable: the stateful operator counted it
+    val dropped = progress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped >= 1, "late row was not dropped by the watermark")
+  }
+
   test("RocksDB state store produces identical append-mode output") {
     // the 100 TB state backend: HDFS-backed stores keep state on the
     // JVM heap (bounded by executor memory); RocksDB spills to local
