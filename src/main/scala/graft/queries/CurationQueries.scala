@@ -113,6 +113,32 @@ object CurationQueries {
         |FROM s""".stripMargin) { (s, d) =>
       Curation.skewProfile(Tables.table(s, d, "lineitem"), col("l_orderkey"))
     },
+    // dataset-card rollup: the per-(source, lang) composition block a
+    // corpus release documents — counts, volume, exact-decimal mean
+    // length, corpus share in integer ppm, and exact distinct texts.
+    // One grouped aggregation plus a 1-row total broadcast.
+    QueryDef(
+      "pipeline_dataset_card",
+      """WITH tot AS (SELECT count(*) AS n FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_chars,
+        |  CAST(count(*) * 1000000 // tot.n AS BIGINT) AS share_ppm,
+        |  count(DISTINCT md5(text)) AS n_unique
+        |FROM documents, tot GROUP BY source, lang, tot.n""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val tot = docs.agg(count(lit(1)).as("n"))
+      docs.crossJoin(broadcast(tot))
+        .groupBy(col("source"), col("lang"), col("n"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          (sum(col("n_chars").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+            .as("mean_chars"),
+          expr("CAST(count(1) * 1000000 div n AS BIGINT)").as("share_ppm"),
+          count_distinct(md5(col("text"))).as("n_unique"))
+        .drop("n")
+    },
     // per-source quantile normalization: a doc's length mapped to its
     // within-source percentile — the calibration that makes quality
     // thresholds comparable across sources with different length
