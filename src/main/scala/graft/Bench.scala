@@ -54,9 +54,13 @@ object Bench {
     val total = results.map { case (_, a, b) => math.min(a, b) }.sum
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // full-precision record of both runs, for round-over-round analysis
-    val both = results.map { case (k, a, b) => s""""$k":[$a,$b]""" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"),
-      s"""{"best_of_2":$line,"runs":$both}""" + "\n")
+    // — written ONLY on full-registry runs: a SPARK_GRAFT_ONLY debug
+    // subset would otherwise clobber the committed record
+    if (only.isEmpty) {
+      val both = results.map { case (k, a, b) => s""""$k":[$a,$b]""" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"),
+        s"""{"best_of_2":$line,"runs":$both}""" + "\n"): Unit
+    }
     // The driver regex-scrapes only the last ~2 KiB of sbt output; with
     // 120+ queries the full line (~2.8 KiB) is always truncated mid-JSON
     // there (BENCH_r02/r03 `parsed: null`). So: full line first for the
