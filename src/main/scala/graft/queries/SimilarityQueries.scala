@@ -93,6 +93,29 @@ object SimilarityQueries {
         |FROM documents""".stripMargin) { (s, d) =>
       Multimodal.sampleFrames(Tables.table(s, d, "documents"))
     },
+    // spatial radius self-join (operators.Spatial): grid-bucketed
+    // candidate generation + exact distance verify — the engine runs
+    // the 9-cell equi-join; the oracle is the O(n²) all-pairs form it
+    // never runs. Points are synthesized from user ids via hash32 so
+    // both engines derive identical dyadic coordinates.
+    QueryDef(
+      "join_spatial_radius",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |p AS (SELECT user_id AS pid,
+        |    CAST((user_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 AS x,
+        |    CAST(((user_id + 1000000007) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 AS y
+        |  FROM u)
+        |SELECT a.pid AS pid_a, b.pid AS pid_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |FROM p a JOIN p b ON a.pid < b.pid
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.02 * 0.02""".stripMargin) { (s, d) =>
+      import graft.operators.{CorpusOps, Spatial}
+      val pts = Tables.table(s, d, "events").select(col("user_id")).distinct()
+        .select(col("user_id").as("pid"),
+          (CorpusOps.hash32(col("user_id")).cast("double") / 4294967296.0).as("x"),
+          (CorpusOps.hash32(col("user_id") + 1000000007L).cast("double") / 4294967296.0).as("y"))
+      Spatial.radiusSelfJoin(pts, col("pid"), col("x"), col("y"), r = 0.02)
+    },
     // edit-distance similarity self-join (typo-class near-duplicates):
     // symmetric-delete signatures → bucket join → exact levenshtein
     // verify on candidates only (operators.StringSimilarity); the

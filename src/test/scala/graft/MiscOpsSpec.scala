@@ -185,6 +185,27 @@ class MiscOpsSpec extends SparkSpec {
     assert(got(6L)._2.get > 2.0)
   }
 
+  test("spatial radius join equals brute force, each pair found once") {
+    import graft.operators.Spatial
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val pts = (0 until 300).map(i => (i.toLong, rnd.nextDouble(), rnd.nextDouble()))
+      val r = Seq(0.03, 0.1, 0.45)(trial) // incl. r near domain scale
+      val got = Spatial.radiusSelfJoin(pts.toDF("pid", "x", "y"),
+          col("pid"), col("x"), col("y"), r)
+        .collect().map(row => (row.getLong(0), row.getLong(1)))
+      assert(got.length == got.distinct.length, s"trial $trial: duplicate pairs")
+      val expect = (for {
+        a <- pts; b <- pts if a._1 < b._1
+        d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+        if d2 <= r * r
+      } yield (a._1, b._1)).toSet
+      assert(got.toSet == expect, s"trial $trial")
+      assert(expect.nonEmpty)
+    }
+  }
+
   test("trendSlope recovers an exact line, nulls degenerate groups") {
     import graft.operators.Intervals
     import spark.implicits._
