@@ -116,28 +116,31 @@ object CurationQueries {
     // dataset-card rollup: the per-(source, lang) composition block a
     // corpus release documents — counts, volume, exact-decimal mean
     // length, corpus share in integer ppm, and exact distinct texts.
-    // One grouped aggregation plus a 1-row total broadcast.
+    // ONE corpus pass: the total for share_ppm comes from a window sum
+    // over the tiny grouped result, not a second scan.
     QueryDef(
       "pipeline_dataset_card",
-      """WITH tot AS (SELECT count(*) AS n FROM documents)
-        |SELECT source, lang, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_chars,
-        |  CAST(count(*) * 1000000 // tot.n AS BIGINT) AS share_ppm,
-        |  count(DISTINCT md5(text)) AS n_unique
-        |FROM documents, tot GROUP BY source, lang, tot.n""".stripMargin) { (s, d) =>
-      val docs = Tables.table(s, d, "documents")
-      val tot = docs.agg(count(lit(1)).as("n"))
-      docs.crossJoin(broadcast(tot))
-        .groupBy(col("source"), col("lang"), col("n"))
+      """WITH g AS (SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_chars,
+        |    count(DISTINCT md5(text)) AS n_unique
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, total_chars, mean_chars,
+        |  CAST(n_docs * 1000000 // sum(n_docs) OVER () AS BIGINT) AS share_ppm,
+        |  n_unique
+        |FROM g""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"),
           (sum(col("n_chars").cast("decimal(18,2)")).cast("double") / count(lit(1)))
             .as("mean_chars"),
-          expr("CAST(count(1) * 1000000 div n AS BIGINT)").as("share_ppm"),
           count_distinct(md5(col("text"))).as("n_unique"))
-        .drop("n")
+        .withColumn("share_ppm",
+          expr("CAST(n_docs * 1000000 div sum(n_docs) OVER () AS BIGINT)"))
+        .select(col("source"), col("lang"), col("n_docs"), col("total_chars"),
+          col("mean_chars"), col("share_ppm"), col("n_unique"))
     },
     // per-source quantile normalization: a doc's length mapped to its
     // within-source percentile — the calibration that makes quality

@@ -10,6 +10,19 @@ import graft.streaming.Streaming
   */
 object StreamingQueries {
 
+  /** Shared by stream_window_append and stream_late_drop: emitted set =
+    * windows finalized by the final watermark; the late-drop variant
+    * must produce the SAME result because its replayed event is
+    * dropped. */
+  private val windowAppendOracle =
+    """SELECT * FROM (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+      |    event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM events GROUP BY 1, 2)
+      |WHERE window_start_us + 3600000000 <=
+      |  (SELECT max(epoch_us(ts)) - 1800000000 FROM events)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     // stream-static enrichment: per-batch broadcast hash join against
     // the customer dim (stateless), stateful agg downstream
@@ -34,15 +47,7 @@ object StreamingQueries {
     // oracle reproduces it with a scalar subquery. See
     // Streaming.windowedAggAppend for why this is the bounded-state
     // production shape.
-    QueryDef(
-      "stream_window_append",
-      """SELECT * FROM (
-        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
-        |    event_type, count(*) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |  FROM events GROUP BY 1, 2)
-        |WHERE window_start_us + 3600000000 <=
-        |  (SELECT max(epoch_us(ts)) - 1800000000 FROM events)""".stripMargin) { (s, d) =>
+    QueryDef("stream_window_append", windowAppendOracle) { (s, d) =>
       Streaming.windowedAggAppend(s, d)
     },
     // LATE-data drop: the fixture replays the corpus's earliest event
@@ -50,15 +55,7 @@ object StreamingQueries {
     // (progress-asserted in SimStreamSpec), so the result equals the
     // append aggregation over the real events alone — same oracle as
     // stream_window_append
-    QueryDef(
-      "stream_late_drop",
-      """SELECT * FROM (
-        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
-        |    event_type, count(*) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |  FROM events GROUP BY 1, 2)
-        |WHERE window_start_us + 3600000000 <=
-        |  (SELECT max(epoch_us(ts)) - 1800000000 FROM events)""".stripMargin) { (s, d) =>
+    QueryDef("stream_late_drop", windowAppendOracle) { (s, d) =>
       Streaming.windowedAggLateDrop(s, d)
     },
     // SLIDING windows in watermarked append mode: each event in two

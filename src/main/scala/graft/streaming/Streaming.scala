@@ -98,7 +98,8 @@ object Streaming {
     * sequentially with strictly increasing modification times, so the
     * file source's oldest-first ordering is deterministic and every
     * batch arrives in event-time order (no row is ever late w.r.t. the
-    * watermark set by earlier slices). Idempotent per (sfDir, nFiles). */
+    * watermark set by earlier slices). Idempotent per (sfDir, nFiles,
+    * flush, late) — each flag combination keys its own cached dir. */
   def eventsArrivalDir(spark: SparkSession, sfDir: String, nFiles: Int = 6,
       flush: Boolean = false, late: Boolean = false): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
@@ -176,8 +177,10 @@ object Streaming {
         first.select(lit(-9L).as("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"), col("props"))
           .coalesce(1).write.parquet(part.getPath)
+        // mtime AFTER the two flush slots so flush=true ∧ late=true
+        // keeps the strictly-increasing-mtime ordering invariant
         part.listFiles().filter(_.getName.endsWith(".parquet"))
-          .foreach(_.setLastModified((nFiles + 1) * 60000L))
+          .foreach(_.setLastModified((nFiles + 3) * 60000L))
       }
       done.createNewFile()
     }
@@ -231,9 +234,10 @@ object Streaming {
   def windowedAggAppend(spark: SparkSession, sfDir: String): DataFrame =
     windowedAggAppendWithProgress(spark, sfDir)._1
 
-  def windowedAggAppendWithProgress(spark: SparkSession, sfDir: String)
+  def windowedAggAppendWithProgress(spark: SparkSession, sfDir: String,
+      late: Boolean = false)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
-    val agg = eventTime(eventsArrivalStream(spark, sfDir))
+    val agg = eventTime(eventsArrivalStream(spark, sfDir, late = late))
       .withWatermark("etime", "30 minutes")
       .groupBy(window(col("etime"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -256,17 +260,10 @@ object Streaming {
     windowedAggLateDropWithProgress(spark, sfDir)._1
 
   def windowedAggLateDropWithProgress(spark: SparkSession, sfDir: String)
-      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
-    val agg = eventTime(eventsArrivalStream(spark, sfDir, late = true))
-      .withWatermark("etime", "30 minutes")
-      .groupBy(window(col("etime"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
-      .select(unix_micros(col("window.start")).as("window_start_us"),
-        col("event_type"), col("n"), col("total"))
-    runToMemoryWithProgress(spark, agg, s"late_drop_${System.nanoTime()}",
-      OutputMode.Append())
-  }
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+    // the SAME aggregation pipeline as the append query — only the
+    // fixture differs (late replay slice); one definition, no drift
+    windowedAggAppendWithProgress(spark, sfDir, late = true)
 
   /** SLIDING windows (10 min every 5) in watermarked append mode — the
     * overlapping-window variant of [[windowedAggAppend]]: each event
