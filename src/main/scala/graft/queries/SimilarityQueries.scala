@@ -108,13 +108,13 @@ object SimilarityQueries {
         |SELECT a.pid AS pid_a, b.pid AS pid_b,
         |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
         |FROM p a JOIN p b ON a.pid < b.pid
-        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.02 * 0.02""".stripMargin) { (s, d) =>
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.05 * 0.05""".stripMargin) { (s, d) =>
       import graft.operators.{CorpusOps, Spatial}
       val pts = Tables.table(s, d, "events").select(col("user_id")).distinct()
         .select(col("user_id").as("pid"),
           (CorpusOps.hash32(col("user_id")).cast("double") / 4294967296.0).as("x"),
           (CorpusOps.hash32(col("user_id") + 1000000007L).cast("double") / 4294967296.0).as("y"))
-      Spatial.radiusSelfJoin(pts, col("pid"), col("x"), col("y"), r = 0.02)
+      Spatial.radiusSelfJoin(pts, col("pid"), col("x"), col("y"), r = 0.05)
     },
     // edit-distance similarity self-join (typo-class near-duplicates):
     // symmetric-delete signatures → bucket join → exact levenshtein
