@@ -37,7 +37,10 @@ object Explain {
     "ann_topk_bruteforce", "ann_ivf", "dedup_embedding",
     "text_unigram_logprob", "feature_binning",
     "text_bm25_topk", "text_cooccurrence_pmi", "text_source_drift",
-    "q22_dormant_customers", "cdc_time_travel")
+    "q22_dormant_customers", "cdc_time_travel",
+    // join_strategy_advice crosses two 1-row statistics aggregates per
+    // pair (scalar broadcast, not a pair scan)
+    "join_strategy_advice")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -382,4 +382,56 @@ object CorpusOps {
         round(sum(col("logp").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
           .as("mean_logp"))
   }
+
+  /** Vocabulary coverage / OOV rate — the tokenizer-fit check run before
+    * committing a vocab: per document, what fraction of token
+    * OCCURRENCES falls outside the corpus's top-`vocabSize` tokens
+    * (ties at the frequency boundary break by token text, so the vocab
+    * is a deterministic set in any engine).
+    *
+    * Scale shape: one corpus tokenize feeds both sides; the vocabulary
+    * is top-k over the token-frequency table (TakeOrdered over the
+    * vocabulary-sized aggregate, never a global sort of tokens) and is
+    * broadcast by construction — the corpus-sized token stream is
+    * probed map-side and partially aggregated per doc. The only
+    * corpus-sized exchange is the frequency count's. OOV is reported in
+    * exact integer ppm (floor division) — no float ratios to disagree
+    * on. */
+  def vocabCoverage(docs: DataFrame, text: Column, id: Column,
+      vocabSize: Int): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      graft.functions.ShingleGenerator.shingles(text, 1).as("s"))
+    val vocab = toks.groupBy("s").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("s").asc).limit(vocabSize)
+      .select(col("s"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("s"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), count(col("__in")).as("__inv"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(n_tokens - __inv) * 1000000 div n_tokens").as("oov_ppm"))
+  }
+
+  /** First-occurrence novelty — the crawl-order diversity signal: per
+    * document, the ppm of its DISTINCT k-shingles never seen in any
+    * lower-id document (id is ingestion order). A verbatim re-crawl
+    * scores 0; fresh content scores 1e6. Complements [[Dedup]]: dedup
+    * asks "is this a copy of one other doc", novelty asks "how much of
+    * this doc is new against the whole earlier corpus" — sub-document
+    * granularity, no pair enumeration.
+    *
+    * Scale shape: the inverted shingle index (the same exchange every
+    * dedup query builds) aggregated twice — min(doc_id) per shingle,
+    * then a per-doc rollup. Two shuffles over distinct (doc, shingle)
+    * pairs; nothing quadratic. */
+  def noveltyScore(docs: DataFrame, text: Column, id: Column,
+      k: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(docs, text, id, k)
+    val first = sh.groupBy("s").agg(min(col("doc_id")).as("__first"))
+    sh.join(first, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("__first"), 1L).otherwise(0L)).as("__novel"))
+      .select(col("doc_id"), col("n_shingles"),
+        expr("__novel * 1000000 div n_shingles").as("novel_ppm"))
+  }
 }

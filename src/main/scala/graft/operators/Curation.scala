@@ -224,4 +224,34 @@ object Curation {
           col(s"${c}__max").as("max_v"))): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Referential-integrity audit: one row per declared FK constraint —
+    * child row count, distinct child keys, null child keys, and orphan
+    * rows (non-null child key with no matching parent). The pre-join
+    * sanity gate of any multi-table pipeline: a join executed on data
+    * with orphans silently DROPS those rows (inner) or fabricates
+    * nulls (outer) — this measures the damage before it happens.
+    *
+    * Scale shape: per constraint, one equi-join of the child key stream
+    * against the DISTINCT parent key set (Catalyst broadcasts the
+    * parent side when it fits, shuffles otherwise) feeding a single-row
+    * partial aggregation — map-side combine leaves one row per task on
+    * the wire. Constraints are independent single-row plans unioned at
+    * the end; null keys never match the join (SQL equality), so orphan
+    * and null counts are disjoint by construction. */
+  def referentialAudit(
+      constraints: Seq[(String, DataFrame, Column, DataFrame, Column)]): DataFrame =
+    constraints.map { case (name, child, childKey, parent, parentKey) =>
+      val parents = parent.select(parentKey.as("__pk")).distinct()
+      child.select(childKey.as("__ck"))
+        .join(parents, col("__ck") === col("__pk"), "left_outer")
+        .agg(
+          count(lit(1)).as("child_rows"),
+          count_distinct(col("__ck")).as("distinct_keys"),
+          sum(when(col("__ck").isNull, 1L).otherwise(0L)).as("null_keys"),
+          sum(when(col("__ck").isNotNull && col("__pk").isNull, 1L)
+            .otherwise(0L)).as("orphan_rows"))
+        .select(lit(name).as("constraint_name"), col("child_rows"),
+          col("distinct_keys"), col("null_keys"), col("orphan_rows"))
+    }.reduce(_ unionByName _)
 }

@@ -112,6 +112,47 @@ object Intervals {
       .withColumnRenamed("__k", key).withColumnRenamed("__i", idx)
   }
 
+  /** Last-touch attribution — for every conversion event, the most
+    * recent touch event by the same user at or before the conversion
+    * and within `windowUs` microseconds (the marketing-attribution /
+    * causal-precursor join). Output: one row per conversion —
+    * `(conv_event, user_id, conv_us, touch_event, touch_us, lag_us)`,
+    * touch columns null when no touch qualifies.
+    *
+    * Scale shape: the union-merge as-of pattern ([[graft.queries
+    * .AdvancedQueries]] `join_asof`) — touches and conversions are ONE
+    * keyed sort (window partitioned by user), each conversion reads the
+    * running last-touch from the prefix; no per-pair join, no blowup on
+    * users with many touches. Determinism: ties at the same timestamp
+    * order touches BEFORE conversions (a same-instant touch is
+    * attributable), and equal-time touches resolve to the SMALLEST
+    * event id (ordered eid-descending so `last` lands on the min — the
+    * same tie the oracle's min() picks). */
+  def lastTouchAttribution(events: DataFrame, user: Column, timeUs: Column,
+      eventId: Column, typ: Column, touchType: String, convType: String,
+      windowUs: Long): DataFrame = {
+    val base = events.filter(typ.isin(touchType, convType))
+      .select(user.as("user_id"), timeUs.cast("long").as("us"),
+        eventId.as("eid"),
+        when(typ === touchType, 0).otherwise(1).as("__rnk"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("__rnk").asc,
+        when(col("__rnk") === 0, -col("eid")).otherwise(col("eid")).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastTouch =
+      last(when(col("__rnk") === 0, struct(col("us"), col("eid"))),
+        ignoreNulls = true).over(w)
+    base.withColumn("__lt", lastTouch)
+      .filter(col("__rnk") === 1)
+      .withColumn("__ok",
+        col("__lt").isNotNull && col("__lt")("us") >= col("us") - windowUs)
+      .select(
+        col("eid").as("conv_event"), col("user_id"), col("us").as("conv_us"),
+        when(col("__ok"), col("__lt")("eid")).as("touch_event"),
+        when(col("__ok"), col("__lt")("us")).as("touch_us"))
+      .withColumn("lag_us", col("conv_us") - col("touch_us"))
+  }
+
   /** Exact per-key least-squares trend: slope of `y` against time `x`,
     * the drift detector for per-entity metrics. Closed form
     * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with every sum EXACT:

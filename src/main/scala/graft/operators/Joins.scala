@@ -228,6 +228,45 @@ object Joins {
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, fk: Column, dk: Column): DataFrame =
     fact.join(dim, fk === dk, "inner")
 
+  /** The thesis's Figure-6.11 decision tree as a declarative operator:
+    * given a dim/fact pair, compute the statistics the tree branches on
+    * (dim size against a broadcast budget; the fact side's hottest-key
+    * multiplicity against the reference's merge-join partition-capacity
+    * cap, maxSplits ≈ 0.9·rows/maxRepeats, JoinSimulation.java:203-206)
+    * and emit the recommended strategy. This is the "human planner" of
+    * the reference (SURVEY §4: algorithm choice was manual) turned into
+    * a query — the same statistics Catalyst's JoinSelection/AQE read
+    * from stats and runtime metrics, surfaced for capacity planning.
+    *
+    * All arithmetic is integer (rows × bytes, cross-multiplied
+    * comparisons — never a float ratio), so any engine computes the
+    * identical advice. Scale shape: two single-row aggregates (dim
+    * count; fact groupBy-key max-multiplicity, which partial-aggregates
+    * map-side) crossed by a scalar broadcast — no data moves beyond the
+    * key-frequency exchange. `presorted` mirrors the tree's first
+    * branch: co-located sorted runs (bucketed tables) make merge free. */
+  def adviseStrategy(name: String, dim: DataFrame,
+      fact: DataFrame, factKey: Column, rowBytes: Long,
+      broadcastBudgetBytes: Long, reducers: Int,
+      presorted: Boolean = false): DataFrame = {
+    val dimStats = dim.agg(count(lit(1)).as("dim_rows"))
+    val factStats = fact.select(factKey.as("__k"))
+      .groupBy("__k").agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("fact_rows"), max(col("__c")).as("max_repeats"))
+    dimStats.join(broadcast(factStats), lit(true))
+      .select(
+        lit(name).as("join_name"),
+        col("dim_rows"), col("fact_rows"), col("max_repeats"),
+        (col("dim_rows") * rowBytes).as("dim_bytes"),
+        // merge feasible iff maxRepeats ≤ 0.9 · factRows / reducers
+        // (thesis §6.4 failure mode), cross-multiplied exact
+        (col("max_repeats") * reducers * 10 <= col("fact_rows") * 9)
+          .cast("int").as("merge_feasible"),
+        when(lit(presorted), "merge")
+          .when(col("dim_rows") * rowBytes <= broadcastBudgetBytes, "broadcast")
+          .otherwise("repartition").as("advice"))
+  }
+
   /** Reference output shape: `key, "l1,l2,..", "r1,r2,.."` — the text
     * sink then renders `key TAB l,r` (RepartitionJoin.java:80). Columns
     * are stringified with comma separators exactly like the reference's

@@ -246,6 +246,28 @@ object AnalyticsQueries {
             (col("value") - col("s") / col("n")) /
               sqrt((col("ssq") - col("s") * col("s") / col("n")) / (col("n") - 1)))
             .as("z"))
+    },
+    // last-touch attribution: each purchase attributed to the user's
+    // most recent click within 7 days (Intervals.lastTouchAttribution —
+    // one keyed sort, no per-pair join). The oracle is the quadratic
+    // within-window argmax the engine never runs; equal-time-click ties
+    // resolve to the smallest event id on both paths.
+    QueryDef(
+      "events_attribution",
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.event_id AS pe, p.user_id AS u, p.us AS pus, max(c.us) AS cus
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us <= p.us AND c.us >= p.us - 604800000000
+        |  GROUP BY 1, 2, 3)
+        |SELECT m.pe AS conv_event, m.u AS user_id, m.pus AS conv_us,
+        |  min(c2.event_id) AS touch_event, m.cus AS touch_us,
+        |  CASE WHEN m.cus IS NOT NULL THEN m.pus - m.cus END AS lag_us
+        |FROM m LEFT JOIN c c2 ON c2.user_id = m.u AND c2.us = m.cus
+        |GROUP BY 1, 2, 3, 5, 6""".stripMargin) { (s, d) =>
+      graft.operators.Intervals.lastTouchAttribution(
+        Tables.table(s, d, "events"),
+        col("user_id"), expr("ts div 1000"), col("event_id"),
+        col("event_type"), "click", "purchase", 604800000000L)
     }
   )
 }

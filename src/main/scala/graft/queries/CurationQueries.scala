@@ -176,6 +176,39 @@ object CurationQueries {
         Tables.table(s, d, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey",
           "l_quantity", "l_extendedprice", "l_discount"))
+    },
+    // referential-integrity audit over the star schema's FK constraints
+    // (Curation.referentialAudit): orphans measured BEFORE any join
+    // silently drops them. Expected orphan_rows = 0 on this testdata —
+    // the totals/distincts carry the information content.
+    QueryDef(
+      "audit_referential", {
+        val constraints = Seq(
+          ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+          ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+        constraints.map { case (name, child, ck, parent, pk) =>
+          s"""SELECT '$name' AS constraint_name,
+             |  count(*) AS child_rows, count(DISTINCT $ck) AS distinct_keys,
+             |  count(CASE WHEN $ck IS NULL THEN 1 END) AS null_keys,
+             |  count(CASE WHEN $ck IS NOT NULL AND p.$pk IS NULL THEN 1 END) AS orphan_rows
+             |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p ON c.$ck = p.$pk""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      }) { (s, d) =>
+      def t(n: String) = Tables.table(s, d, n)
+      Curation.referentialAudit(Seq(
+        ("lineitem.l_orderkey->orders", t("lineitem"), col("l_orderkey"),
+          t("orders"), col("o_orderkey")),
+        ("lineitem.l_partkey->part", t("lineitem"), col("l_partkey"),
+          t("part"), col("p_partkey")),
+        ("lineitem.l_suppkey->supplier", t("lineitem"), col("l_suppkey"),
+          t("supplier"), col("s_suppkey")),
+        ("orders.o_custkey->customer", t("orders"), col("o_custkey"),
+          t("customer"), col("c_custkey")),
+        ("customer.c_nationkey->nation", t("customer"), col("c_nationkey"),
+          t("nation"), col("n_nationkey"))))
     }
   )
 }

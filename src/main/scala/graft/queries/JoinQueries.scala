@@ -248,6 +248,46 @@ object JoinQueries {
         val rows = df.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
       }
+    },
+    // the thesis's Figure-6.11 decision tree as a query
+    // (Joins.adviseStrategy): per dim⋈fact pair, the statistics the
+    // tree branches on and the recommended strategy. Budget is 1 MiB
+    // at test scale so the decision actually varies across pairs
+    // (production would pass autoBroadcastJoinThreshold); row width is
+    // the reference's ~200-byte row (SURVEY §6), reducers = 32.
+    QueryDef(
+      "join_strategy_advice", {
+        val pairs = Seq(
+          ("customer-orders", "customer", "orders", "o_custkey"),
+          ("orders-lineitem", "orders", "lineitem", "l_orderkey"),
+          ("part-lineitem", "part", "lineitem", "l_partkey"),
+          ("supplier-lineitem", "supplier", "lineitem", "l_suppkey"),
+          ("nation-customer", "nation", "customer", "c_nationkey"))
+        val g = pairs.map { case (name, dim, fact, fk) =>
+          s"""SELECT '$name' AS join_name,
+             |  (SELECT count(*) FROM $dim) AS dim_rows,
+             |  (SELECT count(*) FROM $fact) AS fact_rows,
+             |  (SELECT max(c) FROM (SELECT count(*) AS c FROM $fact GROUP BY $fk) t) AS max_repeats""".stripMargin
+        }.mkString("WITH g AS (\n", "\nUNION ALL\n", ")")
+        s"""$g
+           |SELECT join_name, dim_rows, fact_rows, max_repeats,
+           |  dim_rows * 200 AS dim_bytes,
+           |  CAST(max_repeats * 32 * 10 <= fact_rows * 9 AS INT) AS merge_feasible,
+           |  CASE WHEN dim_rows * 200 <= 1048576 THEN 'broadcast'
+           |       ELSE 'repartition' END AS advice
+           |FROM g""".stripMargin
+      }) { (s, d) =>
+      def t(n: String) = Tables.table(s, d, n)
+      Seq(
+        ("customer-orders", t("customer"), t("orders"), "o_custkey"),
+        ("orders-lineitem", t("orders"), t("lineitem"), "l_orderkey"),
+        ("part-lineitem", t("part"), t("lineitem"), "l_partkey"),
+        ("supplier-lineitem", t("supplier"), t("lineitem"), "l_suppkey"),
+        ("nation-customer", t("nation"), t("customer"), "c_nationkey"))
+        .map { case (name, dim, fact, fk) =>
+          Joins.adviseStrategy(name, dim, fact, col(fk),
+            rowBytes = 200L, broadcastBudgetBytes = 1048576L, reducers = 32)
+        }.reduce(_ unionByName _)
     }
   )
 }

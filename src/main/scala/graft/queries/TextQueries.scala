@@ -209,6 +209,37 @@ object TextQueries {
         col("doc_id"),
         GraftFunctions.rolling_hash(TextAnalysis.normalized(col("text"))).as("fp"),
         TextAnalysis.contentMd5(col("text")).as("content_md5"))
+    },
+    // vocabulary coverage / OOV rate against the corpus top-500 vocab
+    // (frequency ties at the boundary break by token text): the
+    // tokenizer-fit diagnostic. Exact integer ppm.
+    QueryDef(
+      "text_vocab_coverage",
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS s FROM documents),
+        |v AS (SELECT s FROM (SELECT s, count(*) AS c FROM t GROUP BY s ORDER BY c DESC, s LIMIT 500)),
+        |j AS (SELECT t.doc_id, v.s AS vs FROM t LEFT JOIN v ON t.s = v.s)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  ((count(*) - count(vs)) * 1000000) // count(*) AS oov_ppm
+        |FROM j GROUP BY doc_id""".stripMargin) { (s, d) =>
+      CorpusOps.vocabCoverage(
+        Tables.table(s, d, "documents"), col("text"), col("doc_id"), 500)
+    },
+    // first-occurrence novelty in doc_id (crawl) order: ppm of each
+    // doc's distinct 3-shingles not present in any earlier doc — the
+    // sub-document diversity signal (a re-crawl scores 0)
+    QueryDef(
+      "text_novelty",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |f AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |  (CAST(sum(CASE WHEN sh.doc_id = f.fd THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS novel_ppm
+        |FROM sh JOIN f ON sh.s = f.s GROUP BY sh.doc_id""".stripMargin) { (s, d) =>
+      CorpusOps.noveltyScore(
+        Tables.table(s, d, "documents"), col("text"), col("doc_id"))
     }
   )
 }

@@ -186,4 +186,19 @@ class CurationSpec extends SparkSpec {
     assert(kept == expect)
     assert(kept.nonEmpty && kept.size < all.length)
   }
+
+  test("referentialAudit: orphan, null, and distinct counts are exact") {
+    import spark.implicits._
+    // children: 3 match (keys 1,1,2), 2 orphans (9,9), 2 null keys
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), None, None)
+      .toDF("k")
+    val parent = Seq(1L, 2L, 3L, 3L).toDF("p") // dup parent keys must not fan out
+    val r = Curation.referentialAudit(
+      Seq(("c->p", child, col("k"), parent, col("p")))).head()
+    assert(r.getString(0) == "c->p")
+    assert(r.getLong(1) == 7L, "child_rows")
+    assert(r.getLong(2) == 3L, "distinct_keys (1,2,9 — nulls excluded)")
+    assert(r.getLong(3) == 2L, "null_keys")
+    assert(r.getLong(4) == 2L, "orphan_rows")
+  }
 }

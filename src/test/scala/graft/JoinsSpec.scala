@@ -130,4 +130,29 @@ class JoinsSpec extends SparkSpec {
     val n = Tables.extractKey(df, 0, numeric = true)
     assert(n.schema("key").dataType.typeName == "long")
   }
+
+  test("adviseStrategy follows the thesis decision tree branch by branch") {
+    import spark.implicits._
+    val dim = (1L to 10L).toDF("k")                    // 10 rows × 100 B = 1000 B
+    val fact = (1L to 100L).map(i => i % 10).toDF("f") // uniform: max_repeats 10
+    val skewed = Seq.fill(90)(1L).++(1L to 10L).toDF("f") // hot key: 91 of 100
+    def advise(d: org.apache.spark.sql.DataFrame, f: org.apache.spark.sql.DataFrame,
+        budget: Long, presorted: Boolean = false) =
+      Joins.adviseStrategy("t", d, f, col("f"), rowBytes = 100L,
+        broadcastBudgetBytes = budget, reducers = 4, presorted = presorted).head()
+    // presorted wins over everything (first branch)
+    assert(advise(dim, fact, budget = 1L, presorted = true).getString(6) == "merge")
+    // dim fits the budget → broadcast
+    assert(advise(dim, fact, budget = 1000L).getString(6) == "broadcast")
+    // dim over budget → repartition
+    assert(advise(dim, fact, budget = 999L).getString(6) == "repartition")
+    // merge feasibility: uniform fact passes the 0.9·rows/reducers cap
+    // (10·4·10 ≤ 100·9), the 91-hot-key fact fails (91·4·10 > 100·9)
+    assert(advise(dim, fact, budget = 1L).getInt(5) == 1)
+    assert(advise(dim, skewed, budget = 1L).getInt(5) == 0)
+    // statistics are exact
+    val r = advise(dim, skewed, budget = 1L)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 100L && r.getLong(3) == 91L &&
+      r.getLong(4) == 1000L)
+  }
 }

@@ -240,6 +240,43 @@ class MiscOpsSpec extends SparkSpec {
     assert(!r.contains(("beta", "zeta")))
   }
 
+  test("lastTouchAttribution matches brute force incl. same-instant and tie cases") {
+    import spark.implicits._
+    // deterministic events with timestamp collisions: several clicks
+    // can share (user, us), clicks can coincide with purchases
+    val evs = (0 until 300).map { i =>
+      val user = s"u${i % 7}"
+      val us = ((i * 37) % 40).toLong * 10 // heavy collisions
+      val typ = if (i % 3 == 0) "purchase" else if (i % 3 == 1) "click" else "view"
+      (i.toLong, user, us, typ)
+    }
+    val df = evs.toDF("event_id", "user_id", "us", "event_type")
+    val windowUs = 100L
+    val expected = evs.filter(_._4 == "purchase").map { case (pe, u, pus, _) =>
+      val cands = evs.filter { case (_, cu, cus, ct) =>
+        ct == "click" && cu == u && cus <= pus && cus >= pus - windowUs
+      }
+      if (cands.isEmpty) (pe, u, pus, None, None, None)
+      else {
+        val maxUs = cands.map(_._3).max
+        val eid = cands.filter(_._3 == maxUs).map(_._1).min
+        (pe, u, pus, Some(eid), Some(maxUs), Some(pus - maxUs))
+      }
+    }.toSet
+    for (parts <- Seq(1, 5)) {
+      val got = Intervals.lastTouchAttribution(df.repartition(parts),
+          col("user_id"), col("us"), col("event_id"), col("event_type"),
+          "click", "purchase", windowUs)
+        .collect().map { r =>
+          (r.getLong(0), r.getString(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)))
+        }.toSet
+      assert(got == expected, s"at $parts partitions")
+    }
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

@@ -123,4 +123,33 @@ class TextSpec extends SparkSpec {
       cum += r.getLong(3)
     }
   }
+
+  test("vocabCoverage: ppm exact; frequency ties at the cut break by token text") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    // freqs: aa×3, then bb/cc ×2 each — vocabSize 2 must keep {aa, bb}
+    // (tie at f=2 broken by text), so cc and dd are OOV
+    val docs = Seq(
+      (1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "aa dd")).toDF("id", "t")
+    val got = CorpusOps.vocabCoverage(docs, col("t"), col("id"), 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 333333L), (2L, 3L, 333333L), (3L, 2L, 500000L)))
+  }
+
+  test("noveltyScore: first doc fully novel, verbatim re-crawl scores 0") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val docs = Seq(
+      (1L, "a b c d e"),       // 3 shingles, all first here
+      (2L, "a b c d e"),       // exact re-crawl → 0 novel
+      (3L, "x y z a b c")      // 'a b c' seen in doc 1; 'x y z','y z a','z a b' new
+    ).toDF("id", "t")
+    val got = CorpusOps.noveltyScore(docs, col("t"), col("id"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1000000L), (2L, 3L, 0L), (3L, 4L, 750000L)))
+  }
 }
