@@ -411,6 +411,42 @@ object CorpusOps {
         expr("(n_tokens - __inv) * 1000000 div n_tokens").as("oov_ppm"))
   }
 
+  /** Zipf-exponent fit of the corpus token distribution — the measured
+    * counterpart of the reference's G3 Zipf GENERATOR
+    * (DataGenerator.java:125-163 synthesizes keys at a chosen exponent
+    * s; this operator recovers s from real text): least-squares slope
+    * of log10(freq) against log10(rank) over the top-`topK` tokens
+    * (the head is where Zipf holds; the tail flattens and would bias
+    * the fit). Output: one row, `(n_ranks, zipf_exponent)` — natural
+    * text lands near s ≈ 1.
+    *
+    * Determinism: ranks break frequency ties by token text; log10
+    * values are rounded to 6 dp and cast to DECIMAL so every product
+    * and sum is EXACT (the [[graft.operators.Intervals.trendSlope]]
+    * recipe) — the one double division happens on identical operands
+    * in any engine. Scale shape: corpus tokenize → vocabulary-sized
+    * frequency aggregate → TakeOrdered(topK); the global rank window
+    * runs over topK ≤ 2000 rows (the profileColumns-class exception:
+    * bounded by construction, not by data). */
+  def zipfFit(docs: DataFrame, text: Column, topK: Int = 2000): DataFrame = {
+    val freqs = docs
+      .select(graft.functions.ShingleGenerator.shingles(text, 1).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("s").asc).limit(topK)
+    val ranked = freqs.withColumn("r",
+      row_number().over(Window.orderBy(col("f").desc, col("s").asc)))
+    val d = ranked.select(
+      round(log10(col("r").cast("double")), 6).cast("decimal(12,6)").as("x"),
+      round(log10(col("f").cast("double")), 6).cast("decimal(12,6)").as("y"))
+    d.agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("n").as("n_ranks"),
+        round(-((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("zipf_exponent"))
+  }
+
   /** First-occurrence novelty — the crawl-order diversity signal: per
     * document, the ppm of its DISTINCT k-shingles never seen in any
     * lower-id document (id is ingestion order). A verbatim re-crawl

@@ -153,6 +153,32 @@ object Intervals {
       .withColumn("lag_us", col("conv_us") - col("touch_us"))
   }
 
+  /** First-order Markov transition matrix over per-key event sequences:
+    * count and within-row-ppm of each (previous type → next type)
+    * transition, ordered by `(timeUs, eventId)` per key (total order —
+    * equal timestamps are common in event data). The behavioral-model /
+    * anomaly-baseline primitive.
+    *
+    * Scale shape: one keyed sort (window lag per user — partitions are
+    * user-bounded, never global), then an aggregation whose output is
+    * |types|² rows; the ppm normalization joins against the per-prev
+    * totals of that TINY matrix. Integer ppm floor-division — exact in
+    * any engine. */
+  def markovTransitions(events: DataFrame, key: Column, timeUs: Column,
+      eventId: Column, typ: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__us"), col("__id"))
+    val pairs = events
+      .select(key.as("__k"), timeUs.cast("long").as("__us"),
+        eventId.as("__id"), typ.as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000000 div __tot").as("ppm"))
+  }
+
   /** Exact per-key least-squares trend: slope of `y` against time `x`,
     * the drift detector for per-entity metrics. Closed form
     * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with every sum EXACT:

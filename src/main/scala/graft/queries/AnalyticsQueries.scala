@@ -268,6 +268,23 @@ object AnalyticsQueries {
         Tables.table(s, d, "events"),
         col("user_id"), expr("ts div 1000"), col("event_id"),
         col("event_type"), "click", "purchase", 604800000000L)
+    },
+    // first-order Markov transition matrix over per-user event
+    // sequences (Intervals.markovTransitions): one keyed sort, then a
+    // |types|²-row matrix with integer-ppm row normalization
+    QueryDef(
+      "events_markov",
+      """WITH o AS (SELECT user_id, event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |p AS (SELECT prev_type, next_type, count(*) AS n FROM o
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM p GROUP BY prev_type)
+        |SELECT p.prev_type, p.next_type, p.n, (p.n * 1000000) // t.tot AS ppm
+        |FROM p JOIN t ON p.prev_type = t.prev_type""".stripMargin) { (s, d) =>
+      graft.operators.Intervals.markovTransitions(
+        Tables.table(s, d, "events"),
+        col("user_id"), expr("ts div 1000"), col("event_id"), col("event_type"))
     }
   )
 }

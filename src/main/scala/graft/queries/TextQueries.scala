@@ -240,6 +240,23 @@ object TextQueries {
         |FROM sh JOIN f ON sh.s = f.s GROUP BY sh.doc_id""".stripMargin) { (s, d) =>
       CorpusOps.noveltyScore(
         Tables.table(s, d, "documents"), col("text"), col("doc_id"))
+    },
+    // Zipf-exponent recovery from the corpus token distribution — the
+    // measurement dual of datagen G3 (which SYNTHESIZES at a chosen s).
+    // Exact-decimal least squares on round-6 log10 values.
+    QueryDef(
+      "text_zipf_exponent",
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS s FROM documents),
+        |fr AS (SELECT s, count(*) AS f FROM t GROUP BY s ORDER BY f DESC, s LIMIT 2000),
+        |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, s) AS r FROM fr),
+        |d AS (SELECT CAST(round(log10(CAST(r AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+        |             CAST(round(log10(CAST(f AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y FROM r),
+        |a AS (SELECT count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |             CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx FROM d)
+        |SELECT n AS n_ranks,
+        |  round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) AS zipf_exponent
+        |FROM a""".stripMargin) { (s, d) =>
+      CorpusOps.zipfFit(Tables.table(s, d, "documents"), col("text"))
     }
   )
 }

@@ -277,6 +277,51 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("markovTransitions matches brute force; ppm rows sum to ~1e6 per prev") {
+    import spark.implicits._
+    val evs = (0 until 200).map { i =>
+      (i.toLong, s"u${i % 5}", ((i * 13) % 30).toLong, s"t${(i * 7) % 4}")
+    }
+    val df = evs.toDF("event_id", "user_id", "us", "event_type")
+    // brute force: per user sort by (us, event_id), adjacent pairs
+    val pairs = evs.groupBy(_._2).values.flatMap { rs =>
+      rs.sortBy(r => (r._3, r._1)).sliding(2).collect {
+        case Seq(a, b) => (a._4, b._4)
+      }
+    }.toSeq
+    val exp = pairs.groupBy(identity).map { case ((p, n), xs) =>
+      (p, n) -> xs.size.toLong
+    }
+    val expTot = pairs.groupBy(_._1).map { case (p, xs) => p -> xs.size.toLong }
+    val got = Intervals.markovTransitions(df.repartition(3),
+        col("user_id"), col("us"), col("event_id"), col("event_type"))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == exp)
+    got.foreach { case (p, _, n, ppm) =>
+      assert(ppm == n * 1000000L / expTot(p))
+    }
+    // row-normalization closes: per prev, ppm sums within |row| of 1e6
+    got.groupBy(_._1).foreach { case (p, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rows.size, s"prev=$p sum=$s")
+    }
+  }
+
+  test("zipfFit recovers the generating exponent from a synthetic corpus") {
+    import spark.implicits._
+    for (s0 <- Seq(0.7, 1.0)) {
+      val docs = (1 to 100).map { r =>
+        val f = math.max(1, math.round(20000.0 / math.pow(r, s0)).toInt)
+        (r.toLong, Seq.fill(f)(f"tok$r%03d").mkString(" "))
+      }.toDF("id", "t")
+      val row = CorpusOps.zipfFit(docs, col("t"), topK = 100).head()
+      assert(row.getLong(0) == 100L)
+      val fitted = row.getDouble(1)
+      assert(math.abs(fitted - s0) < 0.02, s"s=$s0 fitted=$fitted")
+    }
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
