@@ -38,9 +38,9 @@ object Explain {
     "text_unigram_logprob", "feature_binning",
     "text_bm25_topk", "text_cooccurrence_pmi", "text_source_drift",
     "q22_dormant_customers", "cdc_time_travel",
-    // join_strategy_advice crosses two 1-row statistics aggregates per
-    // pair (scalar broadcast, not a pair scan)
-    "join_strategy_advice")
+    // join_strategy_advice and join_size_estimate cross 1-row
+    // statistics/sketch aggregates (scalar broadcast, not a pair scan)
+    "join_strategy_advice", "join_size_estimate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

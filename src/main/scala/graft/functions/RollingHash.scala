@@ -76,7 +76,9 @@ object GraftFunctions {
     * `graft_simhash(hash, weight)`,
     * `graft_misra_gries(item, k)` (k a foldable int literal),
     * `graft_cms_estimate(sketch, item)` (probe for the builtin
-    * `count_min_sketch` aggregate's binary output). */
+    * `count_min_sketch` aggregate's binary output),
+    * `graft_cms_inner_product(sketch, sketch)` (join-size estimator
+    * over two same-seed sketches). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -85,6 +87,9 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cms_estimate", exprs => CmsEstimate(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cms_inner_product",
+      exprs => CmsInnerProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash",
       exprs => SimHashAgg(exprs(0), exprs(1)).toAggregateExpression(), "built-in")

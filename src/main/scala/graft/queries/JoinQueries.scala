@@ -288,6 +288,40 @@ object JoinQueries {
           Joins.adviseStrategy(name, dim, fact, col(fk),
             rowBytes = 200L, broadcastBudgetBytes = 1048576L, reducers = 32)
         }.reduce(_ unionByName _)
+    },
+    // sketch-based join-size estimation (functions.CmsInnerProduct):
+    // |views ⋈ clicks on user| estimated from two count-min sketches —
+    // the pre-shuffle cardinality statistic a cost-based planner feeds
+    // on. The oracle verifies the EXACT size (SQL) plus the estimator's
+    // two deterministic-by-seed guarantees: never undercounts, and
+    // overshoot ≤ ε·N_v·N_c (ε = 0.01, seed 42).
+    QueryDef(
+      "join_size_estimate",
+      """WITH v AS (SELECT user_id, count(*) AS f FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT user_id, count(*) AS f FROM events WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT CAST(sum(v.f * c.f) AS BIGINT) AS exact_pairs,
+        |  1 AS est_ge_exact, 1 AS within_bound
+        |FROM v JOIN c ON v.user_id = c.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.table(s, d, "events")
+      def side(typ: String, tag: String) =
+        ev.filter(col("event_type") === typ)
+          .agg(expr("count_min_sketch(user_id, 0.01d, 0.99d, 42)").as(s"sk_$tag"),
+            count(lit(1)).as(s"n_$tag"))
+      def freq(typ: String, tag: String) =
+        ev.filter(col("event_type") === typ)
+          .groupBy("user_id").agg(count(lit(1)).as(s"f_$tag"))
+      val exact = freq("view", "v")
+        .join(freq("click", "c"), "user_id")
+        .agg(sum(col("f_v") * col("f_c")).cast("long").as("exact_pairs"))
+      exact
+        .join(broadcast(side("view", "v")), lit(true))
+        .join(broadcast(side("click", "c")), lit(true))
+        .withColumn("__est",
+          graft.functions.CmsInnerProduct.innerProduct(col("sk_v"), col("sk_c")))
+        .select(col("exact_pairs"),
+          (col("__est") >= col("exact_pairs")).cast("int").as("est_ge_exact"),
+          (col("__est") <= col("exact_pairs") + expr("n_v * n_c div 100"))
+            .cast("int").as("within_bound"))
     }
   )
 }

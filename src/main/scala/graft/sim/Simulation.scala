@@ -37,6 +37,8 @@ object Simulation {
       aqe: Boolean = true,
       threads: Option[Int] = None, // datagen write parallelism (--threads)
       nativeGen: Boolean = false, // Zipf via the native ZipfSource plan
+      advise: Boolean = false, // print Joins.adviseStrategy per step
+      adviseBudgetMb: Long = 512, // broadcast budget the advisor assumes
       out: String = "results.csv",
       workDir: String = s"${sys.props("java.io.tmpdir")}/graft_sim")
 
@@ -54,6 +56,8 @@ object Simulation {
       case "--no-aqe" :: t               => loop(a.copy(aqe = false), t)
       case "--threads" :: v :: t         => loop(a.copy(threads = Some(v.toInt)), t)
       case "--native-gen" :: t           => loop(a.copy(nativeGen = true), t)
+      case "--advise" :: t               => loop(a.copy(advise = true), t)
+      case "--advise-budget-mb" :: v :: t => loop(a.copy(adviseBudgetMb = v.toLong), t)
       case "--out" :: v :: t             => loop(a.copy(out = v), t)
       case "--work-dir" :: v :: t        => loop(a.copy(workDir = v), t)
       case Nil                           => a
@@ -111,10 +115,25 @@ object Simulation {
     val l = Tables.readStage(spark, s"$wd/left")
     val r = Tables.readStage(spark, s"$wd/right")
     // file_size: MB of the right (t2) input, JoinSimulation.java:130-132
-    val fileSize = {
+    val fileBytes = {
       def walk(f: java.io.File): Long =
         if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
-      walk(new java.io.File(s"$wd/right")) / 1000000
+      walk(new java.io.File(s"$wd/right"))
+    }
+    val fileSize = fileBytes / 1000000
+
+    // --advise: run the thesis-Fig-6.11 decision tree over the
+    // generated pair with the MEASURED on-disk row width, so the sweep
+    // prints its own strategy recommendation next to the timings it is
+    // about to take
+    if (a.advise) {
+      val adv = Joins.adviseStrategy(s"sim_r$rows", l, r, r("key"),
+        rowBytes = math.max(1L, fileBytes / rows),
+        broadcastBudgetBytes = a.adviseBudgetMb * 1000000L,
+        reducers = a.reducers).head()
+      println(s"[advise] rows=$rows unique=${adv.getLong(1)} " +
+        s"max_repeats=${adv.getLong(3)} dim_bytes=${adv.getLong(4)} " +
+        s"merge_feasible=${adv.getInt(5)} advice=${adv.getString(6)}")
     }
 
     spark.conf.set("spark.sql.shuffle.partitions", a.reducers.toString)

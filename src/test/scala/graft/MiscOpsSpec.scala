@@ -322,6 +322,44 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("CmsInnerProduct: parse invariants, never undercounts, rejects seed mismatch") {
+    import spark.implicits._
+    import graft.functions.CmsInnerProduct
+    val a = (0 until 500).map(i => (i % 37).toLong).toDF("k")
+    val b = (0 until 300).map(i => (i % 23).toLong).toDF("k")
+    def sketch(df: org.apache.spark.sql.DataFrame, seed: Int): Array[Byte] =
+      df.agg(expr(s"count_min_sketch(k, 0.05d, 0.9d, $seed)")).head().getAs[Array[Byte]](0)
+    val (sa, sb) = (sketch(a, 7), sketch(b, 7))
+    // structural invariant of the V1 format: every row sums to totalCount
+    for (bytes <- Seq(sa, sb)) {
+      val p = CmsInnerProduct.parse(bytes)
+      assert(p.table.length == p.depth && p.table.forall(_.length == p.width))
+      p.table.foreach(row => assert(row.sum == p.totalCount))
+    }
+    assert(CmsInnerProduct.parse(sa).totalCount == 500L)
+    // estimator: >= exact inner product, <= N_a*N_b (trivial cap)
+    val exact = (0L until 37L).map(k => 500L / 37 + (if (k < 500 % 37) 1 else 0))
+      .zipWithIndex.map { case (fa, k) =>
+        val fb = if (k < 23) 300L / 23 + (if (k < 300 % 23) 1 else 0) else 0L
+        fa * fb
+      }.sum
+    val est = a.agg(expr("count_min_sketch(k, 0.05d, 0.9d, 7)").as("sa"))
+      .join(b.agg(expr("count_min_sketch(k, 0.05d, 0.9d, 7)").as("sb")), lit(true))
+      .select(CmsInnerProduct.innerProduct(col("sa"), col("sb")).as("e"))
+      .head().getLong(0)
+    assert(est >= exact && est <= 500L * 300L, s"est=$est exact=$exact")
+    // different seeds → different hashA → typed failure, not a silent estimate
+    val sc = sketch(b, 8)
+    val err = intercept[Exception] {
+      CmsInnerProduct(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(sa,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(sc,
+          org.apache.spark.sql.types.BinaryType)).eval(null)
+    }
+    assert(err.getMessage.contains("different"))
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
