@@ -62,6 +62,19 @@ object DedupQueries {
       Dedup.dedupClusters(
         Dedup.ngramJaccard(Tables.table(s, d, "documents"), col("text"), col("doc_id")))
     },
+    // duplication-report rollup of the same clusters: how many near-dup
+    // groups exist at each size (singletons are docs without any pair —
+    // not in the edge list, so the histogram covers paired docs only)
+    QueryDef(
+      "dedup_cluster_sizes",
+      s"""WITH base AS ($clusterOracle),
+         |sz AS (SELECT cluster_rep, count(*) AS cluster_size FROM base GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY 1""".stripMargin) { (s, d) =>
+      Dedup.dedupClusters(
+        Dedup.ngramJaccard(Tables.table(s, d, "documents"), col("text"), col("doc_id")))
+        .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    },
     QueryDef(
       "dedup_exact",
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_dups

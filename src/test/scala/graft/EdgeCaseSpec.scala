@@ -101,4 +101,31 @@ class EdgeCaseSpec extends SparkSpec {
       .forall(_.isNullAt(0))) // empty agg -> null stats row, no divide error
     assert(Intervals.trendSlope(empty, col("k"), col("x"), col("y")).count() == 0)
   }
+
+  test("round-5 operators at the edges: empty text, sparse sequences, no touches") {
+    import graft.operators.{CorpusOps, Intervals}
+    // whitespace-only text tokenizes to ONE empty token (split limit -1
+    // semantics) — vocabCoverage must count it, not crash or drop the doc
+    val docs = Seq((1L, "  "), (2L, "a a b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val vc = CorpusOps.vocabCoverage(docs, col("t"), col("id"), 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(vc(2L) == ((3L, 333333L))) // vocab = {a}; b is OOV
+    assert(vc(1L)._1 == 1L)           // the empty token
+    assert(!vc.contains(3L))          // null text yields no token rows
+    // below-k docs are absent from novelty (no shingles on either engine)
+    val nv = CorpusOps.noveltyScore(Seq((1L, "a b"), (2L, "a b c"))
+      .toDF("id", "t"), col("t"), col("id")).collect()
+    assert(nv.map(_.getLong(0)).toSeq == Seq(2L))
+    // one event per user → no transitions; empty input → empty matrix
+    val ev = Seq((1L, "u1", 10L, "a"), (2L, "u2", 20L, "b"))
+      .toDF("event_id", "user_id", "us", "event_type")
+    assert(Intervals.markovTransitions(ev, col("user_id"), col("us"),
+      col("event_id"), col("event_type")).count() == 0)
+    // conversions with no qualifying touch emit null-touch rows
+    val at = Intervals.lastTouchAttribution(ev, col("user_id"), col("us"),
+      col("event_id"), col("event_type"), "a", "b", windowUs = 5L).collect()
+    assert(at.length == 1 && at(0).getLong(0) == 2L && at(0).isNullAt(3) &&
+      at(0).isNullAt(4) && at(0).isNullAt(5))
+  }
 }
