@@ -447,6 +447,34 @@ object CorpusOps {
           (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("zipf_exponent"))
   }
 
+  /** BPE-style merge-candidate counting — the inner loop of tokenizer
+    * training: over the word-frequency table, count every ADJACENT
+    * character pair weighted by word frequency and report the top-`k`
+    * merge candidates. (Real BPE iterates this with a growing symbol
+    * vocabulary; the first iteration over characters is the
+    * distributed-shape-defining step — later iterations run over the
+    * same vocabulary-sized table with merged symbols.)
+    *
+    * Scale shape: the corpus-sized tokenize collapses to the
+    * VOCABULARY-sized word-frequency table first (one shuffle over
+    * tokens, partial-aggregated map-side); pair explosion happens on
+    * that small table only — ~|word| pairs per DISTINCT word, never per
+    * occurrence. Top-k via TakeOrdered (ties break by pair text). */
+  def bpePairCounts(docs: DataFrame, text: Column, k: Int = 20): DataFrame = {
+    val words = docs
+      .select(graft.functions.ShingleGenerator.shingles(text, 1).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    words.filter(length(col("w")) >= 2)
+      // sequence(1, len-1) would run DESCENDING for len<2 (Spark picks
+      // step -1 when start > stop) — the length guard above keeps the
+      // range honest as well as skipping pairless words
+      .select(col("c"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** First-occurrence novelty — the crawl-order diversity signal: per
     * document, the ppm of its DISTINCT k-shingles never seen in any
     * lower-id document (id is ingestion order). A verbatim re-crawl

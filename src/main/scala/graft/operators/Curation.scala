@@ -225,6 +225,38 @@ object Curation {
       .select("p.*")
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the composition-drift detector ("is language distribution
+    * independent of source?"). Output: one row, `(dof, chi2)`; compare
+    * chi2 against the chi-square quantile at dof degrees of freedom.
+    *
+    * Determinism recipe (the [[CorpusOps.unigramLogProb]] pattern):
+    * observed/expected and each cell's (o−e)²/e term are IEEE double
+    * expressions over exact integers — identical in any engine — and
+    * the per-cell terms are rounded to 6 dp and accumulated in DECIMAL,
+    * so the final statistic is order-independent. Scale shape: one
+    * count aggregation to |A|×|B| cells; margins are windows over that
+    * TINY table (bounded by category cardinalities, not data), and the
+    * grand total joins in as a broadcast scalar rather than an
+    * unpartitioned window (no single-partition stage, even a tiny one). */
+  def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("o"))
+    val wa = Window.partitionBy(col("__a"))
+    val wb = Window.partitionBy(col("__b"))
+    cells
+      .withColumn("__ra", sum(col("o")).over(wa))
+      .withColumn("__cb", sum(col("o")).over(wb))
+      .crossJoin(broadcast(cells.agg(sum(col("o")).as("__n"))))
+      .withColumn("__e",
+        (col("__ra") * col("__cb")).cast("double") / col("__n").cast("double"))
+      .withColumn("__t", round(
+        (col("o").cast("double") - col("__e")) * (col("o").cast("double") - col("__e")) /
+          col("__e"), 6).cast("decimal(28,6)"))
+      .agg(
+        ((count_distinct(col("__a")) - 1) * (count_distinct(col("__b")) - 1)).as("dof"),
+        sum(col("__t")).cast("double").as("chi2"))
+  }
+
   /** Referential-integrity audit: one row per declared FK constraint —
     * child row count, distinct child keys, null child keys, and orphan
     * rows (non-null child key with no matching parent). The pre-join

@@ -285,6 +285,49 @@ object AnalyticsQueries {
       graft.operators.Intervals.markovTransitions(
         Tables.table(s, d, "events"),
         col("user_id"), expr("ts div 1000"), col("event_id"), col("event_type"))
+    },
+    // market-basket co-occurrence with exact integer-ppm lift: parts
+    // co-ordered within the same order, the item-affinity primitive.
+    // Scale shape: pair enumeration is a self-equi-join ON THE ORDER KEY
+    // (one shuffle by orderkey; the within-order quadratic is bounded by
+    // basket size, ≤7 in TPC-H — never parts×parts), part frequencies
+    // and the scalar order count join in as broadcasts, and the top-k
+    // is TakeOrdered with a total-order tie-break (n desc, part_a,
+    // part_b). lift_ppm = n_pair·N_orders·10⁶ / (n_a·n_b) in exact
+    // integer floor division — no float ratios to disagree on.
+    QueryDef(
+      "basket_part_pairs",
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM i),
+        |f AS (SELECT l_partkey, count(*) AS n_part FROM i GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_pair
+        |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_pair,
+        |  (n_pair * n_orders * 1000000) // (fa.n_part * fb.n_part) AS lift_ppm
+        |FROM p JOIN f fa ON fa.l_partkey = part_a JOIN f fb ON fb.l_partkey = part_b
+        |CROSS JOIN n
+        |ORDER BY n_pair DESC, part_a, part_b LIMIT 100""".stripMargin) { (s, d) =>
+      val items = Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val partFreq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_pair"))
+      pairs
+        .join(broadcast(partFreq.select(col("l_partkey").as("part_a"),
+          col("n_part").as("__na"))), Seq("part_a"))
+        .join(broadcast(partFreq.select(col("l_partkey").as("part_b"),
+          col("n_part").as("__nb"))), Seq("part_b"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("n_pair"),
+          expr("(n_pair * n_orders * 1000000) div (__na * __nb)").as("lift_ppm"))
+        .orderBy(col("n_pair").desc, col("part_a").asc, col("part_b").asc)
+        .limit(100)
     }
   )
 }

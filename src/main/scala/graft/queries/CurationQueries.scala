@@ -209,6 +209,27 @@ object CurationQueries {
           t("customer"), col("c_custkey")),
         ("customer.c_nationkey->nation", t("customer"), col("c_nationkey"),
           t("nation"), col("n_nationkey"))))
+    },
+    // chi-square independence of (source, lang): the composition-drift
+    // significance test behind the dataset card (Curation.chiSquare) —
+    // exact-decimal term accumulation, one |A|x|B|-cell aggregate
+    QueryDef(
+      "stats_chi_square",
+      """WITH c AS (SELECT source AS a, lang AS b, count(*) AS o FROM documents GROUP BY 1, 2),
+        |m AS (SELECT a, b, o,
+        |    sum(o) OVER (PARTITION BY a) AS ra,
+        |    sum(o) OVER (PARTITION BY b) AS cb,
+        |    sum(o) OVER () AS n FROM c),
+        |t AS (SELECT a, b,
+        |    CAST(round((CAST(o AS DOUBLE) - CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(28,6)) AS term
+        |  FROM m)
+        |SELECT (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+        |  CAST(sum(term) AS DOUBLE) AS chi2
+        |FROM t""".stripMargin) { (s, d) =>
+      Curation.chiSquare(
+        Tables.table(s, d, "documents"), col("source"), col("lang"))
     }
   )
 }

@@ -62,6 +62,30 @@ object DedupQueries {
       Dedup.dedupClusters(
         Dedup.ngramJaccard(Tables.table(s, d, "documents"), col("text"), col("doc_id")))
     },
+    // composition view of the same pairs: per SOURCE, how much of the
+    // corpus is near-duplicated (docs appearing in any qualifying pair,
+    // in exact integer ppm) — the per-provider duplication report a
+    // curation pipeline publishes
+    QueryDef(
+      "dedup_rate_by_source",
+      s"""WITH pairs AS ($jaccardOracle),
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs))
+         |SELECT d.source, count(*) AS n_docs,
+         |  (count(dup.doc_id) * 1000000) // count(*) AS dup_ppm
+         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+         |GROUP BY d.source""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val pairs = Dedup.ngramJaccard(docs, col("text"), col("doc_id"))
+      val dup = pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id")))
+        .distinct().withColumn("__dup", lit(1))
+      docs.join(dup, Seq("doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("__dup")).as("__nd"))
+        .select(col("source"), col("n_docs"),
+          expr("__nd * 1000000 div n_docs").as("dup_ppm"))
+    },
     // duplication-report rollup of the same clusters: how many near-dup
     // groups exist at each size (singletons are docs without any pair —
     // not in the edge list, so the histogram covers paired docs only)

@@ -232,6 +232,34 @@ object PipelineQueries {
         |FROM documents""".stripMargin) { (s, d) =>
       CorpusOps.deterministicShuffle(Tables.table(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), col("shuffle_pos"))
+    },
+    // single-pass pipeline accounting via Dataset.observe: input volume
+    // and post-filter survivors are collected AS THE PIPELINE RUNS
+    // (CollectMetricsExec accumulators piggyback on the one scan) — at
+    // 100 TB the alternative is a second full pass per audit counter.
+    // The observed exact integers/decimals become a 1-row DataFrame;
+    // the oracle recomputes them relationally with FILTER aggregates.
+    QueryDef(
+      "pipeline_observed_metrics",
+      """SELECT count(*) AS n_in,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_in,
+        |  count(*) FILTER (WHERE l_quantity > 45) AS n_kept
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val oIn = org.apache.spark.sql.Observation()
+      val oOut = org.apache.spark.sql.Observation()
+      Tables.table(s, d, "lineitem")
+        .select(col("l_quantity")) // scan prunes to the audited column
+        .observe(oIn, count(lit(1)).as("n_in"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty_in"))
+        .filter(col("l_quantity") > 45)
+        .observe(oOut, count(lit(1)).as("n_kept"))
+        .foreach(_ => ()) // one full pass; both observation points fire
+      Seq((
+        oIn.get("n_in").asInstanceOf[Long],
+        oIn.get("qty_in").asInstanceOf[java.math.BigDecimal].doubleValue,
+        oOut.get("n_kept").asInstanceOf[Long]))
+        .toDF("n_in", "qty_in", "n_kept")
     }
   )
 }

@@ -134,6 +134,28 @@ object ScalarSetQueries {
       Tables.table(s, d, "lineitem")
         .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"))
+    },
+    // native unpivot (melt) — the wide→long reshape, Dataset.unpivot:
+    // three measure columns to (measure, value) rows aggregated per
+    // measure with exact decimal totals
+    QueryDef(
+      "unpivot_measures",
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem)
+        |SELECT measure, count(*) AS n, CAST(sum(v) AS DOUBLE) AS total
+        |FROM m GROUP BY measure""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+          col("l_extendedprice").cast("decimal(18,2)").as("l_extendedprice"),
+          col("l_discount").cast("decimal(18,2)").as("l_discount"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "v")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("total"))
     }
   )
 }

@@ -150,6 +150,15 @@ object StreamingQueries {
         |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
       Streaming.streamToParquetSink(s, d)
     },
+    // Trigger.AvailableNow incremental batch: two real runs against one
+    // checkpoint (slices A+B, then delta C); exactly-once across runs →
+    // the read-back aggregate equals the batch aggregate over ALL events
+    QueryDef(
+      "stream_available_now",
+      """SELECT event_type, count(*) AS n, min(event_id) AS min_event
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Streaming.streamAvailableNow(s, d)
+    },
     QueryDef(
       "stream_dedup_state",
       """SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n

@@ -257,6 +257,21 @@ object TextQueries {
         |  round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) AS zipf_exponent
         |FROM a""".stripMargin) { (s, d) =>
       CorpusOps.zipfFit(Tables.table(s, d, "documents"), col("text"))
+    },
+    // BPE merge-candidate counting (CorpusOps.bpePairCounts): the
+    // tokenizer-training inner loop — adjacent char pairs weighted by
+    // word frequency, counted over the VOCABULARY-sized word table
+    QueryDef(
+      "text_bpe_merge",
+      """WITH w AS (SELECT s AS w, count(*) AS c FROM
+        |    (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS s FROM documents)
+        |  GROUP BY 1),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, c FROM
+        |  (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+        |   FROM w WHERE length(w) >= 2))
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      CorpusOps.bpePairCounts(Tables.table(s, d, "documents"), col("text"), 20)
     }
   )
 }

@@ -187,6 +187,20 @@ class CurationSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < all.length)
   }
 
+  test("chiSquare: zero on exact independence, hand-computed value on a 2x2") {
+    import spark.implicits._
+    // perfectly proportional table -> chi2 = 0
+    val indep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(40)(("b", "y"))).toDF("s", "l")
+    val r0 = Curation.chiSquare(indep, col("s"), col("l")).head()
+    assert(r0.getLong(0) == 1L && r0.getDouble(1) == 0.0)
+    // [[30,10],[10,30]]: every e = 20, every term = 100/20 = 5 -> chi2 = 20
+    val dep = (Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y"))).toDF("s", "l")
+    val r1 = Curation.chiSquare(dep, col("s"), col("l")).head()
+    assert(r1.getLong(0) == 1L && r1.getDouble(1) == 20.0)
+  }
+
   test("referentialAudit: orphan, null, and distinct counts are exact") {
     import spark.implicits._
     // children: 3 match (keys 1,1,2), 2 orphans (9,9), 2 null keys

@@ -360,6 +360,25 @@ class MiscOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("different"))
   }
 
+  test("basket_part_pairs matches driver-side brute force at sf0.001") {
+    val got = SparkEntry.queries("basket_part_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force: per order, all distinct-part pairs; exact integer lift
+    val items = graft.sources.Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = items.map(_._1).distinct.length.toLong
+    val partFreq = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = pairCounts.toSeq.map { case ((a, b), n) =>
+      (a, b, n, n * nOrders * 1000000L / (partFreq(a) * partFreq(b)))
+    }.sortBy { case (a, b, n, _) => (-n, a, b) }.take(100)
+    assert(got.toSeq == expect)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

@@ -249,4 +249,17 @@ class SimStreamSpec extends SparkSpec {
     assert(one.sameElements(six))
     assert(one.nonEmpty)
   }
+
+  test("AvailableNow run 2 processes ONLY the delta slice, total is exact") {
+    val (agg, run1, run2) =
+      graft.streaming.Streaming.streamAvailableNowWithStats(spark, sf)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val total = ev.count()
+    val delta = ev.filter(org.apache.spark.sql.functions.col("event_id") % 3 === 2).count()
+    assert(run1 == total - delta, s"run1=$run1 expected ${total - delta}")
+    assert(run2 == delta, s"run2=$run2 expected $delta")
+    // exactly-once across the checkpoint restart: sink total == input total
+    assert(agg.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == total)
+  }
 }

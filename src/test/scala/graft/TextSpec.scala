@@ -152,4 +152,19 @@ class TextSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1L, 3L, 1000000L), (2L, 3L, 0L), (3L, 4L, 750000L)))
   }
+
+  test("bpePairCounts: frequency-weighted adjacent pairs, hand-computed") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    // words: abc(2: doc1+doc3), ab(1), x(1, no pairs)
+    // pairs: ab = 2(abc) + 1(ab) = 3, bc = 2(abc)
+    val docs = Seq((1L, "abc ab"), (2L, "x"), (3L, " abc ")).toDF("id", "t")
+    val got = CorpusOps.bpePairCounts(docs, col("t"), 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("ab", 3L), ("bc", 2L)))
+    // k truncates at the (n desc, pair asc) boundary deterministically
+    val top1 = CorpusOps.bpePairCounts(docs, col("t"), 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top1.toSeq == Seq(("ab", 3L)))
+  }
 }
