@@ -40,7 +40,14 @@ object Explain {
     "q22_dormant_customers", "cdc_time_travel",
     // join_strategy_advice and join_size_estimate cross 1-row
     // statistics/sketch aggregates (scalar broadcast, not a pair scan)
-    "join_strategy_advice", "join_size_estimate")
+    "join_strategy_advice", "join_size_estimate",
+    // same scalar fan-out: chi-square's grand total, the histogram's
+    // min/max bounds, and the basket lift's order count are 1-row
+    // broadcast aggregates under bounded-size tables
+    "stats_chi_square", "profile_histogram", "basket_part_pairs",
+    // dedup_semantic_keep composes the declared exact-pairs baseline
+    // (dedup_embedding's NLJ); the SRP-bucketed twin is the scale path
+    "dedup_semantic_keep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

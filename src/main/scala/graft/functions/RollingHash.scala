@@ -69,10 +69,13 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(c)))
 
+  def nfc_normalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
+
   /** Register SQL names for every custom expression/aggregate, so the
     * plain-SQL surface (`Graft.registerViews` + `spark.sql`) reaches
     * them too:
-    * `graft_rolling_hash(str)`, `graft_dot(arr, arr)`,
+    * `graft_rolling_hash(str)`, `graft_nfc(str)`, `graft_dot(arr, arr)`,
     * `graft_simhash(hash, weight)`,
     * `graft_misra_gries(item, k)` (k a foldable int literal),
     * `graft_cms_estimate(sketch, item)` (probe for the builtin
@@ -83,6 +86,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -230,6 +230,27 @@ object CurationQueries {
         |FROM t""".stripMargin) { (s, d) =>
       Curation.chiSquare(
         Tables.table(s, d, "documents"), col("source"), col("lang"))
+    },
+    // equi-width numeric histogram (20 bins) — the distribution profile
+    // behind every data-quality dashboard. min/max join in as a
+    // broadcast scalar; bin assignment is identical IEEE arithmetic in
+    // both engines ((v-lo)*20.0/(hi-lo), floored, top edge clamped), so
+    // exact counts and per-bin extrema hash-match. One scan + one
+    // bounded (≤20-row) aggregation — the 100 TB profile shape.
+    QueryDef(
+      "profile_histogram",
+      """WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem)
+        |SELECT least(CAST(floor((l_extendedprice - lo) * 20.0 / (hi - lo)) AS BIGINT), 19)
+        |    AS bin,
+        |  count(*) AS n, min(l_extendedprice) AS bin_min, max(l_extendedprice) AS bin_max
+        |FROM lineitem, mm GROUP BY 1""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+      val mm = li.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      li.crossJoin(broadcast(mm))
+        .groupBy(least(floor((col("v") - col("lo")) * lit(20.0) / (col("hi") - col("lo"))),
+          lit(19L)).as("bin"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("bin_min"), max(col("v")).as("bin_max"))
     }
   )
 }

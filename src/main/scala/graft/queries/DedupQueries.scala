@@ -169,6 +169,41 @@ object DedupQueries {
         |FROM p WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.45""".stripMargin) { (s, d) =>
       Dedup.embeddingCosinePairs(
         Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"), 0.45)
+    },
+    // END-TO-END semantic dedup — the actual curation output: cosine
+    // near-dup pairs → connected components → drop every non-representative
+    // member → anti-join returns the KEPT corpus. Pair generation here is
+    // the exact baseline (oracle-matched); at 100 TB the SRP-bucketed
+    // twin generates the same high-cosine pairs bucket-locally and the
+    // downstream component/anti-join shape is unchanged.
+    QueryDef(
+      "dedup_semantic_keep",
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS da, b.vec_id AS db,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y) AS dab,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])), (x, y) -> x + y) AS daa,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])), (x, y) -> x + y) AS dbb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |pairs AS (SELECT da, db FROM p WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.45),
+        |sym AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node),
+        |rep AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+        |drops AS (SELECT node FROM rep WHERE node <> rep)
+        |SELECT emb.vec_id, emb.label FROM embeddings emb
+        |LEFT JOIN drops ON emb.vec_id = drops.node
+        |WHERE drops.node IS NULL""".stripMargin) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val pairs = Dedup.embeddingCosinePairs(emb, col("embedding"), col("vec_id"), 0.45)
+      val drops = Dedup.connectedComponents(
+          pairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
+        .filter(col("node") =!= col("rep"))
+        .select(col("node").as("vec_id"))
+      emb.join(drops, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
     }
   )
 }

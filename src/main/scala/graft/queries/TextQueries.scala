@@ -272,6 +272,25 @@ object TextQueries {
         |SELECT pair, CAST(sum(c) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
       CorpusOps.bpePairCounts(Tables.table(s, d, "documents"), col("text"), 20)
+    },
+    // Unicode NFC canonicalization (custom codegen Expression
+    // functions.NfcNormalize vs DuckDB's utf8proc nfc_normalize): each
+    // doc gets a decomposed "e"+U+0301 suffix appended, so the
+    // normalizer provably composes (length shrinks by 1) and the md5
+    // pins byte-exact agreement of the full normalized text
+    QueryDef(
+      "text_nfc_normalize",
+      """SELECT doc_id,
+        |  length(nfc_normalize(text || 'e' || chr(769))) AS n_norm,
+        |  md5(nfc_normalize(text || 'e' || chr(769))) AS h
+        |FROM documents""".stripMargin) { (s, d) =>
+      // NB: Spark's chr() is ASCII-mod-256, NOT a codepoint constructor
+      // (chr(769) would be U+0001) — the combining acute U+0301 is a
+      // direct literal here; the DuckDB side uses its codepoint chr(769)
+      val norm = GraftFunctions.nfc_normalize(
+        concat(col("text"), lit("e\u0301")))
+      Tables.table(s, d, "documents").select(
+        col("doc_id"), length(norm).as("n_norm"), md5(norm.cast("binary")).as("h"))
     }
   )
 }

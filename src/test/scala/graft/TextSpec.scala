@@ -27,6 +27,30 @@ class TextSpec extends SparkSpec {
     assert(cg.toSeq == exp)
   }
 
+  test("NfcNormalize composes decomposed input; ASCII and null pass through") {
+    import spark.implicits._
+    import graft.functions.NfcNormalize
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = "cafe\u0301" // e + combining acute U+0301
+    val composed = "caf\u00e9"    // precomposed U+00E9
+    val rows = Seq(decomposed, composed, "plain ascii", "", null)
+    val got = rows.toDF("s")
+      .select(GraftFunctions.nfc_normalize(col("s")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.toSeq == Seq(composed, composed, "plain ascii", "", null))
+    // interpreted eval agrees with the codegen path exercised above
+    for (s <- rows if s != null) {
+      val interp = NfcNormalize(Literal(UTF8String.fromString(s)))
+        .eval(null).asInstanceOf[UTF8String].toString
+      assert(interp == java.text.Normalizer.normalize(
+        s, java.text.Normalizer.Form.NFC))
+    }
+    // already-NFC non-ASCII input returns the input buffer (no copy)
+    val u = UTF8String.fromString(composed)
+    assert(NfcNormalize(Literal(u)).eval(null).asInstanceOf[AnyRef] eq u)
+  }
+
   test("SQL registration works") {
     GraftFunctions.register(spark)
     import spark.implicits._
