@@ -257,6 +257,27 @@ object Curation {
         sum(col("__t")).cast("double").as("chi2"))
   }
 
+  /** Equi-width numeric histogram — the distribution profile behind
+    * every data-quality dashboard. min/max join in as a broadcast
+    * scalar; bin assignment is identical IEEE arithmetic in any engine
+    * ((v−lo)·bins/(hi−lo), floored, top edge clamped), so exact counts
+    * and per-bin extrema hash-match. A constant column (hi = lo) maps
+    * every row to bin 0 instead of dividing by zero. One scan + one
+    * ≤`bins`-row aggregation — the 100 TB profile shape. */
+  def histogram(df: DataFrame, v: Column, bins: Int): DataFrame = {
+    val vals = df.select(v.as("__v"))
+    val mm = vals.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    vals.crossJoin(broadcast(mm))
+      .groupBy(
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("__v") - col("__lo")) * lit(bins.toDouble) /
+              (col("__hi") - col("__lo"))),
+            lit(bins - 1L))).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("bin_min"), max(col("__v")).as("bin_max"))
+  }
+
   /** Referential-integrity audit: one row per declared FK constraint —
     * child row count, distinct child keys, null child keys, and orphan
     * rows (non-null child key with no matching parent). The pre-join

@@ -241,16 +241,13 @@ object CurationQueries {
       "profile_histogram",
       """WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
         |  FROM lineitem)
-        |SELECT least(CAST(floor((l_extendedprice - lo) * 20.0 / (hi - lo)) AS BIGINT), 19)
-        |    AS bin,
+        |SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(CAST(floor((l_extendedprice - lo) * 20.0 / (hi - lo)) AS BIGINT), 19)
+        |    END AS bin,
         |  count(*) AS n, min(l_extendedprice) AS bin_min, max(l_extendedprice) AS bin_max
         |FROM lineitem, mm GROUP BY 1""".stripMargin) { (s, d) =>
-      val li = Tables.table(s, d, "lineitem").select(col("l_extendedprice").as("v"))
-      val mm = li.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-      li.crossJoin(broadcast(mm))
-        .groupBy(least(floor((col("v") - col("lo")) * lit(20.0) / (col("hi") - col("lo"))),
-          lit(19L)).as("bin"))
-        .agg(count(lit(1)).as("n"), min(col("v")).as("bin_min"), max(col("v")).as("bin_max"))
+      Curation.histogram(
+        Tables.table(s, d, "lineitem"), col("l_extendedprice"), bins = 20)
     }
   )
 }

@@ -201,6 +201,20 @@ class CurationSpec extends SparkSpec {
     assert(r1.getLong(0) == 1L && r1.getDouble(1) == 20.0)
   }
 
+  test("histogram: exact bins, top-edge clamp, constant column maps to bin 0") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // lo=0, hi=10, 2 bins of width 5: {0,4.9}→bin0, {5,10}→bin1 (hi clamped)
+    val got = Curation.histogram(Seq(0.0, 4.9, 5.0, 10.0).toDF("x"), col("x"), 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 2L, 0.0, 4.9), (1L, 2L, 5.0, 10.0)))
+    // constant column: no divide-by-zero, everything lands in bin 0
+    val const = Curation.histogram(Seq(7.0, 7.0, 7.0).toDF("x"), col("x"), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(const.toSeq == Seq((0L, 3L)))
+  }
+
   test("referentialAudit: orphan, null, and distinct counts are exact") {
     import spark.implicits._
     // children: 3 match (keys 1,1,2), 2 orphans (9,9), 2 null keys
