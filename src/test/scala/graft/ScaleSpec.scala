@@ -192,6 +192,35 @@ class ScaleSpec extends SparkSpec {
       s"corpus tokenize ran ${generates.size}× (expected ≤ 2):\n$plan")
   }
 
+  test("BPE pair explosion runs over the aggregated vocabulary, not the corpus") {
+    val df = SparkEntry.queries("text_bpe_merge")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // TreeNode.collect stops at AQE query-stage boundaries (QueryStageExec
+    // wraps its stage plan as a field, not a child) — flatten through them
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val through = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(flatten)
+    }
+    val nodes = flatten(plan)
+    val generates = nodes.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    // exactly two rows-out stages: corpus tokenize + vocab pair-explode
+    assert(generates.size == 2, s"expected 2 GenerateExec, got ${generates.size}:\n$plan")
+    // the pair-explode Generate must consume the word-frequency AGGREGATE
+    // (vocabulary-sized) — a pair explosion directly over the corpus
+    // tokenizer would be per-occurrence, k× the volume for no benefit
+    val overVocab = generates.exists(g => flatten(g.child).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]))
+    assert(overVocab, s"no GenerateExec consumes an aggregate (vocab) input:\n$plan")
+  }
+
   test("runtime bloom filter prunes the fact scan of a selective dim join") {
     Joins.withSessionConfs(spark, Joins.bloomFilterConfs: _*) {
       val o = Tables.table(spark, sf, "orders")
