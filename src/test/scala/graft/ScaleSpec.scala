@@ -9,6 +9,18 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 /** Scale-pattern assertions: the plans that must hold at 100 TB. */
 class ScaleSpec extends SparkSpec {
 
+  /** TreeNode.collect stops at AQE query-stage boundaries (QueryStageExec
+    * wraps its stage plan as a field, not a child) — flatten through them
+    * so plan pins see the whole executed tree. */
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val through = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: through.flatMap(flattenPlan)
+  }
+
   test("salted join equals plain join under synthetic skew") {
     import spark.implicits._
     // hot key 1 with 5k rows + uniform tail
@@ -187,9 +199,10 @@ class ScaleSpec extends SparkSpec {
     // ONE frequency aggregation — the corpus-total subtree must reuse
     // the frequency Exchange (a third Generate = the round-2 shape that
     // ran the corpus tokenize+agg twice)
-    val generates = plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
-    assert(generates.size <= 2,
-      s"corpus tokenize ran ${generates.size}× (expected ≤ 2):\n$plan")
+    val generates = flattenPlan(plan)
+      .collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(generates.nonEmpty && generates.size <= 2,
+      s"corpus tokenize ran ${generates.size}× (expected 1-2):\n$plan")
   }
 
   test("BPE pair explosion runs over the aggregated vocabulary, not the corpus") {
@@ -199,24 +212,14 @@ class ScaleSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    // TreeNode.collect stops at AQE query-stage boundaries (QueryStageExec
-    // wraps its stage plan as a field, not a child) — flatten through them
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val through = p match {
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      p +: through.flatMap(flatten)
-    }
-    val nodes = flatten(plan)
-    val generates = nodes.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    val generates = flattenPlan(plan)
+      .collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
     // exactly two rows-out stages: corpus tokenize + vocab pair-explode
     assert(generates.size == 2, s"expected 2 GenerateExec, got ${generates.size}:\n$plan")
     // the pair-explode Generate must consume the word-frequency AGGREGATE
     // (vocabulary-sized) — a pair explosion directly over the corpus
     // tokenizer would be per-occurrence, k× the volume for no benefit
-    val overVocab = generates.exists(g => flatten(g.child).exists(
+    val overVocab = generates.exists(g => flattenPlan(g.child).exists(
       _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]))
     assert(overVocab, s"no GenerateExec consumes an aggregate (vocab) input:\n$plan")
   }
