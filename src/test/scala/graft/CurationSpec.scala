@@ -90,19 +90,25 @@ class CurationSpec extends SparkSpec {
     val corpus = docs.filter(col("source") =!= "src0")
     val df = Curation.decontaminate(corpus, bench, col("text"), col("doc_id"))
     df.count() // finalize any adaptive re-plan before inspecting
-    def strip(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        Seq(a.executedPlan)
-      case other => Seq(other)
+    // traverse AQE stage boundaries too (QueryStageExec hides its stage
+    // plan from TreeNode.collect) so the shuffle-free claim is honest
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val through = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(flatten)
     }
-    val root = strip(df.queryExecution.executedPlan).head
-    val joins = root.collect { case j: BroadcastHashJoinExec => j }
+    val joins = flatten(df.queryExecution.executedPlan)
+      .collect { case j: BroadcastHashJoinExec => j }
     assert(joins.nonEmpty, "bench set must broadcast-probe")
     // the streamed (corpus) side below the join must be shuffle-free:
     // a pre-join distinct would hash-partition every (doc_id, shingle)
     joins.foreach { j =>
       val streamed = if (j.buildSide.toString.contains("Right")) j.left else j.right
-      assert(streamed.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      assert(flatten(streamed).collect { case e: ShuffleExchangeLike => e }.isEmpty,
         "corpus postings must reach the broadcast probe unshuffled")
     }
   }

@@ -47,7 +47,7 @@ class ScaleSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    val exchanges = flattenPlan(plan).collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.isEmpty, s"expected shuffle-free bucketed join, found ${exchanges.size} exchanges")
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
@@ -63,7 +63,7 @@ class ScaleSpec extends SparkSpec {
     val s = plan.toString()
     assert(s.contains("BroadcastHashJoin"), "dim joins must broadcast")
     // only the final aggregation may shuffle — never the joins
-    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    val exchanges = flattenPlan(plan).collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.size <= 1, s"fact-side join shuffled: ${exchanges.size} exchanges")
   }
 
@@ -179,7 +179,7 @@ class ScaleSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    val exchanges = flattenPlan(plan).collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.isEmpty,
       s"bucketed registry join must be exchange-free, found ${exchanges.size}")
     spark.sql(s"DROP TABLE IF EXISTS ${Joins.processTable("graft_orders_bkt")}")
