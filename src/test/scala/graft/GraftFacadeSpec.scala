@@ -19,6 +19,9 @@ class GraftFacadeSpec extends SparkSpec {
     val d = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
     assert(d == 11.0)
+    // NFC normalization: decomposed e + U+0301 composes to U+00E9
+    val nfc = spark.sql("SELECT graft_nfc('cafe\u0301') AS s").head().getString(0)
+    assert(nfc == "caf\u00e9")
     // aggregates: simhash of a single token {h=3, w=1} sets exactly the
     // bits of 3; misra_gries over a skewed stream returns the hot key
     val sh = spark.sql(
