@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word k-shingle generator — the custom-Generator tier of the Catalyst
@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * empty token and (like any doc with fewer than k tokens, k ≥ 2) no
   * shingles; null text yields no rows.
   */
-case class ShingleGenerator(child: Expression, k: Int)
+case class ShingleGenerator(child: Expression, k: Int, withPos: Boolean = false)
   extends UnaryExpression with Generator with CodegenFallback {
 
   require(k >= 1, "k must be >= 1")
@@ -43,7 +43,10 @@ case class ShingleGenerator(child: Expression, k: Int)
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
 
   override def elementSchema: StructType =
-    StructType(StructField("s", StringType, nullable = false) :: Nil)
+    if (withPos)
+      StructType(StructField("pos", IntegerType, nullable = false)
+        :: StructField("s", StringType, nullable = false) :: Nil)
+    else StructType(StructField("s", StringType, nullable = false) :: Nil)
 
   override def prettyName: String = "graft_shingles"
 
@@ -72,7 +75,9 @@ case class ShingleGenerator(child: Expression, k: Int)
           }
           // fresh row per shingle: downstream Generate consumers may
           // buffer without copying
-          new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString)))
+          val s = UTF8String.fromString(sb.toString)
+          if (withPos) new GenericInternalRow(Array[Any](i, s))
+          else new GenericInternalRow(Array[Any](s))
         }
       }
     }
@@ -87,4 +92,9 @@ object ShingleGenerator {
     * explode). */
   def shingles(text: Column, k: Int): Column =
     Bridge.column(ShingleGenerator(Bridge.expression(text), k))
+
+  /** (pos, s) rows — the positional form the exact-substring span
+    * detector needs (pos = 0-based start-token index of the k-gram). */
+  def shinglesWithPos(text: Column, k: Int): Column =
+    Bridge.column(ShingleGenerator(Bridge.expression(text), k, withPos = true))
 }

@@ -125,6 +125,53 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** Exact duplicated-substring spans — the ExactSubstr dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), re-expressed as a distributed bucket join
+    * instead of a monolithic suffix array: for each document, every
+    * maximal token range whose k-token windows ALL also occur in at
+    * least one other document. Sub-document exact duplication (licence
+    * headers, boilerplate, quoted passages) is what document-level
+    * hashes structurally miss.
+    *
+    * Dataflow (each stage groupBy/join-shaped, no pair product):
+    *  1. positional k-shingles via the fused generator, keyed by md5 —
+    *     fixed-width shuffle keys instead of k-token strings;
+    *  2. duplicated-shingle set = keys whose doc support has
+    *     min(doc_id) ≠ max(doc_id) (⇔ ≥ 2 distinct docs) — ONE
+    *     ordinary aggregate, fully map-side combinable (no distinct
+    *     rewrite / second shuffle);
+    *  3. semi-join positions back to the duplicated keys;
+    *  4. per-doc gaps-and-islands window merges overlapping windows
+    *     (start gap ≤ k) into maximal spans. The window partitions by
+    *     doc over each doc's few duplicated positions only — bounded
+    *     state, unlike a corpus-wide suffix sort.
+    *
+    * Output: (doc_id, span_start, span_tokens) — 0-based start-token
+    * index and token length of each maximal duplicated span. */
+  def substringSpans(docs: DataFrame, text: Column, id: Column, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .select(id.as("doc_id"),
+        graft.functions.ShingleGenerator.shinglesWithPos(text, k).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), md5(col("s")).as("h"))
+    val dup = keyed.groupBy("h")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select("h")
+    val hits = keyed.join(dup, Seq("h"), "left_semi").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("g",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "g")
+      .agg(min("pos").as("mn"), max("pos").as("mx"))
+      .select(col("doc_id"), col("mn").cast("long").as("span_start"),
+        (col("mx") - col("mn") + k).cast("long").as("span_tokens"))
+  }
+
   /** MinHash signatures: numHashes mins per doc in one pass over the
     * inverted index (map-side combinable). The hash family is
     * Carter-Wegman: h_k(s) = h1(s) + k·h2(s) over two base xxhash64

@@ -328,6 +328,33 @@ object AnalyticsQueries {
           expr("(n_pair * n_orders * 1000000) div (__na * __nb)").as("lift_ppm"))
         .orderBy(col("n_pair").desc, col("part_a").asc, col("part_b").asc)
         .limit(100)
+    },
+    // OHLC time bars: per event-type per UTC day, the first/max/min/last
+    // value — one groupBy with min_by/max_by picks (map-side partial
+    // agg, no window sort, no self-join: the 100 TB bar-building shape).
+    // open/close picks need a TOTAL order to be deterministic under
+    // parallel aggregation: the zero-padded "micros:event_id" string is
+    // one both engines sort identically (value is picked, never summed,
+    // so doubles stay bit-exact)
+    QueryDef(
+      "events_ohlc",
+      """SELECT event_type,
+        |  epoch_us(date_trunc('day', ts)) AS day_us,
+        |  arg_min(value, printf('%020d:%010d', epoch_us(ts), event_id)) AS open_v,
+        |  max(value) AS high_v, min(value) AS low_v,
+        |  arg_max(value, printf('%020d:%010d', epoch_us(ts), event_id)) AS close_v,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type, day_us""".stripMargin) { (s, d) =>
+      val key = format_string("%020d:%010d", expr("ts div 1000"), col("event_id"))
+      Tables.table(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("(ts div 1000 div 86400000000) * 86400000000").as("day_us"))
+        .agg(
+          min_by(col("value"), key).as("open_v"),
+          max(col("value")).as("high_v"),
+          min(col("value")).as("low_v"),
+          max_by(col("value"), key).as("close_v"),
+          count(lit(1)).as("n_events"))
     }
   )
 }

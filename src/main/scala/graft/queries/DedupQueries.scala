@@ -126,6 +126,31 @@ object DedupQueries {
         |WHERE CAST(c AS DOUBLE) / sa.n >= 0.9""".stripMargin) { (s, d) =>
       Dedup.containment(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
     },
+    // exact duplicated-substring spans (Lee et al. ExactSubstr as a
+    // bucket join): maximal token ranges whose every 8-token window
+    // also appears in another document — the sub-document duplication
+    // that document-level hashing misses. Oracle recomputes the same
+    // definition brute-force: positional 8-grams, cross-doc support,
+    // gaps-and-islands merge of overlapping windows.
+    QueryDef(
+      "dedup_substring_spans",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+        |         i -> {'pos': i - 1, 'h': md5(array_to_string(w[i:i+7], ' '))})) AS u
+        |  FROM t WHERE len(w) >= 8),
+        |shf AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM sh),
+        |dup AS (SELECT h FROM shf GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos FROM shf WHERE h IN (SELECT h FROM dup)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM hits),
+        |grp AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + 8 AS span_tokens
+        |FROM grp GROUP BY doc_id, g""".stripMargin) { (s, d) =>
+      Dedup.substringSpans(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
+    },
     QueryDef("dedup_minhash_lsh", jaccardOracle) { (s, d) =>
       Dedup.minhashLsh(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
     },

@@ -230,4 +230,39 @@ class DedupSpec extends SparkSpec {
       packed.filter(col("doc_id") === 0).select(md5(col("payload"))).head().getString(0))
     assert(viaSql.length == 32)
   }
+
+  test("substringSpans: cross-doc runs found, merged maximal, internal repeats excluded") {
+    import spark.implicits._
+    // docs 1 & 2 share a 12-token run (5 overlapping 8-windows → ONE
+    // merged span each); doc 3 repeats its own 8-gram twice (internal
+    // only → min(doc)=max(doc) → excluded); doc 4 shares nothing
+    val shared = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val d = Seq(
+      (1L, s"${(0 until 10).map(i => s"a$i").mkString(" ")} $shared ${(0 until 5).map(i => s"b$i").mkString(" ")}"),
+      (2L, s"${(0 until 3).map(i => s"c$i").mkString(" ")} $shared"),
+      (3L, { val run = (0 until 8).map(i => s"r$i").mkString(" "); s"$run x1 x2 $run" }),
+      (4L, (0 until 30).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(d, col("text"), col("doc_id"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 10L, 12L), (2L, 3L, 12L)))
+  }
+
+  test("positional shingle generator equals the posexplode HOF twin (incl. tab/newline edges)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, " \ta b  c d\te f "), // leading tab survives trim; interior runs
+      (2L, "x y"), //                under k tokens -> no rows
+      (3L, null.asInstanceOf[String]),
+      (4L, "p q r\n")) //            trailing newline -> trailing empty token
+      .toDF("doc_id", "text")
+    val gen = d.select(col("doc_id"),
+        graft.functions.ShingleGenerator.shinglesWithPos(col("text"), 3).as(Seq("pos", "s")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val hof = d.filter(size(split(trim(col("text")), "\\s+")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 3), " +
+          "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 3)))")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(gen == hof && gen.exists(_._1 == 1L) && gen.exists(_._1 == 4L))
+  }
 }

@@ -379,6 +379,22 @@ class MiscOpsSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
+  test("events_ohlc equals a driver-side brute-force bar build at smoke scale") {
+    val got = Graft.query("events_ohlc")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    val ev = graft.sources.Tables.table(spark, sf, "events")
+      .select(col("event_type"), expr("ts div 1000").as("tus"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = ev.groupBy { case (et, tus, _, _) => (et, tus / 86400000000L * 86400000000L) }
+      .map { case (k, rs) =>
+        val ordered = rs.sortBy { case (_, tus, id, _) => (tus, id) }
+        k -> (ordered.head._4, rs.map(_._4).max, rs.map(_._4).min,
+          ordered.last._4, rs.size.toLong)
+      }
+    assert(got == expect && got.nonEmpty)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
