@@ -282,4 +282,24 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"gramian must not self-join")
     assert(plan.contains("HashAggregate"), "partial aggregation expected")
   }
+
+  test("substring-span dedup: hash-agg dup set, semi join back, no pair product") {
+    val df = SparkEntry.queries("dedup_substring_spans")(spark, sf)
+    df.collect(): Unit // finalize the adaptive plan
+    val nodes = flattenPlan(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    })
+    val s = nodes.map(_.nodeName).mkString(",")
+    // the duplicated-shingle set is ONE ordinary aggregate (min!=max),
+    // not a distinct rewrite — a second Expand/aggregate pass over the
+    // full shingle stream would double the wide shuffle at 100 TB
+    assert(!s.contains("Expand"), "dup-set must not use the count-distinct Expand rewrite")
+    assert(s.contains("HashAggregate"), "dup-set must partial-aggregate map-side")
+    // positions return via a semi join on the md5 key; never a pair join
+    assert(nodes.exists(n => n.toString.contains("LeftSemi")),
+      "hits must come back through a semi join")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs shapes anywhere in the span path")
+  }
 }
