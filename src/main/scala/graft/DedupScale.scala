@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the substring-span and exact dedup operators
+  * (docs/EXPERIMENTS.md): a synthetic corpus generated entirely inside
+  * the engine (`spark.range` + xxhash64 token picks — no data files, no
+  * driver-side materialization, same posture as GraphScale) with
+  * PLANTED duplication whose exact span count is known in advance, so
+  * the run both measures wall time and self-checks correctness.
+  *
+  * Corpus: nDocs documents of tokensPerDoc tokens drawn from a 10 k
+  * vocabulary by xxhash64(docId · tokensPerDoc + j) — an 8-gram of
+  * independent picks has ~10^32 possible values, so cross-doc 8-gram
+  * collisions among the random tokens are (provably, for the default
+  * sizes) absent and every detected span is a planted one. Every
+  * plantEvery-th document is prefixed with one of 50 fixed 16-token
+  * boilerplate templates (1 in 50 docs per template at the default) —
+  * the licence-header duplication pattern ExactSubstr targets.
+  * Expected output: exactly nDocs/plantEvery spans, each span_start 0,
+  * span_tokens 16.
+  *
+  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32]
+  */
+object DedupScale {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val tpd = args.lift(1).map(_.toInt).getOrElse(60)
+    val plantEvery = args.lift(2).map(_.toInt).getOrElse(20)
+    val cpus = args.lift(3).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-dedup-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // body: tokensPerDoc picks from a 10k vocabulary, seeded by doc id
+    val body = expr(
+      s"concat_ws(' ', transform(sequence(0, $tpd - 1), " +
+        s"j -> concat('w', pmod(xxhash64(id * $tpd + j), 10000))))")
+    // 50 boilerplate templates of 16 tokens each, disjoint from the
+    // body vocabulary ('bp<t>_<k>' vs 'w<n>') so planted spans never
+    // extend into the random tail
+    val tmpl = expr(
+      s"concat_ws(' ', transform(sequence(0, 15), " +
+        s"k -> concat('bp', pmod(id div $plantEvery, 50), '_', k)))")
+    val docsPlan = spark.range(nDocs).select(col("id").as("doc_id"),
+      when(col("id") % plantEvery === 0, concat_ws(" ", tmpl, body))
+        .otherwise(body).as("text"))
+    // materialize generation OUTSIDE the timed region (generator cost
+    // is not dedup cost); ~60 M tokens at the default sizes
+    val (docs, _, _) = graft.operators.Iterate.ckpt(docsPlan)
+
+    def timed(name: String)(body0: => Long): Long = {
+      val t0 = System.nanoTime()
+      val rows = body0
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","docs":$nDocs,"sec":$s%.2f,"rows":$rows}""")
+      Console.out.flush()
+      rows
+    }
+
+    val spans = timed("substring_spans_k8") {
+      Dedup.substringSpans(docs, col("text"), col("doc_id"), k = 8).count()
+    }
+    val expected = (nDocs + plantEvery - 1) / plantEvery
+    println(s"""{"op":"spans_check","expected":$expected,"got":$spans,"ok":${spans == expected}}""")
+    timed("exact_dedup") {
+      Dedup.exact(docs, col("text"), col("doc_id")).count()
+    }
+    spark.stop()
+  }
+}

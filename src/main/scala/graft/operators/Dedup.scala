@@ -154,7 +154,12 @@ object Dedup {
     val keyed = docs
       .select(id.as("doc_id"),
         graft.functions.ShingleGenerator.shinglesWithPos(text, k).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos"), md5(col("s")).as("h"))
+      // 16-byte binary key, not the 32-char hex string: the key rides
+      // BOTH wide shuffles (dup-set aggregate + semi join), so halving
+      // it halves the dominant shuffle bytes; 128 bits keeps collisions
+      // negligible even at 10^12 shingles (unlike a 64-bit xxhash,
+      // where birthday collisions would fabricate spans at that scale)
+      .select(col("doc_id"), col("pos"), unhex(md5(col("s"))).as("h"))
     val dup = keyed.groupBy("h")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
       .filter(col("d0") =!= col("d1"))
