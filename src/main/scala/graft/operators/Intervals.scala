@@ -217,4 +217,29 @@ object Intervals {
           (col("n") * col("sxx") - col("sx") * col("sx")) * 3600000000L, 6))
         .as("slope_hr"))
   }
+
+  /** OHLC time bars: per group per fixed window, the first (open),
+    * max (high), min (low) and last (close) value plus the event
+    * count — one groupBy of min_by/max_by picks (map-side partial
+    * aggregation, no window sort, no self-join: the bar-building shape
+    * that survives 100 TB). The open/close picks need a TOTAL order to
+    * be deterministic under parallel aggregation; `(tsMicros, id)`
+    * must be unique, and the zero-padded "micros:id" string key is an
+    * order DuckDB sorts identically (see `events_ohlc`). Values are
+    * picked, never summed, so doubles stay bit-exact. `barMicros` is
+    * the bar width (default 1 day). */
+  def ohlcBars(df: DataFrame, group: Column, tsMicros: Column, id: Column,
+      value: Column, barMicros: Long = 86400000000L): DataFrame = {
+    val key = format_string("%020d:%010d", tsMicros, id)
+    val tsl = tsMicros.cast("long")
+    // ts - pmod(ts, bar) = floor(ts/bar)*bar for ANY sign, in exact
+    // long arithmetic (a double division would wobble past 2^53)
+    df.groupBy(group, (tsl - pmod(tsl, lit(barMicros))).as("bar_us"))
+      .agg(
+        min_by(value, key).as("open_v"),
+        max(value).as("high_v"),
+        min(value).as("low_v"),
+        max_by(value, key).as("close_v"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -345,16 +345,9 @@ object AnalyticsQueries {
         |  arg_max(value, printf('%020d:%010d', epoch_us(ts), event_id)) AS close_v,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type, day_us""".stripMargin) { (s, d) =>
-      val key = format_string("%020d:%010d", expr("ts div 1000"), col("event_id"))
-      Tables.table(s, d, "events")
-        .groupBy(col("event_type"),
-          expr("(ts div 1000 div 86400000000) * 86400000000").as("day_us"))
-        .agg(
-          min_by(col("value"), key).as("open_v"),
-          max(col("value")).as("high_v"),
-          min(col("value")).as("low_v"),
-          max_by(col("value"), key).as("close_v"),
-          count(lit(1)).as("n_events"))
+      graft.operators.Intervals.ohlcBars(Tables.table(s, d, "events"), col("event_type"),
+          expr("ts div 1000"), col("event_id"), col("value"))
+        .withColumnRenamed("bar_us", "day_us")
     }
   )
 }
