@@ -291,6 +291,43 @@ object TextQueries {
         concat(col("text"), lit("e\u0301")))
       Tables.table(s, d, "documents").select(
         col("doc_id"), length(norm).as("n_norm"), md5(norm.cast("binary")).as("h"))
+    },
+    // subword tokenization: greedy longest-match (WordPiece maximal
+    // munch) against a fixed vocab — APPLYING a vocab, the step after
+    // text_bpe_merge trains one. The custom cursor-loop Expression is
+    // the Spark side; the oracle re-derives the same greedy walk as a
+    // recursive CTE (one scalar probe per emitted piece), with the SAME
+    // vocab literal inlined from WordPiece.demoVocab — one source of
+    // truth. Output: per doc, piece count, [UNK] count, and the md5 of
+    // the '|'-joined piece sequence (pins every piece and its order).
+    QueryDef(
+      "text_wordpiece",
+      s"""WITH RECURSIVE vocab(p) AS (SELECT unnest(['${graft.functions.WordPiece.demoVocab.mkString("','")}'])),
+         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |words AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+         |    i -> {'wi': i, 'wd': w[i]})) AS u FROM t),
+         |wf AS (SELECT doc_id, u.wi AS wi, u.wd AS wd FROM words),
+         |step(doc_id, wi, rest, acc, np, nu) AS (
+         |  SELECT doc_id, wi, wd, '', 0, 0 FROM wf
+         |  UNION ALL
+         |  SELECT doc_id, wi, substr(rest, 1 + coalesce(len(best), 1)),
+         |    CASE WHEN acc = '' THEN coalesce(best, '[UNK]')
+         |         ELSE acc || '|' || coalesce(best, '[UNK]') END,
+         |    np + 1, nu + CASE WHEN best IS NULL THEN 1 ELSE 0 END
+         |  FROM (SELECT s.*, (SELECT v.p FROM vocab v WHERE starts_with(s.rest, v.p)
+         |                     ORDER BY len(v.p) DESC LIMIT 1) AS best
+         |        FROM step s WHERE s.rest <> '') x),
+         |fin AS (SELECT doc_id, wi, acc, np, nu FROM step WHERE rest = '')
+         |SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(nu) AS BIGINT) AS n_unk,
+         |  md5(coalesce(string_agg(acc, '|' ORDER BY wi) FILTER (WHERE acc <> ''), '')) AS pieces_md5
+         |FROM fin GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), graft.functions.WordPiece.encode(col("text")).as("pieces"))
+        .select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          size(filter(col("pieces"), p => p === "[UNK]")).cast("long").as("n_unk"),
+          md5(concat_ws("|", col("pieces")).cast("binary")).as("pieces_md5"))
     }
   )
 }

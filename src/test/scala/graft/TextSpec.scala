@@ -191,4 +191,28 @@ class TextSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(top1.toSeq == Seq(("ab", 3L)))
   }
+
+  test("wordpiece: greedy longest match, per-char UNK fallback, edge inputs") {
+    import spark.implicits._
+    def enc(t: String): Seq[String] = {
+      val rows = Seq(Tuple1(t)).toDF("t")
+        .select(graft.functions.WordPiece.encode(col("t")).as("p")).head()
+      rows.getSeq[String](0)
+    }
+    // longest match wins over shorter prefixes at every cursor
+    assert(enc("tables") == Seq("table", "s"))
+    assert(enc("stream") == Seq("st", "r", "e", "am"))
+    // maximal munch is NOT globally optimal — "querykey" is fine, but
+    // greedy on "thow" takes "t"+"h"+"ow", never backtracks to t+how
+    assert(enc("querykey table") == Seq("query", "key", "table"))
+    // unknown chars cost one [UNK] each, the rest of the word survives
+    assert(enc("x9!z") == Seq("x", "[UNK]", "[UNK]", "z"))
+    // whitespace edges: ' '-only trim, interior runs, empty -> no pieces
+    assert(enc("  a  b ") == Seq("a", "b"))
+    assert(enc("") == Seq.empty)
+    // null text -> null array (not empty)
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(graft.functions.WordPiece.encode(col("t")).as("p")).head()
+    assert(n.isNullAt(0))
+  }
 }
