@@ -81,7 +81,9 @@ object GraftFunctions {
     * `graft_cms_estimate(sketch, item)` (probe for the builtin
     * `count_min_sketch` aggregate's binary output),
     * `graft_cms_inner_product(sketch, sketch)` (join-size estimator
-    * over two same-seed sketches). */
+    * over two same-seed sketches),
+    * `graft_wordpiece(str[, vocab])` (greedy subword tokenization;
+    * vocab a foldable array<string>, default WordPiece.demoVocab). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -98,6 +100,34 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_simhash",
       exprs => SimHashAgg(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
+    // graft_wordpiece(str[, vocab_array_literal]) — greedy subword
+    // tokenization; the optional second arg must fold to an array of
+    // strings (defaults to WordPiece.demoVocab)
+    reg.createOrReplaceTempFunction(
+      "graft_wordpiece",
+      exprs => {
+        val vocab = exprs.lift(1).map { ve =>
+          if (!ve.foldable)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "NON_FOLDABLE_ARGUMENT",
+              messageParameters = Map(
+                "funcName" -> "`graft_wordpiece`",
+                "paramName" -> "`vocab`",
+                "paramType" -> "\"ARRAY<STRING>\""))
+          ve.eval(null) match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toObjectArray(org.apache.spark.sql.types.StringType)
+                .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+            case _ => throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "NON_FOLDABLE_ARGUMENT",
+              messageParameters = Map(
+                "funcName" -> "`graft_wordpiece`",
+                "paramName" -> "`vocab`",
+                "paramType" -> "\"ARRAY<STRING>\""))
+          }
+        }.getOrElse(WordPiece.demoVocab)
+        WordPieceEncode(exprs.head, vocab)
+      }, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_misra_gries",
       exprs => {

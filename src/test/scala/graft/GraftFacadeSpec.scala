@@ -32,6 +32,17 @@ class GraftFacadeSpec extends SparkSpec {
         |FROM VALUES (7L), (7L), (7L), (1L), (2L), (3L) t(x)""".stripMargin)
       .head().getSeq[Long](0)
     assert(mg.contains(7L))
+    // wordpiece: default vocab greedy match; explicit vocab literal
+    val wp = spark.sql("SELECT graft_wordpiece('tables') AS p").head().getSeq[String](0)
+    assert(wp == Seq("table", "s"))
+    val wp2 = spark.sql(
+      "SELECT graft_wordpiece('abcab', array('ab', 'c')) AS p").head().getSeq[String](0)
+    assert(wp2 == Seq("ab", "c", "ab"))
+    // non-foldable vocab -> typed analysis error, not a runtime NPE
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_wordpiece('a', array(rand()::string)) AS p").collect()
+    }
+    assert(err.getCondition == "NON_FOLDABLE_ARGUMENT")
   }
 
   test("query lookup returns runnable operators") {
