@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions._
   * Expected output: exactly nDocs/plantEvery spans, each span_start 0,
   * span_tokens 16.
   *
-  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32]
+  * A second mode exercises the NEAR-dup pipeline instead: `lsh` plants
+  * an exact-count set of near-duplicate PAIRS (every 2001st document is
+  * copied with its last token replaced — 3-shingle Jaccard 57/59 ≈
+  * 0.966, comfortably over the 0.8 threshold, while any cross pair
+  * shares nothing), runs the full MinHash+LSH candidate/verify
+  * pipeline, and checks the pair count exactly; the substring-span pass
+  * then re-checks the same corpus (each pair member carries exactly one
+  * maximal duplicated span).
+  *
+  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32] [mode=spans|lsh]
   */
 object DedupScale {
   def main(args: Array[String]): Unit = {
@@ -30,6 +39,7 @@ object DedupScale {
     val tpd = args.lift(1).map(_.toInt).getOrElse(60)
     val plantEvery = args.lift(2).map(_.toInt).getOrElse(20)
     val cpus = args.lift(3).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val mode = args.lift(4).getOrElse("spans")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-dedup-scale")
@@ -49,9 +59,22 @@ object DedupScale {
     val tmpl = expr(
       s"concat_ws(' ', transform(sequence(0, 15), " +
         s"k -> concat('bp', pmod(id div $plantEvery, 50), '_', k)))")
-    val docsPlan = spark.range(nDocs).select(col("id").as("doc_id"),
-      when(col("id") % plantEvery === 0, concat_ws(" ", tmpl, body))
-        .otherwise(body).as("text"))
+    val pairEvery = 2001L
+    val docsPlan =
+      if (mode == "lsh") {
+        // near-dup pairs: doc 2001m+1 copies doc 2001m's body with the
+        // last token replaced ('zz9' is outside the 'w<n>' vocabulary)
+        val srcSql =
+          s"transform(sequence(0, $tpd - 1), " +
+            s"j -> concat('w', pmod(xxhash64((CASE WHEN id % $pairEvery = 1 " +
+            s"THEN id - 1 ELSE id END) * $tpd + j), 10000)))"
+        spark.range(nDocs).select(col("id").as("doc_id"),
+          expr(s"CASE WHEN id % $pairEvery = 1 " +
+            s"THEN concat(concat_ws(' ', slice($srcSql, 1, $tpd - 1)), ' zz9') " +
+            s"ELSE concat_ws(' ', $srcSql) END").as("text"))
+      } else spark.range(nDocs).select(col("id").as("doc_id"),
+        when(col("id") % plantEvery === 0, concat_ws(" ", tmpl, body))
+          .otherwise(body).as("text"))
     // materialize generation OUTSIDE the timed region (generator cost
     // is not dedup cost); ~60 M tokens at the default sizes
     val (docs, _, _) = graft.operators.Iterate.ckpt(docsPlan)
@@ -65,13 +88,29 @@ object DedupScale {
       rows
     }
 
-    val spans = timed("substring_spans_k8") {
-      Dedup.substringSpans(docs, col("text"), col("doc_id"), k = 8).count()
-    }
-    val expected = (nDocs + plantEvery - 1) / plantEvery
-    println(s"""{"op":"spans_check","expected":$expected,"got":$spans,"ok":${spans == expected}}""")
-    timed("exact_dedup") {
-      Dedup.exact(docs, col("text"), col("doc_id")).count()
+    if (mode == "lsh") {
+      // #{m >= 0 : 2001m + 1 < nDocs} — every complete pair in range
+      val expPairs = if (nDocs < 2) 0L else (nDocs - 2) / pairEvery + 1
+      val pairs = timed("minhash_lsh") {
+        Dedup.minhashLsh(docs, col("text"), col("doc_id")).count()
+      }
+      println(s"""{"op":"lsh_check","expected":$expPairs,"got":$pairs,"ok":${pairs == expPairs}}""")
+      // same corpus through the exact-substring lens: each pair member
+      // carries exactly one maximal duplicated span
+      val spans = timed("substring_spans_k8") {
+        Dedup.substringSpans(docs, col("text"), col("doc_id"), k = 8).count()
+      }
+      val expSpans = 2 * expPairs
+      println(s"""{"op":"spans_check","expected":$expSpans,"got":$spans,"ok":${spans == expSpans}}""")
+    } else {
+      val spans = timed("substring_spans_k8") {
+        Dedup.substringSpans(docs, col("text"), col("doc_id"), k = 8).count()
+      }
+      val expected = (nDocs + plantEvery - 1) / plantEvery
+      println(s"""{"op":"spans_check","expected":$expected,"got":$spans,"ok":${spans == expected}}""")
+      timed("exact_dedup") {
+        Dedup.exact(docs, col("text"), col("doc_id")).count()
+      }
     }
     spark.stop()
   }
