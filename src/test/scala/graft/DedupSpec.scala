@@ -247,6 +247,40 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 10L, 12L), (2L, 3L, 12L)))
   }
 
+  test("substringSpans equals brute force on a dense-collision random corpus") {
+    import spark.implicits._
+    // 2-token vocabulary => only 256 possible 8-grams, so almost every
+    // window duplicates across docs: full-doc spans, overlapping
+    // islands, and within-doc repeats all occur — the stress case for
+    // the island merge
+    val k = 8
+    val docs = (0 until 120).map { i =>
+      val len = 8 + (i * 2654435761L % 23).toInt
+      val toks = (0 until len).map(j => if (((i * 31 + j) * 40503L % 7) < 3) "a" else "b")
+      (i.toLong, toks.mkString(" "))
+    }
+    val tokd = docs.map { case (id, t) => id -> t.split("\\s+", -1).toSeq }
+    val support = tokd.flatMap { case (id, w) =>
+      (0 to w.length - k).map(i => w.slice(i, i + k).mkString(" ") -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = tokd.flatMap { case (id, w) =>
+      val hits = (0 to w.length - k).filter { i =>
+        val s = support(w.slice(i, i + k).mkString(" "))
+        (s - id).nonEmpty
+      }
+      // merge islands: next start within k of the previous
+      val spans = hits.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, p) if p - e0 <= k => (s0, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }
+      spans.map { case (s0, e0) => (id, s0.toLong, (e0 - s0 + k).toLong) }
+    }.toSet
+    val got = Dedup.substringSpans(docs.toDF("doc_id", "text"), col("text"), col("doc_id"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expect.nonEmpty && expect.exists(_._3 > k), "fixture must exercise merged spans")
+    assert(got == expect)
+  }
+
   test("positional shingle generator equals the posexplode HOF twin (incl. tab/newline edges)") {
     import spark.implicits._
     val d = Seq(
