@@ -307,4 +307,86 @@ object Curation {
         .select(lit(name).as("constraint_name"), col("child_rows"),
           col("distinct_keys"), col("null_keys"), col("orphan_rows"))
     }.reduce(_ unionByName _)
+
+  /** Per-doc n-gram feature stream (unigrams + adjacent word bigrams,
+    * as a MULTISET — occurrence counts matter, matching the
+    * bag-of-ngrams model of Xie et al. 2023 §3, "Data Selection for
+    * Language Models via Importance Resampling"). Both gram orders come
+    * from the fused [[graft.functions.ShingleGenerator]] (k=1 tokens,
+    * k=2 bigrams) — one pass each, no HOF array allocation. */
+  private def ngramFeatures(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val uni = docs.select(id.as("doc_id"),
+      graft.functions.ShingleGenerator.shingles(text, 1).as("f"))
+    val bi = docs.select(id.as("doc_id"),
+      graft.functions.ShingleGenerator.shingles(text, 2).as("f"))
+    uni.unionAll(bi)
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023): score every RAW
+    * document by how much more likely its n-gram features are under the
+    * TARGET distribution than under the raw distribution —
+    * `logw(d) = Σ_f∈d log10 p̂_target(f) − log10 p̂_raw(f)` with add-1
+    * smoothing over the shared vocabulary. High `logw` = looks like the
+    * target domain; [[importanceResample]] turns the weights into a
+    * sampled subcorpus. Per-feature log ratios are rounded to 6 dp
+    * BEFORE the per-doc DECIMAL sum, so the result is
+    * order-independent and engine-reproducible (the module contract).
+    *
+    * Scale shape: the two frequency tables and the vocabulary are
+    * feature-space-sized AGGREGATES (vocabulary-sized here; B hash
+    * buckets under [[hashedNgramFeature]] at 100 TB — DSIR's own trick
+    * for bounding them), broadcast back onto the one corpus feature
+    * scan; partial aggregation runs map-side, so the only corpus-sized
+    * exchange carries one row per (doc, weight). Nothing quadratic,
+    * nothing driver-side. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      text: Column, id: Column): DataFrame = {
+    val rawF = ngramFeatures(raw, text, id)
+    val tgtF = ngramFeatures(target, text, id)
+    // vocabulary = distinct features of the UNION; V joins in as a
+    // broadcast 1-row aggregate over the same subtree (ReuseExchange
+    // collapses the two instances, the unigramLogProb pattern)
+    val vocabCounts = tgtF.select(col("f")).unionAll(rawF.select(col("f")))
+      .groupBy("f").agg(count(lit(1)).as("__ignored"))
+    val v = vocabCounts.agg(count(lit(1)).as("v"))
+    val tf = tgtF.groupBy("f").agg(count(lit(1)).as("tc"))
+    val rf = rawF.groupBy("f").agg(count(lit(1)).as("rc"))
+    val tn = tf.agg(sum(col("tc")).as("tnn"))
+    val rn = rf.agg(sum(col("rc")).as("rnn"))
+    // identical double arithmetic on both engines: each smoothed log is
+    // computed separately (log10(a/b) ≠ log10 a − log10 b in floats)
+    val ratios = vocabCounts.select(col("f"))
+      .join(tf, Seq("f"), "left_outer")
+      .join(rf, Seq("f"), "left_outer")
+      .join(broadcast(tn), lit(true))
+      .join(broadcast(rn), lit(true))
+      .join(broadcast(v), lit(true))
+      .select(col("f"), round(
+        log10((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("tnn") + col("v"))) -
+          log10((coalesce(col("rc"), lit(0L)) + lit(1.0)) / (col("rnn") + col("v"))),
+        6).as("lr"))
+    rawF.join(broadcast(ratios), Seq("f"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_feat"),
+        round(sum(col("lr").cast("decimal(28,12)")).cast("double"), 6).as("logw"))
+  }
+
+  /** DSIR selection: Gumbel-top-k resampling over [[importanceWeights]]
+    * — sampling k docs without replacement with probability ∝ exp(w) is
+    * exactly taking the top k of `w + Gumbel(0,1)` (Xie et al. 2023
+    * §3.3). The Gumbel draw is md5-deterministic (`−ln(−ln u)`, u from
+    * the first 8 md5 hex chars of the doc id — the module's standard
+    * reproducible uniform), so the sample is stable across runs,
+    * partitionings, and engines. One TakeOrdered(k) heap merge — the
+    * corpus is never globally sorted. */
+  def importanceResample(raw: DataFrame, target: DataFrame,
+      text: Column, id: Column, k: Int): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    importanceWeights(raw, target, text, id)
+      .withColumn("gumbel", round(-log(-log(u)), 6))
+      .orderBy((col("logw") + col("gumbel")).desc, col("doc_id"))
+      .limit(k)
+  }
 }

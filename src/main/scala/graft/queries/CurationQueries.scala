@@ -248,6 +248,69 @@ object CurationQueries {
         |FROM lineitem, mm GROUP BY 1""".stripMargin) { (s, d) =>
       Curation.histogram(
         Tables.table(s, d, "lineitem"), col("l_extendedprice"), bins = 20)
+    },
+    // DSIR importance weights (Xie et al. 2023): src0 plays the target
+    // domain, everything else is the raw pool; per-doc weight = summed
+    // smoothed log-likelihood ratio of its unigram+bigram features
+    QueryDef(
+      "pipeline_importance_weights",
+      s"""WITH $importanceWeightCtes
+         |SELECT feat.doc_id, count(*) AS n_feat,
+         |  round(CAST(sum(CAST(lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS logw
+         |FROM feat JOIN r USING (f)
+         |WHERE feat.source <> 'src0'
+         |GROUP BY feat.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      Curation.importanceWeights(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        col("text"), col("doc_id"))
+    },
+    // DSIR selection: Gumbel-top-k over the weights (sampling ∝ exp(w)
+    // without replacement), md5-deterministic noise
+    QueryDef(
+      "pipeline_importance_resample",
+      s"""WITH $importanceWeightCtes,
+         |wts AS (
+         |  SELECT feat.doc_id, count(*) AS n_feat,
+         |    round(CAST(sum(CAST(lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS logw
+         |  FROM feat JOIN r USING (f)
+         |  WHERE feat.source <> 'src0'
+         |  GROUP BY feat.doc_id),
+         |g AS (SELECT doc_id, n_feat, logw,
+         |    round(-ln(-ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |                  / 4294967296.0)), 6) AS gumbel
+         |  FROM wts)
+         |SELECT doc_id, n_feat, logw, gumbel
+         |FROM g ORDER BY logw + gumbel DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      Curation.importanceResample(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        col("text"), col("doc_id"), k = 100)
     }
   )
+
+  /** Shared CTE block of the two DSIR queries: the n-gram feature
+    * multiset (unigrams + adjacent bigrams, target = src0), both
+    * smoothed distributions, and the per-feature 6dp log ratio. */
+  // a def, not a val: `all` above is initialized first and would read
+  // null from a val defined below it
+  private def importanceWeightCtes =
+    """t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |uni AS (SELECT doc_id, source, unnest(w) AS f FROM t),
+      |bi AS (SELECT doc_id, source,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
+      |  FROM t WHERE len(w) >= 2),
+      |feat AS (SELECT doc_id, source, f FROM uni UNION ALL SELECT doc_id, source, f FROM bi),
+      |tf AS (SELECT f, count(*) AS tc FROM feat WHERE source = 'src0' GROUP BY f),
+      |rf AS (SELECT f, count(*) AS rc FROM feat WHERE source <> 'src0' GROUP BY f),
+      |vocab AS (SELECT DISTINCT f FROM feat),
+      |v AS (SELECT count(*) AS v FROM vocab),
+      |tn AS (SELECT sum(tc) AS tnn FROM tf),
+      |rn AS (SELECT sum(rc) AS rnn FROM rf),
+      |r AS (SELECT vocab.f,
+      |    round(log10((coalesce(tf.tc, 0) + 1.0) / (tn.tnn + v.v))
+      |        - log10((coalesce(rf.rc, 0) + 1.0) / (rn.rnn + v.v)), 6) AS lr
+      |  FROM vocab LEFT JOIN tf USING (f) LEFT JOIN rf USING (f), tn, rn, v)""".stripMargin
 }

@@ -235,4 +235,124 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(3) == 2L, "null_keys")
     assert(r.getLong(4) == 2L, "orphan_rows")
   }
+
+  // --- DSIR importance resampling ---------------------------------------
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Spark-semantics tokenize (trim spaces only, split limit -1) +
+    * unigram∪bigram multiset — the reference model for the operator. */
+  private def feats(text: String): Seq[String] = {
+    var s = 0; var e = text.length
+    while (s < e && text.charAt(s) == ' ') s += 1
+    while (e > s && text.charAt(e - 1) == ' ') e -= 1
+    val w = text.substring(s, e).split("\\s+", -1).toSeq
+    w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+
+  private def bruteWeights(raw: Seq[(Long, String)], target: Seq[(Long, String)])
+      : Map[Long, (Long, Double)] = {
+    val rawF = raw.map { case (id, t) => id -> feats(t) }
+    val tf = target.flatMap(d => feats(d._2)).groupBy(identity).view.mapValues(_.size).toMap
+    val rf = rawF.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = (tf.keySet ++ rf.keySet).size
+    val tn = tf.values.sum; val rn = rf.values.sum
+    def lr(f: String): Double = r6(
+      math.log10((tf.getOrElse(f, 0) + 1.0) / (tn.toDouble + vocab)) -
+        math.log10((rf.getOrElse(f, 0) + 1.0) / (rn.toDouble + vocab)))
+    rawF.map { case (id, fs) =>
+      val sum = fs.foldLeft(BigDecimal(0)) { (acc, f) =>
+        acc + BigDecimal(lr(f)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      id -> (fs.size.toLong, r6(sum.toDouble))
+    }.toMap
+  }
+
+  test("importanceWeights equals the brute-force DSIR computation") {
+    val rawDocs = docs.filter(col("source") =!= "src0")
+    val tgtDocs = docs.filter(col("source") === "src0")
+    val got = Curation.importanceWeights(rawDocs, tgtDocs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val raw = rawDocs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val tgt = tgtDocs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expect = bruteWeights(raw, tgt)
+    assert(got.keySet == expect.keySet)
+    for ((id, (nf, lw)) <- expect) {
+      assert(got(id)._1 == nf, s"n_feat of doc $id")
+      assert(math.abs(got(id)._2 - lw) < 1e-9, s"logw of doc $id: ${got(id)._2} vs $lw")
+    }
+  }
+
+  test("importanceWeights ranks target-domain lookalikes above off-domain docs") {
+    import spark.implicits._
+    // target domain speaks "alpha beta gamma"; raw doc 1 parrots it,
+    // raw docs 2-3 speak a disjoint vocabulary
+    val target = Seq((100L, "alpha beta gamma alpha beta"), (101L, "beta gamma alpha"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma beta"),
+      (2L, "delta epsilon zeta delta"),
+      (3L, "eta theta iota eta theta")).toDF("doc_id", "text")
+    val w = Curation.importanceWeights(raw, target, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(2L) && w(1L) > w(3L),
+      s"on-domain doc must outrank off-domain: $w")
+    assert(w(2L) < 0 && w(3L) < 0, "off-domain docs carry negative evidence")
+  }
+
+  test("importanceResample is the Gumbel-top-k of the weights, heap-merged not sorted") {
+    val rawDocs = docs.filter(col("source") =!= "src0")
+    val tgtDocs = docs.filter(col("source") === "src0")
+    val k = 20
+    val df = Curation.importanceResample(rawDocs, tgtDocs, col("text"), col("doc_id"), k)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == k)
+    // recompute the selection key from the weights + md5 gumbel draw
+    val weights = Curation.importanceWeights(rawDocs, tgtDocs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gumbel(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      r6(-math.log(-math.log(u)))
+    }
+    val expect = weights.toSeq
+      .map { case (id, lw) => (id, lw, gumbel(id)) }
+      .sortBy { case (id, lw, g) => (-(lw + g), id) }
+      .take(k).map(_._1).toSet
+    assert(got.map(_._1).toSet == expect)
+    got.foreach { case (id, lw, g) =>
+      assert(math.abs(lw - weights(id)) < 1e-9)
+      assert(math.abs(g - gumbel(id)) < 1e-9)
+    }
+    // scale shape: top-k must be a TakeOrderedAndProject heap merge,
+    // never a global Sort of the weighted corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("importanceWeights broadcast-joins the ratio table (corpus never re-shuffled by feature)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val rawDocs = docs.filter(col("source") =!= "src0")
+    val tgtDocs = docs.filter(col("source") === "src0")
+    val df = Curation.importanceWeights(rawDocs, tgtDocs, col("text"), col("doc_id"))
+    df.count()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val through = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(flatten)
+    }
+    assert(flatten(df.queryExecution.executedPlan)
+      .collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "feature→ratio lookup must be a broadcast probe, not a shuffle join")
+  }
 }
