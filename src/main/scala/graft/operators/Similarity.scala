@@ -154,4 +154,82 @@ object Similarity {
       .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
         col("rank"), round(col("cos"), 6).as("cos"))
   }
+
+  /** IVF with int8 scalar-quantization re-rank — the memory shape of a
+    * production vector index (FAISS "IVF,SQ8"): the index stores 8-bit
+    * codes (4× smaller than float32, so 4× more corpus per executor),
+    * queries score candidates ASYMMETRICALLY (exact query × dequantized
+    * code — ADC in the PQ literature), and only the top `m` approximate
+    * hits per query are re-scored against the exact vectors. At 100 TB
+    * the exact vectors live in cold storage and only m·queries of them
+    * are ever fetched; here both live in the same table and the plan
+    * shows the same dataflow.
+    *
+    * Quantization is [[EmbeddingAnalytics.quantizeInt8]]'s per-dim
+    * affine grid ((x−lo)/(hi−lo)·255, floored, top edge clamped), with
+    * the (lo, hi) range table folded into ONE broadcast row of arrays.
+    * Every arithmetic step is IEEE-identical in the DuckDB oracle, so
+    * approximate scores — not just the final ranking — hash-match.
+    *
+    * Output adds `approx_cos` next to the exact `cos`: the observable
+    * quantization error (|cos − approx_cos|) is the recall-debugging
+    * signal an ANN operator should surface, not hide. */
+  def topKIvfRerank(emb: DataFrame, vec: Column, id: Column, isQuery: Column,
+      k: Int, nCentroids: Int, nProbe: Int, m: Int): DataFrame = {
+    require(m >= k, "re-rank pool m must be >= k")
+    val e = withNorm(emb, vec, id)
+
+    // per-dim (lo, hi) over the full vector set, folded to one row of
+    // dim-ordered arrays — broadcast-joined, never re-aggregated per use
+    val ranges = emb
+      .select(posexplode(Dedup.asDouble(vec)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("plh"))
+      .select(expr("transform(plh, p -> p.lo)").as("loa"),
+        expr("transform(plh, p -> p.hi)").as("hia"))
+
+    // dequantized code vector dv = what the index actually stores,
+    // reconstructed: lo + q·(hi−lo)/255 with q the int8 code. Spark
+    // lambda index i and array subscript are both 0-based (the oracle's
+    // 1-based range/list pair lines up element-for-element).
+    val deq = e.join(broadcast(ranges), lit(true))
+      .withColumn("dv", expr(
+        """transform(v, (x, i) -> CASE WHEN hia[i] = loa[i] THEN loa[i]
+          |  ELSE loa[i] + least(255, floor((x - loa[i]) / (hia[i] - loa[i]) * 255))
+          |       * (hia[i] - loa[i]) / 255.0 END)""".stripMargin))
+      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+      .drop("loa", "hia")
+
+    // IVF assignment carries both representations: codes for the wide
+    // approximate pass, exact vectors for the narrow re-rank
+    val cents = firstNCentroids(emb, vec, id, nCentroids)
+    val assigned = assignNearest(deq, cents, Seq("v", "nrm", "dv", "dn"))
+
+    val q = withNorm(emb.filter(isQuery), vec, id)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("qcos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("qrn", row_number().over(wProbe))
+      .filter(col("qrn") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+
+    // approximate pass scores CODES only; windows here rank per-query
+    // CANDIDATE sets (nprobe buckets), never a corpus×k relation
+    val wA = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("vid"))
+    val pruned = probes.join(assigned, Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("acos", dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= m)
+
+    val wE = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    pruned
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cos"),
+        round(col("acos"), 6).as("approx_cos"))
+  }
 }

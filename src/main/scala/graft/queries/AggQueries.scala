@@ -205,6 +205,17 @@ object AggQueries {
         .select(col("l_returnflag"), col("exact_p50"),
           (abs(col("approx_p50") - col("exact_p50")) <= col("exact_p50") * 0.01)
             .as("within_1pct"))
+    },
+    // exact distinct count under extreme key skew (3 keys ⇒ 3 final
+    // reducers in the direct plan): two-phase value-hash bucketing
+    // (operators.Aggregates) — identical result, bounded per-reducer
+    // distinct sets
+    QueryDef(
+      "agg_distinct_salted",
+      """SELECT l_returnflag AS k, count(DISTINCT l_orderkey) AS n_distinct
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.operators.Aggregates.saltedDistinctCount(
+        Tables.table(s, d, "lineitem"), col("l_returnflag"), col("l_orderkey"))
     }
   )
 }

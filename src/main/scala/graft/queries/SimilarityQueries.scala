@@ -62,6 +62,52 @@ object SimilarityQueries {
         col("vec_id") % 50 === 0, k = 5, nCentroids = 8, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
     },
+    // IVF + int8 re-rank: candidates scored against DEQUANTIZED codes
+    // (asymmetric distance), top-15 re-scored exactly → top-5. The
+    // oracle replays the identical affine-grid arithmetic, so even the
+    // approximate scores hash-match.
+    QueryDef(
+      "ann_ivf_rerank",
+      s"""$normCte,
+         |st AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM (
+         |    SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM n) GROUP BY pos),
+         |la AS (SELECT list(lo ORDER BY pos) AS loa, list(hi ORDER BY pos) AS hia FROM st),
+         |dq AS (SELECT n.vec_id, n.v, n.nrm,
+         |    list_transform(range(1, len(n.v) + 1), i -> CASE WHEN la.hia[i] = la.loa[i] THEN la.loa[i]
+         |      ELSE la.loa[i] + least(255, floor((n.v[i] - la.loa[i]) / (la.hia[i] - la.loa[i]) * 255))
+         |           * (la.hia[i] - la.loa[i]) / 255.0 END) AS dv
+         |  FROM n, la),
+         |dqn AS (SELECT vec_id, v, nrm, dv,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(dv) + 1), i -> dv[i] * dv[i])), (x, y) -> x + y)) AS dn
+         |  FROM dq),
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+         |asg0 AS (SELECT d.vec_id AS vid, d.v, d.nrm, d.dv, d.dn, c.cid,
+         |  list_reduce(list_prepend(0.0, list_transform(range(1, len(d.v) + 1), i -> d.v[i] * c.cv[i])), (x, y) -> x + y) / (d.nrm * c.cn) AS ccos
+         |  FROM dqn d CROSS JOIN c),
+         |asg AS (SELECT vid, v, nrm, dv, dn, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS crn FROM asg0) WHERE crn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+         |pr0 AS (SELECT q.qid, q.qv, q.qn, c.cid,
+         |  list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])), (x, y) -> x + y) / (q.qn * c.cn) AS qcos
+         |  FROM q CROSS JOIN c),
+         |pr AS (SELECT qid, qv, qn, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS qrn FROM pr0) WHERE qrn <= 2),
+         |sc AS (SELECT pr.qid, pr.qv, pr.qn, asg.vid, asg.v, asg.nrm,
+         |  list_reduce(list_prepend(0.0, list_transform(range(1, len(pr.qv) + 1), i -> pr.qv[i] * asg.dv[i])), (x, y) -> x + y) / (pr.qn * asg.dn) AS acos
+         |  FROM pr JOIN asg USING (cid) WHERE asg.vid <> pr.qid),
+         |pruned AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY acos DESC, vid) AS arn FROM sc) WHERE arn <= 15),
+         |ex AS (SELECT qid, vid, acos,
+         |  list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])), (x, y) -> x + y) / (qn * nrm) AS cos
+         |  FROM pruned),
+         |r AS (SELECT qid, vid, cos, acos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk FROM ex)
+         |SELECT qid AS query_id, vid AS neighbor_id, rnk, round(cos, 6) AS cos, round(acos, 6) AS approx_cos
+         |FROM r WHERE rnk <= 5""".stripMargin) { (s, d) =>
+      Similarity.topKIvfRerank(
+        Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"),
+        col("vec_id") % 50 === 0, k = 5, nCentroids = 8, nProbe = 2, m = 15)
+        .withColumnRenamed("rank", "rnk")
+    },
     // multimodal: binary payload + typed metadata + partition-batched
     // stub decode (see operators.Multimodal — only the codec is fake)
     QueryDef(
@@ -128,6 +174,35 @@ object SimilarityQueries {
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) { (s, d) =>
       graft.operators.StringSimilarity.editDistanceSelfJoin(
         Tables.table(s, d, "customer"), col("c_custkey"), col("c_name"), tau = 1)
+    },
+    // entity resolution: the edit-distance match pairs, closed into
+    // entities by connected components (min-key representative), with
+    // singletons kept as their own entity — the record-linkage output a
+    // master-data pipeline publishes. Engine path: symmetric-delete
+    // blocking → candidate equi-join → exact verify → O(log n) CC; the
+    // oracle is all-pairs levenshtein + a recursive reachability CTE.
+    QueryDef(
+      "entity_clusters",
+      """WITH RECURSIVE pairs AS (SELECT a.c_custkey AS da, b.c_custkey AS db
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |sym AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node),
+        |cc AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+        |SELECT c.c_custkey, coalesce(cc.rep, c.c_custkey) AS entity_rep
+        |FROM customer c LEFT JOIN cc ON c.c_custkey = cc.node""".stripMargin) { (s, d) =>
+      val cust = Tables.table(s, d, "customer")
+      val pairs = graft.operators.StringSimilarity.editDistanceSelfJoin(
+        cust, col("c_custkey"), col("c_name"), tau = 1)
+      val cc = graft.operators.Dedup.connectedComponents(
+        pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+      cust.select(col("c_custkey"))
+        .join(cc, col("c_custkey") === col("node"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("rep"), col("c_custkey")).as("entity_rep"))
     }
   )
 }

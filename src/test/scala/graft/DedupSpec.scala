@@ -218,6 +218,40 @@ class DedupSpec extends SparkSpec {
     assert(c1.sameElements(c2))
   }
 
+  test("int8 re-rank with an exhaustive pool reproduces plain IVF exactly") {
+    val vec = col("embedding"); val id = col("vec_id")
+    val isQ = col("vec_id") % 100 === 0
+    // m >= every candidate set → the approximate prefilter drops
+    // nothing, so exact re-ranking must equal the unquantized IVF
+    val rr = Similarity.topKIvfRerank(emb, vec, id, isQ,
+        k = 3, nCentroids = 4, nProbe = 2, m = 1000000)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .collect().map(_.toSeq).toSet
+    val ivf = Similarity.topKIvf(emb, vec, id, isQ, k = 3, nCentroids = 4, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(rr == ivf)
+  }
+
+  test("int8 re-rank: quantization error bounded, pruned recall tracks plain IVF") {
+    val vec = col("embedding"); val id = col("vec_id")
+    val isQ = col("vec_id") % 50 === 0
+    val rows = Similarity.topKIvfRerank(emb, vec, id, isQ,
+        k = 5, nCentroids = 8, nProbe = 2, m = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // 255-level per-dim grid ⇒ reconstructed cosines sit close to exact;
+    // the bound is empirical (measured ~1e-3 here) with 10× headroom
+    rows.foreach { case (q, n, cos, acos) =>
+      assert(math.abs(cos - acos) < 0.05, s"($q,$n) cos=$cos acos=$acos")
+    }
+    val ivf = Similarity.topKIvf(emb, vec, id, isQ, k = 5, nCentroids = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r._1, r._2)).toSet
+    val recall = got.intersect(ivf).size.toDouble / ivf.size
+    assert(recall >= 0.8, s"re-rank recall vs plain IVF fell to $recall")
+  }
+
   test("multimodal: binary payload schema + per-partition decode stub") {
     val packed = Multimodal.packBinary(docs)
     assert(packed.schema("payload").dataType.typeName == "binary")

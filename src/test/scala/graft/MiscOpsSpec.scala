@@ -404,4 +404,47 @@ class MiscOpsSpec extends SparkSpec {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+
+  test("entity_clusters equals a union-find over brute-force edit-distance pairs") {
+    val cust = graft.sources.Tables.table(spark, sf, "customer")
+    val got = Graft.query("entity_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val names = cust.select(col("c_custkey"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // brute-force pairs + union-find with min-id representatives
+    val parent = scala.collection.mutable.Map(names.map(n => n._1 -> n._1): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    for (((ia, sa), i) <- names.zipWithIndex; (ib, sb) <- names.drop(i + 1)
+         if levDist(sa, sb) <= 1) {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    val expect = names.map { case (id, _) => id -> find(id) }.toMap
+    assert(got == expect)
+    assert(expect.exists { case (id, rep) => id != rep },
+      "fixture must contain at least one non-singleton entity")
+  }
+
+  test("saltedDistinctCount is exact for any bucket count incl. 1, with no Expand in the plan") {
+    val li = graft.sources.Tables.table(spark, sf, "lineitem")
+    val direct = li.groupBy(col("l_returnflag").as("k"))
+      .agg(count_distinct(col("l_orderkey")).as("n_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (b <- Seq(1, 7, 32)) {
+      val got = graft.operators.Aggregates
+        .saltedDistinctCount(li, col("l_returnflag"), col("l_orderkey"), b)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == direct, s"buckets=$b")
+    }
+    // the two-phase form must not fall back to Spark's Expand-based
+    // distinct rewrite — partials are plain hash aggregates
+    val plan = graft.operators.Aggregates
+      .saltedDistinctCount(li, col("l_returnflag"), col("l_orderkey"), 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(500))
+  }
 }
