@@ -47,7 +47,13 @@ object Explain {
     "stats_chi_square", "profile_histogram", "basket_part_pairs",
     // dedup_semantic_keep composes the declared exact-pairs baseline
     // (dedup_embedding's NLJ); the SRP-bucketed twin is the scale path
-    "dedup_semantic_keep")
+    "dedup_semantic_keep",
+    // ann_ivf_rerank fans out the 1-row quantization-range arrays and
+    // the tiny centroid table (same shape as ann_ivf); the DSIR queries
+    // fan out 1-row vocabulary/total aggregates under the
+    // vocabulary-sized ratio table (the unigramLogProb pattern)
+    "ann_ivf_rerank", "pipeline_importance_weights",
+    "pipeline_importance_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
