@@ -83,6 +83,37 @@ object CorpusOps {
         expr("CAST(((2 * CAST(__rn AS BIGINT) - 1) * 1000000) div (2 * __w) AS BIGINT)"))
       .drop("__w", "__rn")
 
+  /** Temperature-smoothed source mixing — the multilingual/multi-source
+    * rebalancing rule (exponent-smoothed sampling, p_s ∝ n_s^(1/T), the
+    * standard recipe since multilingual BERT): big sources are
+    * down-weighted, small sources up-weighted, T=1 recovers natural
+    * proportions and T→∞ approaches uniform. Weights become integer
+    * densities in [1, 1000] (each source's smoothed mass relative to
+    * the LARGEST source — max is order-free, so no float sum whose
+    * accumulation order could differ between engines), then
+    * [[interleave]] lays the corpus on the virtual position axis.
+    *
+    * Scale shape: one bounded per-source aggregate (broadcast back), one
+    * per-source window for the interleave ranks — the corpus is never
+    * globally sorted; reading in `pos` order streams the mix at the
+    * target ratios from the first row. */
+  def temperatureMix(df: DataFrame, source: Column, order: Column,
+      temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be > 0")
+    val p = df.groupBy(source.as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__p", round(pow(col("__n"), 1.0 / temperature), 6))
+    // the empty-frame window runs on the BOUNDED per-source table
+    // (one row per source), never on corpus rows
+    val w = p.withColumn("__w",
+        greatest(lit(1L),
+          floor(col("__p") * 1000 / max(col("__p")).over(Window.partitionBy()))
+            .cast("long")))
+      .select(col("__src"), col("__w"))
+    val joined = df.join(broadcast(w), source === col("__src"))
+    interleave(joined, source, order, col("__w")).drop("__src", "__w")
+  }
+
   /** Context-window packing ("concatenate then chunk", the standard
     * packed-dataset construction): documents in id order are laid
     * end-to-end on a token tape cut every `capacity` tokens; a doc's

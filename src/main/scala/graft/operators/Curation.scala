@@ -308,6 +308,56 @@ object Curation {
           col("distinct_keys"), col("null_keys"), col("orphan_rows"))
     }.reduce(_ unionByName _)
 
+  /** Two-sample Kolmogorov–Smirnov drift per group: for each group g,
+    * the KS statistic between the distribution of `x` within g and in
+    * the REST of the corpus — `max_x |CDF_g(x) − CDF_rest(x)|`, reported
+    * in exact integer ppm. The distribution-shift monitor a corpus
+    * pipeline runs per source/snapshot before a source is ingested.
+    *
+    * Exact and engine-reproducible: CDFs are integer cumulative counts
+    * on the merged value grid, the difference is cross-multiplied
+    * (`|cum_g·R − cum_rest·S|`) in DECIMAL(38,0) so no float division
+    * ever happens, and the final ppm is a floor division. Needs ≥ 2
+    * groups (R = 0 otherwise).
+    *
+    * Scale shape: everything after the first aggregation lives on the
+    * BOUNDED (groups × distinct-values) grid — document-length-style
+    * measures have thousands of distinct values, not corpus-many. The
+    * per-group windows run on that grid, and the corpus itself is
+    * touched by exactly one partial-aggregated groupBy. */
+  def ksDrift(df: DataFrame, group: Column, x: Column): DataFrame = {
+    val base = df.select(group.as("g"), x.as("x"))
+    val counts = base.groupBy("g", "x").agg(count(lit(1)).as("c"))
+    // dense grid: every group needs a row at every grid value for its
+    // step CDF to be comparable at all candidate-max points
+    val xs = counts.select(col("x")).distinct()
+    val gs = counts.select(col("g")).distinct()
+    val filled = xs.crossJoin(broadcast(gs))
+      .join(counts, Seq("g", "x"), "left_outer")
+      .select(col("g"), col("x"), coalesce(col("c"), lit(0L)).as("c"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = filled.withColumn("cum", sum(col("c")).over(wg))
+    val wAll = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // global step CDF on the same grid (distinct-value-sized window)
+    val cumAll = counts.groupBy("x").agg(sum(col("c")).as("ca"))
+      .withColumn("cumall", sum(col("ca")).over(wAll))
+      .select(col("x"), col("cumall"))
+    val totals = counts.groupBy("g").agg(sum(col("c")).as("s"))
+    val n = counts.agg(sum(col("c")).as("nn"))
+    cum.join(cumAll, Seq("x"))
+      .join(broadcast(totals), Seq("g"))
+      .join(broadcast(n), lit(true))
+      .withColumn("diff", expr(
+        "abs(CAST(cum AS DECIMAL(38,0)) * (nn - s) - CAST(cumall - cum AS DECIMAL(38,0)) * s)"))
+      .groupBy("g")
+      .agg(min(col("s")).as("n_rows"), min(col("nn")).as("__n"), max(col("diff")).as("__d"))
+      .select(col("g"), col("n_rows"),
+        expr("CAST(__d * 1000000 div (CAST(n_rows AS DECIMAL(38,0)) * (__n - n_rows)) AS BIGINT)")
+          .as("ks_ppm"))
+  }
+
   /** Per-doc n-gram feature stream (unigrams + adjacent word bigrams,
     * as a MULTISET — occurrence counts matter, matching the
     * bag-of-ngrams model of Xie et al. 2023 §3, "Data Selection for

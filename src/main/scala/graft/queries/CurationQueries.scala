@@ -249,6 +249,30 @@ object CurationQueries {
       Curation.histogram(
         Tables.table(s, d, "lineitem"), col("l_extendedprice"), bins = 20)
     },
+    // two-sample KS drift per source vs the rest of the corpus on doc
+    // length — exact integer ppm, cross-multiplied CDFs (no float div)
+    QueryDef(
+      "quality_ks_drift",
+      """WITH b AS (SELECT source AS g, n_chars AS x FROM documents),
+        |c AS (SELECT g, x, count(*) AS c FROM b GROUP BY g, x),
+        |xs AS (SELECT DISTINCT x FROM c),
+        |gs AS (SELECT DISTINCT g FROM c),
+        |f AS (SELECT gs.g, xs.x, coalesce(c.c, 0) AS c
+        |  FROM gs CROSS JOIN xs LEFT JOIN c ON gs.g = c.g AND xs.x = c.x),
+        |cum AS (SELECT g, x, sum(c) OVER (PARTITION BY g ORDER BY x) AS cum FROM f),
+        |ca AS (SELECT x, sum(c) AS ca FROM c GROUP BY x),
+        |call AS (SELECT x, sum(ca) OVER (ORDER BY x) AS cumall FROM ca),
+        |tot AS (SELECT g, sum(c) AS s FROM c GROUP BY g),
+        |n AS (SELECT sum(c) AS nn FROM c),
+        |d AS (SELECT cum.g, tot.s, n.nn,
+        |    abs(CAST(cum.cum AS HUGEINT) * (n.nn - tot.s)
+        |      - CAST(call.cumall - cum.cum AS HUGEINT) * tot.s) AS diff
+        |  FROM cum JOIN call USING (x) JOIN tot ON cum.g = tot.g, n)
+        |SELECT g, CAST(min(s) AS BIGINT) AS n_rows,
+        |  CAST(max(diff) * 1000000 // (CAST(min(s) AS HUGEINT) * (min(nn) - min(s))) AS BIGINT) AS ks_ppm
+        |FROM d GROUP BY g""".stripMargin) { (s, d) =>
+      Curation.ksDrift(Tables.table(s, d, "documents"), col("source"), col("n_chars"))
+    },
     // DSIR importance weights (Xie et al. 2023): src0 plays the target
     // domain, everything else is the raw pool; per-doc weight = summed
     // smoothed log-likelihood ratio of its unigram+bigram features

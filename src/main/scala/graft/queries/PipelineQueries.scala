@@ -86,6 +86,27 @@ object PipelineQueries {
         .filter(col("pos") <= 4000000L)
         .select(col("doc_id"), col("source"), col("pos"))
     },
+    // temperature-smoothed source mixing (p_s ∝ n_s^(1/T), T=2):
+    // per-source integer densities relative to the largest source,
+    // then the deterministic interleave (CorpusOps.temperatureMix)
+    QueryDef(
+      "pipeline_temperature_mix",
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |p AS (SELECT source, round(pow(n, 1.0 / 2.0), 6) AS p FROM c),
+        |w AS (SELECT source,
+        |    greatest(1, CAST(floor(p * 1000 / (SELECT max(p) FROM p)) AS BIGINT)) AS w
+        |  FROM p),
+        |r AS (SELECT d.doc_id, d.source, w.w,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
+        |  FROM documents d JOIN w USING (source))
+        |SELECT doc_id, source,
+        |  CAST(((2 * rn - 1) * 1000000) // (2 * w) AS BIGINT) AS pos
+        |FROM r""".stripMargin) { (s, d) =>
+      CorpusOps.temperatureMix(
+          Tables.table(s, d, "documents"), col("source"), col("doc_id"),
+          temperature = 2.0)
+        .select(col("doc_id"), col("source"), col("pos"))
+    },
     // stratified sampling: per-source rates via deterministic hash
     // buckets (reproducible corpus builds; CorpusOps.stratifiedSample)
     QueryDef(

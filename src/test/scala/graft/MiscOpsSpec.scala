@@ -405,6 +405,65 @@ class MiscOpsSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("temperatureMix: exponent-smoothed weights, low-discrepancy prefix ratios") {
+    import spark.implicits._
+    // srcA 100 docs, srcB 400 docs; T=2 → p = √n → w_A = 500, w_B = 1000
+    val df = ((1 to 100).map(i => (i.toLong, "A")) ++
+      (101 to 500).map(i => (i.toLong, "B"))).toDF("id", "src")
+    val mixed = CorpusOps.temperatureMix(df, col("src"), col("id"), temperature = 2.0)
+      .select(col("id"), col("src"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(mixed.length == 500)
+    // pos formula: (2rn−1)·10⁶ div (2w) with w_A=500, w_B=1000
+    val wOf = Map("A" -> 500L, "B" -> 1000L)
+    val rn = scala.collection.mutable.Map.empty[String, Long]
+    mixed.sortBy(m => (m._2, m._1)).foreach { case (_, s, pos) =>
+      val r = rn.getOrElse(s, 0L) + 1; rn(s) = r
+      assert(pos == (2 * r - 1) * 1000000L / (2 * wOf(s)), s"$s rn=$r")
+    }
+    // low-discrepancy schedule: any prefix of the pos order carries
+    // each source within 1 of its target density share
+    val byPos = mixed.sortBy(m => (m._3, m._2))
+    for (prefix <- Seq(50, 150, 300)) {
+      val p = byPos.take(prefix)
+      val maxPos = p.last._3
+      for ((s, w) <- wOf) {
+        val got = p.count(_._2 == s)
+        val want = (maxPos * w / 1000000.0) + 0.5 // density w per 10⁶/w positions
+        assert(math.abs(got - want) <= 1.5, s"prefix $prefix source $s: $got vs $want")
+      }
+    }
+    // T→∞ approaches uniform: weights converge (here: equal at T=1000)
+    val flat = CorpusOps.temperatureMix(df, col("src"), col("id"), temperature = 1000.0)
+      .select(col("src"), col("pos")).collect().map(r => (r.getString(0), r.getLong(1)))
+    val aMax = flat.filter(_._1 == "A").map(_._2).max
+    val bMaxAt100 = flat.filter(_._1 == "B").map(_._2).sorted.apply(99)
+    // first 100 of B span ~ the same pos range as all 100 of A
+    assert(math.abs(aMax - bMaxAt100) < 20000, s"$aMax vs $bMaxAt100")
+  }
+
+  test("ksDrift equals the brute-force two-sample KS statistic in exact ppm") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val got = graft.operators.Curation.ksDrift(docs, col("source"), col("n_chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = docs.select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length
+    val expect = rows.groupBy(_._1).map { case (g, inG) =>
+      val s = inG.length; val r = n - s
+      val inSet = inG.map(_._2).sorted
+      val rest = rows.filter(_._1 != g).map(_._2).sorted
+      val grid = rows.map(_._2).distinct.sorted
+      val diff = grid.map { x =>
+        val cg = BigInt(inSet.count(_ <= x)); val cr = BigInt(rest.count(_ <= x))
+        (cg * r - cr * s).abs
+      }.max
+      g -> (s.toLong, (diff * 1000000 / (BigInt(s) * r)).toLong)
+    }
+    assert(got == expect)
+    assert(got.values.exists(_._2 > 0), "fixture must show some drift")
+  }
+
   test("entity_clusters equals a union-find over brute-force edit-distance pairs") {
     val cust = graft.sources.Tables.table(spark, sf, "customer")
     val got = Graft.query("entity_clusters")(spark, sf)
