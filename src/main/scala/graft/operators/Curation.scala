@@ -390,9 +390,29 @@ object Curation {
     * exchange carries one row per (doc, weight). Nothing quadratic,
     * nothing driver-side. */
   def importanceWeights(raw: DataFrame, target: DataFrame,
-      text: Column, id: Column): DataFrame = {
-    val rawF = ngramFeatures(raw, text, id)
-    val tgtF = ngramFeatures(target, text, id)
+      text: Column, id: Column): DataFrame =
+    weightsCore(ngramFeatures(raw, text, id), ngramFeatures(target, text, id))
+
+  /** The 100 TB configuration of [[importanceWeights]] — DSIR's own
+    * hashed-ngram trick: features are bucketed by `pmod(xxhash64(f), B)`
+    * immediately after generation, so BOTH distribution tables, the
+    * vocabulary, and the broadcast ratio table are bounded by B
+    * regardless of corpus vocabulary (an open web corpus has billions
+    * of distinct bigrams; B = 2²⁰–2²⁴ is the published operating
+    * range). Collisions merge features on BOTH sides of the ratio
+    * identically — the importance estimate degrades gracefully
+    * (spec-pinned: with B large enough to be injective on the corpus,
+    * the weights are bit-equal to the exact form). */
+  def importanceWeightsHashed(raw: DataFrame, target: DataFrame,
+      text: Column, id: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    def bucketed(df: DataFrame) = df.select(col("doc_id"),
+      pmod(xxhash64(col("f")), lit(buckets.toLong)).as("f"))
+    weightsCore(bucketed(ngramFeatures(raw, text, id)),
+      bucketed(ngramFeatures(target, text, id)))
+  }
+
+  private def weightsCore(rawF: DataFrame, tgtF: DataFrame): DataFrame = {
     // vocabulary = distinct features of the UNION; V joins in as a
     // broadcast 1-row aggregate over the same subtree (ReuseExchange
     // collapses the two instances, the unigramLogProb pattern)

@@ -290,6 +290,17 @@ object CurationQueries {
         docs.filter(col("source") === "src0"),
         col("text"), col("doc_id"))
     },
+    // hashed-feature DSIR (B = 2²⁰ buckets): the 100 TB configuration —
+    // xxhash64 bucketing has no DuckDB twin, so this entry is rows-only;
+    // the exact-variant oracle above plus the CurationSpec bit-equality
+    // pin (injective buckets ⇒ identical weights) carry the semantics
+    QueryDef.unverified("pipeline_importance_hashed") { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      Curation.importanceWeightsHashed(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        col("text"), col("doc_id"), buckets = 1 << 20)
+    },
     // DSIR selection: Gumbel-top-k over the weights (sampling ∝ exp(w)
     // without replacement), md5-deterministic noise
     QueryDef(

@@ -303,6 +303,25 @@ class CurationSpec extends SparkSpec {
     assert(w(2L) < 0 && w(3L) < 0, "off-domain docs carry negative evidence")
   }
 
+  test("hashed DSIR weights are bit-equal to exact weights when buckets are injective here") {
+    val rawDocs = docs.filter(col("source") =!= "src0")
+    val tgtDocs = docs.filter(col("source") === "src0")
+    val b = 1 << 26
+    // injectivity precondition: no two distinct features share a bucket
+    // on this corpus (deterministic data — holds or the test fails loud)
+    val feats = docs.select(graft.functions.ShingleGenerator.shingles(col("text"), 1).as("f"))
+      .unionAll(docs.select(graft.functions.ShingleGenerator.shingles(col("text"), 2).as("f")))
+    val nF = feats.distinct().count()
+    val nB = feats.select(pmod(xxhash64(col("f")), lit(b.toLong))).distinct().count()
+    assume(nF == nB, s"bucket collision at B=$b on unigrams")
+    val exact = Curation.importanceWeights(rawDocs, tgtDocs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val hashed = Curation.importanceWeightsHashed(
+        rawDocs, tgtDocs, col("text"), col("doc_id"), buckets = b)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(hashed == exact)
+  }
+
   test("importanceResample is the Gumbel-top-k of the weights, heap-merged not sorted") {
     val rawDocs = docs.filter(col("source") =!= "src0")
     val tgtDocs = docs.filter(col("source") === "src0")

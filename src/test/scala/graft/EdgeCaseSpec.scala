@@ -128,4 +128,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(at.length == 1 && at(0).getLong(0) == 2L && at(0).isNullAt(3) &&
       at(0).isNullAt(4) && at(0).isNullAt(5))
   }
+
+  test("round-4 operators at the edges: null text, whitespace docs, lone sources") {
+    import graft.operators.{Aggregates, CorpusOps, Curation}
+    // DSIR: null text yields no feature rows → doc absent from weights;
+    // whitespace-only text yields ONE empty unigram (split limit -1) and
+    // participates normally; neither side crashes
+    val raw = Seq((1L, "a b"), (2L, null.asInstanceOf[String]), (3L, "  "))
+      .toDF("id", "t")
+    val tgt = Seq((10L, "a b"), (11L, "c")).toDF("id", "t")
+    val w = Curation.importanceWeights(raw, tgt, col("t"), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.keySet == Set(1L, 3L), s"null text must vanish, blank must stay: $w")
+    assert(w(1L) == 3L && w(3L) == 1L) // a, b, "a b" vs one empty token
+    // temperatureMix with a single source: weight pins to the 1000 cap,
+    // positions are the pure low-discrepancy ladder
+    val one = Seq((1L, "s"), (2L, "s"), (3L, "s")).toDF("id", "src")
+    val tm = CorpusOps.temperatureMix(one, col("src"), col("id"), 3.0)
+      .select(col("id"), col("pos")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tm == Map(1L -> 500L, 2L -> 1500L, 3L -> 2500L))
+    // ksDrift at the 2-group minimum, identical distributions → 0 ppm
+    val same = Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L)).toDF("g", "x")
+    val ks = Curation.ksDrift(same, col("g"), col("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ks == Map("a" -> 0L, "b" -> 0L))
+    // saltedDistinctCount: null values count as one distinct? NO — like
+    // count(DISTINCT v) they are excluded on both engines
+    val nulls = Seq(("k", Some(1L)), ("k", None), ("k", Some(1L)), ("k", None))
+      .toDF("g", "v")
+    val sd = Aggregates.saltedDistinctCount(nulls, col("g"), col("v"), 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sd == Map("k" -> 1L))
+  }
 }
