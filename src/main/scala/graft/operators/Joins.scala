@@ -281,6 +281,54 @@ object Joins {
       concat_ws(",", leftCols: _*).as("left_row"),
       concat_ws(",", rightCols: _*).as("right_row"))
 
+  /** Nearest-in-time as-of join (either direction): for each probe row,
+    * the event with the same key minimizing |Δt|; ties prefer the
+    * backward (at-or-before) side, then the smallest event id — the
+    * market-data "nearest quote" convention. TWO window passes over ONE
+    * union-merge stream (the exchange by key is shared, only the sort
+    * differs), so there is never a (probe × event) pair set — the same
+    * rewrite that fixed the quadratic round-1 as-of.
+    *
+    * Output: (probe_id, nearest_id, dt) with dt = event time − probe
+    * time (≤ 0 ⇔ backward pick). Probe rows whose key has no events
+    * are dropped (inner semantics). Ids must be long; times share one
+    * integral unit. */
+  def asofNearest(probe: DataFrame, probeId: Column, probeKey: Column, probeTime: Column,
+      events: DataFrame, eventId: Column, eventKey: Column, eventTime: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stream = events.select(eventKey.as("uid"), eventTime.as("t"),
+        lit(0).as("isOrder"), eventId.as("ekey"),
+        lit(null).cast("long").as("okey"))
+      .unionByName(probe.select(probeKey.as("uid"), probeTime.as("t"),
+        lit(1).as("isOrder"), lit(null).cast("long").as("ekey"),
+        probeId.as("okey")))
+    val ev = when(col("isOrder") === 0, struct(col("ekey"), col("t")))
+    // backward pass: inclusive (same-instant events sort BEFORE the
+    // probe), ekey DESC so last() carries the smallest event id
+    val wPrev = Window.partitionBy(col("uid"))
+      .orderBy(col("t").asc, col("isOrder").asc, col("ekey").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward pass: strict (same-instant events sort AFTER the probe in
+    // the DESC traversal, so they belong to the backward side only);
+    // ekey DESC again ⇒ last() = smallest event id
+    val wNext = Window.partitionBy(col("uid"))
+      .orderBy(col("t").desc, col("isOrder").desc, col("ekey").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stream
+      .withColumn("prev", last(ev, ignoreNulls = true).over(wPrev))
+      .withColumn("nxt", last(ev, ignoreNulls = true).over(wNext))
+      .filter(col("isOrder") === 1)
+      .withColumn("best",
+        when(col("nxt").isNull, col("prev"))
+          .when(col("prev").isNull, col("nxt"))
+          .when(col("t") - col("prev.t") <= col("nxt.t") - col("t"), col("prev"))
+          .otherwise(col("nxt")))
+      .filter(col("best").isNotNull)
+      .select(col("okey").as("probe_id"),
+        col("best.ekey").as("nearest_id"),
+        (col("best.t") - col("t")).as("dt"))
+  }
+
   /** Full reference lifecycle for CSV inputs (entry points
     * RepartitionJoin.main / BroadcastJoin.main / MergeJoin.main):
     * positional CSV scan → key extraction by index → pinned-strategy

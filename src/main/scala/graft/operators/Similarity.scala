@@ -232,4 +232,56 @@ object Similarity {
         col("rank"), round(col("cos"), 6).as("cos"),
         round(col("acos"), 6).as("approx_cos"))
   }
+
+  /** Sparse TF-IDF cosine similarity join — the SPARSE counterpart of
+    * [[Dedup.embeddingCosinePairs]]: document pairs whose tf-idf unit
+    * vectors have cosine ≥ threshold, computed EXACTLY through an
+    * inverted-index equi-join (non-shared terms contribute 0, so the
+    * per-pair sum over shared terms IS the full dot product — no
+    * verify pass needed, unlike the LSH families). Input is a
+    * pre-tokenized `(doc_id, t)` term MULTISET (term frequency counts),
+    * so callers pick the term granularity — word shingles from the
+    * fused generator in the registry query.
+    *
+    * Determinism contract: unit weights are rounded to 6 dp, per-pair
+    * products are rounded to 6 dp, and BOTH the norm accumulation and
+    * the pair accumulation run in DECIMAL(28,12) — order-independent,
+    * so the DuckDB oracle hash-matches float-for-float.
+    *
+    * Scale shape: one corpus scan → (doc, term, tf) partial aggregate;
+    * df and N are vocabulary-sized/scalar broadcasts; the candidate
+    * join shuffles postings BY TERM, so its cost is Σ_t df_t² — the
+    * textbook inverted-index bound. Hot terms (stopwords) dominate that
+    * sum, which is why `maxDf` drops terms appearing in more than that
+    * fraction of docs (their idf ≈ 0 contribution is negligible at any
+    * meaningful threshold, and the df² term they'd contribute is the
+    * difference between feasible and quadratic — the same reasoning as
+    * prefix filtering in PPJoin, applied at the term tier). Dropped
+    * terms are dropped from BOTH the norms and the products, so the
+    * result is exactly the cosine over the kept vocabulary — the
+    * contract the oracle replays. */
+  def tfidfCosinePairs(terms: DataFrame, threshold: Double,
+      maxDfPpm: Long = 500000L): DataFrame = {
+    val tok = terms.select(col("doc_id"), col("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val n = tok.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
+    val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      .join(broadcast(n), lit(true))
+      .filter(col("df") * 1000000L <= col("n") * maxDfPpm)
+      .select(col("t"), round(log10(col("n").cast("double") / col("df")), 6).as("idf"))
+    val w = tok.join(broadcast(df), Seq("t"))
+      .select(col("doc_id"), col("t"), round(col("tf") * col("idf"), 6).as("w"))
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(expr("CAST(round(w * w, 6) AS DECIMAL(28,12))")).cast("double"))
+        .as("nrm"))
+    val u = w.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("t"), round(col("w") / col("nrm"), 6).as("u"))
+    u.alias("a").join(u.alias("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(round(a.u * b.u, 6) AS DECIMAL(28,12))").as("p"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(sum(col("p")).cast("double"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

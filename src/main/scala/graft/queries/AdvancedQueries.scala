@@ -302,6 +302,35 @@ object AdvancedQueries {
       stream.withColumn("nxt", last(col("ekey"), ignoreNulls = true).over(w))
         .filter(col("kind") === 1 && col("nxt").isNotNull)
         .select(col("o_orderkey"), col("nxt").as("next_event_id"))
+    },
+    // nearest-in-time as-of (either direction): per order, the user's
+    // event minimizing |Δt|, ties → backward side then smallest
+    // event_id. TWO window passes over ONE union-merge stream (the
+    // exchange by user is shared; only the sort differs) — still no
+    // (order × event) pair set, unlike the oracle's all-pairs argmin.
+    QueryDef(
+      "join_asof_nearest",
+      """WITH pairs AS (
+        |  SELECT o.o_orderkey, e.event_id,
+        |    epoch_us(e.ts) - epoch_us(o.o_orderdate) AS dt,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |      ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)),
+        |        CASE WHEN epoch_us(e.ts) <= epoch_us(o.o_orderdate) THEN 0 ELSE 1 END,
+        |        e.event_id) AS rn
+        |  FROM orders o JOIN events e ON e.user_id = o.o_custkey)
+        |SELECT o_orderkey, event_id AS nearest_event_id, dt AS dt_us
+        |FROM pairs WHERE rn = 1""".stripMargin) { (s, d) =>
+      val e = Tables.table(s, d, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("eus"))
+      val o = Tables.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
+      graft.operators.Joins.asofNearest(
+          o, col("o_orderkey"), col("o_custkey"), col("ous"),
+          e, col("event_id"), col("user_id"), col("eus"))
+        .select(col("probe_id").as("o_orderkey"),
+          col("nearest_id").as("nearest_event_id"),
+          col("dt").as("dt_us"))
     }
   )
 }

@@ -108,6 +108,37 @@ object SimilarityQueries {
         col("vec_id") % 50 === 0, k = 5, nCentroids = 8, nProbe = 2, m = 15)
         .withColumnRenamed("rank", "rnk")
     },
+    // sparse tf-idf cosine similarity join over word 3-shingle terms:
+    // exact cosine through the inverted-index equi-join (no verify pass
+    // — non-shared terms contribute 0), idf-weighted, hot terms over
+    // 50% df dropped on both sides of the contract
+    QueryDef(
+      "join_tfidf_cosine",
+      """WITH t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |tok0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t
+        |  FROM t0 WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, t, count(*) AS tf FROM tok0 GROUP BY doc_id, t),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+        |df AS (SELECT t, round(log10(CAST(n.n AS DOUBLE) / count(*)), 6) AS idf
+        |  FROM tok, n GROUP BY t, n.n HAVING count(*) * 1000000 <= n.n * 500000),
+        |w AS (SELECT tok.doc_id, tok.t, round(tf * idf, 6) AS w
+        |  FROM tok JOIN df ON tok.t = df.t),
+        |nrm AS (SELECT doc_id,
+        |    sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY doc_id),
+        |u AS (SELECT w.doc_id, w.t, round(w.w / nrm.nrm, 6) AS u
+        |  FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(round(a.u * b.u, 6) AS DECIMAL(28,12)) AS p
+        |  FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(CAST(sum(p) AS DOUBLE), 6) AS cos
+        |FROM p GROUP BY doc_a, doc_b
+        |HAVING round(CAST(sum(p) AS DOUBLE), 6) >= 0.3""".stripMargin) { (s, d) =>
+      val terms = Tables.table(s, d, "documents").select(col("doc_id"),
+        graft.functions.ShingleGenerator.shingles(col("text"), 3).as("t"))
+      Similarity.tfidfCosinePairs(terms, threshold = 0.3)
+    },
     // multimodal: binary payload + typed metadata + partition-batched
     // stub decode (see operators.Multimodal — only the codec is fake)
     QueryDef(

@@ -405,6 +405,92 @@ class MiscOpsSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("join_asof_nearest equals the brute-force per-order argmin over both directions") {
+    val got = Graft.query("join_asof_nearest")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = graft.sources.Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("eus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ords = graft.sources.Tables.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._2)
+    val expect = ords.flatMap { case (ok, ck, ous) =>
+      byUser.get(ck).map { es =>
+        val best = es.minBy { case (eid, _, eus) =>
+          (math.abs(eus - ous), if (eus <= ous) 0 else 1, eid)
+        }
+        ok -> (best._1, best._3 - ous)
+      }
+    }.toMap
+    assert(got == expect)
+    // testdata events all postdate their orders (forward-only picks),
+    // so the direction and tie semantics get planted coverage below
+    assert(got.nonEmpty && got.values.exists(_._2 > 0))
+  }
+
+  test("asofNearest direction and tie semantics on planted streams") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, 10L, 100L), // backward 90 (dt -10) vs forward 115 (dt +15) → backward
+      (2L, 10L, 112L), // backward 90 (-22) vs forward 115 (+3) → forward
+      (3L, 10L, 105L), // equidistant 90/120? use planted: prev -15, next +10 → forward
+      (4L, 20L, 50L),  // same-instant event → dt 0 backward
+      (5L, 20L, 40L),  // only forward exists for this probe time
+      (6L, 30L, 10L),  // key with no events → dropped
+      (7L, 40L, 100L)  // |Δt| tie: 95 (-5) vs 105 (+5) → backward preferred
+    ).toDF("pid", "uid", "t")
+    val events = Seq(
+      (901L, 10L, 90L), (902L, 10L, 115L), (903L, 10L, 120L),
+      (911L, 20L, 50L), (912L, 20L, 55L),
+      (921L, 40L, 95L), (922L, 40L, 105L),
+      // event_id tie at the same instant: smallest id must win
+      (931L, 40L, 95L)
+    ).toDF("eid", "uid", "t")
+    val got = graft.operators.Joins.asofNearest(
+        probe, col("pid"), col("uid"), col("t"),
+        events, col("eid"), col("uid"), col("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (901L, -10L),
+      2L -> (902L, 3L),
+      3L -> (902L, 10L),
+      4L -> (911L, 0L),
+      5L -> (911L, 10L),
+      7L -> (921L, -5L)))
+  }
+
+  test("tfidfCosinePairs: exact cosine semantics on a planted corpus incl. hot-term drop") {
+    import spark.implicits._
+    // terms: docs 1 and 2 are identical bags; doc 3 shares only the hot
+    // term 'h' (df 4/4 > 50% → dropped everywhere); doc 4 is disjoint
+    val terms = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "h"),
+      (2L, "a"), (2L, "a"), (2L, "b"), (2L, "h"),
+      (3L, "c"), (3L, "h"),
+      (4L, "d"), (4L, "h")).toDF("doc_id", "t")
+    val got = graft.operators.Similarity.tfidfCosinePairs(terms, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // only (1,2) share any surviving term; identical unit vectors → 1.0
+    assert(got.keySet == Set((1L, 2L)), s"hot term must not create pairs: $got")
+    assert(math.abs(got((1L, 2L)) - 1.0) < 2e-6)
+    // with the cap lifted, 'h' survives with idf = log10(1) = 0: it
+    // contributes ZERO score but its postings now materialize every
+    // pair at cos 0.0 — exactly the df² candidate blowup the cap
+    // exists to prevent (the scale rationale, pinned)
+    val loose = graft.operators.Similarity
+      .tfidfCosinePairs(terms, threshold = 0.0, maxDfPpm = 1000000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(loose.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(loose.count(_._2 == 0.0) == 5 && math.abs(loose((1L, 2L)) - 1.0) < 2e-6)
+    // any positive threshold removes the zero-score pairs again
+    val pos = graft.operators.Similarity
+      .tfidfCosinePairs(terms, threshold = 0.1, maxDfPpm = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos == Set((1L, 2L)))
+  }
+
   test("temperatureMix: exponent-smoothed weights, low-discrepancy prefix ratios") {
     import spark.implicits._
     // srcA 100 docs, srcB 400 docs; T=2 → p = √n → w_A = 500, w_B = 1000
