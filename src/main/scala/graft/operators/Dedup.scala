@@ -375,11 +375,31 @@ object Dedup {
   def incrementalDedup(base: DataFrame, delta: DataFrame, text: Column, id: Column,
       k: Int = 3, threshold: Double = 0.8,
       numHashes: Int = 64, rows: Int = 4): DataFrame = {
+    val (shBase, baseBands) = incrementalIndex(base, text, id, k, numHashes, rows)
+    incrementalDedupWith(shBase, baseBands, delta, text, id, k, threshold,
+      numHashes, rows)
+  }
+
+  /** The static side of [[incrementalDedup]], built ONCE: corpus
+    * shingle postings + banded minhash buckets. Callers running many
+    * delta checks against the same corpus (a streaming ingest gate)
+    * cache these two frames instead of re-shingling the corpus per
+    * delta — the per-ingest cost drops to O(delta). */
+  def incrementalIndex(base: DataFrame, text: Column, id: Column,
+      k: Int = 3, numHashes: Int = 64, rows: Int = 4): (DataFrame, DataFrame) = {
     val shBase = shingles(base, text, id, k)
+    (shBase, bandedBuckets(minhashSignatures(shBase, numHashes), numHashes, rows))
+  }
+
+  /** [[incrementalDedup]] against a prebuilt [[incrementalIndex]]. */
+  def incrementalDedupWith(shBase: DataFrame, baseBands: DataFrame,
+      delta: DataFrame, text: Column, id: Column,
+      k: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 64, rows: Int = 4): DataFrame = {
     val shDelta = shingles(delta, text, id, k)
-    def bands(sigs: DataFrame): DataFrame = bandedBuckets(sigs, numHashes, rows)
-    val cands = bands(minhashSignatures(shDelta, numHashes)).alias("x")
-      .join(bands(minhashSignatures(shBase, numHashes)).alias("y"),
+    val cands = bandedBuckets(minhashSignatures(shDelta, numHashes), numHashes, rows)
+      .alias("x")
+      .join(baseBands.alias("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()

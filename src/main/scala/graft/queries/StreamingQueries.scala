@@ -228,6 +228,27 @@ object StreamingQueries {
         |FROM ranked WHERE rn = 1 AND op <> 'D'""".stripMargin) { (s, d) =>
       Streaming.streamUpsertSink(s, d)
     },
+    // streaming ingest near-dup gate: delta docs arrive in 4 slices and
+    // are checked per micro-batch against the cached static MinHash
+    // index (foreachBatch; Streaming.streamLshIngest). Verdicts are
+    // slicing-independent, so the oracle is the batch incremental form.
+    QueryDef(
+      "stream_dedup_lsh",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 GROUP BY 1, 2)
+        |SELECT da AS new_doc, db AS dup_of,
+        |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""".stripMargin) { (s, d) =>
+      Streaming.streamLshIngest(s, d)
+    },
     // incremental view maintenance: the snapshot's grouped rollup
     // (per last-attr: live keys + exact-decimal total) maintained from
     // per-key deltas — per-batch work is O(changed keys), never a

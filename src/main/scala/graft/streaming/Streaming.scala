@@ -751,4 +751,81 @@ object Streaming {
       }
     runToMemory(spark, updates.toDF(), s"ucount_${System.nanoTime()}", OutputMode.Update())
   }
+
+  /** Arrival sequence for DOCUMENT ingest: the delta documents
+    * (doc_id ≡ 0 mod 5, the incrementalDedup convention) range-sliced
+    * by doc_id into `nFiles` parquet files with strictly increasing
+    * mtimes — the same deterministic oldest-first contract as
+    * [[eventsArrivalDir]]. Idempotent per (sfDir, nFiles). */
+  def documentsArrivalDir(spark: SparkSession, sfDir: String, nFiles: Int = 4): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_docs_arrival_${key}_$nFiles")
+    val done = new java.io.File(root, "_GRAFT_READY")
+    if (!done.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      root.mkdirs()
+      val delta = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 5 === 0)
+      val n = math.max(1L, delta.count())
+      val sliced = delta.withColumn("_slice",
+        least(lit(nFiles - 1), floor((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("doc_id")))
+          .cast("long") - 1) * nFiles / n)))
+      for (i <- 0 until nFiles) {
+        val part = new java.io.File(root, f"slice_$i%03d")
+        sliced.filter(col("_slice") === i).drop("_slice")
+          .coalesce(1).write.parquet(part.getPath)
+        part.listFiles().filter(_.getName.endsWith(".parquet"))
+          .foreach(_.setLastModified((i + 1) * 60000L))
+      }
+      require(done.createNewFile())
+    }
+    root.getPath
+  }
+
+  /** Streaming ingest near-dup gate: arriving delta documents are
+    * checked against the STATIC corpus through the banded MinHash
+    * index via foreachBatch — the "is this new doc a near-copy of
+    * anything we already hold" admission test a corpus pipeline runs at
+    * ingest. The static index ([[graft.operators.Dedup.incrementalIndex]])
+    * is built and CACHED once; each micro-batch pays O(delta-batch)
+    * only (shingle → sign → probe the cached buckets → verify), and
+    * appends its verdicts to a parquet results sink — the
+    * incremental-ingest shape that holds when the corpus side is 100 TB
+    * and deltas trickle forever.
+    *
+    * Determinism: each delta doc's verdict depends only on (doc,
+    * corpus), so the final sink content is independent of batch slicing
+    * and arrival order — the oracle is the batch incremental-dedup
+    * query over all deltas at once. */
+  def streamLshIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Tables.scratchDir("graft_lsh_ingest")
+    val outDir = s"$root/out"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val (shBase, baseBands) =
+      graft.operators.Dedup.incrementalIndex(corpus, col("text"), col("doc_id"))
+    shBase.cache(); baseBands.cache()
+    try {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(documentsArrivalDir(spark, sfDir))
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Dedup
+            .incrementalDedupWith(shBase, baseBands, batch, col("text"), col("doc_id"))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
+    } finally {
+      shBase.unpersist(); baseBands.unpersist()
+    }
+    spark.read.parquet(outDir)
+  }
 }

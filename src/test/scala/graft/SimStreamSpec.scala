@@ -250,6 +250,23 @@ class SimStreamSpec extends SparkSpec {
     assert(one.nonEmpty)
   }
 
+  test("streaming LSH ingest gate equals the batch incremental dedup, any slicing") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.Streaming.streamLshIngest(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val expect = graft.operators.Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+    // arrival dir really is multi-slice → the drain ran multiple batches
+    val dir = new java.io.File(
+      graft.streaming.Streaming.documentsArrivalDir(spark, sf))
+    assert(dir.listFiles().count(_.getName.startsWith("slice_")) == 4)
+  }
+
   test("AvailableNow run 2 processes ONLY the delta slice, total is exact") {
     val (agg, run1, run2) =
       graft.streaming.Streaming.streamAvailableNowWithStats(spark, sf)
