@@ -51,9 +51,17 @@ object Explain {
     // ann_ivf_rerank fans out the 1-row quantization-range arrays and
     // the tiny centroid table (same shape as ann_ivf); the DSIR queries
     // fan out 1-row vocabulary/total aggregates under the
-    // vocabulary-sized ratio table (the unigramLogProb pattern)
+    // vocabulary-sized ratio table (the unigramLogProb pattern);
+    // ann_hard_negatives is a declared brute-force baseline like
+    // ann_topk_bruteforce (scale path: the same filter inside IVF)
     "ann_ivf_rerank", "pipeline_importance_weights",
-    "pipeline_importance_resample")
+    "pipeline_importance_resample", "pipeline_importance_hashed",
+    "ann_hard_negatives",
+    // join_tfidf_cosine fans out its 1-row corpus-count aggregate under
+    // the vocabulary-sized df table; quality_ks_drift densifies the
+    // BOUNDED (groups × distinct-values) grid and fans out its 1-row
+    // total — scalar/bounded broadcasts, not pair scans
+    "join_tfidf_cosine", "quality_ks_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

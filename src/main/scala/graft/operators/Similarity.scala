@@ -233,6 +233,30 @@ object Similarity {
         round(col("acos"), 6).as("approx_cos"))
   }
 
+  /** Hard-negative mining for embedding-model training: per query, the
+    * top-k most similar corpus vectors with a DIFFERENT label — the
+    * closest impostors, which contrastive training wants as negatives
+    * precisely because they are hard. Brute-force baseline shape (the
+    * declared exact form, like [[topKBruteForce]]); at corpus scale the
+    * same label-exclusion filter drops into the IVF probe of
+    * [[topKIvfWith]] unchanged, since the filter commutes with
+    * candidate generation. */
+  def hardNegatives(emb: DataFrame, vec: Column, id: Column, label: Column,
+      isQuery: Column, k: Int): DataFrame = {
+    val e = emb.select(id.as("vid"), Dedup.asDouble(vec).as("v"), label.as("lbl"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = emb.filter(isQuery)
+      .select(id.as("qid"), Dedup.asDouble(vec).as("qv"), label.as("qlbl"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    e.join(broadcast(q), col("vid") =!= col("qid") && col("lbl") =!= col("qlbl"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("lbl").as("neg_label"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Sparse TF-IDF cosine similarity join — the SPARSE counterpart of
     * [[Dedup.embeddingCosinePairs]]: document pairs whose tf-idf unit
     * vectors have cosine ≥ threshold, computed EXACTLY through an

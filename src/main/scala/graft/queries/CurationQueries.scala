@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -248,6 +248,27 @@ object CurationQueries {
         |FROM lineitem, mm GROUP BY 1""".stripMargin) { (s, d) =>
       Curation.histogram(
         Tables.table(s, d, "lineitem"), col("l_extendedprice"), bins = 20)
+    },
+    // leakage-safe train/val/test split: assignment is keyed by the
+    // near-dup CLUSTER representative, so near-copies can never land on
+    // opposite sides of an eval boundary (the dedup-aware split rule
+    // serious eval hygiene requires; singletons key by themselves)
+    QueryDef(
+      "pipeline_leakage_safe_split",
+      s"""WITH RECURSIVE ${DedupQueries.clusterCtes},
+         |cc AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+         |SELECT d.doc_id, coalesce(cc.rep, d.doc_id) AS rep,
+         |  CASE WHEN (coalesce(cc.rep, d.doc_id) * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+         |       WHEN (coalesce(cc.rep, d.doc_id) * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val cc = Dedup.dedupClusters(
+        Dedup.ngramJaccard(docs, col("text"), col("doc_id")))
+      val keyed = docs.join(cc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
+      Curation.trainSplit(keyed, col("rep")).select(col("doc_id"), col("rep"), col("split"))
     },
     // two-sample KS drift per source vs the rest of the corpus on doc
     // length — exact integer ppm, cross-multiplied CDFs (no float div)

@@ -35,8 +35,10 @@ object DedupQueries {
     * (DuckDB evaluates the recursive CTE; component sizes here are tiny
     * so the closure is cheap — the Spark side uses the iterative
     * propagation that scales instead.) */
-  private val clusterOracle =
-    """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+  /** Shared CTE block: near-dup pairs → symmetric closure → recursive
+    * reachability (also reused by the leakage-safe split oracle). */
+  private[queries] val clusterCtes =
+    """t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |    unnest(list_transform(range(1, len(w) - 1),
       |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
@@ -51,8 +53,11 @@ object DedupQueries {
       |reach(node, r) AS (
       |  SELECT a, a FROM sym
       |  UNION
-      |  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node)
-      |SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node""".stripMargin
+      |  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node)""".stripMargin
+
+  private val clusterOracle =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     // near-dup CLUSTER formation: pairs -> connected components ->

@@ -108,6 +108,27 @@ object SimilarityQueries {
         col("vec_id") % 50 === 0, k = 5, nCentroids = 8, nProbe = 2, m = 15)
         .withColumnRenamed("rank", "rnk")
     },
+    // hard-negative mining: per query, the top-3 nearest vectors with a
+    // DIFFERENT label (contrastive-training negatives). Same cosine
+    // fold; the label-exclusion filter rides the candidate join.
+    QueryDef(
+      "ann_hard_negatives",
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |q AS (SELECT vec_id AS qid, label AS qlbl, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+        |p AS (SELECT q.qid, n.vec_id AS nid, n.label AS nlbl,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * n.v[i])), (x, y) -> x + y) / (q.qn * n.nrm) AS cos
+        |  FROM q JOIN n ON n.vec_id <> q.qid AND n.label <> q.qlbl),
+        |r AS (SELECT qid, nid, nlbl, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM p)
+        |SELECT qid AS query_id, nid AS neighbor_id, nlbl AS neg_label, rnk, round(cos, 6) AS cos
+        |FROM r WHERE rnk <= 3""".stripMargin) { (s, d) =>
+      Similarity.hardNegatives(
+        Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"),
+        col("label"), col("vec_id") % 50 === 0, k = 3)
+        .withColumnRenamed("rank", "rnk")
+    },
     // sparse tf-idf cosine similarity join over word 3-shingle terms:
     // exact cosine through the inverted-index equi-join (no verify pass
     // — non-shared terms contribute 0), idf-weighted, hot terms over

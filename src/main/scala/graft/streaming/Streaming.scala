@@ -808,7 +808,19 @@ object Streaming {
     val (shBase, baseBands) =
       graft.operators.Dedup.incrementalIndex(corpus, col("text"), col("doc_id"))
     shBase.cache(); baseBands.cache()
+    // per-batch work is DELTA-sized (the whole point of the cached
+    // index), so batch-default shuffle width is pure per-task overhead
+    // across ~10 plan stages × nBatches; size it to the delta like
+    // runToMemoryWithProgress sizes stateful drains to their state
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
+      // materialize the index BEFORE the drain so batch 1 isn't charged
+      // for the corpus-side build (and the build itself runs wide —
+      // it is corpus-sized — under the session default width)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      shBase.count(); baseBands.count()
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -824,6 +836,7 @@ object Streaming {
         .start()
       try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       shBase.unpersist(); baseBands.unpersist()
     }
     spark.read.parquet(outDir)
