@@ -40,16 +40,31 @@ object Tables {
       .csv(path)
       .toDF("key", "value")
 
+  /** Engine-wide event-time contract: `ts` is epoch-NANOS LongType.
+    * The driver testdata has shipped it as both TIMESTAMP(NANOS) (read
+    * as long via `nanosAsLong`) and plain TIMESTAMP_NTZ micros — this
+    * normalizer accepts either physical encoding and emits the one
+    * canonical form, so every downstream `ts div 1000` (micros grain)
+    * keeps working unchanged. The timestamp→epoch conversion assumes
+    * the UTC session timezone every graft session sets (a naive NTZ
+    * value then maps to the same epoch DuckDB's `epoch_us`/`epoch_ns`
+    * computes, at either source grain). */
+  def withNanosTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) | None => df
+      case Some(_) =>
+        df.withColumn("ts",
+          (unix_micros(col("ts").cast("timestamp")) * lit(1000L)).as("ts"))
+    }
+
   /** Driver-testdata parquet table: `table(spark, dir, "lineitem")`.
     *
-    * `events.ts` is TIMESTAMP(NANOS) in the driver parquet, which Spark 4
-    * rejects by default (PARQUET_TYPE_ILLEGAL) — Spark has no nanosecond
-    * timestamp type. `nanosAsLong` surfaces it as LongType epoch-nanos;
-    * event-time operators derive micros/seconds from it explicitly (and
-    * the DuckDB oracles use epoch_ns for the same integer arithmetic). */
+    * `nanosAsLong` keeps a TIMESTAMP(NANOS) `events.ts` readable (Spark
+    * 4 has no nanosecond timestamp type and rejects it by default);
+    * [[withNanosTs]] then canonicalizes whatever encoding arrived. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    withNanosTs(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   /** S5: the reference's text sink — `key TAB leftRow,rightRow` lines

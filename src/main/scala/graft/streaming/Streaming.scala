@@ -31,17 +31,30 @@ final case class SessionOut(
   */
 object Streaming {
 
-  /** Streaming view of the events table (file source). ts arrives as
-    * epoch-nanos long (nanosAsLong, see Tables.table); event-time
-    * columns are derived at micros grain. */
+  /** Streaming view of the events table (file source). The stream reads
+    * the driver parquet at its RAW schema, then [[graft.sources.Tables
+    * .withNanosTs]] canonicalizes `ts` to the engine-wide epoch-nanos
+    * long contract (the projection composes fine with streaming);
+    * event-time columns are derived at micros grain. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the file source needs a directory basePath; the testdata table is a
     // single file inside sfDir → glob-filter it out of the directory
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    graft.sources.Tables.withNanosTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+  }
+
+  /** Cache key component tying a /tmp arrival fixture to the EXACT
+    * source file it was sliced from: the driver regenerates testdata
+    * between rounds (same path, new bytes — round 4 changed events.ts
+    * from TIMESTAMP(NANOS) to micros), and a stale cached fixture then
+    * silently diverges from the oracle's view of the table. */
+  private def srcStamp(path: String): String = {
+    val f = new java.io.File(path)
+    s"${f.length()}_${f.lastModified()}"
   }
 
   /** Event-time timestamp (micros grain) for windowing. */
@@ -103,16 +116,18 @@ object Streaming {
   def eventsArrivalDir(spark: SparkSession, sfDir: String, nFiles: Int = 6,
       flush: Boolean = false, late: Boolean = false): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"$sfDir|${srcStamp(s"$sfDir/events.parquet")}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_arrival_v2_${key}_$nFiles${if (flush) "f" else ""}${if (late) "l" else ""}")
+      s"graft_arrival_v3_${key}_$nFiles${if (flush) "f" else ""}${if (late) "l" else ""}")
     val done = new java.io.File(root, "_GRAFT_READY")
     if (!done.exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(root)
       root.mkdirs()
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      // slices are written from the CANONICAL table view (ts epoch-nanos
+      // long), so the arrival stream's schema is encoding-independent
+      val ev = graft.sources.Tables.table(spark, sfDir, "events")
       val n = ev.count()
       // floor(): Column./ is DOUBLE division — an === filter on the raw
       // quotient matches only exactly-integral values
@@ -196,9 +211,10 @@ object Streaming {
     * (spec-asserted). */
   def eventsArrivalStream(spark: SparkSession, sfDir: String, nFiles: Int = 4,
       flush: Boolean = false, late: Boolean = false): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = eventsArrivalDir(spark, sfDir, nFiles, flush, late)
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // slice files carry the canonical schema (ts epoch-nanos long) —
+    // they were written from Tables.table, not the raw driver parquet
+    val schema = graft.sources.Tables.table(spark, sfDir, "events").schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet")
@@ -759,9 +775,10 @@ object Streaming {
     * [[eventsArrivalDir]]. Idempotent per (sfDir, nFiles). */
   def documentsArrivalDir(spark: SparkSession, sfDir: String, nFiles: Int = 4): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"$sfDir|${srcStamp(s"$sfDir/documents.parquet")}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_docs_arrival_${key}_$nFiles")
+      sys.props("java.io.tmpdir"), s"graft_docs_arrival_v2_${key}_$nFiles")
     val done = new java.io.File(root, "_GRAFT_READY")
     if (!done.exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(root)
