@@ -29,6 +29,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Even with the UI off, the app-status listener retains per-
+      // execution metadata incl. FULL plan strings (some of ours are
+      // hundreds of KB); at 212 queries × 2 runs the defaults (1000
+      // executions / 1000 jobs) pin hundreds of MB of driver heap and
+      // the resulting GC pressure contaminated late-alphabet queries
+      // (join_broadcast measured 0.28 s isolated vs 5.0 s mid-run).
+      .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -45,9 +55,25 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
+    // Between-query hygiene, OUTSIDE the timed region: a query's leaked
+    // cache blocks and memory-sink temp views are its own bug when they
+    // slow IT down, but letting them pile up across 212 queries turns
+    // the tail of the alphabet into a measurement of the head's garbage
+    // (measured up to 15× inflation). JIT/codegen warmup — the part of
+    // session state a steady-state cluster job legitimately keeps — is
+    // unaffected.
+    var sinceGc = 0
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      sinceGc += 1
+      if (sinceGc % 25 == 0) System.gc() // keep full GCs out of timed runs
+    }
     val results = SparkEntry.registry.sortBy(_.name)
       .filter(q => only.forall(_.contains(q.name)))
-      .map(q => (q.name, run(q), run(q)))
+      .map { q => val r = (q.name, run(q), run(q)); scrub(); r }
     def f3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, a, b) => s""""$k":${f3(math.min(a, b))}""" }
       .mkString("{", ",", "}")

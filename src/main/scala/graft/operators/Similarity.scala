@@ -286,8 +286,16 @@ object Similarity {
     * contract the oracle replays. */
   def tfidfCosinePairs(terms: DataFrame, threshold: Double,
       maxDfPpm: Long = 500000L): DataFrame = {
+    // The posting-list table feeds FOUR downstream consumers (corpus
+    // size n, document frequencies, weights, and — through the unit
+    // vectors — both sides of the self-join); uncached, the corpus
+    // tokenize+groupBy would execute once per consumer (measured ~2.5×
+    // on the whole query at sf0.1). Materializing the index once is
+    // also the 100 TB shape: posting lists are the artifact a sparse-
+    // similarity pipeline builds and reuses, not a throwaway subtree.
     val tok = terms.select(col("doc_id"), col("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .cache()
     val n = tok.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
     val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
       .join(broadcast(n), lit(true))
@@ -298,8 +306,11 @@ object Similarity {
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(expr("CAST(round(w * w, 6) AS DECIMAL(28,12))")).cast("double"))
         .as("nrm"))
+    // unit vectors are read twice (both join sides); cached, the
+    // self-join probes memory instead of re-running weight+norm joins
     val u = w.join(norms, Seq("doc_id"))
       .select(col("doc_id"), col("t"), round(col("w") / col("nrm"), 6).as("u"))
+      .cache()
     u.alias("a").join(u.alias("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

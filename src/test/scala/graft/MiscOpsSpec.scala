@@ -592,4 +592,29 @@ class MiscOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan.take(500))
   }
+
+  test("withNanosTs canonicalizes both ts encodings to identical epoch-nanos longs") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    // micros-NTZ encoding (the round-4 driver testdata shape)
+    spark.range(3).select(col("id").as("event_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 1500000L)
+          .cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/ntz")
+    // epoch-nanos long encoding (the pre-round-4 nanosAsLong view)
+    spark.range(3).select(col("id").as("event_id"),
+        ((lit(1700000000000000L) + col("id") * 1500000L) * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/longs")
+    def canon(sub: String): Seq[(Long, Long)] =
+      graft.sources.Tables.withNanosTs(spark.read.parquet(s"$tmp/$sub"))
+        .select(col("event_id"), col("ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val a = canon("ntz")
+    val b = canon("longs")
+    assert(a == b, s"$a vs $b")
+    assert(a.head._2 == 1700000000000000L * 1000L)
+    // a table with no ts column passes through untouched
+    val plain = spark.range(2).toDF("x")
+    assert(graft.sources.Tables.withNanosTs(plain).schema == plain.schema)
+  }
 }
