@@ -39,6 +39,11 @@ object Bench {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
+      // one-shot stream drains never replay old batches; the default
+      // keeps 100 state-map versions resident per store, and ~30
+      // streaming queries' final states would otherwise stay loaded
+      // for the rest of the run
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -15,6 +15,7 @@ object Verify {
       // don't let retained per-execution plan strings (some huge) pile
       // up on the driver heap across 200+ queries — see Bench
       .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
