@@ -338,23 +338,34 @@ object Dedup {
 
   /** Cross-set exact-Jaccard verify: pairs (da ∈ A, db ∈ B) for the
     * given candidates — the incremental counterpart of [[jaccardVerify]]
-    * (no da < db canonicalization: the two sides are distinct sets). */
+    * (no da < db canonicalization: the two sides are distinct sets).
+    *
+    * `deltaSmall = true` declares side A (and therefore everything
+    * candidate-derived) DELTA-SCALED — the standing invariant of an
+    * ingest gate, where a batch of arriving docs is checked against an
+    * unbounded corpus. Every delta-derived frame gets a broadcast
+    * hint, so the big side is only ever SCANNED (broadcast semi-joins
+    * prune it, broadcast hash joins probe it) and never shuffled:
+    * per-ingest shuffle volume is O(delta + candidates), independent
+    * of corpus size. Without the flag (A and B both corpus-scaled)
+    * every join stays shuffle-shaped. */
   private def jaccardVerifyCross(shA: DataFrame, shB: DataFrame, threshold: Double,
-      candidates: DataFrame): DataFrame = {
-    val a = shA.join(candidates.select(col("da").as("doc_id")).distinct(),
+      candidates: DataFrame, deltaSmall: Boolean = false): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
+    val a = shA.join(bc(candidates.select(col("da").as("doc_id")).distinct()),
       Seq("doc_id"), "left_semi").select(col("doc_id").as("da"), col("s"))
-    val b = shB.join(candidates.select(col("db").as("doc_id")).distinct(),
+    val b = shB.join(bc(candidates.select(col("db").as("doc_id")).distinct()),
       Seq("doc_id"), "left_semi").select(col("doc_id").as("db"), col("s"))
-    val inter = a.join(b, Seq("s"))
-      .join(candidates, Seq("da", "db"), "left_semi")
+    val inter = bc(a).join(b, Seq("s"))
+      .join(bc(candidates), Seq("da", "db"), "left_semi")
       .groupBy("da", "db").agg(count(lit(1)).as("c"))
     inter
-      .join(sizes(shA.join(candidates.select(col("da").as("doc_id")).distinct(),
+      .join(bc(sizes(shA.join(bc(candidates.select(col("da").as("doc_id")).distinct()),
           Seq("doc_id"), "left_semi"))
-        .select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sizes(shB.join(candidates.select(col("db").as("doc_id")).distinct(),
+        .select(col("doc_id").as("da"), col("n").as("na"))), Seq("da"))
+      .join(bc(sizes(shB.join(bc(candidates.select(col("db").as("doc_id")).distinct()),
           Seq("doc_id"), "left_semi"))
-        .select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .select(col("doc_id").as("db"), col("n").as("nb"))), Seq("db"))
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
@@ -397,13 +408,16 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.8,
       numHashes: Int = 64, rows: Int = 4): DataFrame = {
     val shDelta = shingles(delta, text, id, k)
-    val cands = bandedBuckets(minhashSignatures(shDelta, numHashes), numHashes, rows)
+    // the DELTA's banded buckets are broadcast into the corpus index
+    // probe — the ingest-gate invariant (delta ≪ base) means the base
+    // side is scanned, never shuffled, per batch
+    val cands = broadcast(bandedBuckets(minhashSignatures(shDelta, numHashes), numHashes, rows))
       .alias("x")
       .join(baseBands.alias("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    jaccardVerifyCross(shDelta, shBase, threshold, cands)
+    jaccardVerifyCross(shDelta, shBase, threshold, cands, deltaSmall = true)
       .select(col("da").as("new_doc"), col("db").as("dup_of"), col("jaccard"))
   }
 
