@@ -302,4 +302,39 @@ class ScaleSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       "no all-pairs shapes anywhere in the span path")
   }
+
+  test("incremental LSH gate: corpus index is scanned, never shuffled (delta broadcast)") {
+    import spark.implicits._
+    // synthetic corpus + delta with a planted near-dup: big enough that a
+    // stats mispick COULD shuffle it, small enough for a spec
+    val words = (0 until 40).map(i => s"w$i").mkString(" ")
+    val base = (0L until 200L).map(i => (i * 2 + 1, s"doc ${i} $words")).toDF("doc_id", "text")
+    val delta = Seq((1000L, s"doc 7 $words"), (1002L, "wholly unrelated text body")).toDF("doc_id", "text")
+    val (shBase, baseBands) = graft.operators.Dedup.incrementalIndex(base, col("text"), col("doc_id"))
+    shBase.cache(); baseBands.cache()
+    try {
+      shBase.count(); baseBands.count()
+      val out = graft.operators.Dedup.incrementalDedupWith(
+        shBase, baseBands, delta, col("text"), col("doc_id"))
+      assert(out.collect().nonEmpty) // planted near-dup found
+      val nodes = flattenPlan(out.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      })
+      // the ingest contract: every join broadcasts the delta side -> no
+      // sort-merge join anywhere, and a corpus-index scan may only feed
+      // a shuffle AFTER a broadcast join has pruned it to candidate
+      // scale (raw base rows are probed in place, never repartitioned)
+      assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
+        "delta<<base joins must be broadcast, not sort-merge")
+      val rawBaseShuffles = nodes.collect {
+        case e: ShuffleExchangeExec =>
+          val sub = flattenPlan(e)
+          (e, sub.exists(_.nodeName.contains("InMemoryTableScan")),
+            sub.exists(_.nodeName.contains("BroadcastHashJoin")))
+      }.collect { case (e, true, false) => e }
+      assert(rawBaseShuffles.isEmpty,
+        s"corpus-side scan shuffled before any broadcast prune: ${rawBaseShuffles.map(_.nodeName)}")
+    } finally { shBase.unpersist(); baseBands.unpersist() }
+  }
 }
