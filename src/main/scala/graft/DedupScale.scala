@@ -31,7 +31,16 @@ import org.apache.spark.sql.functions._
   * then re-checks the same corpus (each pair member carries exactly one
   * maximal duplicated span).
   *
-  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32] [mode=spans|lsh]
+  * A third mode probes the INCREMENTAL ingest gate: `ingest` builds
+  * the MinHash band index over the corpus once (timed), then pushes a
+  * FIXED-SIZE delta (2 000 docs, every 10th a near-copy of a base doc)
+  * through [[Dedup.incrementalDedupWith]] twice (cold + warm) — across
+  * corpus sizes the index build scales with the corpus while the
+  * per-ingest cost stays delta-bound plus one in-memory columnar scan
+  * of the cached index (no corpus shuffle: the delta side is broadcast,
+  * ScaleSpec pins the plan). Self-check: exactly nDelta/10 verdicts.
+  *
+  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32] [mode=spans|lsh|ingest]
   */
 object DedupScale {
   def main(args: Array[String]): Unit = {
@@ -88,7 +97,41 @@ object DedupScale {
       rows
     }
 
-    if (mode == "lsh") {
+    if (mode == "ingest") {
+      val nDelta = 2000L
+      val plantD = 10L
+      // every plantD-th delta doc near-copies an ODD-id base doc (odd ids
+      // never carry the plantEvery boilerplate prefix — a prefixed source
+      // would dilute Jaccard to (tpd-3)/(tpd+15) ≈ 0.76, under the 0.8
+      // gate; last token replaced, so J = (tpd-3)/(tpd-1) ≈ 0.966 at
+      // k=3); the rest are fresh bodies seeded past the base id range
+      val srcSql =
+        s"transform(sequence(0, $tpd - 1), " +
+          s"j -> concat('w', pmod(xxhash64((2 * ((id * 97) % ${nDocs / 2}) + 1) * $tpd + j), 10000)))"
+      val freshSql =
+        s"concat_ws(' ', transform(sequence(0, $tpd - 1), " +
+          s"j -> concat('w', pmod(xxhash64((id + $nDocs) * $tpd + j), 10000))))"
+      val deltaPlan = spark.range(nDelta).select((col("id") + nDocs).as("doc_id"),
+        expr(s"CASE WHEN id % $plantD = 0 " +
+          s"THEN concat(concat_ws(' ', slice($srcSql, 1, $tpd - 1)), ' zz9') " +
+          s"ELSE $freshSql END").as("text"))
+      val (delta, _, _) = graft.operators.Iterate.ckpt(deltaPlan)
+      val (shBase, baseBands) =
+        Dedup.incrementalIndex(docs, col("text"), col("doc_id"))
+      timed("index_build") {
+        shBase.cache(); baseBands.cache()
+        shBase.count() + baseBands.count()
+      }
+      val expDups = (nDelta + plantD - 1) / plantD
+      for (pass <- Seq("ingest_delta_cold", "ingest_delta_warm")) {
+        val dups = timed(pass) {
+          Dedup.incrementalDedupWith(shBase, baseBands, delta,
+            col("text"), col("doc_id")).count()
+        }
+        println(s"""{"op":"${pass}_check","expected":$expDups,"got":$dups,"ok":${dups == expDups}}""")
+      }
+      shBase.unpersist(); baseBands.unpersist()
+    } else if (mode == "lsh") {
       // #{m >= 0 : 2001m + 1 < nDocs} — every complete pair in range
       val expPairs = if (nDocs < 2) 0L else (nDocs - 2) / pairEvery + 1
       val pairs = timed("minhash_lsh") {
