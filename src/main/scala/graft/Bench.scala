@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
   * times inflated up to 4× by JIT/codegen compilation and GC pressure
   * from the 78 preceding queries — steady-state is what a long-running
   * cluster job sees, and best-of-2 makes round-over-round deltas
-  * trustworthy. Times are printed with ms precision to keep the JSON
+  * trustworthy. The DATA cache is cleared between the two runs (round-4
+  * ADVICE): what best-of-2 keeps warm is JIT/codegen/session state, not
+  * run 1's cached indexes — both runs rebuild their own caches, so
+  * caching queries report honest cold-index times. Times are printed with ms precision to keep the JSON
   * line short enough for the driver's output-tail capture (the round-1
   * line was truncated mid-JSON and failed to parse); the full-precision
   * per-run data lands in bench_local.json. */
@@ -54,11 +57,27 @@ object Bench {
     // Optional local-debug filter: SPARK_GRAFT_ONLY="a,b" times a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def run(q: QueryDef): Double = {
+    // Environment diagnostics (stderr, so stdout stays pure JSON): when a
+    // driver-context run disagrees with the committed record, these make
+    // the gap ATTRIBUTABLE (GC vs load vs memory) instead of a mystery —
+    // round-4's 274.7 s driver run vs 152 s same-commit clean record.
+    import java.lang.management.ManagementFactory
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    }
+    def diag(tag: String): Unit = {
+      val os = ManagementFactory.getOperatingSystemMXBean
+      val rt = Runtime.getRuntime
+      System.err.println(f"""[bench-diag] {"tag":"$tag","load1m":${os.getSystemLoadAverage}%.2f,"procs":${os.getAvailableProcessors},"heap_used_mb":${(rt.totalMemory - rt.freeMemory) / 1048576},"heap_max_mb":${rt.maxMemory / 1048576},"gc_ms_total":${gcMillis()}}""")
+    }
+    diag("start")
+    def run(q: QueryDef): (Double, Long) = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, gcMillis() - g0)
     }
     // Between-query hygiene, OUTSIDE the timed region: a query's leaked
     // cache blocks and memory-sink temp views are its own bug when they
@@ -78,34 +97,48 @@ object Bench {
     }
     val results = SparkEntry.registry.sortBy(_.name)
       .filter(q => only.forall(_.contains(q.name)))
-      .map { q => val r = (q.name, run(q), run(q)); scrub(); r }
+      .map { q =>
+        val a = run(q)
+        // drop run 1's cache blocks before run 2: CacheManager matches
+        // the identical logical plan, so without this every caching
+        // query's second run probes run 1's in-memory index and
+        // best-of-2 silently reports a warm-data-cache time (ADVICE r4)
+        spark.catalog.clearCache()
+        val b = run(q)
+        scrub()
+        (q.name, a, b)
+      }
     def f3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, a, b) => s""""$k":${f3(math.min(a, b))}""" }
+    val qs = results.map { case (k, (a, _), (b, _)) => s""""$k":${f3(math.min(a, b))}""" }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, a, b) => math.min(a, b) }.sum
+    val total = results.map { case (_, (a, _), (b, _)) => math.min(a, b) }.sum
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // full-precision record of both runs, for round-over-round analysis
-    // — written ONLY on full-registry runs: a SPARK_GRAFT_ONLY debug
-    // subset would otherwise clobber the committed record
+    // full-precision record of both runs (+ per-run GC wall-ms deltas,
+    // for attributing environment-contaminated runs), for round-over-
+    // round analysis — written ONLY on full-registry runs: a
+    // SPARK_GRAFT_ONLY debug subset would otherwise clobber the
+    // committed record
     if (only.isEmpty) {
-      val both = results.map { case (k, a, b) => s""""$k":[$a,$b]""" }.mkString("{", ",", "}")
+      val both = results.map { case (k, (a, _), (b, _)) => s""""$k":[$a,$b]""" }.mkString("{", ",", "}")
+      val gcs = results.map { case (k, (_, ga), (_, gb)) => s""""$k":[$ga,$gb]""" }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"),
-        s"""{"best_of_2":$line,"runs":$both}""" + "\n"): Unit
+        s"""{"best_of_2":$line,"runs":$both,"gc_ms":$gcs}""" + "\n"): Unit
     }
-    // The driver regex-scrapes only the last ~2 KiB of sbt output; with
-    // 120+ queries the full line (~2.8 KiB) is always truncated mid-JSON
-    // there (BENCH_r02/r03 `parsed: null`). So: full line first for the
-    // archive/bench_local readers, then a COMPACT line — same schema,
-    // `queries` limited to the slowest entries so the whole object fits
-    // intact inside the tail window — printed LAST, after spark.stop(),
-    // so nothing but sbt's `[success]` epilogue follows it.
+    diag("end")
+    // The driver regex-scrapes the tail of the sbt output and its parse
+    // has failed every round the line was either truncated (r02/r03:
+    // full line cut mid-JSON) or contained a NESTED object (r04: a
+    // compact line with a `queries:{...}` map was intact inside the
+    // tail yet still `parsed: null` — consistent with a non-greedy
+    // `\{.*?\}` scrape stopping at the first inner `}`). So the line of
+    // record is now FLAT — no nested braces at all — and printed LAST,
+    // after spark.stop(), so only sbt's `[success]` epilogue follows.
+    // The full per-query map still goes out first for the archive and
+    // lands in bench_local.json.
     println(line)
     Console.out.flush()
     spark.stop()
-    val slowest = results.map { case (k, a, b) => (k, math.min(a, b)) }
-      .sortBy(-_._2).take(20)
-      .map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_full":"bench_local.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":"bench_local.json","sf":"$sfDir"}""")
     Console.out.flush()
   }
 }
