@@ -273,50 +273,114 @@ object Similarity {
     * so the DuckDB oracle hash-matches float-for-float.
     *
     * Scale shape: one corpus scan → (doc, term, tf) partial aggregate;
-    * df and N are vocabulary-sized/scalar broadcasts; the candidate
-    * join shuffles postings BY TERM, so its cost is Σ_t df_t² — the
-    * textbook inverted-index bound. Hot terms (stopwords) dominate that
-    * sum, which is why `maxDf` drops terms appearing in more than that
-    * fraction of docs (their idf ≈ 0 contribution is negligible at any
-    * meaningful threshold, and the df² term they'd contribute is the
-    * difference between feasible and quadratic — the same reasoning as
-    * prefix filtering in PPJoin, applied at the term tier). Dropped
-    * terms are dropped from BOTH the norms and the products, so the
-    * result is exactly the cosine over the kept vocabulary — the
-    * contract the oracle replays. */
+    * df and N are vocabulary-sized/scalar broadcasts. Candidates come
+    * from a PREFIX-FILTERED inverted index (Bayardo/Ma/Srikant,
+    * "Scaling Up All Pairs Similarity Search", WWW'07): terms are
+    * globally ordered rarest-first (idf descending — the same total
+    * order as ascending df), and each doc indexes only its leading
+    * terms while the REMAINING squared weight mass could still reach
+    * `threshold` on its own. A pair with every shared term outside both
+    * prefixes has, by Cauchy–Schwarz, cosine ≤ ‖u_suffix‖·‖v‖ <
+    * threshold − slack — so probing FULL vectors against the prefix
+    * index can miss no qualifying pair, and the candidate join's cost
+    * is Σ_t pdf_t·df_t (pdf = prefix document frequency) instead of
+    * Σ_t df_t². Hot terms sort last, so they are exactly the ones the
+    * prefixes exclude: a term kept at df = n/2 — which under a bare df
+    * cap alone still contributes n²/4 pairs — now only generates
+    * candidates through docs whose rare-term mass is too small to reach
+    * the threshold without it. Candidate pairs then get the full
+    * dot product over ALL shared terms, with the same 6 dp/DECIMAL
+    * rounding sequence as the all-pairs form — the output is
+    * value-identical, the oracle replays the unfiltered SQL.
+    *
+    * `maxDfPpm` still bounds the kept VOCABULARY (terms in more than
+    * that fraction of docs are dropped from norms and products alike —
+    * the contract the oracle replays); it is no longer what bounds the
+    * candidate join.
+    *
+    * Cache lifecycle: the posting/unit-vector indexes are persisted
+    * MEMORY_AND_DISK (eviction degrades to disk read, never a corpus
+    * re-tokenize) and stay registered after the call — CALLERS running
+    * many corpora through one session own the lifecycle and must
+    * `spark.catalog.clearCache()` between corpora (Bench/Verify do). */
   def tfidfCosinePairs(terms: DataFrame, threshold: Double,
       maxDfPpm: Long = 500000L): DataFrame = {
+    val (uu, cand) = tfidfCore(terms, threshold, maxDfPpm)
+    cand
+      .join(uu.alias("x"), col("doc_a") === col("x.doc_id"))
+      .join(uu.alias("y"), col("doc_b") === col("y.doc_id") && col("x.t") === col("y.t"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(round(x.u * y.u, 6) AS DECIMAL(28,12))").as("p"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(sum(col("p")).cast("double"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The candidate-pair set [[tfidfCosinePairs]] verifies — exposed so
+    * ScaleSpec can pin the prefix filter's selectivity (candidates ≪
+    * Σ df² on a stopword-heavy corpus). */
+  private[graft] def tfidfCosineCandidates(terms: DataFrame, threshold: Double,
+      maxDfPpm: Long = 500000L): DataFrame = tfidfCore(terms, threshold, maxDfPpm)._2
+
+  /** Suffix mass is compared against `threshold − PrefixSlack`, not the
+    * raw threshold: the verified cosine is accumulated from 6 dp-rounded
+    * per-term products, so it can exceed the real-arithmetic value the
+    * Cauchy–Schwarz bound speaks about by ≤ 5e-7 per shared term (plus
+    * ~1e-3 for rounded unit vectors' norms straying from exactly 1).
+    * 5e-3 keeps the filter conservative for docs up to ~8 000 shared
+    * terms — far past this corpus — at the cost of slightly longer
+    * prefixes. */
+  private val PrefixSlack = 5e-3
+
+  private def tfidfCore(terms: DataFrame, threshold: Double,
+      maxDfPpm: Long): (DataFrame, DataFrame) = {
     // The posting-list table feeds FOUR downstream consumers (corpus
     // size n, document frequencies, weights, and — through the unit
-    // vectors — both sides of the self-join); uncached, the corpus
+    // vectors — both sides of the candidate join); uncached, the corpus
     // tokenize+groupBy would execute once per consumer (measured ~2.5×
     // on the whole query at sf0.1). Materializing the index once is
     // also the 100 TB shape: posting lists are the artifact a sparse-
     // similarity pipeline builds and reuses, not a throwaway subtree.
     val tok = terms.select(col("doc_id"), col("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = tok.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
     val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
       .join(broadcast(n), lit(true))
       .filter(col("df") * 1000000L <= col("n") * maxDfPpm)
       .select(col("t"), round(log10(col("n").cast("double") / col("df")), 6).as("idf"))
     val w = tok.join(broadcast(df), Seq("t"))
-      .select(col("doc_id"), col("t"), round(col("tf") * col("idf"), 6).as("w"))
+      .select(col("doc_id"), col("t"), col("idf"),
+        round(col("tf") * col("idf"), 6).as("w"))
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(expr("CAST(round(w * w, 6) AS DECIMAL(28,12))")).cast("double"))
         .as("nrm"))
-    // unit vectors are read twice (both join sides); cached, the
-    // self-join probes memory instead of re-running weight+norm joins
+    // unit vectors (idf retained for the global prefix order) are read
+    // three times — prefix index, probe side, and both verify sides;
+    // persisted, those probes hit columnar blocks instead of re-running
+    // the weight+norm joins
     val u = w.join(norms, Seq("doc_id"))
-      .select(col("doc_id"), col("t"), round(col("w") / col("nrm"), 6).as("u"))
-      .cache()
-    u.alias("a").join(u.alias("b"),
-        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("CAST(round(a.u * b.u, 6) AS DECIMAL(28,12))").as("p"))
-      .groupBy("doc_a", "doc_b")
-      .agg(round(sum(col("p")).cast("double"), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+      .select(col("doc_id"), col("t"), col("idf"),
+        round(col("w") / col("nrm"), 6).as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uu = u.select(col("doc_id"), col("t"), col("u"))
+    // rem_j = Σ_{i ≥ j} u_i² in the global (idf desc, t) order: the
+    // squared mass this doc still holds from term j onward. Term j is
+    // indexed iff √rem_j could still reach the (slack-adjusted)
+    // threshold — once it can't, every remaining (hotter) term stays
+    // out of the index. rem_1 ≈ 1, so every doc indexes ≥ 1 term.
+    val ord = Window.partitionBy(col("doc_id"))
+      .orderBy(col("idf").desc, col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pref = u
+      .withColumn("rem", sum(col("u") * col("u")).over(ord))
+      .filter(sqrt(col("rem")) >= threshold - PrefixSlack)
+      .select(col("doc_id"), col("t"), col("u"))
+    val cand = pref.alias("a").join(uu.alias("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    (uu, cand)
   }
 }
