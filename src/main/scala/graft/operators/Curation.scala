@@ -412,6 +412,20 @@ object Curation {
       bucketed(ngramFeatures(target, text, id)))
   }
 
+  /** The corpus-vocabulary slice of [[importanceWeightsHashed]]'s
+    * feature→bucket function: every distinct n-gram feature of `docs`
+    * with its `pmod(xxhash64(f), buckets)` bucket. xxhash64 has no
+    * DuckDB twin, but the MAPPING is a plain table — materialized as a
+    * per-run fixture, the oracle can replay the bucketed DSIR
+    * arithmetic over it and hash-check the hashed path's weights
+    * end-to-end (only the hash evaluation itself is taken from Spark —
+    * a pure per-feature function, so a fixture from a larger corpus is
+    * a harmless superset). */
+  def dsirBucketMap(docs: DataFrame, text: Column, id: Column,
+      buckets: Int): DataFrame =
+    ngramFeatures(docs, text, id).select(col("f")).distinct()
+      .select(col("f"), pmod(xxhash64(col("f")), lit(buckets.toLong)).as("fb"))
+
   private def weightsCore(rawF: DataFrame, tgtF: DataFrame): DataFrame = {
     // vocabulary = distinct features of the UNION; V joins in as a
     // broadcast 1-row aggregate over the same subtree (ReuseExchange

@@ -311,12 +311,44 @@ object CurationQueries {
         docs.filter(col("source") === "src0"),
         col("text"), col("doc_id"))
     },
-    // hashed-feature DSIR (B = 2²⁰ buckets): the 100 TB configuration —
-    // xxhash64 bucketing has no DuckDB twin, so this entry is rows-only;
-    // the exact-variant oracle above plus the CurationSpec bit-equality
-    // pin (injective buckets ⇒ identical weights) carry the semantics
-    QueryDef.unverified("pipeline_importance_hashed") { (s, d) =>
+    // hashed-feature DSIR (B = 2²⁰ buckets): the 100 TB configuration.
+    // xxhash64 bucketing has no DuckDB twin, so the query fn
+    // materializes the Spark-computed feature→bucket mapping as a
+    // per-run fixture table and the oracle REPLAYS the bucketed DSIR
+    // arithmetic over it — the weights are hash-checked end-to-end,
+    // with only the per-feature hash evaluation taken from Spark.
+    // (Bucket = pmod(xxhash64(f), B) is a pure function of f, so
+    // fixtures from different scale factors are mutually-consistent
+    // supersets; the oracle globs them all and dedups by feature.)
+    QueryDef(
+      "pipeline_importance_hashed",
+      s"""WITH $importanceWeightCtes,
+         |bmap AS (SELECT f, min(fb) AS fb
+         |  FROM read_parquet('$dsirBucketMapDir/*/*.parquet') GROUP BY f),
+         |featb AS (SELECT feat.doc_id, feat.source, bmap.fb AS f
+         |  FROM feat JOIN bmap USING (f)),
+         |tfb AS (SELECT f, count(*) AS tc FROM featb WHERE source = 'src0' GROUP BY f),
+         |rfb AS (SELECT f, count(*) AS rc FROM featb WHERE source <> 'src0' GROUP BY f),
+         |vocabb AS (SELECT DISTINCT f FROM featb),
+         |vb AS (SELECT count(*) AS v FROM vocabb),
+         |tnb AS (SELECT sum(tc) AS tnn FROM tfb),
+         |rnb AS (SELECT sum(rc) AS rnn FROM rfb),
+         |rb AS (SELECT vocabb.f,
+         |    round(log10((coalesce(tfb.tc, 0) + 1.0) / (tnb.tnn + vb.v))
+         |        - log10((coalesce(rfb.rc, 0) + 1.0) / (rnb.rnn + vb.v)), 6) AS lr
+         |  FROM vocabb LEFT JOIN tfb USING (f) LEFT JOIN rfb USING (f), tnb, rnb, vb)
+         |SELECT featb.doc_id, count(*) AS n_feat,
+         |  round(CAST(sum(CAST(lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS logw
+         |FROM featb JOIN rb USING (f)
+         |WHERE featb.source <> 'src0'
+         |GROUP BY featb.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.table(s, d, "documents")
+      // fixture write is an eager side effect of the query fn — Verify
+      // runs every fn before dumping oracle_sql.json, so the mapping is
+      // always on disk by the time DuckDB replays it
+      Curation.dsirBucketMap(docs, col("text"), col("doc_id"), buckets = 1 << 20)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dsirBucketMapDir/${new java.io.File(d).getName}")
       Curation.importanceWeightsHashed(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
@@ -346,6 +378,16 @@ object CurationQueries {
         col("text"), col("doc_id"), k = 100)
     }
   )
+
+  /** Where the hashed-DSIR query materializes its feature→bucket
+    * mapping for the oracle (one subdir per scale factor, overwritten
+    * per run). A fixed path: the oracle SQL is static text, and the
+    * mapping is a pure function of the feature string, so stale subdirs
+    * from other scale factors can only ADD consistent rows. */
+  // a def, not a val: `all` above is initialized first (same trap as
+  // importanceWeightCtes below)
+  private def dsirBucketMapDir =
+    new java.io.File(sys.props("java.io.tmpdir"), "graft_fixtures/dsir_bucket_map").getPath
 
   /** Shared CTE block of the two DSIR queries: the n-gram feature
     * multiset (unigrams + adjacent bigrams, target = src0), both
