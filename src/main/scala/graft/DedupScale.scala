@@ -98,6 +98,13 @@ object DedupScale {
     }
 
     if (mode == "ingest") {
+      // the planted-source invariant below ('odd ids never carry the
+      // boilerplate prefix') only holds when plantEvery is even — an odd
+      // plantEvery would put the 16-token prefix on some sources,
+      // diluting Jaccard to ~0.76 (< 0.8 gate) and falsely failing the
+      // self-check (ADVICE r4)
+      require(plantEvery % 2 == 0,
+        s"ingest mode requires an even plantEvery (got $plantEvery)")
       val nDelta = 2000L
       val plantD = 10L
       // every plantD-th delta doc near-copies an ODD-id base doc (odd ids
@@ -131,6 +138,21 @@ object DedupScale {
         println(s"""{"op":"${pass}_check","expected":$expDups,"got":$dups,"ok":${dups == expDups}}""")
       }
       shBase.unpersist(); baseBands.unpersist()
+      // the STORED-index serve path (the scale fix for the cached-index
+      // memory boundary measured above 1 M docs): write the partitioned
+      // layout once, then probe it per ingest — no resident state, so
+      // warm can never invert over cold on cache thrash
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_dedup_scale_idx"
+      timed("index_write_stored") {
+        Dedup.writeIncrementalIndex(docs, col("text"), col("doc_id"), idxDir)
+        0L
+      }
+      for (pass <- Seq("ingest_stored_cold", "ingest_stored_warm")) {
+        val dups = timed(pass) {
+          Dedup.incrementalDedupStored(idxDir, delta, col("text"), col("doc_id")).count()
+        }
+        println(s"""{"op":"${pass}_check","expected":$expDups,"got":$dups,"ok":${dups == expDups}}""")
+      }
     } else if (mode == "lsh") {
       // #{m >= 0 : 2001m + 1 < nDocs} — every complete pair in range
       val expPairs = if (nDocs < 2) 0L else (nDocs - 2) / pairEvery + 1

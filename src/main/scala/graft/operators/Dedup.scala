@@ -385,10 +385,11 @@ object Dedup {
     * absent from the output are genuinely new content. */
   def incrementalDedup(base: DataFrame, delta: DataFrame, text: Column, id: Column,
       k: Int = 3, threshold: Double = 0.8,
-      numHashes: Int = 64, rows: Int = 4): DataFrame = {
+      numHashes: Int = 64, rows: Int = 4,
+      deltaBroadcast: Boolean = true): DataFrame = {
     val (shBase, baseBands) = incrementalIndex(base, text, id, k, numHashes, rows)
     incrementalDedupWith(shBase, baseBands, delta, text, id, k, threshold,
-      numHashes, rows)
+      numHashes, rows, deltaBroadcast)
   }
 
   /** The static side of [[incrementalDedup]], built ONCE: corpus
@@ -402,23 +403,145 @@ object Dedup {
     (shBase, bandedBuckets(minhashSignatures(shBase, numHashes), numHashes, rows))
   }
 
-  /** [[incrementalDedup]] against a prebuilt [[incrementalIndex]]. */
+  /** [[incrementalDedup]] against a prebuilt [[incrementalIndex]].
+    *
+    * `deltaBroadcast = true` (the ingest-gate invariant, delta ≪ base)
+    * broadcasts the delta's banded buckets and every candidate-derived
+    * frame into the corpus-side probes, so the base side is scanned,
+    * never shuffled, per batch. Hints bypass
+    * `autoBroadcastJoinThreshold`, so a caller ingesting a LARGE batch
+    * must pass `false` (ADVICE r4) — every join then falls back to
+    * shuffle shape instead of collecting the batch onto the driver. */
   def incrementalDedupWith(shBase: DataFrame, baseBands: DataFrame,
       delta: DataFrame, text: Column, id: Column,
       k: Int = 3, threshold: Double = 0.8,
-      numHashes: Int = 64, rows: Int = 4): DataFrame = {
+      numHashes: Int = 64, rows: Int = 4,
+      deltaBroadcast: Boolean = true): DataFrame = {
     val shDelta = shingles(delta, text, id, k)
-    // the DELTA's banded buckets are broadcast into the corpus index
-    // probe — the ingest-gate invariant (delta ≪ base) means the base
-    // side is scanned, never shuffled, per batch
-    val cands = broadcast(bandedBuckets(minhashSignatures(shDelta, numHashes), numHashes, rows))
+    val deltaBands = bandedBuckets(minhashSignatures(shDelta, numHashes), numHashes, rows)
+    val cands = (if (deltaBroadcast) broadcast(deltaBands) else deltaBands)
       .alias("x")
       .join(baseBands.alias("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    jaccardVerifyCross(shDelta, shBase, threshold, cands, deltaSmall = true)
+    jaccardVerifyCross(shDelta, shBase, threshold, cands, deltaSmall = deltaBroadcast)
       .select(col("da").as("new_doc"), col("db").as("dup_of"), col("jaccard"))
+  }
+
+  /** Write [[incrementalIndex]] to storage in its SERVING layout — the
+    * scale path for a standing ingest gate. The round-4 DedupScale probe
+    * measured the cached-index plan degrading from ~3 s to ~50-57 s
+    * per ingest past ~1 M corpus docs (~75 M index rows): once the
+    * in-memory index spills, every delta pays a cache-thrash scan of
+    * the whole corpus index — warm runs got SLOWER than cold ones.
+    * Stored form instead:
+    *
+    *  - `bands/` — (h, doc_id), dir-partitioned by `band` and
+    *    `hb = pmod(h, bandBuckets)`: a delta touches at most
+    *    |delta|·bands of the bands·bandBuckets partitions, so trickle
+    *    batches (the 100 TB regime) read a vanishing fraction of the
+    *    index, and a worst-case batch degrades to one SEQUENTIAL
+    *    columnar scan — never a memory-pressure thrash;
+    *  - `shingles/` — (doc_id, s), dir-partitioned by
+    *    `db = pmod(xxhash64(doc_id), docBuckets)`: the verify pass
+    *    reads only partitions holding CANDIDATE docs, and candidates
+    *    are near-dup-rate-sized, so the dominant (shingle) side of the
+    *    index stays delta-bound regardless of corpus size;
+    *  - `meta/` — one row recording (k, numHashes, rows, buckets), so
+    *    serve-side banding can never drift from the stored corpus.
+    *
+    * [[incrementalDedupStored]] probes this layout with driver-side
+    * bucket lists (≤ bands·bandBuckets and ≤ docBuckets literals — both
+    * bounded by CONFIGURATION, not data), which Spark turns into
+    * partition pruning on the two scans (pinned in ScaleSpec).
+    *
+    * Bucket counts default to AUTO (≤ 0): sized from the corpus doc
+    * count so partitions hold thousands of docs each — a 5 k-doc corpus
+    * gets a handful of directories, a 1 M-doc corpus the full 256/512
+    * fan-out. Fixed counts would make the small end pay a
+    * metadata-storm of near-empty directories (measured: the sf0.01
+    * streaming gate went 10 s → 57 s under a hard-coded 256/512). */
+  def writeIncrementalIndex(base: DataFrame, text: Column, id: Column, path: String,
+      k: Int = 3, numHashes: Int = 64, rows: Int = 4,
+      bandBuckets0: Int = 0, docBuckets0: Int = 0): Unit = {
+    val spark = base.sparkSession
+    val nDocs = if (bandBuckets0 > 0 && docBuckets0 > 0) 0L else base.count()
+    val bandBuckets =
+      if (bandBuckets0 > 0) bandBuckets0
+      else math.max(1L, math.min(256L, nDocs / 4000L)).toInt
+    val docBuckets =
+      if (docBuckets0 > 0) docBuckets0
+      else math.max(1L, math.min(512L, nDocs / 2000L)).toInt
+    val (shBase0, baseBands) = incrementalIndex(base, text, id, k, numHashes, rows)
+    // both outputs derive from the shingle set; persist it so the
+    // corpus is tokenized once, not once per output
+    val shBase = shBase0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      baseBands
+        .withColumn("hb", pmod(col("h"), lit(bandBuckets.toLong)))
+        .repartition(col("band"), col("hb"))
+        .write.mode("overwrite").partitionBy("band", "hb").parquet(s"$path/bands")
+      shBase
+        .withColumn("db", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)))
+        .repartition(col("db"))
+        .write.mode("overwrite").partitionBy("db").parquet(s"$path/shingles")
+      spark.range(1).select(
+          lit(k).as("k"), lit(numHashes).as("num_hashes"), lit(rows).as("rows"),
+          lit(bandBuckets).as("band_buckets"), lit(docBuckets).as("doc_buckets"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally shBase.unpersist(): Unit
+  }
+
+  /** [[incrementalDedup]] served from a [[writeIncrementalIndex]]
+    * layout. EAGER (unlike the cached-index form): the two bucket-list
+    * collects and the final verdict materialization run inside the
+    * call, and every delta-sized temp block is freed before it
+    * returns — per-ingest memory is delta-bound by construction, with
+    * nothing resident between ingests. */
+  def incrementalDedupStored(path: String, delta: DataFrame, text: Column, id: Column,
+      threshold: Double = 0.8, deltaBroadcast: Boolean = true): DataFrame = {
+    val spark = delta.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (k, numHashes, rows) =
+      (m.getAs[Int]("k"), m.getAs[Int]("num_hashes"), m.getAs[Int]("rows"))
+    val bandBuckets = m.getAs[Int]("band_buckets")
+    val docBuckets = m.getAs[Int]("doc_buckets")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shDelta = shingles(delta, text, id, k).persist(lvl)
+    val deltaBands =
+      bandedBuckets(minhashSignatures(shDelta, numHashes), numHashes, rows).persist(lvl)
+    try {
+      // the delta's touched (band, h-bucket) partition keys — at most
+      // bands·bandBuckets DISTINCT values however large the delta, so
+      // the collect is bounded by configuration
+      val touched = deltaBands
+        .select((col("band").cast("long") * bandBuckets +
+          pmod(col("h"), lit(bandBuckets.toLong))).as("bk"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val bandScan = spark.read.parquet(s"$path/bands")
+        .filter((col("band").cast("long") * bandBuckets + col("hb").cast("long"))
+          .isin(touched: _*))
+      val cands = (if (deltaBroadcast) broadcast(deltaBands) else deltaBands)
+        .alias("x")
+        .join(bandScan.alias("y"),
+          col("x.band") === col("y.band") && col("x.h") === col("y.h"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct().persist(lvl)
+      try {
+        // shingle partitions holding candidate corpus docs (≤ docBuckets
+        // literals): near-dup-rate-sized candidate sets prune the
+        // dominant side of the index down to delta-bound reads
+        val dbs = cands.select(pmod(xxhash64(col("db")), lit(docBuckets.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val shStored = spark.read.parquet(s"$path/shingles")
+          .filter(col("db").cast("long").isin(dbs: _*))
+          .select(col("doc_id"), col("s"))
+        jaccardVerifyCross(shDelta, shStored, threshold, cands, deltaSmall = deltaBroadcast)
+          .select(col("da").as("new_doc"), col("db").as("dup_of"), col("jaccard"))
+          .localCheckpoint(true)
+      } finally cands.unpersist(): Unit
+    } finally { deltaBands.unpersist(); shDelta.unpersist(): Unit }
   }
 
   /** Connected components over an undirected edge list → (node, rep)

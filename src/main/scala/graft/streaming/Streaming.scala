@@ -54,6 +54,11 @@ object Streaming {
     * silently diverges from the oracle's view of the table. */
   private def srcStamp(path: String): String = {
     val f = new java.io.File(path)
+    // fail fast at the fixture KEY: File.length/lastModified return 0
+    // silently for a missing file, which would mint a valid-looking
+    // "0_0" cache key and defer the failure to an obscure downstream
+    // read error (ADVICE r4)
+    require(f.exists(), s"arrival-fixture source does not exist: $path")
     s"${f.length()}_${f.lastModified()}"
   }
 
@@ -820,24 +825,26 @@ object Streaming {
   def streamLshIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val root = graft.sources.Tables.scratchDir("graft_lsh_ingest")
     val outDir = s"$root/out"
+    val idxDir = s"$root/idx"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-    val (shBase, baseBands) =
-      graft.operators.Dedup.incrementalIndex(corpus, col("text"), col("doc_id"))
-    shBase.cache(); baseBands.cache()
-    // per-batch work is DELTA-sized (the whole point of the cached
-    // index), so batch-default shuffle width is pure per-task overhead
-    // across ~10 plan stages × nBatches; size it to the delta like
-    // runToMemoryWithProgress sizes stateful drains to their state
+    // The corpus index is built ONCE and SERVED FROM STORAGE in the
+    // (band, h-bucket) / (doc-bucket) partitioned layout — the round-4
+    // cached-index plan degraded to a ~50 s memory-thrash scan per
+    // ingest once the index outgrew the cache (~1 M docs measured);
+    // the stored layout partition-prunes each micro-batch's probe and
+    // holds NOTHING resident between batches, so per-ingest cost stays
+    // delta-bound at any corpus size (see Dedup.writeIncrementalIndex).
+    graft.operators.Dedup.writeIncrementalIndex(
+      corpus, col("text"), col("doc_id"), idxDir)
+    // per-batch work is DELTA-sized, so batch-default shuffle width is
+    // pure per-task overhead across ~10 plan stages × nBatches; size it
+    // to the delta like runToMemoryWithProgress sizes stateful drains
+    // to their state (the corpus-sized index WRITE above already ran
+    // wide under the session default)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      // materialize the index BEFORE the drain so batch 1 isn't charged
-      // for the corpus-side build (and the build itself runs wide —
-      // it is corpus-sized — under the session default width)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      shBase.count(); baseBands.count()
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -846,7 +853,7 @@ object Streaming {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
           graft.operators.Dedup
-            .incrementalDedupWith(shBase, baseBands, batch, col("text"), col("doc_id"))
+            .incrementalDedupStored(idxDir, batch, col("text"), col("doc_id"))
             .write.mode("append").parquet(outDir)
         }
         .option("checkpointLocation", s"$root/ckpt")
@@ -854,7 +861,6 @@ object Streaming {
       try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      shBase.unpersist(); baseBands.unpersist()
     }
     spark.read.parquet(outDir)
   }

@@ -91,6 +91,13 @@ class DedupSpec extends SparkSpec {
     assert(ea == eb, s"generator-only ${ea -- eb}; HOF-only ${eb -- ea}")
     assert(ea((7L, " p q")) && ea((8L, "q r ")),
       "leading/trailing non-space whitespace must produce empty edge tokens")
+    // pin the EXACT shingle set for the leading-\t/\n doc (9), not just
+    // generator/HOF parity: space-only trim leaves "\t u v w \n", \s+
+    // split with limit -1 yields ["", u, v, w, ""] — the value the
+    // DuckDB oracle's regexp_split_to_array(trim(text),'\s+') replays,
+    // completing the three-way pin where round-2 once diverged
+    assert(ea.filter(_._1 == 9L).map(_._2) == Set(" u v", "u v w", "v w "),
+      s"doc 9 shingles: ${ea.filter(_._1 == 9L)}")
   }
 
   test("connected components equal a local union-find on random graphs") {

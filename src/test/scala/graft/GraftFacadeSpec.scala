@@ -45,6 +45,29 @@ class GraftFacadeSpec extends SparkSpec {
     assert(err.getCondition == "NON_FOLDABLE_ARGUMENT")
   }
 
+  test("graft_misra_gries k typing: INT and BIGINT literals work, bad k raises typed errors") {
+    Graft.configure(spark)
+    val src = "FROM VALUES (7L), (7L), (7L), (1L), (2L), (3L) t(x)"
+    // BIGINT literal (and constant arithmetic) — the round-4 ADVICE nit:
+    // this once hit an opaque cast error instead of resolving
+    val big = spark.sql(s"SELECT graft_misra_gries(x, CAST(2 AS BIGINT)) AS c $src")
+      .head().getSeq[Long](0)
+    assert(big.contains(7L))
+    val arith = spark.sql(s"SELECT graft_misra_gries(x, 1 + 1) AS c $src")
+      .head().getSeq[Long](0)
+    assert(arith.contains(7L))
+    // non-foldable k -> typed analysis error, not a ClassCastException
+    val nf = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT graft_misra_gries(x, CAST(rand() * 4 AS INT)) AS c $src").collect()
+    }
+    assert(nf.getCondition == "NON_FOLDABLE_ARGUMENT", nf.getMessage)
+    // out-of-range k -> typed range error
+    val oor = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT graft_misra_gries(x, 0) AS c $src").collect()
+    }
+    assert(oor.getCondition == "INVALID_NUMERIC_LITERAL_RANGE", oor.getMessage)
+  }
+
   test("query lookup returns runnable operators") {
     assert(Graft.query("join_shuffle")(spark, sf).count() > 0)
   }

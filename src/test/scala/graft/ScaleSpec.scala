@@ -337,4 +337,96 @@ class ScaleSpec extends SparkSpec {
         s"corpus-side scan shuffled before any broadcast prune: ${rawBaseShuffles.map(_.nodeName)}")
     } finally { shBase.unpersist(); baseBands.unpersist() }
   }
+
+  test("stored incremental index: serve equals cached form and partition-prunes the probe") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val words = (0 until 40).map(i => s"w$i").mkString(" ")
+    val base = (0L until 200L).map(i => (i * 2 + 1, s"doc ${i} $words")).toDF("doc_id", "text")
+    val delta = Seq((1000L, s"doc 7 $words"), (1002L, "wholly unrelated text body"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    // small bucket counts so a 200-doc corpus still leaves most
+    // partitions untouched by a 2-doc delta
+    Dedup.writeIncrementalIndex(base, col("text"), col("doc_id"), idx,
+      bandBuckets0 = 16, docBuckets0 = 8)
+    val stored = Dedup.incrementalDedupStored(idx, delta, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cached = Dedup.incrementalDedup(base, delta, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored == cached && stored.nonEmpty,
+      s"stored-index serve diverged: stored=$stored cached=$cached")
+    // pruning pin: the delta's (band, h-bucket) key list must land in
+    // PartitionFilters and cut the files read, exactly as the serve
+    // path constructs it
+    val bandBuckets = 16
+    val shDelta = Dedup.shingles(delta, col("text"), col("doc_id"))
+    val touched = Dedup.bandedBuckets(Dedup.minhashSignatures(shDelta, 64), 64, 4)
+      .select((col("band").cast("long") * bandBuckets +
+        pmod(col("h"), lit(bandBuckets.toLong))).as("bk"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val allFiles = spark.read.parquet(s"$idx/bands").inputFiles.length
+    val pruned = spark.read.parquet(s"$idx/bands")
+      .filter((col("band").cast("long") * bandBuckets + col("hb").cast("long"))
+        .isin(touched: _*))
+    pruned.count()
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").nonEmpty &&
+      scan.metadata("PartitionFilters").contains("band"),
+      s"probe must partition-prune: ${scan.metadata("PartitionFilters")}")
+    val filesRead = scan.inputRDDs().head.partitions.length
+    assert(filesRead < allFiles,
+      s"no pruning: read $filesRead of $allFiles band-index files")
+  }
+
+  test("tfidf prefix filter: candidates well under the Σ df² bound, output unchanged") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // stopword-heavy corpus: every doc shares the hot terms 'the'/'of'
+    // (df = n — the regime where an unfiltered posting join is n²),
+    // while rare terms make docs pairwise dissimilar except one planted
+    // near-identical pair
+    val n = 60
+    val terms = (0 until n).flatMap { d =>
+      val rare =
+        if (d == 1) Seq(s"r0_a", s"r0_b", s"r0_c") // doc 1 copies doc 0's rare terms
+        else Seq(s"r${d}_a", s"r${d}_b", s"r${d}_c")
+      (Seq("the", "of") ++ rare).map(t => (d.toLong, t))
+    }.toDF("doc_id", "t")
+    // keep the full vocabulary (ppm cap off): the PREFIX filter alone
+    // must control the candidate join
+    val cand = Similarity.tfidfCosineCandidates(terms, threshold = 0.5, maxDfPpm = 1000000L)
+      .count()
+    val sumDf2 = (2L * n * n + 3L * n * 4) / 2 // Σ df²/2: two df=n terms + 3n df≈1..2 rare terms
+    assert(cand < sumDf2 / 10,
+      s"prefix filter ineffective: $cand candidates vs Σdf²/2 ≈ $sumDf2")
+    val out = Similarity.tfidfCosinePairs(terms, threshold = 0.5, maxDfPpm = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the unfiltered all-pairs formulation (the pre-round-5 plan and the
+    // oracle's SQL shape) must agree exactly — prefix filtering is a
+    // candidate-generation optimization, never a semantics change
+    val tok = terms.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val nn = tok.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
+    val idf = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      .join(broadcast(nn), lit(true))
+      .select(col("t"), round(log10(col("n").cast("double") / col("df")), 6).as("idf"))
+    val w = tok.join(idf, Seq("t"))
+      .select(col("doc_id"), col("t"), round(col("tf") * col("idf"), 6).as("w"))
+    val nrm = w.groupBy("doc_id")
+      .agg(sqrt(sum(expr("CAST(round(w * w, 6) AS DECIMAL(28,12))")).cast("double")).as("nrm"))
+    val u = w.join(nrm, Seq("doc_id"))
+      .select(col("doc_id"), col("t"), round(col("w") / col("nrm"), 6).as("u"))
+    val exp = u.alias("a").join(u.alias("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(round(a.u * b.u, 6) AS DECIMAL(28,12))").as("p"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(sum(col("p")).cast("double"), 6).as("cos"))
+      .filter(col("cos") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == exp && out.exists { case (a, b, _) => a == 0L && b == 1L },
+      s"prefix-filtered output diverged: filtered=$out allpairs=$exp")
+  }
 }
