@@ -61,7 +61,14 @@ object Explain {
     // the vocabulary-sized df table; quality_ks_drift densifies the
     // BOUNDED (groups × distinct-values) grid and fans out its 1-row
     // total — scalar/bounded broadcasts, not pair scans
-    "join_tfidf_cosine", "quality_ks_drift")
+    "join_tfidf_cosine", "quality_ks_drift",
+    // embedding_centroid_drift fans the 1-row global centroid out over
+    // the label-cardinality centroid table — a scalar broadcast
+    "embedding_centroid_drift",
+    // sketch_kmv_jaccard theta-pairs the 5-row per-type sketch table
+    // with itself — a bounded broadcast fan-out over pre-aggregated
+    // sketches, never over raw events
+    "sketch_kmv_jaccard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -67,6 +67,33 @@ object EmbeddingAnalytics {
       .select(col("label"), col("n"), round(col("mean_cos"), 6).as("mean_cos"))
   }
 
+  /** Per-label centroid drift: cosine of each label's centroid against
+    * the GLOBAL corpus centroid — the embedding-pipeline health metric
+    * for "is cluster k wandering away from the population?" (a drift
+    * dashboard row per label; low cosine = divergent cluster).
+    *
+    * Same exactness design as [[labelCohesion]]: both centroids come
+    * from order-free decimal per-dim sums, then ONE cosine per label is
+    * computed by the strict-fold dot product over dim-ordered arrays —
+    * deterministic and oracle-replayable. Scale shape: per-label
+    * centroids are label-cardinality-sized; the global centroid is a
+    * single d-length row cross-broadcast to them (scalar fan-out, not a
+    * data-sized cartesian). */
+  def centroidDrift(emb: DataFrame, vec: Column, label: Column): DataFrame = {
+    val cents = labelCentroids(emb, vec, label)
+    val dims = emb.select(posexplode(Dedup.asDouble(vec)).as(Seq("dim", "v")))
+    val global = dims.groupBy("dim")
+      .agg((sum(col("v").cast(dec)).cast("double") / count(lit(1))).as("g"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("g")))),
+        s => s.getField("g")).as("gcent"))
+    cents.crossJoin(broadcast(global))
+      .select(col("label"),
+        round(
+          Dedup.dot(col("centroid"), col("gcent")) /
+            (sqrt(Dedup.dot(col("centroid"), col("centroid"))) *
+              sqrt(Dedup.dot(col("gcent"), col("gcent")))), 6).as("drift_cos"))
+  }
+
   /** Upper-triangle Gramian of the embedding matrix: G(i,j) = Σ over
     * vectors of xᵢ·xⱼ, 1-based dims, i ≤ j — the d×d statistic PCA
     * needs (covariance = G/n − μμᵀ; the d×d eigen-solve is a

@@ -170,4 +170,83 @@ object Graph {
     eRdd.unpersist(blocking = false): Unit
     dist
   }
+
+  /** `iters` rounds of synchronous label propagation (community
+    * detection; Raghavan et al. 2007) over symmetrized `edges(src,
+    * dst)`: label₀(v) = v; labelᵢ₊₁(v) = the most frequent label among
+    * v's neighbors, ties broken toward the SMALLEST label. Returns
+    * (node, label).
+    *
+    * Determinism contract: the async/random-order variant of LPA is
+    * famously unstable; this is the synchronous variant with a total
+    * (count DESC, label ASC) tie order, so the result is a pure
+    * function of the graph — bit-stable across partitionings and
+    * replayable by the DuckDB oracle.
+    *
+    * The per-node argmax is a hash AGGREGATION, not a window: (count,
+    * label) packs into one monotonic BIGINT — `cnt · 2³² + (2³² − 1 −
+    * label)` — whose max is "max count, then min label". A hub node
+    * with 10⁸ neighbors costs one map-side partial max, where a
+    * row_number window would sort the full neighbor-label list in one
+    * task. Requires label ids < 2³² and neighbor counts < 2³¹ —
+    * documented contract, not checked row-by-row (a check would cost a
+    * pass); for wider id spaces dense-rank node ids first.
+    *
+    * Scale shape: edges checkpointed once; each round shuffles once by
+    * (dst, label) and once by dst — both with map-side combine; the
+    * label vector (one row per node) is the only per-round state,
+    * superseded checkpoints freed (same dataflow as [[pageRank]]). */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val B = 4294967296L // 2^32: pack (cnt, label) monotonically
+    val (eC, eRdd, _) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    var (labels, labelsRdd, _) = Iterate.ckpt(
+      eC.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
+    for (_ <- 1 to iters) {
+      val next = labels.join(eC, col("node") === col("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(col("cnt") * B + (lit(B - 1) - col("label"))).as("packed"))
+        .select(col("dst").as("node"),
+          (lit(B - 1) - pmod(col("packed"), lit(B))).as("label"))
+      val (n, nRdd, _) = Iterate.ckpt(next)
+      labelsRdd.unpersist(blocking = false): Unit
+      labels = n
+      labelsRdd = nRdd
+    }
+    eRdd.unpersist(blocking = false): Unit
+    labels
+  }
+
+  /** `iters` rounds of k-core peeling over symmetrized `edges(src,
+    * dst)`: repeatedly delete nodes with degree < k (and their edges);
+    * the fixed point is the maximal subgraph where every node has ≥ k
+    * neighbors (Seidman 1983). Returns (node, core_deg) — each
+    * surviving node with its degree inside the surviving subgraph.
+    * A FIXED round count keeps the operator oracle-replayable; callers
+    * wanting the true fixed point pick iters ≥ the graph's degeneracy
+    * ordering depth (convergence is detectable as a no-op round).
+    *
+    * Scale shape: the edge list only ever SHRINKS — each round is one
+    * degree aggregation (map-side combine) + two LEFT SEMI joins
+    * against the ≤node-sized survivor set, with the shrunken edge list
+    * checkpointed and the superseded round freed. No round ever
+    * shuffles more than the current subgraph. */
+  def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    var (e, eRdd, _) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    for (_ <- 1 to iters) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      val pruned = e
+        .join(keep, e("src") === keep("node"), "left_semi")
+        .join(keep, e("dst") === keep("node"), "left_semi")
+      val (p, pRdd, _) = Iterate.ckpt(pruned)
+      eRdd.unpersist(blocking = false): Unit
+      e = p
+      eRdd = pRdd
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+  }
 }

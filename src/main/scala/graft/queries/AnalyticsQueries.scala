@@ -348,6 +348,46 @@ object AnalyticsQueries {
       graft.operators.Intervals.ohlcBars(Tables.table(s, d, "events"), col("event_type"),
           expr("ts div 1000"), col("event_id"), col("value"))
         .withColumnRenamed("bar_us", "day_us")
+    },
+    // CUSUM change detection on per-type daily volumes (Page 1954): the
+    // clamped recursion S_t = max(0, S_{t−1} + d_t) is not
+    // window-expressible, but its closed form IS — S_t = C_t −
+    // min(0, min_{i≤t} C_i) for prefix sums C of the deviations — so
+    // two ordered window passes over the PRE-AGGREGATED daily series
+    // replace a sequential scan. Deviations are scaled integers
+    // (x_t·D − T avoids the mean's division), so every value is exact
+    // BIGINT arithmetic — order-proof and oracle-replayable. Scale
+    // shape: the raw scan collapses map-side to one row per (type,
+    // day); windows only ever sort each type's day series.
+    QueryDef(
+      "events_cusum",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |dev AS (SELECT event_type, day,
+        |    x * (count(*) OVER (PARTITION BY event_type)) -
+        |      (sum(x) OVER (PARTITION BY event_type)) AS d
+        |  FROM daily),
+        |pre AS (SELECT event_type, day,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM dev)
+        |SELECT event_type, day,
+        |  CAST(c - least(0, min(c) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS cusum
+        |FROM pre""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.table(s, d, "events")
+        .groupBy(col("event_type"), expr("ts div 1000 div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val byType = Window.partitionBy(col("event_type"))
+      val prefix = byType.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("d", col("x") * count(lit(1)).over(byType) - sum(col("x")).over(byType))
+        .withColumn("c", sum(col("d")).over(prefix))
+        .select(col("event_type"), col("day"),
+          (col("c") - least(lit(0L), min(col("c")).over(prefix))).as("cusum"))
     }
   )
 }

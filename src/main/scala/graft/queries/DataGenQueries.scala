@@ -142,6 +142,122 @@ object DataGenQueries {
           (col("n_est") * 100).between(col("n_exact") * 95, col("n_exact") * 105)
             .as("within_5pct"))
     },
+    // KMV (k-minimum-values) distinct sketch: per-type bottom-64 of an
+    // md5-derived 48-bit hash of user_id, estimate (k−1)·2⁴⁸/U₍ₖ₎
+    // (Beyer et al., SIGMOD'07). Unlike the CMS/HLL rows this sketch
+    // is a pure function of the input set, so the ESTIMATE ITSELF
+    // hash-matches the oracle's window-rank replay — the stronger
+    // correctness standard. O(k) state per partition, k rows shuffled
+    // per group (KmvAgg), vs the oracle's full per-group sort.
+    QueryDef(
+      "sketch_kmv_distinct",
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h)
+        |SELECT event_type,
+        |  CAST(CASE WHEN nd < 64 THEN nd
+        |    ELSE (63 * 281474976710656) // h END AS BIGINT) AS est_distinct,
+        |  CAST(least(nd, 64) AS BIGINT) AS sketch_size
+        |FROM r WHERE rn = least(nd, 64)""".stripMargin) { (s, d) =>
+      val ev = graft.sources.Tables.table(s, d, "events")
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      ev.select(col("event_type"), h.as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.KmvAgg.kmv(col("h"), 64).as("mins"))
+        .select(col("event_type"),
+          when(size(col("mins")) < 64, size(col("mins")).cast("long"))
+            .otherwise(expr("17732923532771328 div element_at(mins, 64)"))
+            .as("est_distinct"),
+          size(col("mins")).cast("long").as("sketch_size"))
+    },
+    // KMV sketch ALGEBRA: audience-overlap (Jaccard) estimates between
+    // every pair of event types from their bottom-64 sketches ALONE —
+    // union sketch = k smallest of the two sketch unions, J ≈ |both ∩
+    // union-k|/|union-k| (Beyer et al., SIGMOD'07) — next to the exact
+    // Jaccard for reference. The pre-aggregated-sketch architecture:
+    // store one tiny sketch per segment, answer any pairwise overlap
+    // without rescanning raw events. Estimates are pure functions of
+    // the input (md5 hashes, integer ppm arithmetic) — both columns
+    // hash-match the oracle exactly.
+    QueryDef(
+      "sketch_kmv_jaccard",
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM t a JOIN t b ON a.event_type < b.event_type),
+        |un AS (SELECT p.ta, p.tb, s.h FROM p
+        |  JOIN sk s ON s.event_type = p.ta OR s.event_type = p.tb
+        |  GROUP BY p.ta, p.tb, s.h),
+        |ur AS (SELECT ta, tb, h,
+        |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM un),
+        |uk AS (SELECT ta, tb, h FROM ur WHERE rn <= 64),
+        |cnt AS (SELECT uk.ta, uk.tb, count(*) AS k_union,
+        |    sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END) AS n_both
+        |  FROM uk
+        |  LEFT JOIN sk sa ON sa.event_type = uk.ta AND sa.h = uk.h
+        |  LEFT JOIN sk sb ON sb.event_type = uk.tb AND sb.h = uk.h
+        |  GROUP BY uk.ta, uk.tb),
+        |du AS (SELECT event_type, user_id FROM events GROUP BY 1, 2),
+        |szs AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+        |inter AS (SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS ninter
+        |  FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT p.ta, p.tb, coalesce(i.ninter, 0) AS ninter,
+        |    sa.n + sb.n - coalesce(i.ninter, 0) AS nunion
+        |  FROM p LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb
+        |  JOIN szs sa ON sa.event_type = p.ta
+        |  JOIN szs sb ON sb.event_type = p.tb)
+        |SELECT c.ta AS type_a, c.tb AS type_b,
+        |  CAST(c.k_union AS BIGINT) AS k_union,
+        |  CAST(c.n_both AS BIGINT) AS n_both,
+        |  CAST((c.n_both * 1000000) // c.k_union AS BIGINT) AS est_jaccard_ppm,
+        |  CAST((e.ninter * 1000000) // e.nunion AS BIGINT) AS exact_jaccard_ppm
+        |FROM cnt c JOIN ex e ON e.ta = c.ta AND e.tb = c.tb""".stripMargin) { (s, d) =>
+      val ev = graft.sources.Tables.table(s, d, "events")
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      val sk = ev.select(col("event_type"), h.as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.KmvAgg.kmv(col("h"), 64).as("mins"))
+      val a = sk.select(col("event_type").as("type_a"), col("mins").as("ma"))
+      val b = sk.select(col("event_type").as("type_b"), col("mins").as("mb"))
+      // 5-row sketch table paired with itself under a theta filter —
+      // bounded broadcast fan-out, the sketch-algebra serving shape
+      val est = a.join(broadcast(b), col("type_a") < col("type_b"))
+        .withColumn("u", slice(array_sort(array_union(col("ma"), col("mb"))), 1, 64))
+        .select(col("type_a"), col("type_b"),
+          size(col("u")).cast("long").as("k_union"),
+          size(array_intersect(array_intersect(col("u"), col("ma")), col("mb")))
+            .cast("long").as("n_both"))
+        .withColumn("est_jaccard_ppm", expr("n_both * 1000000 div k_union"))
+      val du = ev.select(col("event_type"), col("user_id")).distinct()
+      val szs = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val inter = du.select(col("event_type").as("type_a"), col("user_id"))
+        .join(du.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+        .where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("ninter"))
+      val exact = est.select(col("type_a"), col("type_b"))
+        .join(inter, Seq("type_a", "type_b"), "left")
+        .na.fill(0L, Seq("ninter"))
+        .join(broadcast(szs.select(col("event_type").as("type_a"), col("n").as("na"))), "type_a")
+        .join(broadcast(szs.select(col("event_type").as("type_b"), col("n").as("nb"))), "type_b")
+        .withColumn("exact_jaccard_ppm",
+          expr("ninter * 1000000 div (na + nb - ninter)"))
+        .select(col("type_a"), col("type_b"), col("exact_jaccard_ppm"))
+      est.join(exact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("k_union"), col("n_both"),
+          col("est_jaccard_ppm"), col("exact_jaccard_ppm"))
+    },
     // G6: skew-capacity predictor (single scalar row)
     QueryDef(
       "datagen_max_repeats",

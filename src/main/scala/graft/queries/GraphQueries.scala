@@ -38,6 +38,57 @@ object GraphQueries {
 
   private val bfsHops = 6
 
+  private val lpaIters = 4
+
+  /** Unrolled synchronous label propagation — the same (count DESC,
+    * label ASC) argmax Graph.labelPropagation computes via its packed-
+    * BIGINT aggregation, replayed with the identical packing so the
+    * result hash-matches bit-for-bit. */
+  private def lpaOracle: String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 10000000 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity >= 48),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)""".stripMargin
+    val rounds = (1 to lpaIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+         |  FROM l${i - 1} l JOIN edges e ON l.node = e.src GROUP BY e.dst, l.label),
+         |l$i AS (SELECT node,
+         |  CAST(4294967295 - (max(cnt * 4294967296 + (4294967295 - label)) % 4294967296) AS BIGINT) AS label
+         |  FROM c$i GROUP BY node)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n") + s"\nSELECT node, label FROM l$lpaIters"
+  }
+
+  private val coreK = 5
+  private val coreIters = 4
+
+  /** Unrolled k-core peeling. Each round's shrunken edge list is
+    * referenced twice (degree filter + prune), so every e_i is
+    * MATERIALIZED — without it DuckDB inlines the chain and the oracle
+    * goes exponential in round count (measured 1.0 s → 0.1 s at 4
+    * rounds, sf0.01). The semi joins are replayed as inner joins
+    * against the survivor set, equivalent because survivors are
+    * unique. */
+  private def kcoreOracle: String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 10000000 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity >= 48),
+        |e0s AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)""".stripMargin
+    val rounds = (1 to coreIters).map { i =>
+      val prev = if (i == 1) "e0s" else s"e${i - 1}"
+      s"""k$i AS (SELECT src AS node FROM $prev GROUP BY src HAVING count(*) >= $coreK),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
+         |  JOIN k$i a ON e.src = a.node JOIN k$i b ON e.dst = b.node)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n") +
+      s"\nSELECT src AS node, count(*) AS core_deg FROM e$coreIters GROUP BY src"
+  }
+
   /** Unrolled frontier-restricted min-distance propagation — the same
     * recurrence Graph.bfs executes, as chained CTEs. */
   private def bfsOracle: String = {
@@ -111,6 +162,32 @@ object GraphQueries {
       val seeds = Tables.table(s, d, "supplier")
         .where(col("s_suppkey") <= 5).select(col("s_suppkey").as("node"))
       Graph.bfs(edges, seeds, bfsHops, broadcastFrontier = true)
+    },
+    // synchronous label propagation on the same sparse graph: 1417
+    // nodes converge to ~129 communities in 4 rounds at sf0.01
+    QueryDef("graph_label_prop", lpaOracle) { (s, d) =>
+      val l = Tables.table(s, d, "lineitem")
+        .where(col("l_quantity") >= 48)
+        .select(col("l_suppkey"), col("l_orderkey"))
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val e0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), (col("o_custkey") + 10000000L).as("dst"))
+        .distinct()
+      Graph.labelPropagation(
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))), lpaIters)
+    },
+    // k-core peeling, k=5: a real cascade at sf0.01 (1902 → 1894 →
+    // 1870 edges, fixed point inside the 4 rounds)
+    QueryDef("graph_kcore", kcoreOracle) { (s, d) =>
+      val l = Tables.table(s, d, "lineitem")
+        .where(col("l_quantity") >= 48)
+        .select(col("l_suppkey"), col("l_orderkey"))
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val e0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), (col("o_custkey") + 10000000L).as("dst"))
+        .distinct()
+      Graph.kCore(
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))), coreK, coreIters)
     }
   )
 }

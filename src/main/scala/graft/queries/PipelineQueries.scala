@@ -67,6 +67,34 @@ object PipelineQueries {
       EmbeddingAnalytics.labelCohesion(
         Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"), col("label"))
     },
+    // per-label centroid drift vs the global corpus centroid — the
+    // companion dashboard row to cohesion (is cluster k wandering away
+    // from the population?); same decimal-centroid + ordered-fold-dot
+    // exactness contract (EmbeddingAnalytics.centroidDrift)
+    QueryDef(
+      "embedding_centroid_drift",
+      """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dims AS (SELECT label,
+        |    unnest(range(1, len(v) + 1)) AS dim,
+        |    unnest(list_transform(range(1, len(v) + 1), i -> v[i])) AS x
+        |  FROM e),
+        |cent0 AS (SELECT label, dim,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+        |  FROM dims GROUP BY label, dim),
+        |cent AS (SELECT label, list(c ORDER BY dim) AS centroid FROM cent0 GROUP BY label),
+        |g0 AS (SELECT dim,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS g
+        |  FROM dims GROUP BY dim),
+        |g AS (SELECT list(g ORDER BY dim) AS gcent FROM g0)
+        |SELECT label,
+        |  round(
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(centroid) + 1), i -> centroid[i] * gcent[i])), (a, b) -> a + b) /
+        |    (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])), (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(gcent) + 1), i -> gcent[i] * gcent[i])), (a, b) -> a + b))), 6) AS drift_cos
+        |FROM cent, g""".stripMargin) { (s, d) =>
+      EmbeddingAnalytics.centroidDrift(
+        Tables.table(s, d, "embeddings"), col("embedding"), col("label"))
+    },
     // weighted interleave: even-indexed sources get 3× the sampling
     // density of odd-indexed ones; the emitted prefix (pos ≤ 4.0 in
     // ×10⁶ fixed-point) therefore mixes sources at exactly 3:1 without

@@ -210,6 +210,17 @@ object StreamingQueries {
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id") { (s, d) =>
       Streaming.statefulUserCounter(s, d)
     },
+    // Spark 4 transformWithState (arbitrary-state V2, RocksDB-backed):
+    // per-user (count, Σ integer cents, max event id) in one typed
+    // ValueState — order-free accumulators, batch-replayable oracle
+    QueryDef(
+      "stream_transform_with_state",
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  max(event_id) AS max_event_id
+        |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+      Streaming.transformWithStateStats(s, d)
+    },
     // foreachBatch CDC apply: per-batch upsert-merge into a versioned
     // parquet snapshot (tombstones override, write-then-swap). Final
     // state = the batch latest-snapshot query, independent of slicing.

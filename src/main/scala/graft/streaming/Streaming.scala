@@ -17,6 +17,40 @@ final case class SessionAcc(startUs: Long, lastUs: Long, n: Long, minId: Long)
 final case class SessionOut(
     user_id: Long, session_start_us: Long, n_events: Long, first_event_id: Long)
 
+/** Per-user running stats row for the transformWithState query. */
+final case class UserStats(
+    user_id: Long, n_events: Long, sum_cents: Long, max_event_id: Long)
+
+/** Arbitrary-state V2 processor (Spark 4 `transformWithState`): one
+  * typed ValueState per user holding (n, Σcents, max event id) —
+  * commutative/associative accumulators, so the result is arrival-
+  * order-free and oracle-replayable. Input rows are (user_id, cents,
+  * event_id); cents is pre-floored to a long UPSTREAM so the state
+  * arithmetic is exact integer math. */
+final class UserStatsProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long), UserStats] {
+  import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long, Long)](
+      "stats", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStats] = {
+    var (n, s, m) =
+      if (state.exists()) state.get() else (0L, 0L, Long.MinValue)
+    rows.foreach { case (_, cents, eid) =>
+      n += 1; s += cents; m = math.max(m, eid)
+    }
+    state.update((n, s, m))
+    Iterator.single(UserStats(key, n, s, m))
+  }
+}
+
 /** Structured Streaming operators (extensions — the reference is batch
   * MR only, SURVEY §2.5). The events parquet drives the streams
   * synchronously (`processAllAvailable`) so the same queries run under
@@ -771,6 +805,50 @@ object Streaming {
           UserCount(user, total)
       }
     runToMemory(spark, updates.toDF(), s"ucount_${System.nanoTime()}", OutputMode.Update())
+  }
+
+  /** Per-user running stats via Spark 4's `transformWithState` — the
+    * arbitrary-state V2 successor to mapGroupsWithState: typed state
+    * variables (ValueState/ListState/MapState, optional TTL + timers)
+    * on a RocksDB-backed store. The engine requires the RocksDB
+    * provider for TWS queries; it is set transiently on the shared
+    * session and restored (the same conf discipline as runToMemory's
+    * partition sizing). At scale RocksDB is also the right provider for
+    * LARGE state generally: state lives off-heap/on-disk with changelog
+    * checkpointing instead of executor-heap HDFS-backed maps.
+    *
+    * The accumulators (count, Σ of pre-floored integer cents, max id)
+    * are commutative + associative, so the final per-user row is
+    * arrival-order-free — the batch oracle replays it exactly. */
+  def transformWithStateStats(spark: SparkSession, sfDir: String,
+      arrivalSlices: Int = 0): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // arrivalSlices > 0: drive the same processor over the sliced
+      // arrival fixture (one micro-batch per slice) — the multi-batch
+      // state-accumulation path the spec exercises; Update mode then
+      // emits one row per (user, batch-with-activity) and the LAST one
+      // per user is the total (accumulators are monotone)
+      val src = if (arrivalSlices > 0)
+        eventsArrivalStream(spark, sfDir, nFiles = arrivalSlices)
+      else eventsStream(spark, sfDir)
+      val updates: Dataset[UserStats] = src
+        .select(col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new UserStatsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      runToMemory(spark, updates.toDF(), s"twstats_${System.nanoTime()}",
+        OutputMode.Update())
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 
   /** Arrival sequence for DOCUMENT ingest: the delta documents

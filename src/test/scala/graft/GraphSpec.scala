@@ -111,4 +111,73 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  /** Naive synchronous LPA: most frequent neighbor label, ties to the
+    * smallest — the semantics labelPropagation's packed argmax encodes. */
+  private def naiveLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = edges.map(_._1).distinct
+    var labels = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = nodes.map { n =>
+        val counts = adj(n).map(labels).groupBy(identity).view.mapValues(_.size).toMap
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    labels
+  }
+
+  test("labelPropagation matches naive sync-LPA with min-label ties") {
+    import spark.implicits._
+    // two triangle communities bridged by one edge, plus a pendant
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L), (6L, 7L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    for (it <- Seq(1, 3, 4)) {
+      val got = Graph.labelPropagation(edges.toDF("src", "dst"), it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naiveLpa(edges, it), s"iters=$it")
+    }
+  }
+
+  test("labelPropagation is partitioning-invariant") {
+    import spark.implicits._
+    val und = (1L to 24L).map(i => (i, i % 24 + 1)) ++ Seq((2L, 13L), (5L, 19L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val a = Graph.labelPropagation(edges.toDF("src", "dst").repartition(1), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.labelPropagation(edges.toDF("src", "dst").repartition(13), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  /** Naive peeling to the fixed point; returns surviving node → degree. */
+  private def naiveKcore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var e = edges.distinct
+    var changed = true
+    while (changed) {
+      val deg = e.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val e2 = e.filter { case (a, b) => keep(a) && keep(b) }
+      changed = e2.size != e.size
+      e = e2
+    }
+    e.groupBy(_._1).view.mapValues(_.size).toMap
+  }
+
+  test("kCore reaches the naive peeling fixed point (cascade included)") {
+    import spark.implicits._
+    // a 4-clique core, a chain hanging off it (peels over several
+    // rounds, exercising the cascade), and an isolated triangle
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (8L, 9L), (9L, 10L), (8L, 10L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val got = Graph.kCore(edges.toDF("src", "dst"), 3, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == naiveKcore(edges, 3))
+    // k=2: the chain still peels, the triangle survives
+    val got2 = Graph.kCore(edges.toDF("src", "dst"), 2, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got2 == naiveKcore(edges, 2))
+  }
 }

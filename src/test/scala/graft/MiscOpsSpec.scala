@@ -617,4 +617,33 @@ class MiscOpsSpec extends SparkSpec {
     val plain = spark.range(2).toDF("x")
     assert(graft.sources.Tables.withNanosTs(plain).schema == plain.schema)
   }
+
+  test("KmvAgg keeps the k smallest distinct values, any partitioning") {
+    import spark.implicits._
+    import graft.functions.KmvAgg.kmv
+    // duplicated, shuffled values: distinct count 40, well above k=8
+    val vals = (0 until 200).map(i => ((i * 7919L) % 40) * 13L + 5L)
+    for (parts <- Seq(1, 7)) {
+      val got = vals.toDF("x").repartition(parts)
+        .agg(kmv(col("x"), 8).as("m")).head().getSeq[Long](0)
+      val want = vals.distinct.sorted.take(8)
+      assert(got == want, s"parts=$parts")
+    }
+    // fewer than k distinct → the sketch IS the exact distinct set
+    val small = Seq(9L, 3L, 9L, 3L, 12L).toDF("x")
+      .agg(kmv(col("x"), 8).as("m")).head().getSeq[Long](0)
+    assert(small == Seq(3L, 9L, 12L))
+  }
+
+  test("KMV estimate is within 15% of exact on md5-hashed ids") {
+    import spark.implicits._
+    import graft.functions.KmvAgg.kmv
+    val n = 5000
+    val h = conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10).cast("long")
+    val mins = spark.range(n).select(h.as("h"))
+      .agg(kmv(col("h"), 64).as("m")).head().getSeq[Long](0)
+    assert(mins.size == 64)
+    val est = 63L * 281474976710656L / mins.last
+    assert(math.abs(est - n).toDouble / n < 0.15, s"est=$est exact=$n")
+  }
 }

@@ -11,8 +11,12 @@ class QueriesSpec extends SparkSpec {
     val empty = SparkEntry.registry.filter { q =>
       q.fn(spark, sf).limit(1).count() == 0
     }
-    // join_anti may legitimately be empty at tiny SF; nothing else may
-    assert(empty.map(_.name).forall(Set("join_anti")), s"empty: ${empty.map(_.name)}")
+    // join_anti may legitimately be empty at tiny SF, and the 10×
+    // sparser sf0.001 graph has no 5-core (graph_kcore peels to
+    // nothing — correct, and its sf0.01 oracle row is non-empty);
+    // nothing else may be empty
+    assert(empty.map(_.name).forall(Set("join_anti", "graph_kcore")),
+      s"empty: ${empty.map(_.name)}")
   }
 
   test("query names are unique and every oracle has a query") {

@@ -238,6 +238,28 @@ class SimStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("transformWithState accumulates across micro-batches to the batch truth") {
+    // 3-slice arrival: users whose events span slices emit one Update
+    // row per active batch; the accumulators are monotone, so the
+    // max-n_events row per user is the final state — must equal the
+    // batch aggregate exactly (integer cents, so no float drift)
+    val streamed = graft.streaming.Streaming
+      .transformWithStateStats(spark, sf, arrivalSlices = 3)
+    val last = streamed.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_cents"), col("max_event_id"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.sum_cents"), col("s.max_event_id"))
+      .orderBy("user_id").collect().map(_.toSeq)
+    val batch = Tables.table(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(last.sameElements(batch))
+    // multi-batch coverage: at least one user must have emitted from
+    // more than one micro-batch (else the fixture degenerated)
+    assert(streamed.groupBy("user_id").count().filter(col("count") > 1).count() > 0)
+  }
+
   test("incremental agg maintenance is slicing-invariant and exact") {
     // the maintained aggregate must be BIT-equal however the changelog
     // is sliced into batches (1 batch = degenerate full recompute;
