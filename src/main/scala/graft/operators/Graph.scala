@@ -249,4 +249,34 @@ object Graph {
     e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
   }
+
+  /** Common-neighbors link prediction over symmetrized `edges(src,
+    * dst)`: for every unordered node pair (u, v) with ≥ `minCommon`
+    * shared neighbors, the common-neighbor count and the neighborhood-
+    * Jaccard score in exact ppm — the classic link-prediction /
+    * you-may-know features (Liben-Nowell & Kleinberg, CIKM'03).
+    * Includes already-linked pairs (callers anti-join existing edges to
+    * get candidates only — kept as output so the operator doubles as a
+    * same-neighborhood similarity join).
+    *
+    * Scale shape: one wedge self-join keyed on the CENTER node —
+    * Σ deg² rows like any wedge enumeration, applied to pre-thinned
+    * graphs (the triangle operator's orientation trick does not apply:
+    * a wedge must be counted at its center, not its minimum endpoint).
+    * Degrees join in at node cardinality; arithmetic is all integer —
+    * ppm by truncating division, bit-stable and oracle-replayable. */
+  def commonNeighbors(edges: DataFrame, minCommon: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val wedges = e.select(col("src").as("x"), col("dst").as("u"))
+      .join(e.select(col("src").as("x"), col("dst").as("v")), "x")
+      .where(col("u") < col("v"))
+    val cn = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    cn.join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("common"),
+        expr("common * 1000000 div (du + dv - common)").as("jaccard_ppm"))
+  }
 }

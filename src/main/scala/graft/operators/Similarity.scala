@@ -273,30 +273,42 @@ object Similarity {
     * so the DuckDB oracle hash-matches float-for-float.
     *
     * Scale shape: one corpus scan → (doc, term, tf) partial aggregate;
-    * df and N are vocabulary-sized/scalar broadcasts. Candidates come
-    * from a PREFIX-FILTERED inverted index (Bayardo/Ma/Srikant,
-    * "Scaling Up All Pairs Similarity Search", WWW'07): terms are
-    * globally ordered rarest-first (idf descending — the same total
-    * order as ascending df), and each doc indexes only its leading
-    * terms while the REMAINING squared weight mass could still reach
-    * `threshold` on its own. A pair with every shared term outside both
-    * prefixes has, by Cauchy–Schwarz, cosine ≤ ‖u_suffix‖·‖v‖ <
-    * threshold − slack — so probing FULL vectors against the prefix
-    * index can miss no qualifying pair, and the candidate join's cost
-    * is Σ_t pdf_t·df_t (pdf = prefix document frequency) instead of
-    * Σ_t df_t². Hot terms sort last, so they are exactly the ones the
-    * prefixes exclude: a term kept at df = n/2 — which under a bare df
-    * cap alone still contributes n²/4 pairs — now only generates
-    * candidates through docs whose rare-term mass is too small to reach
-    * the threshold without it. Candidate pairs then get the full
-    * dot product over ALL shared terms, with the same 6 dp/DECIMAL
-    * rounding sequence as the all-pairs form — the output is
-    * value-identical, the oracle replays the unfiltered SQL.
+    * df and N are vocabulary-sized/scalar broadcasts. The pair
+    * computation is STRATEGY-SELECTED, because the two honest regimes
+    * want opposite dataflows (measured on this box):
     *
-    * `maxDfPpm` still bounds the kept VOCABULARY (terms in more than
-    * that fraction of docs are dropped from norms and products alike —
-    * the contract the oracle replays); it is no longer what bounds the
-    * candidate join.
+    *  - `direct` — the inverted-index product join (u ⋈ u on term,
+    *    products hash-aggregated straight into per-pair sums). Cost is
+    *    Σ_t df_t² product ROWS through one exchange — optimal while
+    *    that sum is moderate (6.6 s cold / 4.8 s best-of-2 at sf0.1,
+    *    where the prefix path's candidate materialization + re-join
+    *    took 49–60 s: its 1 M candidate pairs for 256 outputs each
+    *    re-joined full term lists).
+    *  - `prefix` — candidate generation from a PREFIX-FILTERED index
+    *    (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search",
+    *    WWW'07): terms globally ordered rarest-first (idf desc), each
+    *    doc indexes only its leading terms while the remaining squared
+    *    mass could still reach `threshold`; by Cauchy–Schwarz a pair
+    *    with every shared term outside a member's prefix is under
+    *    threshold, so probing full vectors against the prefix index
+    *    misses nothing. Candidates cost Σ_t pdf_t·df_t ≪ Σ_t df_t²
+    *    exactly when hot terms dominate — the stopword regime where
+    *    `direct` is quadratic (a term at df = n/2 contributes n²/4
+    *    rows). Verification then joins each candidate pair to the two
+    *    doc VECTOR MAPS and computes the dot per pair in integer
+    *    micro-units (order-free, O(|doc| ) lookups) — no per-term
+    *    re-join, no explode.
+    *
+    * `auto` picks: Σ df² (one vocabulary-sized aggregate over the
+    * already-persisted index) ≤ `directRowBudget` → direct, else
+    * prefix. That is an AQE-style stats decision, not a heuristic on
+    * the query text; both paths produce value-identical results
+    * (ScaleSpec pins equality on the stopword fixture) and the oracle
+    * replays the unfiltered SQL.
+    *
+    * `maxDfPpm` bounds the kept VOCABULARY (terms in more than that
+    * fraction of docs are dropped from norms and products alike — the
+    * contract the oracle replays); it is not what bounds the join.
     *
     * Cache lifecycle: the posting/unit-vector indexes are persisted
     * MEMORY_AND_DISK (eviction degrades to disk read, never a corpus
@@ -304,23 +316,60 @@ object Similarity {
     * many corpora through one session own the lifecycle and must
     * `spark.catalog.clearCache()` between corpora (Bench/Verify do). */
   def tfidfCosinePairs(terms: DataFrame, threshold: Double,
-      maxDfPpm: Long = 500000L): DataFrame = {
-    val (uu, cand) = tfidfCore(terms, threshold, maxDfPpm)
-    cand
-      .join(uu.alias("x"), col("doc_a") === col("x.doc_id"))
-      .join(uu.alias("y"), col("doc_b") === col("y.doc_id") && col("x.t") === col("y.t"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("CAST(round(x.u * y.u, 6) AS DECIMAL(28,12))").as("p"))
-      .groupBy("doc_a", "doc_b")
-      .agg(round(sum(col("p")).cast("double"), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+      maxDfPpm: Long = 500000L, strategy: String = "auto",
+      directRowBudget: Long = 200000000L): DataFrame = {
+    require(Set("auto", "direct", "prefix")(strategy), s"bad strategy: $strategy")
+    val u = tfidfIndex(terms, maxDfPpm)
+    val uu = u.select(col("doc_id"), col("t"), col("u"))
+    val pick =
+      if (strategy != "auto") strategy
+      else {
+        // Σ df² from the persisted index — a vocabulary-sized
+        // aggregate collapsing to one row; the cost model's only input
+        val sumDf2 = uu.groupBy("t").agg(count(lit(1)).as("df"))
+          .agg(sum(col("df") * col("df"))).head().getLong(0)
+        if (sumDf2 <= directRowBudget) "direct" else "prefix"
+      }
+    if (pick == "direct") {
+      uu.alias("a").join(uu.alias("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("CAST(round(a.u * b.u, 6) AS DECIMAL(28,12))").as("p"))
+        .groupBy("doc_a", "doc_b")
+        .agg(round(sum(col("p")).cast("double"), 6).as("cos"))
+        .filter(col("cos") >= threshold)
+    } else {
+      val cand = prefixCandidates(u, threshold)
+      // per-doc sparse vectors as maps: dimension-shaped (one row per
+      // doc), so Catalyst broadcasts them at small scale and
+      // shuffle-joins at large — never a per-term explode
+      val vecs = uu.groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("t"), col("u")))).as("vec"))
+      // exact dot in integer micro-units: each shared-term product is
+      // the SAME 6 dp-rounded value the direct path feeds DECIMAL
+      // accumulation (round(p,6)·10⁶ is integral, so the long sum is
+      // exactly 10⁶ × the decimal sum and the final rounded double is
+      // bit-identical); missing keys contribute 0 like non-shared terms
+      val micro = aggregate(map_entries(col("va")), lit(0L),
+        (acc, e) => acc + coalesce(
+          round(round(e.getField("value") * element_at(col("vb"), e.getField("key")), 6)
+            * 1000000d).cast("long"),
+          lit(0L)))
+      cand
+        .join(vecs.select(col("doc_id").as("doc_a"), col("vec").as("va")), "doc_a")
+        .join(vecs.select(col("doc_id").as("doc_b"), col("vec").as("vb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(micro / 1000000d, 6).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
   }
 
-  /** The candidate-pair set [[tfidfCosinePairs]] verifies — exposed so
+  /** The candidate-pair set the prefix strategy verifies — exposed so
     * ScaleSpec can pin the prefix filter's selectivity (candidates ≪
     * Σ df² on a stopword-heavy corpus). */
   private[graft] def tfidfCosineCandidates(terms: DataFrame, threshold: Double,
-      maxDfPpm: Long = 500000L): DataFrame = tfidfCore(terms, threshold, maxDfPpm)._2
+      maxDfPpm: Long = 500000L): DataFrame =
+    prefixCandidates(tfidfIndex(terms, maxDfPpm), threshold)
 
   /** Suffix mass is compared against `threshold − PrefixSlack`, not the
     * raw threshold: the verified cosine is accumulated from 6 dp-rounded
@@ -332,15 +381,16 @@ object Similarity {
     * prefixes. */
   private val PrefixSlack = 5e-3
 
-  private def tfidfCore(terms: DataFrame, threshold: Double,
-      maxDfPpm: Long): (DataFrame, DataFrame) = {
-    // The posting-list table feeds FOUR downstream consumers (corpus
-    // size n, document frequencies, weights, and — through the unit
-    // vectors — both sides of the candidate join); uncached, the corpus
-    // tokenize+groupBy would execute once per consumer (measured ~2.5×
-    // on the whole query at sf0.1). Materializing the index once is
-    // also the 100 TB shape: posting lists are the artifact a sparse-
-    // similarity pipeline builds and reuses, not a throwaway subtree.
+  /** The tf-idf unit-vector index `(doc_id, t, idf, u)`, persisted.
+    *
+    * The posting-list table feeds FOUR downstream consumers (corpus
+    * size n, document frequencies, weights, and — through the unit
+    * vectors — both sides of the pair join); uncached, the corpus
+    * tokenize+groupBy would execute once per consumer (measured ~2.5×
+    * on the whole query at sf0.1). Materializing the index once is
+    * also the 100 TB shape: posting lists are the artifact a sparse-
+    * similarity pipeline builds and reuses, not a throwaway subtree. */
+  private def tfidfIndex(terms: DataFrame, maxDfPpm: Long): DataFrame = {
     val tok = terms.select(col("doc_id"), col("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -359,28 +409,41 @@ object Similarity {
     // three times — prefix index, probe side, and both verify sides;
     // persisted, those probes hit columnar blocks instead of re-running
     // the weight+norm joins
-    val u = w.join(norms, Seq("doc_id"))
+    w.join(norms, Seq("doc_id"))
       .select(col("doc_id"), col("t"), col("idf"),
         round(col("w") / col("nrm"), 6).as("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Prefix-filtered candidate pairs over a [[tfidfIndex]] table. */
+  private def prefixCandidates(u: DataFrame, threshold: Double): DataFrame = {
     val uu = u.select(col("doc_id"), col("t"), col("u"))
     // rem_j = Σ_{i ≥ j} u_i² in the global (idf desc, t) order: the
     // squared mass this doc still holds from term j onward. Term j is
     // indexed iff √rem_j could still reach the (slack-adjusted)
     // threshold — once it can't, every remaining (hotter) term stays
     // out of the index. rem_1 ≈ 1, so every doc indexes ≥ 1 term.
-    val ord = Window.partitionBy(col("doc_id"))
+    // Computed as whole-doc total MINUS the running prefix sum: both
+    // frames are O(terms) per document, where the direct
+    // currentRow→unboundedFollowing suffix frame is re-aggregated per
+    // row by the engine — O(terms²) per doc (a measured 10+ s of the
+    // old 59.7 s at sf0.1). The subtraction's float error (~1e-12
+    // relative) is absorbed by PrefixSlack; candidates are verified
+    // exactly, so borderline prefix membership never changes output.
+    val ordered = Window.partitionBy(col("doc_id"))
       .orderBy(col("idf").desc, col("t"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val upToPrev = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col("doc_id"))
+    val uSq = col("u") * col("u")
     val pref = u
-      .withColumn("rem", sum(col("u") * col("u")).over(ord))
+      .withColumn("rem",
+        sum(uSq).over(whole) - coalesce(sum(uSq).over(upToPrev), lit(0.0)))
       .filter(sqrt(col("rem")) >= threshold - PrefixSlack)
       .select(col("doc_id"), col("t"), col("u"))
-    val cand = pref.alias("a").join(uu.alias("b"),
+    pref.alias("a").join(uu.alias("b"),
         col("a.t") === col("b.t") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    (uu, cand)
   }
 }

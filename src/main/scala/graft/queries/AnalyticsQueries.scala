@@ -388,6 +388,41 @@ object AnalyticsQueries {
         .withColumn("c", sum(col("d")).over(prefix))
         .select(col("event_type"), col("day"),
           (col("c") - least(lit(0L), min(col("c")).over(prefix))).as("cusum"))
+    },
+    // EWMA smoothing (α = ½) of per-type daily volumes — CUSUM's
+    // companion monitoring statistic. The recursion S_t = x_t + ½S_{t−1}
+    // is evaluated as a LEFT FOLD over the 64-row trailing frame
+    // (collect_list over the window, then `aggregate`): terms beyond 64
+    // days decay under 2⁻⁶⁴ — below double ulp — so the truncation IS
+    // the operator's declared semantics, the per-row cost is a bounded
+    // 64-step fold (scale-safe: no unbounded prefix recursion), and
+    // both engines run the identical IEEE op sequence over the
+    // identically-ordered frame list — bit-equal, oracle-replayable.
+    // Decay ticks per OBSERVED day-row; densify with the gap-fill
+    // operator first for calendar-time decay.
+    QueryDef(
+      "events_ewma",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, day,
+        |    list(CAST(x AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS frame
+        |  FROM daily)
+        |SELECT event_type, day,
+        |  round(list_reduce(list_prepend(0.0, frame), (a, b) -> b + 0.5 * a), 6) AS ewma
+        |FROM f""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.table(s, d, "events")
+        .groupBy(col("event_type"), expr("ts div 1000 div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val frame = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-63, Window.currentRow)
+      daily
+        .withColumn("frame", collect_list(col("x").cast("double")).over(frame))
+        .select(col("event_type"), col("day"),
+          round(aggregate(col("frame"), lit(0.0),
+            (acc, x) => x + acc * lit(0.5)), 6).as("ewma"))
     }
   )
 }

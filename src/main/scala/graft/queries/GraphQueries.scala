@@ -188,6 +188,33 @@ object GraphQueries {
         .distinct()
       Graph.kCore(
         e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))), coreK, coreIters)
+    },
+    // common-neighbors link prediction on the sparse graph: pairs
+    // sharing ≥ 3 neighbors with exact-ppm neighborhood Jaccard
+    QueryDef(
+      "graph_common_neighbors",
+      """WITH e0 AS (
+        |  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 10000000 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity >= 48),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS n, count(*) AS d FROM e GROUP BY src),
+        |cn AS (
+        |  SELECT a.dst AS u, b.dst AS v, count(*) AS common
+        |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+        |  GROUP BY a.dst, b.dst HAVING count(*) >= 3)
+        |SELECT u, v, common,
+        |  CAST(common * 1000000 // (du.d + dv.d - common) AS BIGINT) AS jaccard_ppm
+        |FROM cn JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v""".stripMargin) { (s, d) =>
+      val l = Tables.table(s, d, "lineitem")
+        .where(col("l_quantity") >= 48)
+        .select(col("l_suppkey"), col("l_orderkey"))
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val e0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), (col("o_custkey") + 10000000L).as("dst"))
+        .distinct()
+      Graph.commonNeighbors(
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))), minCommon = 3)
     }
   )
 }

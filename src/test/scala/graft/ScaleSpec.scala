@@ -402,7 +402,11 @@ class ScaleSpec extends SparkSpec {
     val sumDf2 = (2L * n * n + 3L * n * 4) / 2 // Σ df²/2: two df=n terms + 3n df≈1..2 rare terms
     assert(cand < sumDf2 / 10,
       s"prefix filter ineffective: $cand candidates vs Σdf²/2 ≈ $sumDf2")
-    val out = Similarity.tfidfCosinePairs(terms, threshold = 0.5, maxDfPpm = 1000000L)
+    // force the prefix strategy: auto's Σ df² stats pick would route
+    // this small fixture to the direct join and leave the prefix
+    // verify path untested
+    val out = Similarity.tfidfCosinePairs(terms, threshold = 0.5,
+        maxDfPpm = 1000000L, strategy = "prefix")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // the unfiltered all-pairs formulation (the pre-round-5 plan and the
     // oracle's SQL shape) must agree exactly — prefix filtering is a
@@ -428,5 +432,11 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(out == exp && out.exists { case (a, b, _) => a == 0L && b == 1L },
       s"prefix-filtered output diverged: filtered=$out allpairs=$exp")
+    // auto must route THROUGH the prefix path when Σ df² exceeds the
+    // budget, and still produce the identical result
+    val auto = Similarity.tfidfCosinePairs(terms, threshold = 0.5,
+        maxDfPpm = 1000000L, strategy = "auto", directRowBudget = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == exp, s"auto(budget=100) diverged: $auto vs $exp")
   }
 }
