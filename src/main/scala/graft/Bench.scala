@@ -24,7 +24,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Optional state-store A/B knob: SPARK_GRAFT_STATE_PROVIDER=rocksdb
+    // runs every streaming drain on RocksDB (the 100 TB state backend)
+    // instead of the default HDFS-backed in-memory maps — used for the
+    // measured provider decision in EXPERIMENTS.md. TWS queries force
+    // RocksDB themselves either way.
+    val provider = sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case other => other
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,6 +57,8 @@ object Bench {
       // streaming queries' final states would otherwise stay loaded
       // for the rest of the run
       .config("spark.sql.streaming.minBatchesToRetain", "2")
+    val spark = provider.foldLeft(builder0)((b, p) =>
+      b.config("spark.sql.streaming.stateStore.providerClass", p))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

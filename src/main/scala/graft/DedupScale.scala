@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   * of the cached index (no corpus shuffle: the delta side is broadcast,
   * ScaleSpec pins the plan). Self-check: exactly nDelta/10 verdicts.
   *
-  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32] [mode=spans|lsh|ingest]
+  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32] [mode=spans|lsh|ingest|stored]
   */
 object DedupScale {
   def main(args: Array[String]): Unit = {
@@ -84,10 +84,6 @@ object DedupScale {
       } else spark.range(nDocs).select(col("id").as("doc_id"),
         when(col("id") % plantEvery === 0, concat_ws(" ", tmpl, body))
           .otherwise(body).as("text"))
-    // materialize generation OUTSIDE the timed region (generator cost
-    // is not dedup cost); ~60 M tokens at the default sizes
-    val (docs, _, _) = graft.operators.Iterate.ckpt(docsPlan)
-
     def timed(name: String)(body0: => Long): Long = {
       val t0 = System.nanoTime()
       val rows = body0
@@ -96,6 +92,32 @@ object DedupScale {
       Console.out.flush()
       rows
     }
+
+    // `stored` mode: N probe-only passes against an EXISTING
+    // writeIncrementalIndex layout (from a prior `ingest` run at the
+    // same nDocs), in this fresh JVM — the steady-state per-ingest
+    // number, uncontaminated by the build's GC/page-cache residue
+    // (measured: the build JVM's own post-write pass read 86.6 s where
+    // a fresh JVM settles at ~14 s on the same 1 M-doc index). The
+    // corpus is never generated here; only the fixed delta is.
+    if (mode == "stored") {
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_dedup_scale_idx"
+      val (delta, _, _) = graft.operators.Iterate.ckpt(
+        ingestDeltaPlan(spark, nDocs, tpd))
+      for (pass <- 1 to 3) {
+        val dups = timed(s"ingest_stored_fresh$pass") {
+          Dedup.incrementalDedupStored(idxDir, delta,
+            col("text"), col("doc_id")).count()
+        }
+        println(s"""{"op":"ingest_stored_fresh${pass}_check","expected":200,"got":$dups,"ok":${dups == 200}}""")
+      }
+      spark.stop()
+      return
+    }
+
+    // materialize generation OUTSIDE the timed region (generator cost
+    // is not dedup cost); ~60 M tokens at the default sizes
+    val (docs, _, _) = graft.operators.Iterate.ckpt(docsPlan)
 
     if (mode == "ingest") {
       // the planted-source invariant below ('odd ids never carry the
@@ -107,22 +129,8 @@ object DedupScale {
         s"ingest mode requires an even plantEvery (got $plantEvery)")
       val nDelta = 2000L
       val plantD = 10L
-      // every plantD-th delta doc near-copies an ODD-id base doc (odd ids
-      // never carry the plantEvery boilerplate prefix — a prefixed source
-      // would dilute Jaccard to (tpd-3)/(tpd+15) ≈ 0.76, under the 0.8
-      // gate; last token replaced, so J = (tpd-3)/(tpd-1) ≈ 0.966 at
-      // k=3); the rest are fresh bodies seeded past the base id range
-      val srcSql =
-        s"transform(sequence(0, $tpd - 1), " +
-          s"j -> concat('w', pmod(xxhash64((2 * ((id * 97) % ${nDocs / 2}) + 1) * $tpd + j), 10000)))"
-      val freshSql =
-        s"concat_ws(' ', transform(sequence(0, $tpd - 1), " +
-          s"j -> concat('w', pmod(xxhash64((id + $nDocs) * $tpd + j), 10000))))"
-      val deltaPlan = spark.range(nDelta).select((col("id") + nDocs).as("doc_id"),
-        expr(s"CASE WHEN id % $plantD = 0 " +
-          s"THEN concat(concat_ws(' ', slice($srcSql, 1, $tpd - 1)), ' zz9') " +
-          s"ELSE $freshSql END").as("text"))
-      val (delta, _, _) = graft.operators.Iterate.ckpt(deltaPlan)
+      val (delta, _, _) = graft.operators.Iterate.ckpt(
+        ingestDeltaPlan(spark, nDocs, tpd))
       val (shBase, baseBands) =
         Dedup.incrementalIndex(docs, col("text"), col("doc_id"))
       timed("index_build") {
@@ -178,5 +186,28 @@ object DedupScale {
       }
     }
     spark.stop()
+  }
+
+  /** The fixed 2 000-doc ingest delta: every 10th doc near-copies an
+    * ODD-id base doc (odd ids never carry the plantEvery boilerplate
+    * prefix — a prefixed source would dilute Jaccard to
+    * (tpd−3)/(tpd+15) ≈ 0.76, under the 0.8 gate; last token replaced,
+    * so J = (tpd−3)/(tpd−1) ≈ 0.966 at k=3); the rest are fresh bodies
+    * seeded past the base id range. Shared by the `ingest` and
+    * `stored` modes so fresh-JVM probes hit the identical delta. */
+  private def ingestDeltaPlan(spark: SparkSession, nDocs: Long,
+      tpd: Int): org.apache.spark.sql.DataFrame = {
+    val nDelta = 2000L
+    val plantD = 10L
+    val srcSql =
+      s"transform(sequence(0, $tpd - 1), " +
+        s"j -> concat('w', pmod(xxhash64((2 * ((id * 97) % ${nDocs / 2}) + 1) * $tpd + j), 10000)))"
+    val freshSql =
+      s"concat_ws(' ', transform(sequence(0, $tpd - 1), " +
+        s"j -> concat('w', pmod(xxhash64((id + $nDocs) * $tpd + j), 10000))))"
+    spark.range(nDelta).select((col("id") + nDocs).as("doc_id"),
+      expr(s"CASE WHEN id % $plantD = 0 " +
+        s"THEN concat(concat_ws(' ', slice($srcSql, 1, $tpd - 1)), ' zz9') " +
+        s"ELSE $freshSql END").as("text"))
   }
 }

@@ -78,6 +78,7 @@ object GraftFunctions {
     * `graft_rolling_hash(str)`, `graft_nfc(str)`, `graft_dot(arr, arr)`,
     * `graft_simhash(hash, weight)`,
     * `graft_misra_gries(item, k)` (k a foldable int literal),
+    * `graft_kmv(item, k)` (bottom-k distinct bigints, same k contract),
     * `graft_cms_estimate(sketch, item)` (probe for the builtin
     * `count_min_sketch` aggregate's binary output),
     * `graft_cms_inner_product(sketch, sketch)` (join-size estimator
@@ -163,6 +164,41 @@ object GraftFunctions {
               "minValue" -> "1",
               "maxValue" -> Int.MaxValue.toString))
         MisraGriesAgg(exprs(0), k.toInt).toAggregateExpression()
+      }, "built-in")
+    // graft_kmv(item, k): bottom-k distinct bigints (KMV sketch) — the
+    // same foldable-k typing contract as graft_misra_gries
+    reg.createOrReplaceTempFunction(
+      "graft_kmv",
+      exprs => {
+        val kExpr = exprs(1)
+        if (!kExpr.foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`graft_kmv`",
+              "paramName" -> "`k`",
+              "paramType" -> "\"INT\""))
+        val k = kExpr.eval(null) match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`graft_kmv`",
+              "paramName" -> "`k`",
+              "paramType" -> "\"INT\""))
+        }
+        if (k < 1 || k > Int.MaxValue)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INVALID_NUMERIC_LITERAL_RANGE",
+            messageParameters = Map(
+              "rawStrippedQualifier" -> k.toString,
+              "typeName" -> "graft_kmv parameter k",
+              "minValue" -> "1",
+              "maxValue" -> Int.MaxValue.toString))
+        KmvAgg(exprs(0), k.toInt).toAggregateExpression()
       }, "built-in")
   }
 }

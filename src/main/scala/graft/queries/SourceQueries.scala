@@ -49,6 +49,25 @@ object SourceQueries {
         .groupBy(col("key").as("priority"))
         .agg(count(lit(1)).as("n"), min(col("value").cast("long")).as("min_key"))
     },
+    // the same key⇥value data through the first-class DataSource V2
+    // connector (sources.KvDataSource): the EqualTo filter and the
+    // 2-column projection are PUSHED into the partition reader —
+    // evaluated on raw line slices before row materialization
+    // (ScaleSpec pins PushedFilters + the pruned ReadSchema); the CSV
+    // route (`kv_roundtrip`) filters above its scan
+    QueryDef(
+      "kv_roundtrip_dsv2",
+      """SELECT o_orderpriority AS priority, count(*) AS n, min(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_kv_rt_v2"
+      Tables.writeKeyTab(
+        Tables.table(s, d, "orders").select(col("o_orderpriority"), col("o_orderkey")),
+        tmp)
+      s.read.format("graft-kv").load(tmp)
+        .filter(col("key") === "2-HIGH")
+        .groupBy(col("key").as("priority"))
+        .agg(count(lit(1)).as("n"), min(col("value").cast("long")).as("min_key"))
+    },
     // SequenceFile<Text,Text> round-trip — the reference's ACTUAL
     // intermediate format (MergeJoin.java:118-119), not the parquet
     // stage replacement: write through the Hadoop sequence-file sink,

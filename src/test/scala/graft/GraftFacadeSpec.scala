@@ -43,6 +43,16 @@ class GraftFacadeSpec extends SparkSpec {
       spark.sql("SELECT graft_wordpiece('a', array(rand()::string)) AS p").collect()
     }
     assert(err.getCondition == "NON_FOLDABLE_ARGUMENT")
+    // kmv: bottom-2 distinct values, ascending; duplicate 5 collapses
+    val kv = spark.sql(
+      """SELECT graft_kmv(x, 2) AS m
+        |FROM VALUES (9L), (5L), (5L), (12L), (7L) t(x)""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(kv == Seq(5L, 7L))
+    val kerr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_kmv(x, 0) AS m FROM VALUES (1L) t(x)").collect()
+    }
+    assert(kerr.getCondition == "INVALID_NUMERIC_LITERAL_RANGE")
   }
 
   test("graft_misra_gries k typing: INT and BIGINT literals work, bad k raises typed errors") {

@@ -381,6 +381,32 @@ class ScaleSpec extends SparkSpec {
       s"no pruning: read $filesRead of $allFiles band-index files")
   }
 
+  test("graft-kv DSv2 source pushes filters and prunes columns into the reader") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kv_v2").toString + "/data"
+    graft.sources.Tables.writeKeyTab(
+      Seq(("a", "1"), ("b", "2"), ("a", "3")).toDF("k", "v"), tmp)
+    val df = spark.read.format("graft-kv").load(tmp)
+      .filter(col("key") === "a").select("key")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("a", "a"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    // the filter reached the reader (it is gone from the post-scan
+    // Filter because pushFilters returned it as fully handled)...
+    assert(scan.scan.description().contains("EqualTo(key,a)"),
+      s"filter not pushed: ${scan.scan.description()}")
+    // ...and only the projected column survives into the read schema
+    assert(scan.scan.readSchema().fieldNames.sameElements(Array("key")),
+      s"columns not pruned: ${scan.scan.readSchema()}")
+    // V2 route ≡ CSV route on the same files, no filter
+    val v2 = spark.read.format("graft-kv").load(tmp)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val csv = graft.sources.Tables.keyValueText(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(v2 == csv && v2.size == 3)
+  }
+
   test("tfidf prefix filter: candidates well under the Σ df² bound, output unchanged") {
     import spark.implicits._
     import graft.operators.Similarity
