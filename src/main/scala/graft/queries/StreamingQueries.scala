@@ -10,6 +10,31 @@ import graft.streaming.Streaming
   */
 object StreamingQueries {
 
+  /** Shared by stream_session_custom (flatMapGroupsWithState) and
+    * stream_session_timers (transformWithState V2 + explicit timers):
+    * every non-final session (closed by a successor event) plus final
+    * sessions whose last+gap the final watermark STRICTLY passed at ms
+    * grain — the common emission contract of both custom engines. */
+  private val customSessionOracle: String =
+    """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |f AS (SELECT user_id, event_id, tus,
+      |    CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM o),
+      |g AS (SELECT user_id, event_id, tus,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM f),
+      |agg AS (SELECT user_id, sid, min(tus) AS session_start_us,
+      |    max(tus) AS last_us, count(*) AS n_events, min(event_id) AS first_event_id
+      |  FROM g GROUP BY user_id, sid),
+      |mx AS (SELECT user_id, max(sid) AS max_sid FROM agg GROUP BY user_id),
+      |wm AS (SELECT max(epoch_us(ts)) // 1000 - 1800000 AS w FROM events)
+      |SELECT agg.user_id, session_start_us, n_events, first_event_id
+      |FROM agg JOIN mx ON mx.user_id = agg.user_id, wm
+      |WHERE sid < max_sid OR (last_us // 1000) + 1800000 < wm.w""".stripMargin
+
   /** Shared by stream_window_append and stream_late_drop: emitted set =
     * windows finalized by the final watermark; the late-drop variant
     * must produce the SAME result because its replayed event is
@@ -120,27 +145,15 @@ object StreamingQueries {
     // sessionization. Emitted = every non-final session (closed by its
     // successor event) plus final sessions whose last+gap the final
     // watermark STRICTLY passed at ms grain (the timeout contract)
-    QueryDef(
-      "stream_session_custom",
-      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
-        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
-        |  FROM events),
-        |f AS (SELECT user_id, event_id, tus,
-        |    CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS is_new
-        |  FROM o),
-        |g AS (SELECT user_id, event_id, tus,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM f),
-        |agg AS (SELECT user_id, sid, min(tus) AS session_start_us,
-        |    max(tus) AS last_us, count(*) AS n_events, min(event_id) AS first_event_id
-        |  FROM g GROUP BY user_id, sid),
-        |mx AS (SELECT user_id, max(sid) AS max_sid FROM agg GROUP BY user_id),
-        |wm AS (SELECT max(epoch_us(ts)) // 1000 - 1800000 AS w FROM events)
-        |SELECT agg.user_id, session_start_us, n_events, first_event_id
-        |FROM agg JOIN mx ON mx.user_id = agg.user_id, wm
-        |WHERE sid < max_sid OR (last_us // 1000) + 1800000 < wm.w""".stripMargin) { (s, d) =>
+    QueryDef("stream_session_custom", customSessionOracle) { (s, d) =>
       Streaming.sessionizeCustomState(s, d)
+    },
+    // the same sessionizer on the transformWithState V2 API with
+    // EXPLICIT event-time timers (stale timers deleted on every
+    // session-extending batch) — identical emission contract, so the
+    // two custom-state engines AND the oracle must agree row-for-row
+    QueryDef("stream_session_timers", customSessionOracle) { (s, d) =>
+      Streaming.transformWithStateSessions(s, d)
     },
     // checkpointed parquet file sink: exactly-once landing — read-back
     // aggregate equals the batch aggregate iff no row is lost/duplicated

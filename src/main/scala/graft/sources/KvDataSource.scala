@@ -104,7 +104,8 @@ class KvScanBuilder(path: String) extends ScanBuilder
 }
 
 class KvScan(path: String, required: StructType, filters: Array[Filter])
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -113,6 +114,22 @@ class KvScan(path: String, required: StructType, filters: Array[Filter])
     KvDataSource.listFiles(path).map(KvFilePartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(required, filters)
+
+  /** File-size statistics for the optimizer: without them a V2
+    * relation defaults to `spark.sql.defaultSizeInBytes` (= "assume
+    * huge"), so a dimension-sized kv table would never be chosen as a
+    * broadcast side. Byte size is the on-disk total (text ≈ in-memory
+    * row size here); row count is estimated from a 30-bytes/line
+    * heuristic and marked as such by the API's Optional contract. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes =
+        KvDataSource.listFiles(path).map(f => new java.io.File(f).length()).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes / 30L))
+    }
 }
 
 case class KvFilePartition(file: String) extends InputPartition

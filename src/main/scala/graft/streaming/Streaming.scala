@@ -21,6 +21,65 @@ final case class SessionOut(
 final case class UserStats(
     user_id: Long, n_events: Long, sum_cents: Long, max_event_id: Long)
 
+/** Sessionizing StatefulProcessor (Spark 4 `transformWithState` with
+  * EVENT-TIME TIMERS) — the V2 twin of the flatMapGroupsWithState
+  * sessionizer [[Streaming.sessionizeCustomState]], same emission
+  * contract: a session closes on a ≥gap successor event (any batch)
+  * or when the watermark strictly passes last + gap at ms grain
+  * (timer). Where fMGWS has ONE implicit timeout slot per key, TWS
+  * timers are explicit and multiple — the processor deletes every
+  * registered timer before arming the new expiry, else a stale timer
+  * from before a session-extending event would close the live session
+  * early. Expiry is clamped above the current watermark like the
+  * fMGWS form (a past-due timer fires on the next batch anyway, so
+  * the clamp never changes the emitted set). */
+final class SessionTimerProcessor(gapUs: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, java.sql.Timestamp), SessionOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[SessionAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SessionAcc](
+      "session", Encoders.product[SessionAcc], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+    // shuffled iterators carry no order — restore event time order
+    val evs = rows.toArray.sortBy(e => (e._3, e._2))
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var acc = if (state.exists()) state.get() else null
+    for ((_, eid, tus, _) <- evs) {
+      if (acc != null && tus - acc.lastUs >= gapUs) {
+        closed += SessionOut(user, acc.startUs, acc.n, acc.minId)
+        acc = null
+      }
+      acc =
+        if (acc == null) SessionAcc(tus, tus, 1L, eid)
+        else SessionAcc(acc.startUs, tus, acc.n + 1, math.min(acc.minId, eid))
+    }
+    state.update(acc)
+    val timers = getHandle.listTimers()
+    while (timers.hasNext) getHandle.deleteTimer(timers.next().asInstanceOf[Long])
+    getHandle.registerTimer(
+      math.max(acc.lastUs / 1000 + gapUs / 1000,
+        timerValues.getCurrentWatermarkInMs() + 1))
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(user: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+    if (state.exists()) {
+      val s = state.get()
+      state.clear()
+      Iterator.single(SessionOut(user, s.startUs, s.n, s.minId))
+    } else Iterator.empty
+}
+
 /** Arbitrary-state V2 processor (Spark 4 `transformWithState`): one
   * typed ValueState per user holding (n, Σcents, max event id) —
   * commutative/associative accumulators, so the result is arrival-
@@ -786,6 +845,34 @@ object Streaming {
           }
       }
     runToMemory(spark, out.toDF(), s"sess_custom_${System.nanoTime()}", OutputMode.Append())
+  }
+
+  /** [[sessionizeCustomState]] rebuilt on the transformWithState V2
+    * API with EXPLICIT event-time timers ([[SessionTimerProcessor]]):
+    * same gap, same emission contract, same oracle — RocksDB-backed
+    * (the V2 API requires it; set transiently like
+    * [[transformWithStateStats]]). */
+  def transformWithStateSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventTime(eventsArrivalStream(spark, sfDir))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("etime")).as("tus"), col("etime"))
+        .withWatermark("etime", "30 minutes")
+        .as[(Long, Long, Long, java.sql.Timestamp)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor(1800000000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(spark, out.toDF(), s"sess_tws_${System.nanoTime()}",
+        OutputMode.Append())
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 
   /** Custom keyed state via mapGroupsWithState: per-user running event

@@ -405,6 +405,16 @@ class ScaleSpec extends SparkSpec {
     val csv = graft.sources.Tables.keyValueText(spark, tmp)
       .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
     assert(v2 == csv && v2.size == 3)
+    // reported statistics make the tiny kv table broadcastable: without
+    // SupportsReportStatistics a V2 relation defaults to "assume huge"
+    // and this join would sort-merge
+    val big = spark.range(1000).selectExpr("CAST(id % 3 AS STRING) AS j")
+    val joined = big.join(spark.read.format("graft-kv").load(tmp),
+      col("j") === col("key"))
+    joined.count()
+    val bhj = joined.queryExecution.executedPlan.toString()
+    assert(bhj.contains("BroadcastHashJoin"),
+      s"kv side not broadcast despite file-size stats:\n$bhj")
   }
 
   test("tfidf prefix filter: candidates well under the Σ df² bound, output unchanged") {

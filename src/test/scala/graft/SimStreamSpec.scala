@@ -238,6 +238,20 @@ class SimStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("timer-based TWS sessionizer emits exactly the fMGWS sessionizer's rows") {
+    // two different stateful engines (flatMapGroupsWithState event-time
+    // timeout vs transformWithState explicit timers) implementing one
+    // emission contract — row-for-row equality, including the stale-
+    // timer deletion path (sessions extended across batches must NOT
+    // be closed early by a timer armed before the extension)
+    val tws = graft.streaming.Streaming.transformWithStateSessions(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val fmgws = graft.streaming.Streaming.sessionizeCustomState(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(tws == fmgws && tws.nonEmpty,
+      s"engines diverged: only-tws=${(tws -- fmgws).take(3)} only-fmgws=${(fmgws -- tws).take(3)}")
+  }
+
   test("transformWithState accumulates across micro-batches to the batch truth") {
     // 3-slice arrival: users whose events span slices emit one Update
     // row per active batch; the accumulators are monotone, so the
