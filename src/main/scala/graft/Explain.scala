@@ -54,7 +54,7 @@ object Explain {
     // vocabulary-sized ratio table (the unigramLogProb pattern);
     // ann_hard_negatives is a declared brute-force baseline like
     // ann_topk_bruteforce (scale path: the same filter inside IVF)
-    "ann_ivf_rerank", "pipeline_importance_weights",
+    "ann_ivf_rerank", "ann_ivf_stored", "pipeline_importance_weights",
     "pipeline_importance_resample", "pipeline_importance_hashed",
     "ann_hard_negatives",
     // join_tfidf_cosine fans out its 1-row corpus-count aggregate under

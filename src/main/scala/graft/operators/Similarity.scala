@@ -155,6 +155,57 @@ object Similarity {
         col("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Storage layout for IVF SERVING — the ANN counterpart of
+    * [[Dedup.writeIncrementalIndex]]: corpus vectors (with norms)
+    * written PARTITIONED BY their assigned centroid id, plus the
+    * centroid table itself, so query batches probe the index from
+    * storage with partition pruning instead of holding the corpus
+    * resident. At 100 TB the inverted lists ARE the index artifact a
+    * vector-search pipeline maintains; a query batch reads only its
+    * probed nprobe·|queries| (≤ nCentroids distinct) partitions. */
+  def writeIvfIndex(emb: DataFrame, vec: Column, id: Column,
+      centroids: DataFrame, path: String): Unit = {
+    val e = withNorm(emb, vec, id)
+    assignNearest(e, centroids, Seq("v", "nrm"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** [[topKIvfWith]] served from a [[writeIvfIndex]] layout: probe
+    * lists come from the stored (tiny) centroid table, the probed
+    * centroid ids are collected driver-side (≤ nCentroids literals —
+    * bounded by CONFIGURATION, not data) and partition-prune the
+    * vector scan, then the exact per-query ranking runs over probed
+    * lists only. Output is value-identical to the in-memory form
+    * (ScaleSpec pins equality + the pruned scan). */
+  def topKIvfStored(path: String, queries: DataFrame, vec: Column, id: Column,
+      k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = withNorm(queries, vec, id)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("qcos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("qrn", row_number().over(wProbe))
+      .filter(col("qrn") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .filter(col("cid").isin(probedCids: _*))
+      .select(col("vid"), col("v"), col("nrm"), col("cid").cast("long").as("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    probes.join(vecs, Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF with int8 scalar-quantization re-rank — the memory shape of a
     * production vector index (FAISS "IVF,SQ8"): the index stores 8-bit
     * codes (4× smaller than float32, so 4× more corpus per executor),

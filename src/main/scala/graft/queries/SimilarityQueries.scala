@@ -20,6 +20,30 @@ object SimilarityQueries {
       |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
       |  FROM e)""".stripMargin
 
+  /** Shared by ann_ivf (in-memory) and ann_ivf_stored (storage-served):
+    * seed centroids vec_id < 8, nprobe 2, top-5 — the two serving
+    * paths are value-identical by contract. */
+  private val ivfOracle: String =
+    s"""$normCte,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+       |asg0 AS (SELECT n.vec_id AS vid, n.v, n.nrm, c.cid,
+       |  list_reduce(list_prepend(0.0, list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])), (x, y) -> x + y) / (n.nrm * c.cn) AS ccos
+       |  FROM n CROSS JOIN c),
+       |asg AS (SELECT vid, v, nrm, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS crn FROM asg0) WHERE crn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+       |pr0 AS (SELECT q.qid, q.qv, q.qn, c.cid,
+       |  list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])), (x, y) -> x + y) / (q.qn * c.cn) AS qcos
+       |  FROM q CROSS JOIN c),
+       |pr AS (SELECT qid, qv, qn, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS qrn FROM pr0) WHERE qrn <= 2),
+       |sc AS (SELECT pr.qid, asg.vid,
+       |  list_reduce(list_prepend(0.0, list_transform(range(1, len(pr.qv) + 1), i -> pr.qv[i] * asg.v[i])), (x, y) -> x + y) / (pr.qn * asg.nrm) AS cos
+       |  FROM pr JOIN asg USING (cid) WHERE asg.vid <> pr.qid),
+       |r AS (SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk FROM sc)
+       |SELECT qid AS query_id, vid AS neighbor_id, rnk, round(cos, 6) AS cos
+       |FROM r WHERE rnk <= 5""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "ann_topk_bruteforce",
@@ -36,30 +60,25 @@ object SimilarityQueries {
         col("vec_id") % 50 === 0, k = 5)
         .withColumnRenamed("rank", "rnk")
     },
-    QueryDef(
-      "ann_ivf",
-      s"""$normCte,
-         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
-         |asg0 AS (SELECT n.vec_id AS vid, n.v, n.nrm, c.cid,
-         |  list_reduce(list_prepend(0.0, list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])), (x, y) -> x + y) / (n.nrm * c.cn) AS ccos
-         |  FROM n CROSS JOIN c),
-         |asg AS (SELECT vid, v, nrm, cid FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS crn FROM asg0) WHERE crn = 1),
-         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
-         |pr0 AS (SELECT q.qid, q.qv, q.qn, c.cid,
-         |  list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])), (x, y) -> x + y) / (q.qn * c.cn) AS qcos
-         |  FROM q CROSS JOIN c),
-         |pr AS (SELECT qid, qv, qn, cid FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS qrn FROM pr0) WHERE qrn <= 2),
-         |sc AS (SELECT pr.qid, asg.vid,
-         |  list_reduce(list_prepend(0.0, list_transform(range(1, len(pr.qv) + 1), i -> pr.qv[i] * asg.v[i])), (x, y) -> x + y) / (pr.qn * asg.nrm) AS cos
-         |  FROM pr JOIN asg USING (cid) WHERE asg.vid <> pr.qid),
-         |r AS (SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk FROM sc)
-         |SELECT qid AS query_id, vid AS neighbor_id, rnk, round(cos, 6) AS cos
-         |FROM r WHERE rnk <= 5""".stripMargin) { (s, d) =>
+    QueryDef("ann_ivf", ivfOracle) { (s, d) =>
       Similarity.topKIvf(
         Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"),
         col("vec_id") % 50 === 0, k = 5, nCentroids = 8, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // the same IVF configuration SERVED FROM STORAGE: inverted lists
+    // written partitioned by centroid id once, probed with
+    // driver-side bounded cid lists that partition-prune the vector
+    // scan (Similarity.writeIvfIndex/topKIvfStored — the ANN
+    // counterpart of the stored dedup index). Output value-identical
+    // to the in-memory form, so the oracle is shared.
+    QueryDef("ann_ivf_stored", ivfOracle) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_ivf_idx"
+      Similarity.writeIvfIndex(emb, col("embedding"), col("vec_id"),
+        Similarity.firstNCentroids(emb, col("embedding"), col("vec_id"), 8), tmp)
+      Similarity.topKIvfStored(tmp, emb.filter(col("vec_id") % 50 === 0),
+          col("embedding"), col("vec_id"), k = 5, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
     },
     // IVF + int8 re-rank: candidates scored against DEQUANTIZED codes

@@ -417,6 +417,48 @@ class ScaleSpec extends SparkSpec {
       s"kv side not broadcast despite file-size stats:\n$bhj")
   }
 
+  test("stored IVF index: serve equals the in-memory form and partition-prunes the scan") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.table(spark, sf, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val cents = Similarity.firstNCentroids(emb, col("embedding"), col("vec_id"), 8)
+    Similarity.writeIvfIndex(emb, col("embedding"), col("vec_id"), cents, idx)
+    // probe with a query subset whose nprobe lists touch FEW centroids,
+    // so pruning is observable (nprobe=1 → ≤ |queries| distinct cids)
+    val queries = emb.filter(col("vec_id").isin(11L, 12L))
+    val stored = Similarity.topKIvfStored(idx, queries,
+      col("embedding"), col("vec_id"), k = 3, nProbe = 1)
+    val rows = stored.collect().map(_.toSeq).toSet
+    // in-memory twin restricted to the same queries: identical output.
+    // (topKIvfWith draws queries from the corpus by predicate — same
+    // corpus, same centroids, so per-query results must agree.)
+    val mem = Similarity.topKIvfWith(emb, col("embedding"), col("vec_id"),
+        col("vec_id").isin(11L, 12L), k = 3, nProbe = 1, cents)
+      .collect().map(_.toSeq).toSet
+    assert(rows == mem && rows.nonEmpty, s"stored IVF diverged: $rows vs $mem")
+    // pruning pin: the vector scan reads only the probed cid
+    // partitions. AQE wraps finalized scans inside query stages where
+    // collectFirst can't see them, so the pin runs with AQE off — the
+    // partition-pruning decision is planning-time and AQE-independent.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pinned = Similarity.topKIvfStored(idx, queries,
+        col("embedding"), col("vec_id"), k = 3, nProbe = 1)
+      pinned.count()
+      val scan = pinned.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("vectors")) => f
+      }.get
+      assert(scan.metadata("PartitionFilters").contains("cid"),
+        s"no partition filter: ${scan.metadata("PartitionFilters")}")
+      val allFiles = spark.read.parquet(s"$idx/vectors").inputFiles.length
+      val filesRead = scan.inputRDDs().head.partitions.length
+      assert(filesRead < allFiles,
+        s"no pruning: read $filesRead of $allFiles vector files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("tfidf prefix filter: candidates well under the Σ df² bound, output unchanged") {
     import spark.implicits._
     import graft.operators.Similarity
