@@ -68,7 +68,10 @@ object Explain {
     // sketch_kmv_jaccard theta-pairs the 5-row per-type sketch table
     // with itself — a bounded broadcast fan-out over pre-aggregated
     // sketches, never over raw events
-    "sketch_kmv_jaccard")
+    "sketch_kmv_jaccard",
+    // graph_lpa_modularity crosses the 1-row |E| total under the
+    // community-cardinality parts table — a scalar broadcast
+    "graph_lpa_modularity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

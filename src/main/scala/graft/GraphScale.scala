@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * files, no driver-side materialization, same posture as the native
   * Zipf source runs).
   *
-  * Usage: runMain graft.GraphScale <nEdges> [nNodesDivisor=10] [cpus=32] [zipfSkew=0]
+  * Usage: runMain graft.GraphScale <nEdges> [nNodesDivisor=10] [cpus=32] [zipfSkew=0] [ops=all|pagerank,bfs,cc,lpa,kcore]
   * With zipfSkew > 0 the destination degrees follow Zipf(s) (the G3
   * quantile sweep) — node 0 is a hub receiving ~1/H(n,s) of ALL edges.
   * Prints one JSON line per operator with wall seconds and output rows.
@@ -23,6 +23,11 @@ object GraphScale {
     val cpus = args.lift(2).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val skew = args.lift(3).map(_.toDouble).getOrElse(0.0)
     val nNodes = math.max(2L, nEdges / div)
+    // ops filter: "all" (default) or a comma list of
+    // pagerank|bfs|cc|lpa|kcore — lets a probe re-measure one operator
+    // without paying the whole battery
+    val ops = args.lift(4).getOrElse("all")
+    def want(op: String): Boolean = ops == "all" || ops.split(",").contains(op)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-graph-scale")
@@ -63,20 +68,32 @@ object GraphScale {
       Console.out.flush()
     }
 
-    timed("pagerank_6") {
+    if (want("pagerank")) timed("pagerank_6") {
       Graph.pageRank(edges, iters = 6, edgesDistinct = false).count()
     }
-    timed("bfs_6") {
+    if (want("bfs")) timed("bfs_6") {
       val seeds = spark.range(5).select(col("id").as("node"))
       Graph.bfs(edges.union(edges.select(col("dst").as("src"), col("src").as("dst"))),
         seeds, maxHops = 6).count()
     }
-    timed("connected_components") {
+    if (want("cc")) timed("connected_components") {
       val (labels, rounds) = Dedup.connectedComponentsWithRounds(
         edges.select(col("src").as("a"), col("dst").as("b")))
       val n = labels.count()
       println(s"""{"op":"cc_rounds","rounds":$rounds}""")
       n
+    }
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    if (want("lpa")) timed("label_prop_4") {
+      Graph.labelPropagation(sym, iters = 4).count()
+    }
+    // k at HALF the mean symmetrized degree: the uniform multigraph has
+    // no dense community, so a mean-degree core peels to EMPTY (a valid
+    // fixed point, measured) — half-mean leaves a substantial core
+    // while still cascading
+    val coreK = math.max(2L, nEdges / nNodes).toInt
+    if (want("kcore")) timed(s"kcore_$coreK") {
+      Graph.kCore(sym, coreK, iters = 4).count()
     }
     spark.stop()
   }

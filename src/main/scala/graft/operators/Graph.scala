@@ -250,6 +250,40 @@ object Graph {
       .select(col("src").as("node"), col("core_deg"))
   }
 
+  /** Newman modularity of a node labeling over symmetrized `edges(src,
+    * dst)` — the evaluation metric for [[labelPropagation]]'s
+    * communities: Q = Σ_c [ m_c/|E| − (d_c/|E|)² ] with m_c = intra-
+    * community rows of the symmetric edge list, d_c = Σ degrees in c,
+    * |E| = 2m. Returns ONE row (n_communities, m2, q_num, modularity):
+    * q_num = Σ_c (m_c·|E| − d_c²) is EXACT BIGINT (Q = q_num/|E|², so
+    * the oracle hash-matches the integer; the double division is one
+    * deterministic IEEE op). Requires |E| < 3·10⁹ for the |E|²
+    * intermediate — beyond that, scale q_num by a sampled denominator.
+    *
+    * Scale shape: two label joins keyed on the edge endpoints (labels
+    * are node-sized — broadcast at dimension scale, shuffle join
+    * beyond), then label-keyed partial aggregates; nothing quadratic. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val m2 = e.agg(count(lit(1)).as("m2"))
+    val la = labels.select(col("node").as("src"), col("label").as("ls"))
+    val lb = labels.select(col("node").as("dst"), col("label").as("ld"))
+    val tagged = e.join(la, "src").join(lb, "dst")
+    val deg = tagged.groupBy(col("ls").as("label")).agg(count(lit(1)).as("dc"))
+    val intra = tagged.filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("label")).agg(count(lit(1)).as("mc"))
+    deg.join(intra, Seq("label"), "left")
+      .na.fill(0L, Seq("mc"))
+      .join(broadcast(m2), lit(true))
+      .select(col("label"), (col("mc") * col("m2") - col("dc") * col("dc")).as("num"),
+        col("m2"))
+      .agg(count(lit(1)).as("n_communities"), max(col("m2")).as("m2"),
+        sum(col("num")).as("q_num"))
+      .select(col("n_communities"), col("m2"), col("q_num"),
+        round(col("q_num") / (col("m2") * col("m2")).cast("double"), 6)
+          .as("modularity"))
+  }
+
   /** Common-neighbors link prediction over symmetrized `edges(src,
     * dst)`: for every unordered node pair (u, v) with ≥ `minCommon`
     * shared neighbors, the common-neighbor count and the neighborhood-

@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object DataGenQueries {
 
+  /** Shared by sketch_kmv_distinct (batch KmvAgg) and
+    * stream_kmv_distinct (transformWithState sketch state): lossless
+    * min-wise merging makes the two engines produce the identical
+    * bottom-64 set, so one window-rank replay verifies both. */
+  private[queries] val kmvDistinctOracle: String =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      |  FROM events),
+      |r AS (SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM h)
+      |SELECT event_type,
+      |  CAST(CASE WHEN nd < 64 THEN nd
+      |    ELSE (63 * 281474976710656) // h END AS BIGINT) AS est_distinct,
+      |  CAST(least(nd, 64) AS BIGINT) AS sketch_size
+      |FROM r WHERE rn = least(nd, 64)""".stripMargin
+
   private val zipfCdfCte =
     """WITH k AS (SELECT i + 1 AS k, pow(CAST(i + 1 AS DOUBLE), -0.9) AS w FROM range(100) t(i)),
       |c AS (SELECT k, sum(w) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM k),
@@ -149,20 +167,7 @@ object DataGenQueries {
     // hash-matches the oracle's window-rank replay — the stronger
     // correctness standard. O(k) state per partition, k rows shuffled
     // per group (KmvAgg), vs the oracle's full per-group sort.
-    QueryDef(
-      "sketch_kmv_distinct",
-      """WITH h AS (SELECT DISTINCT event_type,
-        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
-        |  FROM events),
-        |r AS (SELECT event_type, h,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS nd
-        |  FROM h)
-        |SELECT event_type,
-        |  CAST(CASE WHEN nd < 64 THEN nd
-        |    ELSE (63 * 281474976710656) // h END AS BIGINT) AS est_distinct,
-        |  CAST(least(nd, 64) AS BIGINT) AS sketch_size
-        |FROM r WHERE rn = least(nd, 64)""".stripMargin) { (s, d) =>
+    QueryDef("sketch_kmv_distinct", DataGenQueries.kmvDistinctOracle) { (s, d) =>
       val ev = graft.sources.Tables.table(s, d, "events")
       val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
         .cast("long")

@@ -62,6 +62,41 @@ object GraphQueries {
     (Seq(head) ++ rounds).mkString(",\n") + s"\nSELECT node, label FROM l$lpaIters"
   }
 
+  /** The LPA rounds feeding Newman modularity over the same graph —
+    * the community-quality metric as one exact-integer row (q_num =
+    * Σ_c (m_c·|E| − d_c²) is a pure BIGINT; sum is CAST back from
+    * DuckDB's HUGEINT so the comparator sees the integer). */
+  private def lpaModularityOracle: String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 10000000 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity >= 48),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)""".stripMargin
+    val rounds = (1 to lpaIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+         |  FROM l${i - 1} l JOIN edges e ON l.node = e.src GROUP BY e.dst, l.label),
+         |l$i AS (SELECT node,
+         |  CAST(4294967295 - (max(cnt * 4294967296 + (4294967295 - label)) % 4294967296) AS BIGINT) AS label
+         |  FROM c$i GROUP BY node)""".stripMargin
+    }
+    val tail =
+      s"""t AS (SELECT count(*) AS m2 FROM edges),
+         |tg AS (SELECT la.label AS ls, lb.label AS ld
+         |  FROM edges e JOIN l$lpaIters la ON la.node = e.src
+         |  JOIN l$lpaIters lb ON lb.node = e.dst),
+         |deg AS (SELECT ls AS label, count(*) AS dc FROM tg GROUP BY ls),
+         |intra AS (SELECT ls AS label, count(*) AS mc FROM tg WHERE ls = ld GROUP BY ls),
+         |parts AS (SELECT d.label, coalesce(i.mc, 0) * t.m2 - d.dc * d.dc AS num, t.m2
+         |  FROM deg d LEFT JOIN intra i ON i.label = d.label, t)
+         |SELECT count(*) AS n_communities, max(m2) AS m2,
+         |  CAST(sum(num) AS BIGINT) AS q_num,
+         |  round(CAST(sum(num) AS DOUBLE) / CAST(max(m2) * max(m2) AS DOUBLE), 6) AS modularity
+         |FROM parts""".stripMargin
+    (Seq(head) ++ rounds ++ Seq(tail)).mkString(",\n")
+  }
+
   private val coreK = 5
   private val coreIters = 4
 
@@ -215,6 +250,19 @@ object GraphQueries {
         .distinct()
       Graph.commonNeighbors(
         e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))), minCommon = 3)
+    },
+    // Newman modularity of the LPA communities — the quality metric
+    // for the partition, one exact-integer row (Graph.modularity)
+    QueryDef("graph_lpa_modularity", lpaModularityOracle) { (s, d) =>
+      val l = Tables.table(s, d, "lineitem")
+        .where(col("l_quantity") >= 48)
+        .select(col("l_suppkey"), col("l_orderkey"))
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val e0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), (col("o_custkey") + 10000000L).as("dst"))
+        .distinct()
+      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.modularity(sym, Graph.labelPropagation(sym, lpaIters))
     }
   )
 }

@@ -223,6 +223,13 @@ object StreamingQueries {
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id") { (s, d) =>
       Streaming.statefulUserCounter(s, d)
     },
+    // sketch-in-stream-state: a KMV bottom-64 distinct sketch per
+    // event type maintained in transformWithState ValueState — min-wise
+    // state is lossless, so the streamed estimate equals the batch
+    // KmvAgg's exactly (shared oracle with sketch_kmv_distinct)
+    QueryDef("stream_kmv_distinct", DataGenQueries.kmvDistinctOracle) { (s, d) =>
+      Streaming.streamKmvDistinct(s, d)
+    },
     // Spark 4 transformWithState (arbitrary-state V2, RocksDB-backed):
     // per-user (count, Σ integer cents, max event id) in one typed
     // ValueState — order-free accumulators, batch-replayable oracle

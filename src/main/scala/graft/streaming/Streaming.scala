@@ -21,6 +21,52 @@ final case class SessionOut(
 final case class UserStats(
     user_id: Long, n_events: Long, sum_cents: Long, max_event_id: Long)
 
+/** KMV sketch state (bottom-k distinct hashes, ascending) for the
+  * streaming distinct estimator. */
+final case class KmvState(mins: Array[Long])
+
+/** Streaming distinct-estimate row: same columns/arithmetic as the
+  * batch `sketch_kmv_distinct` query, so they share one oracle. */
+final case class KmvEstimate(event_type: String, est_distinct: Long, sketch_size: Long)
+
+/** SKETCH-IN-STATE composition: a KMV bottom-k distinct sketch
+  * maintained per key inside transformWithState — the streaming form
+  * of [[graft.functions.KmvAgg]]. Min-wise merges are lossless, so
+  * after any arrival slicing the final sketch equals the batch
+  * aggregate's, and the emitted estimate is NON-DECREASING across
+  * batches (U₍ₖ₎ only shrinks) — the max row per key IS the final
+  * answer, which the shared batch oracle replays. O(k) state per key. */
+final class KmvStreamProcessor(k: Int)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, (String, Long), KmvEstimate] {
+  import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[KmvState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[KmvState](
+      "kmv", Encoders.product[KmvState], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KmvEstimate] = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (state.exists()) state.get().mins.foreach(m => set.add(m): Unit)
+    rows.foreach { case (_, h) =>
+      if (set.size < k) set.add(h): Unit
+      else if (h < set.last) { set.add(h); if (set.size > k) set.pollLast(): Unit }
+    }
+    val mins = new Array[Long](set.size)
+    val it = set.iterator(); var i = 0
+    while (it.hasNext) { mins(i) = it.next(); i += 1 }
+    state.update(KmvState(mins))
+    val est =
+      if (mins.length < k) mins.length.toLong
+      else (k - 1).toLong * 281474976710656L / mins(k - 1)
+    Iterator.single(KmvEstimate(key, est, mins.length.toLong))
+  }
+}
+
 /** Sessionizing StatefulProcessor (Spark 4 `transformWithState` with
   * EVENT-TIME TIMERS) — the V2 twin of the flatMapGroupsWithState
   * sessionizer [[Streaming.sessionizeCustomState]], same emission
@@ -869,6 +915,38 @@ object Streaming {
           org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
       runToMemory(spark, out.toDF(), s"sess_tws_${System.nanoTime()}",
         OutputMode.Append())
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  /** Streaming per-type distinct-user estimation: a KMV sketch
+    * maintained in transformWithState ValueState
+    * ([[KmvStreamProcessor]]) over the same md5-derived 48-bit hashes
+    * as the batch `sketch_kmv_distinct` — lossless min-wise state, so
+    * the final estimate equals the batch sketch's exactly and the two
+    * queries share one oracle. */
+  def streamKmvDistinct(spark: SparkSession, sfDir: String,
+      arrivalSlices: Int = 0): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = if (arrivalSlices > 0)
+        eventsArrivalStream(spark, sfDir, nFiles = arrivalSlices)
+      else eventsStream(spark, sfDir)
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      val out = src.select(col("event_type"), h.as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new KmvStreamProcessor(64),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      runToMemory(spark, out.toDF(), s"kmvstream_${System.nanoTime()}",
+        OutputMode.Update())
     } finally prev match {
       case Some(v) => spark.conf.set(providerKey, v)
       case None => spark.conf.unset(providerKey)

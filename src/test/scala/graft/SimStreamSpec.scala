@@ -252,6 +252,28 @@ class SimStreamSpec extends SparkSpec {
       s"engines diverged: only-tws=${(tws -- fmgws).take(3)} only-fmgws=${(fmgws -- tws).take(3)}")
   }
 
+  test("streamed KMV sketch converges to the batch sketch under slicing") {
+    import graft.functions.KmvAgg.kmv
+    // min-wise state is lossless: after all 3 slices the per-type
+    // estimate must EQUAL the batch KmvAgg estimate; and because U₍ₖ₎
+    // only shrinks, the per-type max over emitted rows is the final one
+    val streamed = graft.streaming.Streaming.streamKmvDistinct(spark, sf, arrivalSlices = 3)
+    val last = streamed.groupBy("event_type")
+      .agg(max(struct(col("sketch_size"), col("est_distinct"))).as("s"))
+      .select(col("event_type"), col("s.est_distinct"), col("s.sketch_size"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10).cast("long")
+    val batch = Tables.table(spark, sf, "events")
+      .select(col("event_type"), h.as("h"))
+      .groupBy("event_type").agg(kmv(col("h"), 64).as("mins"))
+      .select(col("event_type"),
+        when(size(col("mins")) < 64, size(col("mins")).cast("long"))
+          .otherwise(expr("17732923532771328 div element_at(mins, 64)")).as("est_distinct"),
+        size(col("mins")).cast("long").as("sketch_size"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(last.sameElements(batch))
+  }
+
   test("transformWithState accumulates across micro-batches to the batch truth") {
     // 3-slice arrival: users whose events span slices emit one Update
     // row per active batch; the accumulators are monotone, so the
