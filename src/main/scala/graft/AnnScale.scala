@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the ANN tiers (docs/EXPERIMENTS.md): exact brute
+  * force vs sign-bit Hamming shortlist + re-rank vs IVF, over a
+  * deterministic synthetic clustered vector set generated entirely
+  * inside the engine (`spark.range` + xxhash64 — no data files, same
+  * posture as GraphScale). Clustered, not uniform: nearest neighbors of
+  * a uniform random point in 64-d are statistical ties, so recall
+  * against brute force would measure noise; planted clusters give every
+  * query an unambiguous true neighborhood (its cluster-mates).
+  *
+  * Vector model: cluster c = id mod nClusters; component j =
+  * centroid(c,j) + 0.15·noise(id,j), both hash-uniform in [-1,1].
+  *
+  * Usage: runMain graft.AnnScale <nVecs> [dims=64] [nQueries=100] [nClusters=256] [cpus=32] [ops=all|brute,hamming,ivf]
+  * Prints one JSON line per op (wall seconds, rows) plus recall@k of
+  * each approximate tier against the exact baseline.
+  */
+object AnnScale {
+  def main(args: Array[String]): Unit = {
+    val nVecs = args.headOption.map(_.toLong).getOrElse(200000L)
+    val dims = args.lift(1).map(_.toInt).getOrElse(64)
+    val nQueries = args.lift(2).map(_.toInt).getOrElse(100)
+    val nClusters = args.lift(3).map(_.toInt).getOrElse(256)
+    val cpus = args.lift(4).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val ops = args.lift(5).getOrElse("all")
+    def want(op: String): Boolean = ops == "all" || ops.split(",").contains(op)
+    val k = 10
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ann-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val plan = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), j => {
+        val c = pmod(col("id"), lit(nClusters.toLong))
+        val cent = (pmod(xxhash64(c, j), lit(2001L)) - 1000L).cast("double") / 1000.0
+        val noise = (pmod(xxhash64(col("id"), j, lit(7L)), lit(2001L)) - 1000L)
+          .cast("double") / 1000.0
+        cent + noise * 0.15
+      }).as("embedding"))
+    // materialize generation OUTSIDE the timed region (generator cost is
+    // not search cost)
+    val (emb, _, _) = graft.operators.Iterate.ckpt(plan)
+    val stride = math.max(1L, nVecs / nQueries)
+    val isQ = col("vec_id") % stride === 0
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","n":$nVecs,"dims":$dims,"q":$nQueries,"sec":$s%.2f,"rows":$rows}""")
+      Console.out.flush()
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var truth: Set[(Long, Long)] = Set.empty
+
+    if (want("brute")) timed("ann_brute") {
+      val r = Similarity.topKBruteForce(emb, col("embedding"), col("vec_id"), isQ, k)
+      truth = pairs(r)
+      truth.size.toLong
+    }
+    def recall(name: String, got: Set[(Long, Long)]): Unit =
+      if (truth.nonEmpty)
+        println(f"""{"op":"${name}_recall","recall":${got.intersect(truth).size.toDouble / truth.size}%.4f}""")
+    if (want("hamming")) {
+      var got: Set[(Long, Long)] = Set.empty
+      timed("ann_hamming_rerank") {
+        val r = Similarity.topKHammingRerank(emb, col("embedding"), col("vec_id"),
+          isQ, k, shortlist = 10 * k, dims = dims)
+        got = pairs(r)
+        got.size.toLong
+      }
+      recall("ann_hamming_rerank", got)
+    }
+    if (want("ivf")) {
+      var got: Set[(Long, Long)] = Set.empty
+      timed(s"ann_ivf_c${nClusters}_p8") {
+        val r = Similarity.topKIvf(emb, col("embedding"), col("vec_id"),
+          isQ, k, nCentroids = nClusters, nProbe = 8)
+        got = pairs(r)
+        got.size.toLong
+      }
+      recall("ann_ivf", got)
+    }
+    spark.stop()
+  }
+}

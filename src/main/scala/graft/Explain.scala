@@ -38,6 +38,10 @@ object Explain {
     "text_unigram_logprob", "feature_binning",
     "text_bm25_topk", "text_cooccurrence_pmi", "text_source_drift",
     "q22_dormant_customers", "cdc_time_travel",
+    // q11's importance gate crosses the 1-row global-value total under
+    // the part-key-sized aggregate (scalar broadcast, like q22's
+    // average gate)
+    "q11_important_parts",
     // join_strategy_advice and join_size_estimate cross 1-row
     // statistics/sketch aggregates (scalar broadcast, not a pair scan)
     "join_strategy_advice", "join_size_estimate",
@@ -57,6 +61,11 @@ object Explain {
     "ann_ivf_rerank", "ann_ivf_stored", "pipeline_importance_weights",
     "pipeline_importance_resample", "pipeline_importance_hashed",
     "ann_hard_negatives",
+    // ann_hamming_rerank's wide pass broadcasts the query CODES (8-byte
+    // packed sign bits) over the corpus code table — a declared
+    // compute-trivial linear scan (XOR+POPCNT per pair), with the
+    // expensive cosine confined to the shortlist-bounded re-rank
+    "ann_hamming_rerank",
     // join_tfidf_cosine fans out its 1-row corpus-count aggregate under
     // the vocabulary-sized df table; quality_ks_drift densifies the
     // BOUNDED (groups × distinct-values) grid and fans out its 1-row
@@ -87,8 +96,13 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Optional local-debug filter, same contract as Bench/Verify:
+    // SPARK_GRAFT_ONLY="a,b" audits a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var flagged = 0
-    SparkEntry.registry.sortBy(_.name).foreach { q =>
+    SparkEntry.registry.sortBy(_.name)
+      .filter(q => only.forall(_.contains(q.name))).foreach { q =>
       try {
         val df = q.fn(spark, sfDir)
         df.count() // finalize AQE plan

@@ -497,4 +497,95 @@ object Similarity {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
   }
+
+  /** Sign-bit (binary) quantization: bit i of the code is `v[i] >= 0`,
+    * packed into 32-bit words (MSB-first fold, so the word value stays
+    * < 2³² — no 64-bit sign-overflow under ANSI arithmetic). `dims` is
+    * static, so the fold unrolls into a PLAIN expression tree —
+    * whole-stage-codegen'd, no CodegenFallback lambda in the plan. */
+  def signCode(v: Column, dims: Int): Column = {
+    require(dims > 0, "dims must be positive")
+    val words = (0 until dims by 32).map { w0 =>
+      (w0 until math.min(w0 + 32, dims)).foldLeft(lit(0L)) { (acc, i) =>
+        acc * 2 + when(element_at(v, i + 1) >= 0, 1L).otherwise(0L)
+      }
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two packed sign codes: popcount of the
+    * per-word XOR, summed. Unrolled over the static word count — the
+    * whole distance is one codegen'd integer expression (the reason to
+    * pack at all: the pair scan touches 4·⌈d/32⌉ bytes, not 8·d). */
+  def hammingDist(a: Column, b: Column, dims: Int): Column =
+    (0 until (dims + 31) / 32)
+      .map(w => bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1))))
+      .reduce(_ + _).cast("long")
+
+  /** ANN via binary sign-bit codes + exact re-rank: the Hamming pass
+    * scores packed codes only (queries broadcast; per-pair work is a
+    * handful of XOR+POPCNT instructions on 8–32 bytes — at 100 TB of
+    * fp32 vectors the code table is 1/64th the size and the scan is
+    * compute-trivial), keeps the `shortlist` nearest per query by
+    * (hamming, vid), then re-ranks ONLY the shortlist against full
+    * vectors with the shared sequential-fold cosine. Output contract
+    * matches the other ANN tiers: (query_id, neighbor_id, rnk, cos).
+    *
+    * Deterministic end-to-end: Hamming is integral (ties broken by
+    * vid), so the shortlist is exactly reproducible in SQL without
+    * replicating the bit-packing — popcount(xor(codes)) ≡ the count of
+    * sign mismatches, which is what the oracle counts directly. */
+  def topKHammingRerank(emb: DataFrame, vec: Column, id: Column,
+      isQuery: Column, k: Int, shortlist: Int, dims: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val e = withNorm(emb, vec, id).withColumn("code", signCode(col("v"), dims))
+    val q = withNorm(emb.filter(isQuery), vec, id)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("qcode", signCode(col("qv"), dims))
+    // wide pass: codes only — the full vectors never reach this join,
+    // and the shuffled window payload is (qid, vid, ham): 24 bytes/row
+    val ham = e.select(col("vid"), col("code"))
+      .join(broadcast(q.select(col("qid"), col("qcode"))),
+        col("vid") =!= col("qid"))
+      .withColumn("ham", hammingDist(col("code"), col("qcode"), dims))
+    val hw = Window.partitionBy(col("qid")).orderBy(col("ham"), col("vid"))
+    val sl = ham.withColumn("hrnk", row_number().over(hw))
+      .filter(col("hrnk") <= shortlist)
+      .select(col("qid").as("s_qid"), col("vid").as("s_vid"))
+    // narrow pass: shortlist × full vectors only (shortlist·|q| rows)
+    val rer = sl
+      .join(e.select(col("vid"), col("v"), col("nrm")), col("vid") === col("s_vid"))
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))),
+        col("qid") === col("s_qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    rer.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rnk"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Blocked exact k-NN graph: top-k cosine neighbors per vector WITHIN
+    * its block (label/shard/cluster key) — the candidate generator is a
+    * plain equi-join on the block key, so the pair count is
+    * Σ_b |b|² instead of n², and the shuffle co-locates each block.
+    * This is the kNN-graph construction step of graph-based dedup /
+    * semantic clustering pipelines; at corpus scale the block key comes
+    * from a coarse quantizer (IVF centroid id) instead of a label, same
+    * dataflow. Exact within blocks, deterministic (cos desc, dst). */
+  def knnGraphBlocked(emb: DataFrame, vec: Column, id: Column,
+      block: Column, k: Int): DataFrame = {
+    def side(p: String) = emb
+      .select(id.as(p + "id"), block.as(p + "lbl"), Dedup.asDouble(vec).as(p + "v"))
+      .withColumn(p + "nrm", sqrt(dot(col(p + "v"), col(p + "v"))))
+    val a = side("a_")
+    val b = side("b_")
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    a.join(b, col("a_lbl") === col("b_lbl") && col("a_id") =!= col("b_id"))
+      .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")))
+      .select(col("a_id").as("src"), col("b_id").as("dst"),
+        col("a_lbl").as("label"), col("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("label"), col("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
 }

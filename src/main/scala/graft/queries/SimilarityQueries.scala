@@ -148,6 +148,50 @@ object SimilarityQueries {
         col("label"), col("vec_id") % 50 === 0, k = 3)
         .withColumnRenamed("rank", "rnk")
     },
+    // binary sign-bit codes + exact re-rank: the Hamming shortlist is
+    // integral (ties by vid), so the oracle reproduces it WITHOUT the
+    // bit-packing — popcount(xor(codes)) ≡ count of sign mismatches,
+    // counted directly over the two vectors; only the 50-deep shortlist
+    // is re-ranked with the shared fold cosine
+    QueryDef(
+      "ann_hamming_rerank",
+      s"""$normCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+         |h AS (SELECT q.qid, n.vec_id AS nid,
+         |  len(list_filter(range(1, len(q.qv) + 1), i -> (q.qv[i] >= 0) <> (n.v[i] >= 0))) AS ham
+         |  FROM q JOIN n ON n.vec_id <> q.qid),
+         |sl AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS hrnk FROM h) WHERE hrnk <= 50),
+         |p AS (SELECT sl.qid, sl.nid,
+         |  list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * n.v[i])), (x, y) -> x + y) / (q.qn * n.nrm) AS cos
+         |  FROM sl JOIN q ON q.qid = sl.qid JOIN n ON n.vec_id = sl.nid),
+         |r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM p)
+         |SELECT qid AS query_id, nid AS neighbor_id, rnk, round(cos, 6) AS cos
+         |FROM r WHERE rnk <= 5""".stripMargin) { (s, d) =>
+      Similarity.topKHammingRerank(
+        Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"),
+        col("vec_id") % 50 === 0, k = 5, shortlist = 50, dims = 64)
+    },
+    // blocked exact k-NN graph: neighbor candidates from a plain
+    // equi-join on the block key (label here; an IVF centroid id at
+    // corpus scale) — Σ|block|² pairs, never n², each block co-located
+    // by the join shuffle
+    QueryDef(
+      "knn_graph_blocked",
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst, label, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk FROM p)
+        |SELECT src, dst, label, rnk, round(cos, 6) AS cos
+        |FROM r WHERE rnk <= 3""".stripMargin) { (s, d) =>
+      Similarity.knnGraphBlocked(
+        Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"),
+        col("label"), k = 3)
+    },
     // sparse tf-idf cosine similarity join over word 3-shingle terms:
     // exact cosine through the inverted-index equi-join (no verify pass
     // — non-shared terms contribute 0), idf-weighted, hot terms over

@@ -4,19 +4,29 @@ import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
-/** The rest of the TPC-H-shaped battery expressible on the driver's
-  * reduced star schema (no partsupp, no commit/receipt dates, no
-  * shipmode — Q2/Q11/Q16/Q20/Q21 need those and are out of scope;
-  * Q1/Q3/Q5/Q9/Q10 live in AggQueries/AdvancedQueries).
+/** The full TPC-H-shaped battery on the driver's reduced star schema.
+  * Q1/Q3/Q5/Q9/Q10 live in AggQueries/AdvancedQueries. The schema has
+  * no partsupp, no commit/receipt dates, no shipmode, so Q2/Q11/Q12/
+  * Q16/Q20/Q21 cannot be reproduced literally — instead each is carried
+  * as a `*-shaped` analogue that preserves the query's OPTIMIZER SHAPE
+  * (the thing the engine must execute well at 100 TB) on the columns
+  * that do exist: lineitem stands in for partsupp as the part↔supplier
+  * bridge, l_returnflag='R' stands in for "receipt late" in q21.
   *
   * Each query targets one optimizer capability the engine must keep at
-  * 100 TB: EXISTS decorrelation to a semi join (q4), full scan-level
+  * 100 TB: correlated per-group MIN decorrelated to agg + join-back
+  * (q2), EXISTS decorrelation to a semi join (q4), full scan-level
   * predicate pushdown (q6), self-joined broadcast dims with a
   * disjunctive cross-dim filter (q7), conditional aggregation over an
-  * 8-table join (q8), outer-join-with-ON-filter + re-aggregation (q13),
+  * 8-table join (q8), group-HAVING against a fraction of a global
+  * scalar aggregate (q11), conditional bucket counts over a fact-fact
+  * join (q12), outer-join-with-ON-filter + re-aggregation (q13),
   * two-sum ratio in one pass (q14), exact-decimal scalar-subquery max
-  * (q15), correlated per-group average threshold (q17), windowless
+  * (q15), distinct-count with a NOT-IN exclusion anti join (q16),
+  * correlated per-group average threshold (q17), windowless
   * having-semi-join (q18), multi-range disjunctive join filter (q19),
+  * nested agg→agg→semi→semi chain (q20), double-correlated
+  * EXISTS/NOT-EXISTS with a non-equi correlation conjunct (q21),
   * scalar-average gate + anti join (q22).
   *
   * All money arithmetic follows the module-wide decimal contract
@@ -323,6 +333,216 @@ object TpchQueries {
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("numcust"),
           sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
+    },
+    // Q2-shaped min-cost supplier: the classic correlated scalar MIN
+    // subquery (per part: "the supplier matching that part's minimum
+    // price"), decorrelated into ONE part-keyed min aggregate joined
+    // back on (part, exact-decimal price) — never a per-row re-scan.
+    // lineitem is the part↔supplier bridge (no partsupp in this
+    // schema); the region-filtered supplier dim broadcasts, and the
+    // min-aggregate is part-key-sized so AQE may broadcast it too.
+    // Ties (several suppliers hitting the min) are all returned, as in
+    // TPC-H Q2; DISTINCT collapses multiple min-priced lineitems of
+    // the same supplier.
+    QueryDef(
+      "q2_min_cost_supplier",
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |px AS (
+        |  SELECT l_partkey AS pk, s_suppkey, s_name, s_acctbal, n_name,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem JOIN eu ON s_suppkey = l_suppkey),
+        |mn AS (SELECT pk, min(price) AS min_price FROM px GROUP BY pk)
+        |SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+        |FROM part
+        |JOIN px ON px.pk = p_partkey
+        |JOIN mn ON mn.pk = px.pk AND px.price = mn.min_price
+        |WHERE p_size = 10""".stripMargin) { (s, d) =>
+      val sup = Tables.table(s, d, "supplier")
+      val n = Tables.table(s, d, "nation")
+      val r = Tables.table(s, d, "region").filter(col("r_name") === "EUROPE")
+      val eu = sup.join(broadcast(n), n("n_nationkey") === sup("s_nationkey"))
+        .join(broadcast(r), r("r_regionkey") === n("n_regionkey"))
+        .select(sup("s_suppkey"), sup("s_name"), sup("s_acctbal"), n("n_name"))
+      val li = Tables.table(s, d, "lineitem")
+      val px = li.join(broadcast(eu), col("s_suppkey") === li("l_suppkey"))
+        .select(li("l_partkey").as("pk"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"),
+          li("l_extendedprice").cast(dec).as("price"))
+      val mn = px.groupBy(col("pk").as("m_pk"))
+        .agg(min(col("price")).as("min_price"))
+      val p = Tables.table(s, d, "part").filter(col("p_size") === 10)
+      px.join(mn, col("m_pk") === col("pk") && col("price") === col("min_price"))
+        .join(broadcast(p), p("p_partkey") === col("pk"))
+        .select(p("p_partkey"), p("p_name"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"))
+        .distinct()
+    },
+    // Q11-shaped important parts: per-part value restricted to one
+    // nation's suppliers, kept when it exceeds a FRACTION of the global
+    // scalar total over the same aggregate — the total is a 1-row
+    // broadcast over the already-aggregated (part-key-sized) relation,
+    // never over raw lineitem. val×1000 > total keeps the comparison in
+    // exact decimal (no 0.001 float literal on either engine).
+    QueryDef(
+      "q11_important_parts",
+      """WITH v AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS pval
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name = 'NATION_13'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS partkey, CAST(pval AS DOUBLE) AS value
+        |FROM v WHERE pval * 1000 > (SELECT sum(pval) FROM v)""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+      val sup = Tables.table(s, d, "supplier")
+      val nat = Tables.table(s, d, "nation").filter(col("n_name") === "NATION_13")
+      val v = li
+        .join(broadcast(sup), sup("s_suppkey") === li("l_suppkey"))
+        .join(broadcast(nat), nat("n_nationkey") === sup("s_nationkey"))
+        .groupBy(li("l_partkey"))
+        .agg(sum(li("l_extendedprice").cast(dec)).as("pval"))
+      val tot = v.agg(sum(col("pval")).as("tot"))
+      v.join(broadcast(tot), col("pval") * 1000 > col("tot"))
+        .select(col("l_partkey").as("partkey"),
+          col("pval").cast("double").as("value"))
+    },
+    // Q12-shaped shipping-priority census: fact-fact equi join feeding
+    // two conditional counts per group (l_linestatus stands in for
+    // l_shipmode). count(CASE…) on both engines — BIGINT, never
+    // DuckDB's HUGEINT sum.
+    QueryDef(
+      "q12_priority_class",
+      """SELECT l_linestatus AS linestatus,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        |GROUP BY l_linestatus""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate") < lit("1998-01-01").cast("date"))
+      val o = Tables.table(s, d, "orders")
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(li("l_linestatus").as("linestatus"))
+        .agg(
+          count(when(urgent, 1)).as("high_line_count"),
+          count(when(!urgent, 1)).as("low_line_count"))
+    },
+    // Q16-shaped supplier census: count(DISTINCT supplier) per part
+    // descriptor, minus a NOT-IN exclusion list — the exclusion becomes
+    // a broadcast ANTI join against the (tiny) flagged-supplier set; at
+    // scale the distinct-count shuffles once on the (brand, type, size)
+    // group key after partial aggregation.
+    QueryDef(
+      "q16_supplier_census",
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_size IN (1, 10, 20, 25, 30, 40, 45, 50)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+      val excl = Tables.table(s, d, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("x_sk"))
+      val p = Tables.table(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#3" &&
+          col("p_size").isin(1, 10, 20, 25, 30, 40, 45, 50))
+      li.join(broadcast(excl), col("x_sk") === li("l_suppkey"), "left_anti")
+        .join(broadcast(p), p("p_partkey") === li("l_partkey"))
+        .groupBy(p("p_brand"), p("p_type"), p("p_size"))
+        .agg(countDistinct(li("l_suppkey")).as("supplier_cnt"))
+    },
+    // Q20-shaped excess suppliers: the nested agg→agg→semi→semi chain —
+    // per-(part,supplier) shipped quantity vs 30% of the part's total
+    // (both exact decimal, compared via integer-scaled products), gated
+    // to name-filtered parts, then the surviving supplier keys semi-join
+    // the nation-filtered supplier dim. Both aggregates are
+    // part-key-sized; raw lineitem is scanned ONCE.
+    QueryDef(
+      "q20_excess_suppliers",
+      """WITH pq AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT pk, sum(sq) AS tq FROM pq GROUP BY pk),
+        |cand AS (
+        |  SELECT DISTINCT sk FROM pq
+        |  JOIN pt USING (pk)
+        |  JOIN part ON p_partkey = pk
+        |  WHERE p_name LIKE 'red%' AND sq * 10 > tq * 3)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_2','NATION_7','NATION_12','NATION_17','NATION_22')
+        |  AND s_suppkey IN (SELECT sk FROM cand)""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date"))
+      val pq = li.groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(sum(col("l_quantity").cast(dec)).as("sq"))
+      val pt = pq.groupBy(col("pk").as("t_pk")).agg(sum(col("sq")).as("tq"))
+      val pRed = Tables.table(s, d, "part")
+        .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+      val cand = pq.join(pt, col("t_pk") === col("pk"))
+        .join(broadcast(pRed), col("p_partkey") === col("pk"), "left_semi")
+        .filter(col("sq") * 10 > col("tq") * 3)
+        .select(col("sk")).distinct()
+      val asia = Tables.table(s, d, "nation").filter(col("n_name").isin(
+        "NATION_2", "NATION_7", "NATION_12", "NATION_17", "NATION_22"))
+      val sup = Tables.table(s, d, "supplier")
+      sup.join(broadcast(asia), col("n_nationkey") === sup("s_nationkey"), "left_semi")
+        .join(cand, col("sk") === sup("s_suppkey"), "left_semi")
+        .select(sup("s_suppkey"), sup("s_name"))
+    },
+    // Q21-shaped waiting suppliers: the battery's hardest decorrelation
+    // — per fact row, EXISTS a sibling from ANOTHER supplier in the
+    // same order, and NOT EXISTS a returned sibling from another
+    // supplier. Both correlations carry a NON-EQUI conjunct
+    // (l2.suppkey <> l1.suppkey) on top of the orderkey equi-key, so
+    // they plan as a semi + anti join pair with mixed predicates;
+    // l_returnflag='R' stands in for TPC-H's receipt-after-commit
+    // lateness. The nation-filtered supplier dim broadcasts FIRST so
+    // the fact side is pruned before either correlation join.
+    QueryDef(
+      "q21_waiting_suppliers",
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_4'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin) { (s, d) =>
+      val l1 = Tables.table(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      val o = Tables.table(s, d, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val nat = Tables.table(s, d, "nation").filter(col("n_name") === "NATION_4")
+      val sup = Tables.table(s, d, "supplier")
+        .join(broadcast(nat), col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      // independent scans for the two correlations (same-Dataset reuse
+      // would alias attributes across the self-joins)
+      val l2 = Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = Tables.table(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      l1.join(broadcast(sup), col("s_suppkey") === l1("l_suppkey"))
+        .join(o, o("o_orderkey") === l1("l_orderkey"), "left_semi")
+        .join(l2, col("ok2") === l1("l_orderkey") &&
+          col("sk2") =!= l1("l_suppkey"), "left_semi")
+        .join(l3, col("ok3") === l1("l_orderkey") &&
+          col("sk3") =!= l1("l_suppkey"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
     }
   )
 }

@@ -239,6 +239,79 @@ class DedupSpec extends SparkSpec {
     assert(rr == ivf)
   }
 
+  test("signCode packs MSB-first 32-bit words; tail word handles dims % 32 != 0") {
+    import spark.implicits._
+    // 5 dims, signs (+,−,0→+,−,+) → bits 1,0,1,0,1 MSB-first = 10101₂ = 21
+    val df = Seq((1L, Array(1.0, -1.0, 0.0, -2.0, 3.0))).toDF("id", "v")
+    val code = df.select(Similarity.signCode(col("v"), 5)).head().getSeq[Long](0)
+    assert(code == Seq(21L))
+    // 33 dims spill into a second word: first word = 32 ones, second = 1
+    val ones = Seq((1L, Array.fill(33)(1.0))).toDF("id", "v")
+    val c2 = ones.select(Similarity.signCode(col("v"), 33)).head().getSeq[Long](0)
+    assert(c2 == Seq(0xFFFFFFFFL, 1L))
+  }
+
+  test("packed-code Hamming equals the direct sign-mismatch count on real vectors") {
+    val e = emb.select(col("vec_id"),
+      Similarity.signCode(Dedup.asDouble(col("embedding")), 64).as("code"))
+    val a = e.select(col("vec_id").as("ida"), col("code").as("ca"))
+    val b = e.select(col("vec_id").as("idb"), col("code").as("cb"))
+    val got = a.join(b, col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        Similarity.hammingDist(col("ca"), col("cb"), 64).as("ham"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    got.foreach { case ((i, j), ham) =>
+      val direct = vecs(i).zip(vecs(j)).count { case (x, y) => (x >= 0) != (y >= 0) }
+      assert(ham == direct, s"pair ($i,$j): packed $ham vs direct $direct")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("hamming re-rank with an exhaustive shortlist reproduces brute force exactly") {
+    val vec = col("embedding"); val id = col("vec_id")
+    val isQ = col("vec_id") % 10 === 0
+    val n = emb.count().toInt
+    val hr = Similarity.topKHammingRerank(emb, vec, id, isQ,
+        k = 3, shortlist = n, dims = 64)
+      .select("query_id", "neighbor_id", "rnk", "cos").collect().map(_.toSeq).toSet
+    val bf = Similarity.topKBruteForce(emb, vec, id, isQ, k = 3)
+      .select("query_id", "neighbor_id", "rank", "cos").collect().map(_.toSeq).toSet
+    assert(hr == bf)
+    // and a REAL shortlist keeps recall high on these vectors (the
+    // sign-bit sketch preserves neighborhood ordering approximately)
+    val short = Similarity.topKHammingRerank(emb, vec, id, isQ,
+        k = 3, shortlist = math.max(10, n / 4), dims = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = bf.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long]))
+    val recall = short.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"hamming shortlist recall fell to $recall")
+  }
+
+  test("blocked kNN graph: edges stay within blocks, ranks deterministic and dense") {
+    val g = Similarity.knnGraphBlocked(emb, col("embedding"), col("vec_id"),
+      col("label"), k = 2)
+    val rows = g.collect()
+    val lbl = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    rows.foreach { r =>
+      assert(lbl(r.getLong(0)) == lbl(r.getLong(1)),
+        s"edge ${r.getLong(0)}→${r.getLong(1)} crosses blocks")
+      assert(lbl(r.getLong(0)) == r.get(2), "label column must be the block key")
+    }
+    // per-src ranks are 1..k (dense, no gaps) wherever the block has
+    // enough members, and cosines are non-increasing in rank
+    rows.groupBy(_.getLong(0)).foreach { case (src, es) =>
+      val byRank = es.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to es.length).toSeq, s"src $src ranks")
+      val coss = byRank.map(_.getDouble(4)).toSeq
+      assert(coss == coss.sorted.reverse, s"src $src cos not descending")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("int8 re-rank: quantization error bounded, pruned recall tracks plain IVF") {
     val vec = col("embedding"); val id = col("vec_id")
     val isQ = col("vec_id") % 50 === 0

@@ -69,6 +69,49 @@ class TpchPlanSpec extends SparkSpec {
       "gate aggregation must survive (not re-joined raw)")
   }
 
+  // decorrelation SHAPE is a logical property — assert on the optimized
+  // plan (AQE's rendered physical tree hides joins that ran in early,
+  // already-materialized stages)
+  private def optimized(name: String): String = {
+    val df = TpchQueries.all.find(_.name == name).get.fn(spark, sf)
+    df.queryExecution.optimizedPlan.toString
+  }
+
+  test("q21: both correlations become one semi + one anti join (never per-row rescans)") {
+    val s = optimized("q21_waiting_suppliers")
+    assert("LeftSemi".r.findAllIn(s).size >= 2,
+      "orders gate + EXISTS correlation must both be semi joins")
+    assert(s.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+    // the non-equi correlation conjunct (other-supplier) must survive
+    // INSIDE the join conditions, not as a filter over a pair blow-up
+    assert(s.contains("NOT (sk2") || s.contains("NOT (l_suppkey"),
+      s"non-equi conjunct missing from join conditions:\n$s")
+    assert(!render(run("q21_waiting_suppliers")).contains("CartesianProduct"))
+  }
+
+  test("q2: the correlated MIN decorrelates to a part-keyed aggregate joined back") {
+    val s = render(run("q2_min_cost_supplier"))
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "expected partial + final min aggregation")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("q16: the NOT-IN exclusion is an anti join; distinct-count aggregates partially") {
+    assert(optimized("q16_supplier_census").contains("LeftAnti"),
+      "NOT IN must become an anti join")
+    val s = render(run("q16_supplier_census"))
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "count(distinct) must keep partial aggregation")
+  }
+
+  test("q20: agg→agg→semi→semi chain survives (one lineitem scan, two semi joins)") {
+    val s = render(run("q20_excess_suppliers"))
+    assert("LeftSemi".r.findAllIn(s).size >= 2,
+      "part-name gate and supplier gate must both be semi joins")
+    assert("HashAggregate".r.findAllIn(s).size >= 4,
+      "both quantity aggregates must keep partial aggregation")
+  }
+
   test("q15: exact-decimal max — no double compare anywhere in the plan") {
     val df = TpchQueries.all.find(_.name == "q15_top_supplier").get.fn(spark, sf)
     // the revenue/max comparison runs in DecimalType; only the final
