@@ -353,4 +353,31 @@ object Joins {
     cfg.output.foreach(o => Tables.writeKeyTab(out.select(col("key"), concat_ws(",", col("left_row"), col("right_row"))), o))
     out
   }
+
+  /** Bloom-pruned semi join: fact rows whose `factKey` appears in
+    * `dim`'s `dimKey` set, with the fact side PRE-FILTERED by a
+    * broadcast Bloom sketch of the dim keys before the join exchange.
+    *
+    * The 100 TB shape this buys: when the dim side is selective, the
+    * plain semi join still shuffles EVERY fact row to the join — the
+    * dominant cost at fact scale. The Bloom build is one distributed
+    * aggregate over the dim keys (sketch size is bits-per-key ·
+    * expectedItems, independent of fact size), the probe is a
+    * codegen'd per-row bit test at the fact SCAN ([[graft.functions
+    * .BloomMightContain]]), and only the ≤ (match + fpp·nonmatch)
+    * survivors enter the exchange. The exact semi join on the
+    * survivors removes the false positives, so the result is exactly
+    * the plain semi join — the sketch changes the plan, never the
+    * answer. (Spark's `runtime.bloomFilter` optimization makes the
+    * same transform automatically inside one query when thresholds
+    * align; the explicit operator works at any size and lets a
+    * pipeline reuse one sketch across many queries.) */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: Column, dimKey: Column,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey.cast("long"), expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val keys = dim.select(dimKey.cast("long").as("__bloom_k")).distinct()
+    fact.filter(graft.functions.BloomProbe.mightContain(bc, factKey.cast("long")))
+      .join(keys, factKey.cast("long") === col("__bloom_k"), "left_semi")
+  }
 }

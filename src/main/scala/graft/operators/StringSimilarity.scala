@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Edit-distance similarity join — the data-cleaning companion to the
@@ -85,5 +86,64 @@ object StringSimilarity {
         .filter(col("dist") >= 0)
         .distinct()
     }
+  }
+
+  /** Sorted-neighborhood blocking join (Hernández & Stolfo, SIGMOD '95
+    * — the classic merge/purge method): records are globally ordered by
+    * a blocking `key`, and only pairs within `window` positions of each
+    * other in that order become candidates, verified by exact
+    * `levenshtein(key_a, key_b) <= tau`. The complement of the
+    * symmetric-delete family in [[editDistanceSelfJoin]]: deletes
+    * bucket on CONTENT variants (complete for small τ, volume grows
+    * with len^τ); sorted neighborhood bounds candidates to n·(window−1)
+    * REGARDLESS of string length or τ — the standard trade when keys
+    * are long or τ is loose, at the price of recall limited to what the
+    * sort order co-locates (production runs multiple passes with
+    * different key transpositions; this is one pass).
+    *
+    * Scale shape: the global rank comes from a range partition + per-
+    * partition `row_number` + partition-count prefix offsets (the
+    * [[CorpusOps.deterministicShuffle]] pattern — no single-task global
+    * window; the collect is partition-count-bounded). Rank is a
+    * property of the total (key, id) order alone, so sampled range
+    * boundaries never change the result. Candidate generation is an
+    * equi-join on rank blocks of width `window`: the left side keeps
+    * its home block `⌊r/w⌋`, the right side replicates to
+    * `{⌊r/w⌋, ⌊r/w⌋−1}`, and a pair at distance < w shares exactly one
+    * of those — each candidate met once, no distinct needed (the same
+    * meet-exactly-once construction as [[Spatial.radiusSelfJoin]]'s
+    * 3×3 grid). Output: (id_a, id_b, dist) with `a` the lower RANK.
+    */
+  def sortedNeighborhoodJoin(df: DataFrame, id: Column, key: Column,
+      window: Int, tau: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val spark = df.sparkSession
+    val nP = spark.sessionState.conf.numShufflePartitions
+    val base = df.select(id.as("__id"), key.as("__k"))
+    val parts = base.repartitionByRange(nP, col("__k"), col("__id"))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val offsets = parts.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
+      .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toMap
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (p, off)) =>
+      when(col("__pid") === p, lit(off)).otherwise(e)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__k"), col("__id"))
+    val ranked = parts
+      .withColumn("__r", row_number().over(w).cast("long") - 1 + offsetExpr)
+      .select(col("__id"), col("__k"), col("__r"))
+    // ranks are non-negative, so the long-division cast IS floor
+    val blockOf = (r: Column) => (r / lit(window.toLong)).cast("long")
+    val left = ranked.select(col("__id").as("id_a"), col("__k").as("k_a"),
+      col("__r").as("ra"), blockOf(col("__r")).as("__b"))
+    val right = ranked.select(col("__id").as("id_b"), col("__k").as("k_b"),
+        col("__r").as("rb"))
+      .withColumn("__b", explode(array(blockOf(col("rb")), blockOf(col("rb")) - 1)))
+    left.join(right, "__b")
+      .filter(col("rb") > col("ra") && col("rb") - col("ra") < window)
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
+      .filter(col("dist") <= tau)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

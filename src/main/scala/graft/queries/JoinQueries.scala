@@ -249,6 +249,29 @@ object JoinQueries {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
       }
     },
+    // the EXPLICIT counterpart of join_bloom_pruned: the dim-key Bloom
+    // sketch is built once as its own distributed aggregate
+    // (dim.stat.bloomFilter) and probed from a codegen'd expression at
+    // the fact scan (functions.BloomMightContain) — no optimizer
+    // thresholds involved, and the sketch object is reusable across
+    // queries. Exact-by-construction: the ≤1% false positives pass the
+    // probe but die in the exact semi join that follows, so the oracle
+    // is the plain IN-subquery.
+    QueryDef(
+      "join_bloom_semi",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      val dim = Tables.table(s, d, "orders")
+        .filter(col("o_totalprice") > 450000).select(col("o_orderkey"))
+      Joins.bloomSemiJoin(Tables.table(s, d, "lineitem"), dim,
+          col("l_orderkey"), col("o_orderkey"), expectedItems = 200000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    },
     // the thesis's Figure-6.11 decision tree as a query
     // (Joins.adviseStrategy): per dim⋈fact pair, the statistics the
     // tree branches on and the recommended strategy. Budget is 1 MiB

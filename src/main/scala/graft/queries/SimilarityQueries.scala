@@ -318,6 +318,25 @@ object SimilarityQueries {
         .join(cc, col("c_custkey") === col("node"), "left_outer")
         .select(col("c_custkey"),
           coalesce(col("rep"), col("c_custkey")).as("entity_rep"))
+    },
+    // sorted-neighborhood blocking (Hernández–Stolfo merge/purge): ER
+    // candidates limited to a width-4 window over the global c_name
+    // sort order, verified levenshtein ≤ 2 — the linear-candidate
+    // alternative to symmetric-delete blocking when keys are long or τ
+    // is loose. The engine never sorts globally (range partition +
+    // prefix-offset ranks) and never joins all pairs (n·(w−1)
+    // candidates); the oracle replays the definition directly off one
+    // window rank.
+    QueryDef(
+      "entity_sorted_neighborhood",
+      """WITH r AS (SELECT c_custkey AS id, c_name AS k,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS r FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.k, b.k) AS dist
+        |FROM r a JOIN r b ON b.r > a.r AND b.r - a.r < 4
+        |WHERE levenshtein(a.k, b.k) <= 2""".stripMargin) { (s, d) =>
+      graft.operators.StringSimilarity.sortedNeighborhoodJoin(
+        Tables.table(s, d, "customer"), col("c_custkey"), col("c_name"),
+        window = 4, tau = 2)
     }
   )
 }

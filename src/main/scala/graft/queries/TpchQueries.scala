@@ -514,7 +514,7 @@ object TpchQueries {
         |JOIN orders ON o_orderkey = l1.l_orderkey
         |JOIN supplier ON s_suppkey = l1.l_suppkey
         |JOIN nation ON n_nationkey = s_nationkey
-        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_4'
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_12'
         |  AND EXISTS (SELECT 1 FROM lineitem l2
         |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
@@ -524,7 +524,10 @@ object TpchQueries {
       val l1 = Tables.table(s, d, "lineitem").filter(col("l_returnflag") === "R")
       val o = Tables.table(s, d, "orders")
         .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
-      val nat = Tables.table(s, d, "nation").filter(col("n_name") === "NATION_4")
+      // NATION_12 (not TPC-H's SAUDI ARABIA analogue slot) because it is
+      // the nation with waiting suppliers at BOTH sf0.001 (smoke) and
+      // sf0.01 (oracle gate) in the driver's fixtures
+      val nat = Tables.table(s, d, "nation").filter(col("n_name") === "NATION_12")
       val sup = Tables.table(s, d, "supplier")
         .join(broadcast(nat), col("n_nationkey") === col("s_nationkey"))
         .select(col("s_suppkey"), col("s_name"))

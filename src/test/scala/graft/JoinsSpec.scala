@@ -155,4 +155,37 @@ class JoinsSpec extends SparkSpec {
     assert(r.getLong(1) == 10L && r.getLong(2) == 100L && r.getLong(3) == 91L &&
       r.getLong(4) == 1000L)
   }
+
+  test("bloomSemiJoin equals the plain semi join and prunes at the fact scan") {
+    val fact = Tables.table(spark, sf, "lineitem")
+    val dim = Tables.table(spark, sf, "orders")
+      .filter(col("o_totalprice") > 450000).select(col("o_orderkey"))
+    val viaBloom = Joins.bloomSemiJoin(fact, dim, col("l_orderkey"), col("o_orderkey"),
+      expectedItems = 10000L)
+    // exactness: FPs pass the probe but die in the exact semi join —
+    // the sketch changes the plan, never the answer (no false negatives
+    // is the other half of the same equality)
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(viaBloom.count() == plain.count())
+    assert(viaBloom.select(col("l_orderkey"), col("l_linenumber")).except(
+      plain.select(col("l_orderkey"), col("l_linenumber"))).isEmpty)
+    // the probe filter sits in the plan (below the join, at the scan
+    // side) and actually prunes: with a ~10% dim selectivity the
+    // surviving row count must be far under the full fact table
+    val planStr = viaBloom.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_bloom_might_contain"), planStr.take(2000))
+    val bf = dim.stat.bloomFilter(col("o_orderkey").cast("long"), 10000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val survivors = fact.filter(
+      graft.functions.BloomProbe.mightContain(bc, col("l_orderkey").cast("long"))).count()
+    val total = fact.count()
+    assert(survivors < total / 2, s"bloom pruned nothing: $survivors of $total")
+    assert(survivors >= plain.count(), "bloom dropped a true match (false negative)")
+    // the expression is real codegen, not CodegenFallback — the probe
+    // must stay inside the scan's WholeStageCodegen at fact scale
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val e = graft.functions.BloomMightContain(
+      org.apache.spark.sql.graft.Bridge.expression(col("x").cast("long")), bc)
+    assert(!e.isInstanceOf[CodegenFallback])
+  }
 }

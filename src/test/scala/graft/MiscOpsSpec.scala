@@ -646,4 +646,45 @@ class MiscOpsSpec extends SparkSpec {
     val est = 63L * 281474976710656L / mins.last
     assert(math.abs(est - n).toDouble / n < 0.15, s"est=$est exact=$n")
   }
+
+  test("sortedNeighborhoodJoin equals the brute-force window definition") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Seq("anna", "anne", "annex", "bob", "bobby", "carol", "carl",
+      "dave", "davy", "ed", "edd", "eddy", "zed")
+    val rows = names.zipWithIndex.map { case (n, i) => (i.toLong + 1, n) }
+    val df = rows.toDF("id", "name")
+    val w = 3
+    val tau = 2
+    // brute force straight off the definition: global (name, id) order,
+    // all pairs within w positions, exact distance filter
+    val order = rows.sortBy { case (id, n) => (n, id) }
+    val expect = (for {
+      i <- order.indices
+      j <- (i + 1) until math.min(i + w, order.size)
+      d = lev(order(i)._2, order(j)._2)
+      if d <= tau
+    } yield (order(i)._1, order(j)._1, d)).toSet
+    assert(expect.nonEmpty)
+    val got = StringSimilarity.sortedNeighborhoodJoin(df, col("id"), col("name"), w, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // no duplicate candidates: the two-block replication meets each
+    // qualifying pair exactly once
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == expect)
+    // rank is a property of the total order alone — partitioning must
+    // not change the result
+    for (parts <- Seq(1, 2, 7)) {
+      val g2 = StringSimilarity.sortedNeighborhoodJoin(
+        df.repartition(parts), col("id"), col("name"), w, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(g2 == expect, s"parts=$parts")
+    }
+  }
 }
