@@ -182,10 +182,10 @@ object CorpusOps {
     * the unigram vocabulary, the distinct-BIGRAM table grows with
     * corpus size, so it is NOT force-broadcast: the probability join
     * shuffles on (w1, w2) and AQE broadcasts only when the pair table
-    * actually fits. Per-doc means accumulate DECIMAL on 6-dp-rounded
-    * token logs, so the output is order-independent and
-    * engine-reproducible. Docs with fewer than two tokens have no
-    * bigrams and no row. */
+    * actually fits. Per-doc means accumulate integer log-MICROS and
+    * divide half-away in BIGINT arithmetic, so the output is
+    * order-independent and engine-reproducible. Docs with fewer than
+    * two tokens have no bigrams and no row. */
   def bigramLogProb(docs: DataFrame, text: Column, id: Column): DataFrame = {
     val bg = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("w"))
       .filter(size(col("w")) >= 2)
@@ -195,14 +195,16 @@ object CorpusOps {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val pairCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val headCounts = pairCounts.groupBy("w1").agg(sum(col("cb")).as("ch"))
+    // integer micros + half-away integer mean — same portability
+    // contract as [[unigramLogProb]] (see the boundary note there)
     val probs = pairCounts.join(headCounts, Seq("w1"))
       .select(col("w1"), col("w2"),
-        round(log10(col("cb").cast("double") / col("ch")), 6).as("logp"))
+        round(log10(col("cb").cast("double") / col("ch")) * 1000000, 0).cast("long").as("lpm"))
     bg.join(probs, Seq("w1", "w2"))
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(sum(col("logp").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (meanMicrosHalfAway("__s", "n_bigrams").cast("double") / 1000000.0)
           .as("mean_logp"))
   }
 
@@ -390,9 +392,12 @@ object CorpusOps {
 
   /** Corpus-unigram log-probability score per document (the cheap
     * LM-quality proxy): mean log10 of each token's corpus frequency.
-    * Token logs are rounded to 6 dp BEFORE the per-doc sum and the sum
-    * accumulates DECIMAL, so the result is order-independent and
-    * engine-reproducible (raw double log-sums are neither). Two
+    * Token logs are rounded to integer MICROS before the per-doc sum
+    * and the mean divides half-away in BIGINT arithmetic
+    * ([[meanMicrosHalfAway]]), so the result is order-independent and
+    * engine-reproducible (raw double log-sums are neither, and a final
+    * `round(double÷count, 6)` diverges across engines exactly at
+    * decimal halves — see the boundary note in the body). Two
     * aggregations (corpus freqs, per-doc mean) + one broadcast-size
     * join on token — the frequency table is vocabulary-sized. */
   def unigramLogProb(docs: DataFrame, text: Column, id: Column): DataFrame = {
@@ -404,15 +409,32 @@ object CorpusOps {
     // an eager .head() for the scalar plus the broadcast subtree)
     val freqCounts = tok.groupBy("t").agg(count(lit(1)).as("f"))
     val total = freqCounts.agg(sum(col("f")).as("n"))
+    // token logs live as INTEGER MICROS (round(log10·10⁶)) from here
+    // on: the per-doc mean is then a pure-integer half-away division —
+    // round(double÷count, 6) is NOT engine-portable exactly at decimal
+    // halves (measured: a doc mean of -1.4781995 rounds -1.478199
+    // under Spark's exact-binary HALF_UP but -1.4782 under DuckDB's
+    // float `round`), and sums÷small-counts land on halves often
     val freqs = freqCounts.join(broadcast(total), lit(true))
-      .select(col("t"), round(log10(col("f").cast("double") / col("n")), 6).as("logp"))
+      .select(col("t"),
+        round(log10(col("f").cast("double") / col("n")) * 1000000, 0).cast("long").as("lpm"))
     tok.join(broadcast(freqs), Seq("t"))
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        round(sum(col("logp").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lpm")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (meanMicrosHalfAway("__s", "n_tokens").cast("double") / 1000000.0)
           .as("mean_logp"))
   }
+
+  /** round-half-away-from-zero of `sumCol / countCol` on integer
+    * micro-units, as pure BIGINT arithmetic — `(2|s| + c) div 2c` with
+    * the sign put back. Truncating integer `div` on NON-NEGATIVE
+    * operands is identical in every engine, so unlike `round(double,
+    * n)` this has no half-boundary divergence (countCol > 0). Args are
+    * column NAMES (the expression goes through SQL `div`). */
+  private[operators] def meanMicrosHalfAway(sumCol: String, countCol: String): Column =
+    expr(s"CASE WHEN $sumCol >= 0 THEN (2 * $sumCol + $countCol) div (2 * $countCol)" +
+      s" ELSE -((2 * (-$sumCol) + $countCol) div (2 * $countCol)) END")
 
   /** Vocabulary coverage / OOV rate — the tokenizer-fit check run before
     * committing a vocab: per document, what fraction of token
@@ -504,6 +526,77 @@ object CorpusOps {
       .groupBy("pair").agg(sum(col("c")).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
+  }
+
+  /** Iterative BPE merge TRAINING — the loop [[bpePairCounts]] is one
+    * step of: learn `nMerges` byte-pair merges from the corpus, each
+    * round picking the most frequent adjacent symbol pair (ties by
+    * (lhs, rhs) text) and fusing it everywhere before recounting, so
+    * later rounds merge LEARNED symbols, not just characters. Output:
+    * one row per merge, (step, lhs, rhs, n) — the merge table a
+    * tokenizer ships (and what [[graft.functions.WordPiece]]-style
+    * encoders consume as a vocabulary).
+    *
+    * Representation: each distinct word is a symbol string with
+    * DOUBLED separators at every boundary (SS+a+SS+b+SS for "ab"), so
+    * "fuse pair (l, r)" is one non-regex
+    * `replace(w, SEP+l+SS+r+SEP, SEP+lr+SEP)`: the pattern consumes
+    * ONE separator on each side and the replacement restores it, so
+    * the boundary invariant (always exactly two) survives and --
+    * critically -- back-to-back merges in a run still fire
+    * ("a a a a" + merge(a,a) -> "aa aa", canonical BPE's
+    * leftmost-first walk; a single-separator pattern would eat the
+    * next match's leading boundary and leave "aa a a"). Both Spark
+    * and DuckDB scan replace targets left-to-right non-overlapping,
+    * so the oracle unrolls the identical training run step by step.
+    *
+    * Scale shape: the one corpus-sized pass is the word-frequency
+    * aggregate (map-side combined); every training round runs on that
+    * VOCABULARY-sized table — pair explode (≈|word| rows per distinct
+    * word), a partial-aggregated pair count, and a 1-ROW argmax
+    * collect (never the vocabulary). Each round's state persists
+    * MEMORY_AND_DISK and the superseded round unpersists, so lineage
+    * stays one `replace` deep and eviction degrades to disk, not
+    * recompute. */
+  def bpeTrain(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val SEP = "\u0001" // any char absent from the token alphabet
+    val SS = SEP + SEP // the boundary: always exactly two separators
+    var words = docs
+      .select(graft.functions.ShingleGenerator.shingles(text, 1).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .select(concat(lit(SS), regexp_replace(col("t"), "(.)", "$1" + SS)).as("w"), col("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count(): Unit
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (k <- 1 to nMerges if !exhausted) {
+      val best = words
+        .select(col("c"), split(trim(col("w"), SEP), SS).as("a"))
+        // size guard first: sequence(1, size-1) would count DOWN for
+        // 1-symbol words (Spark picks step -1 when start > stop)
+        .filter(size(col("a")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> struct(element_at(a, i) AS l, element_at(a, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully fused
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((k, l, r, n))
+        val next = words
+          .withColumn("w", call_function("replace",
+            col("w"), lit(SEP + l + SS + r + SEP), lit(SEP + l + r + SEP)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count(): Unit
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    spark.createDataFrame(merges.toSeq).toDF("step", "lhs", "rhs", "n")
   }
 
   /** First-occurrence novelty — the crawl-order diversity signal: per

@@ -197,10 +197,11 @@ object PipelineQueries {
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
         |  FROM documents),
         |n AS (SELECT count(*) AS n FROM tok),
-        |f AS (SELECT t, round(log10(CAST(count(*) AS DOUBLE) / max(n.n)), 6) AS logp
+        |f AS (SELECT t, CAST(round(log10(CAST(count(*) AS DOUBLE) / max(n.n)) * 1000000, 0) AS BIGINT) AS lpm
         |  FROM tok, n GROUP BY t)
         |SELECT tok.doc_id, count(*) AS n_tokens,
-        |  round(CAST(sum(CAST(logp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_logp
+        |  CAST(CASE WHEN sum(lpm) >= 0 THEN (2 * sum(lpm) + count(*)) // (2 * count(*))
+        |       ELSE -((2 * (-sum(lpm)) + count(*)) // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS mean_logp
         |FROM tok JOIN f USING (t) GROUP BY tok.doc_id""".stripMargin) { (s, d) =>
       CorpusOps.unigramLogProb(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
     },
@@ -262,10 +263,11 @@ object PipelineQueries {
         |  FROM t WHERE len(w) >= 2)),
         |pc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
         |hc AS (SELECT w1, sum(cb) AS ch FROM pc GROUP BY 1),
-        |pr AS (SELECT w1, w2, round(log10(CAST(cb AS DOUBLE) / ch), 6) AS logp
+        |pr AS (SELECT w1, w2, CAST(round(log10(CAST(cb AS DOUBLE) / ch) * 1000000, 0) AS BIGINT) AS lpm
         |  FROM pc JOIN hc USING (w1))
         |SELECT bg.doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(CAST(logp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_logp
+        |  CAST(CASE WHEN sum(lpm) >= 0 THEN (2 * sum(lpm) + count(*)) // (2 * count(*))
+        |       ELSE -((2 * (-sum(lpm)) + count(*)) // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS mean_logp
         |FROM bg JOIN pr USING (w1, w2) GROUP BY 1""".stripMargin) { (s, d) =>
       CorpusOps.bigramLogProb(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
     },

@@ -273,6 +273,36 @@ object TextQueries {
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
       CorpusOps.bpePairCounts(Tables.table(s, d, "documents"), col("text"), 20)
     },
+    // full iterative BPE TRAINING (CorpusOps.bpeTrain): 6 merges
+    // learned round by round — later rounds fuse LEARNED symbols (at
+    // sf0.01 step 6 merges 'm'+'er', a symbol step 1 created). The
+    // oracle UNROLLS the identical run: both engines hold each word
+    // with DOUBLED chr(1) boundaries (the pattern eats one separator
+    // per side, the replacement restores it, so back-to-back merges in
+    // a run still fire — canonical BPE's leftmost-first walk), and
+    // both `replace` scans are left-to-right non-overlapping — so
+    // every round's argmax (ties by (lhs, rhs)) and count is replayed
+    // step for step.
+    QueryDef("text_bpe_train", {
+      val n = 6
+      val steps = (1 to n).map { k =>
+        s"""p$k AS (SELECT u.l AS l, u.r AS r, CAST(sum(c) AS BIGINT) AS n FROM (
+           |  SELECT unnest(list_transform(range(1, len(a)), i -> {'l': a[i], 'r': a[i+1]})) AS u, c FROM (
+           |    SELECT string_split(trim(w, chr(1)), chr(1)||chr(1)) AS a, c FROM w${k - 1}) WHERE len(a) >= 2) GROUP BY u.l, u.r),
+           |m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+           |w$k AS (SELECT replace(w.w, chr(1)||m.l||chr(1)||chr(1)||m.r||chr(1), chr(1)||m.l||m.r||chr(1)) AS w, w.c FROM w${k - 1} w, m$k m)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to n)
+        .map(k => s"SELECT $k AS step, l AS lhs, r AS rhs, n FROM m$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH words AS (SELECT s AS t, count(*) AS c FROM
+         |    (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS s FROM documents) GROUP BY 1),
+         |w0 AS (SELECT chr(1)||chr(1) || regexp_replace(t, '(.)', '\\1' || chr(1) || chr(1), 'g') AS w, c FROM words),
+         |$steps
+         |$out""".stripMargin
+    }) { (s, d) =>
+      CorpusOps.bpeTrain(Tables.table(s, d, "documents"), col("text"), nMerges = 6)
+    },
     // Unicode NFC canonicalization (custom codegen Expression
     // functions.NfcNormalize vs DuckDB's utf8proc nfc_normalize): each
     // doc gets a decomposed "e"+U+0301 suffix appended, so the

@@ -215,4 +215,32 @@ class TextSpec extends SparkSpec {
       .select(graft.functions.WordPiece.encode(col("t")).as("p")).head()
     assert(n.isNullAt(0))
   }
+
+  test("bpeTrain learns merges in frequency order, fusing learned symbols") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    // "aba" x3 + "ab" x2: step 1 must merge (a,b) with count 5; step 2
+    // merges the LEARNED symbol pair (ab,a) with count 3 — character
+    // pair counting alone would never produce an 'ab' symbol
+    val docs = Seq("aba aba aba ab ab").toDF("text")
+    val m = CorpusOps.bpeTrain(docs, col("text"), nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "b", 5L), (2, "ab", "a", 3L)))
+    // leftmost-first overlap semantics: "aaaa" + merge(a,a) pairs as
+    // (aa)(aa), so step 2 merges (aa,aa) — NOT (a,aa) or 3 leftover a's
+    val over = Seq("aaaa aaaa").toDF("text")
+    val m2 = CorpusOps.bpeTrain(over, col("text"), nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m2.toSeq == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
+    // exhaustion: once every word is one symbol there is no pair left —
+    // the trainer stops early instead of looping or failing
+    val tiny = Seq("ab ab").toDF("text")
+    val m3 = CorpusOps.bpeTrain(tiny, col("text"), nMerges = 5)
+    assert(m3.count() == 1)
+    // partitioning invariance: counts are aggregates and argmax ties
+    // break on text — physical layout must not change the merge list
+    val re = CorpusOps.bpeTrain(docs.repartition(7), col("text"), nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(re.toSeq == m.toSeq)
+  }
 }
