@@ -34,7 +34,27 @@ object Graph {
     * is dropped, the standard non-normalized formulation. */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000L,
       damping: Long = 850000L, edgesDistinct: Boolean = false,
-      broadcastRanks: Boolean = false): DataFrame = {
+      broadcastRanks: Boolean = false): DataFrame =
+    prCore(edges, iters, scale, damping, edgesDistinct, broadcastRanks, None)
+
+  /** Personalized PageRank: identical power iteration, but ALL teleport
+    * mass returns to the seed set `sources(node)` instead of spreading
+    * uniformly — rank₀(v) = scale·[v∈S], rankᵢ₊₁(v) = (scale−damping)·
+    * [v∈S] + damping·Σ contributions. The result ranks nodes by
+    * random-walk proximity TO THE SEEDS (the "related items" /
+    * seed-expansion primitive: similar-user discovery, topic-local
+    * authority, trust propagation), not by global centrality. Seeds are
+    * a seed-set-scale frame → broadcast into the flag join; everything
+    * else (checkpoint hygiene, overflow-safe integral arithmetic,
+    * broadcastRanks regime) is [[pageRank]]'s. */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame, iters: Int,
+      scale: Long = 1000000L, damping: Long = 850000L,
+      edgesDistinct: Boolean = false, broadcastRanks: Boolean = false): DataFrame =
+    prCore(edges, iters, scale, damping, edgesDistinct, broadcastRanks, Some(sources))
+
+  private def prCore(edges: DataFrame, iters: Int, scale: Long,
+      damping: Long, edgesDistinct: Boolean,
+      broadcastRanks: Boolean, sources: Option[DataFrame]): DataFrame = {
     val spark = edges.sparkSession
     val base = scale - damping
 
@@ -53,9 +73,18 @@ object Graph {
     val (edC, edRdd) = ckpt(e.join(deg, "src"))
     // nodes materialized once too — left lazy it would re-run a full
     // edge-list distinct inside EVERY round's plan (6× the edge scan)
-    val (nodes, nodesRdd) = ckpt(edC.select(col("src").as("node")).distinct())
+    // (personalized: the 0/1 seed flag rides along in the same
+    // checkpoint, so the per-round teleport term is a column read,
+    // never a re-join)
+    val nodesBare = edC.select(col("src").as("node")).distinct()
+    val (nodes, nodesRdd) = ckpt(sources match {
+      case None => nodesBare.withColumn("__isrc", lit(1L))
+      case Some(s) => nodesBare
+        .join(broadcast(s.select(col("node"), lit(1L).as("__isrc"))), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__isrc"), lit(0L)).as("__isrc"))
+    })
 
-    var ranks = nodes.withColumn("rank", lit(scale))
+    var ranks = nodes.select(col("node"), (col("__isrc") * scale).as("rank"))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
     for (_ <- 1 to iters) {
       // `broadcastRanks`: when the node set is dimension-scale (fits an
@@ -64,7 +93,12 @@ object Graph {
       // exchange left is the map-side-combined contribution aggregate.
       // At billion-node scale leave it false: the shuffle join is the
       // partitioned-edge (Pregel-style) shape.
-      val rhs = if (broadcastRanks) broadcast(ranks) else ranks
+      // rank-0 nodes contribute nothing — dropping them before the join
+      // is a no-op for uniform PageRank (ranks ≥ base > 0 always) but
+      // keeps personalized rounds FRONTIER-sized while mass is still
+      // spreading out from the seeds
+      val rhs0 = ranks.filter(col("rank") > 0)
+      val rhs = if (broadcastRanks) broadcast(rhs0) else rhs0
       val contribs = edC.join(rhs, edC("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
@@ -77,7 +111,7 @@ object Graph {
       val next = nodes.join(
           if (broadcastRanks) broadcast(contribs) else contribs, Seq("node"), "left")
         .select(col("node"),
-          expr(s"CAST($base + $damping * (coalesce(s, 0) div $scale) " +
+          expr(s"CAST($base * __isrc + $damping * (coalesce(s, 0) div $scale) " +
             s"+ ($damping * (coalesce(s, 0) % $scale)) div $scale AS BIGINT)").as("rank"))
       val (nextDf, rdd) = ckpt(next)
       if (prevRdd != null) prevRdd.unpersist(blocking = false): Unit

@@ -36,6 +36,32 @@ object GraphQueries {
     (Seq(head) ++ rounds).mkString(",\n") + s"\nSELECT node, rank FROM r$iters"
   }
 
+  /** Unrolled PERSONALIZED PageRank — same power iteration as
+    * [[pagerankOracle]], but rank₀ and the per-round teleport term are
+    * gated on the seed predicate (suppliers 1..5, i.e. node <= 5 in
+    * the offset key scheme). */
+  private def pprOracle: String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 10000000 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |r0 AS (SELECT node, CAST(CASE WHEN node <= 5 THEN 1000000 ELSE 0 END AS BIGINT) AS rank FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST((CASE WHEN n.node <= 5 THEN 150000 ELSE 0 END)
+         |    + (850000 * coalesce(c.s, 0)) // 1000000 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
+         |    FROM r${i - 1} r JOIN edges e ON r.node = e.src JOIN deg d ON d.node = e.src
+         |    WHERE r.rank > 0
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n") + s"\nSELECT node, rank FROM r$iters"
+  }
+
   private val bfsHops = 6
 
   private val lpaIters = 4
@@ -159,6 +185,22 @@ object GraphQueries {
       // broadcasts; the 1M+-row edge list never re-shuffles per round
       Graph.pageRank(d0.union(d0.select(col("dst"), col("src"))), iters,
         edgesDistinct = true, broadcastRanks = true)
+    },
+    // PERSONALIZED PageRank from suppliers 1..5 on the same graph:
+    // random-walk proximity to the seed set (the related-items /
+    // seed-expansion primitive), not global centrality — teleport mass
+    // returns only to the seeds, and early rounds stay frontier-sized
+    // because rank-0 nodes are dropped from the contribution join
+    QueryDef("graph_ppr", pprOracle) { (s, d) =>
+      val l = Tables.table(s, d, "lineitem").select(col("l_suppkey"), col("l_orderkey"))
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val d0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), (col("o_custkey") + 10000000L).as("dst"))
+        .distinct()
+      val seeds = Tables.table(s, d, "supplier")
+        .filter(col("s_suppkey") <= 5).select(col("s_suppkey").as("node"))
+      Graph.personalizedPageRank(d0.union(d0.select(col("dst"), col("src"))), seeds,
+        iters, edgesDistinct = true, broadcastRanks = true)
     },
     // exact triangle count on the orders co-purchase-window graph (two
     // orders connected iff same customer AND same year — per-group

@@ -46,6 +46,44 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq(1000000L, 1000000L))
   }
 
+  /** Seed-gated twin of [[naive]]. */
+  private def naivePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = e.map(_._1).distinct
+    var ranks = nodes.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => ranks.getOrElse(u, 0L) / deg(u) }.sum).toMap
+      ranks = nodes.map(n => n ->
+        ((if (seeds(n)) 150000L else 0L) + (850000L * in.getOrElse(n, 0L)) / 1000000L)).toMap
+    }
+    ranks
+  }
+
+  test("personalizedPageRank matches the seed-gated recurrence; mass stays seed-local") {
+    import spark.implicits._
+    // two components: {1,2,3} cyclic, {10,11} cyclic — seeds only in
+    // the first, so the second must stay at rank 0 forever
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (10L, 11L), (11L, 10L))
+    val seeds = Set(1L)
+    val got = Graph.personalizedPageRank(
+        edges.toDF("src", "dst"), Seq(1L).toDF("node"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naivePpr(edges, seeds, 5))
+    assert(got(10L) == 0L && got(11L) == 0L)
+    assert(got(1L) > got(3L), "seed must outrank a non-seed in its component")
+    // degenerate seeds-everywhere run IS uniform PageRank
+    val nodes = edges.map(_._1).distinct
+    val all = Graph.personalizedPageRank(
+        edges.toDF("src", "dst"), nodes.toDF("node"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uni = Graph.pageRank(edges.toDF("src", "dst"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == uni)
+  }
+
   /** All C(n,3) vertex triples with pairwise edges — the O(n³) truth. */
   private def naiveTriangles(edges: Seq[(Long, Long)]): Long = {
     val es = edges.map { case (u, v) => (u min v, u max v) }.toSet
