@@ -390,6 +390,95 @@ object CorpusOps {
       .drop("__wkey", "__wid")
   }
 
+  /** Hashed-feature linear classifier scoring — the fastText-shaped
+    * quality-filter inference step: each token hashes into a bounded
+    * bucket space, buckets look up their weight in a (bucket →
+    * w_micros) table, and a document's score is the mean weight of its
+    * token stream. This is how a trained quality/toxicity/language
+    * classifier actually runs inside a corpus pipeline (the heuristic
+    * scores in [[TextAnalysis]] are the zero-training stand-ins).
+    *
+    * Weights are INTEGER MICROS, so the whole computation is exact
+    * BIGINT until the final [[meanMicrosHalfAway]] division — no float
+    * anywhere, hence bit-portable across engines by construction. The
+    * bucket hash is the md5-prefix integer (the engine-portable string
+    * hash used by the A-ES sampler). Scale shape: weight table is
+    * bucket-bounded → broadcast; one corpus tokenize, one partial-
+    * aggregated per-doc rollup — no corpus shuffle beyond the doc_id
+    * aggregate. */
+  def classifierScore(docs: DataFrame, text: Column, id: Column,
+      weights: DataFrame, nBuckets: Long): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+    val b = tok.select(col("doc_id"),
+      pmod(conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"), lit(nBuckets)).as("bucket"))
+    b.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_micros")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (meanMicrosHalfAway("__s", "n_tokens").cast("double") / 1000000.0).as("score"))
+  }
+
+  /** Deterministic pseudo-weight table for [[classifierScore]] demos
+    * and tests: w_micros(b) = hash32(b) mod 1000001 − 500000, uniform
+    * in [−0.5, 0.5] micros. A real deployment passes its trained
+    * weights instead — the operator only requires (bucket, w_micros). */
+  def hashWeights(spark: org.apache.spark.sql.SparkSession, nBuckets: Long): DataFrame =
+    spark.range(nBuckets).select(col("id").as("bucket"),
+      (hash32(col("id")) % 1000001L - 500000L).as("w_micros"))
+
+  /** Interpolated Kneser–Ney bigram scoring — the standard smoothed
+    * LM the raw-MLE [[bigramLogProb]] approximates: P(w₂|w₁) =
+    * max(c(w₁w₂)−D, 0)/c(w₁·) + (D·N₁₊(w₁·)/c(w₁·))·(N₁₊(·w₂)/N₁₊(··)),
+    * with absolute discount D and the continuation distribution
+    * counting DISTINCT CONTEXTS (how many different words precede w₂),
+    * not raw frequency — the KN insight that makes "Francisco" cheap
+    * despite its high count (it follows only "San"). Discount is a
+    * fraction in micros (750000 = 0.75, Chen–Goodman's robust default).
+    *
+    * Determinism: every count is integral off the distinct-bigram
+    * table; each bigram's probability evaluates ONE fixed-shape double
+    * expression over those integers (identical IEEE op sequence in
+    * both engines), logs go to integer micros, and the per-doc mean is
+    * the BIGINT half-away division ([[meanMicrosHalfAway]]). Scale
+    * shape identical to [[bigramLogProb]]: one corpus tokenize →
+    * bigram counts; N₁₊ tables re-aggregate the distinct-pair table
+    * (vocabulary-sized); the scoring join shuffles on (w1, w2) with
+    * AQE free to broadcast. */
+  def knBigramLogProb(docs: DataFrame, text: Column, id: Column,
+      discountMicros: Long = 750000L): DataFrame = {
+    require(discountMicros > 0 && discountMicros < 1000000L,
+      s"discount must be a fraction in micros, got $discountMicros")
+    val d = discountMicros / 1e6
+    val bg = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // head totals AND distinct-successor counts from the SAME pass over
+    // the distinct-pair table; continuation counts likewise
+    val headCounts = pairCounts.groupBy("w1")
+      .agg(sum(col("cb")).as("ch"), count(lit(1)).as("n1w1"))
+    val contCounts = pairCounts.groupBy("w2").agg(count(lit(1)).as("n1w2"))
+    val n1Total = pairCounts.agg(count(lit(1)).as("n1tot"))
+    val probs = pairCounts
+      .join(headCounts, Seq("w1"))
+      .join(contCounts, Seq("w2"))
+      .join(broadcast(n1Total), lit(true))
+      .select(col("w1"), col("w2"),
+        round(log10(
+          greatest(col("cb").cast("double") - d, lit(0.0)) / col("ch") +
+            (lit(d) * col("n1w1") / col("ch")) * (col("n1w2").cast("double") / col("n1tot"))
+        ) * 1000000, 0).cast("long").as("lpm"))
+    bg.join(probs, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (meanMicrosHalfAway("__s", "n_bigrams").cast("double") / 1000000.0)
+          .as("mean_logp"))
+  }
+
   /** Corpus-unigram log-probability score per document (the cheap
     * LM-quality proxy): mean log10 of each token's corpus frequency.
     * Token logs are rounded to integer MICROS before the per-doc sum

@@ -588,4 +588,34 @@ object Similarity {
       .select(col("src"), col("dst"), col("label"), col("rnk"),
         round(col("cos"), 6).as("cos"))
   }
+
+  /** SEMANTIC benchmark decontamination — the embedding-space
+    * complement of [[Curation.decontaminate]]'s exact-shingle overlap:
+    * a corpus document is contaminated when its embedding's cosine to
+    * ANY eval-set embedding reaches `threshold` (catches paraphrases
+    * and translations that share no 3-gram). Output: every corpus doc
+    * with its max eval cosine and a kept flag — the audit artifact,
+    * from which the clean corpus is one filter.
+    *
+    * Scale shape: the eval set is BOUNDED (a benchmark), so it
+    * broadcasts whole and the corpus streams through one scan — cost
+    * is |corpus|·|eval| dot products with no shuffle of the corpus,
+    * the declared-exact form (like [[topKBruteForce]]). When the eval
+    * side grows past broadcast size, the same filter drops into the
+    * SRP-bucketed or IVF candidate paths unchanged (exact verify on
+    * candidates only) at the price of approximate recall. */
+  def decontaminateSemantic(corpus: DataFrame, eval: DataFrame,
+      vec: Column, id: Column, threshold: Double): DataFrame = {
+    def side(p: String)(df: DataFrame) = df
+      .select(id.as(p + "id"), Dedup.asDouble(vec).as(p + "v"))
+      .withColumn(p + "nrm", sqrt(dot(col(p + "v"), col(p + "v"))))
+    val c = side("c_")(corpus)
+    val e = side("e_")(eval)
+    c.join(broadcast(e), lit(true))
+      .withColumn("cos", dot(col("c_v"), col("e_v")) / (col("c_nrm") * col("e_nrm")))
+      .groupBy(col("c_id").as("doc_id"))
+      .agg(max(col("cos")).as("__mx"))
+      .select(col("doc_id"), round(col("__mx"), 6).as("max_eval_cos"),
+        when(col("__mx") < threshold, 1).otherwise(0).as("kept"))
+  }
 }

@@ -34,6 +34,36 @@ object CurationQueries {
         docs.filter(col("source") === "src0"),
         col("text"), col("doc_id"))
     },
+    // SEMANTIC decontamination (Similarity.decontaminateSemantic): the
+    // embedding-space complement of the shingle overlap above — flags
+    // corpus docs whose embedding cosine to ANY src0 (eval) embedding
+    // reaches 0.35, catching paraphrase-class contamination 3-gram
+    // overlap misses. Eval side broadcasts whole (a benchmark is
+    // bounded); the corpus never shuffles. Oracle is the same all-pairs
+    // max the engine computes, spelled as the fold.
+    QueryDef(
+      "pipeline_decontaminate_semantic",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |j AS (SELECT n.vec_id, n.v, n.nrm, d.source FROM n JOIN documents d ON n.vec_id = d.doc_id),
+        |ev AS (SELECT v, nrm FROM j WHERE source = 'src0'),
+        |co AS (SELECT vec_id, v, nrm FROM j WHERE source <> 'src0'),
+        |p AS (SELECT co.vec_id AS doc_id,
+        |    max(list_reduce(list_prepend(0.0, list_transform(range(1, len(co.v) + 1), i -> co.v[i] * ev.v[i])), (x, y) -> x + y) / (co.nrm * ev.nrm)) AS mx
+        |  FROM co CROSS JOIN ev GROUP BY 1)
+        |SELECT doc_id, round(mx, 6) AS max_eval_cos,
+        |  CASE WHEN mx < 0.35 THEN 1 ELSE 0 END AS kept FROM p""".stripMargin) { (s, d) =>
+      import graft.operators.Similarity
+      val emb = Tables.table(s, d, "embeddings")
+      val srcs = Tables.table(s, d, "documents").select(col("doc_id"), col("source"))
+      val j = emb.join(srcs, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("source"))
+      Similarity.decontaminateSemantic(
+        j.filter(col("source") =!= "src0"), j.filter(col("source") === "src0"),
+        col("embedding"), col("vec_id"), threshold = 0.35)
+    },
     // overlapping token chunks (window 32, stride 24 ⇒ 8-token overlap)
     QueryDef(
       "text_chunk_overlap",

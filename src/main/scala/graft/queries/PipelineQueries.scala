@@ -271,6 +271,33 @@ object PipelineQueries {
         |FROM bg JOIN pr USING (w1, w2) GROUP BY 1""".stripMargin) { (s, d) =>
       CorpusOps.bigramLogProb(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
     },
+    // interpolated Kneser-Ney bigram scoring (D = 0.75): discounted MLE
+    // plus continuation mass over DISTINCT CONTEXTS — the standard
+    // smoothed LM for perplexity-style quality filtering. Every count
+    // is integral; each bigram evaluates one fixed-shape double
+    // expression, so the engines agree bit-for-bit before the
+    // micros-round (see knBigramLogProb's determinism note).
+    QueryDef(
+      "text_kn_bigram",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]})) AS u
+        |  FROM t WHERE len(w) >= 2)),
+        |pc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |hc AS (SELECT w1, sum(cb) AS ch, count(*) AS n1w1 FROM pc GROUP BY 1),
+        |cc AS (SELECT w2, count(*) AS n1w2 FROM pc GROUP BY 1),
+        |nt AS (SELECT count(*) AS n1tot FROM pc),
+        |pr AS (SELECT w1, w2, CAST(round(log10(
+        |    greatest(CAST(cb AS DOUBLE) - 0.75, 0.0) / ch +
+        |    (0.75 * n1w1 / ch) * (CAST(n1w2 AS DOUBLE) / n1tot)
+        |  ) * 1000000, 0) AS BIGINT) AS lpm
+        |  FROM pc JOIN hc USING (w1) JOIN cc USING (w2), nt)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  CAST(CASE WHEN sum(lpm) >= 0 THEN (2 * sum(lpm) + count(*)) // (2 * count(*))
+        |       ELSE -((2 * (-sum(lpm)) + count(*)) // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS mean_logp
+        |FROM bg JOIN pr USING (w1, w2) GROUP BY 1""".stripMargin) { (s, d) =>
+      CorpusOps.knBigramLogProb(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
+    },
     // deterministic epoch shuffle: reproducible global permutation via
     // multiplicative hashing + a distributed two-pass rank (no global
     // single-task window, no rand()) — the oracle computes the same

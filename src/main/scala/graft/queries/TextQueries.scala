@@ -41,6 +41,26 @@ object TextQueries {
       Tables.table(s, d, "documents")
         .select(col("doc_id") +: TextAnalysis.qualityProjection(col("text")): _*)
     },
+    // hashed-feature linear classifier inference (the fastText-shaped
+    // quality-filter step): tokens hash to 2^16 buckets via the
+    // md5-prefix integer, buckets look up integer-micro weights
+    // (hash-derived demo table — a deployment passes trained weights),
+    // score = mean weight via the BIGINT half-away division. No float
+    // until the final display division, so portable by construction.
+    QueryDef(
+      "quality_classifier_score",
+      """WITH w AS (SELECT i AS bucket,
+        |    CAST((i * 2654435761) % 4294967296 % 1000001 - 500000 AS BIGINT) AS wm
+        |  FROM range(65536) t(i)),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+        |b AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 65536 AS bucket FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(CASE WHEN sum(wm) >= 0 THEN (2 * sum(wm) + count(*)) // (2 * count(*))
+        |       ELSE -((2 * (-sum(wm)) + count(*)) // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS score
+        |FROM b JOIN w USING (bucket) GROUP BY doc_id""".stripMargin) { (s, d) =>
+      CorpusOps.classifierScore(Tables.table(s, d, "documents"), col("text"),
+        col("doc_id"), CorpusOps.hashWeights(s, 65536L), 65536L)
+    },
     // heuristic language-ID with deterministic tie-break chain
     QueryDef(
       "text_langid",

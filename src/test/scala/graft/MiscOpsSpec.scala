@@ -647,6 +647,27 @@ class MiscOpsSpec extends SparkSpec {
     assert(math.abs(est - n).toDouble / n < 0.15, s"est=$est exact=$n")
   }
 
+  test("decontaminateSemantic flags exactly the above-threshold corpus docs") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // eval = axis vectors e1, e2; corpus: near-e1 (contaminated),
+    // orthogonal e3 (clean), diagonal at cos ~0.707 to both
+    val eval = Seq((100L, Seq(1.0, 0.0, 0.0)), (101L, Seq(0.0, 1.0, 0.0)))
+      .toDF("id", "v")
+    val corpus = Seq(
+      (1L, Seq(0.9, 0.1, 0.0)),  // cos to e1 ≈ 0.994 → dropped
+      (2L, Seq(0.0, 0.0, 5.0)),  // orthogonal → kept
+      (3L, Seq(1.0, 1.0, 0.0))   // cos ≈ 0.707 to both → dropped at 0.7
+    ).toDF("id", "v")
+    val got = Similarity.decontaminateSemantic(corpus, eval, col("v"), col("id"), 0.7)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    assert(got(1L)._2 == 0 && got(3L)._2 == 0 && got(2L)._2 == 1)
+    assert(got(2L)._1 == 0.0)
+    assert(math.abs(got(3L)._1 - math.sqrt(0.5)) < 1e-6)
+    // max is over ALL eval members, not the first
+    assert(got(1L)._1 > 0.99)
+  }
+
   test("sortedNeighborhoodJoin equals the brute-force window definition") {
     import spark.implicits._
     def lev(a: String, b: String): Int = {

@@ -216,6 +216,58 @@ class TextSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("knBigramLogProb matches the hand-derived Kneser-Ney recurrence") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    // corpus "a b a b a c": bigrams (a,b)x2 (b,a)x2 (a,c)x1
+    // heads: a->3 (2 distinct successors), b->2 (1); continuations:
+    // b<-1 ctx, a<-1, c<-1; distinct bigrams total 3; D = 0.75
+    val got = CorpusOps.knBigramLogProb(
+        Seq((1L, "a b a b a c")).toDF("doc_id", "text"),
+        col("text"), col("doc_id"))
+      .head()
+    def p(cb: Long, ch: Long, n1w1: Long, n1w2: Long, n1tot: Long): Double =
+      math.max(cb.toDouble - 0.75, 0.0) / ch + (0.75 * n1w1 / ch) * (n1w2.toDouble / n1tot)
+    val lpm = Seq(
+      p(2, 3, 2, 1, 3), // (a,b) x2 occurrences
+      p(2, 3, 2, 1, 3),
+      p(2, 2, 1, 1, 3), // (b,a) x2
+      p(2, 2, 1, 1, 3),
+      p(1, 3, 2, 1, 3)) // (a,c) x1
+      .map(x => math.round(math.log10(x) * 1e6))
+    val s = lpm.sum
+    val c = lpm.size.toLong
+    val mean = -((2 * -s + c) / (2 * c)) / 1e6 // s < 0 here
+    assert(got.getLong(1) == c)
+    assert(got.getDouble(2) == mean, s"got ${got.getDouble(2)} want $mean")
+    // KN assigns unseen-context mass: every probability strictly in (0,1)
+    assert(lpm.forall(_ < 0))
+  }
+
+  test("classifierScore is the exact integer mean of hashed bucket weights") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val docs = Seq((1L, "x y x"), (2L, "y")).toDF("doc_id", "text")
+    // weight table covering ALL buckets so the inner join drops nothing
+    val w = CorpusOps.hashWeights(spark, 64L)
+    val got = CorpusOps.classifierScore(docs, col("text"), col("doc_id"), w, 64L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // driver replication: same md5-prefix bucket, same hash32 weight
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 64L
+    }
+    def wm(b: Long): Long = (b * 2654435761L) % 4294967296L % 1000001L - 500000L
+    def mean(ts: Seq[String]): Double = {
+      val s = ts.map(t => wm(bucket(t))).sum
+      val c = ts.size.toLong
+      (if (s >= 0) (2 * s + c) / (2 * c) else -((2 * -s + c) / (2 * c))) / 1e6
+    }
+    assert(got(1L) == ((3L, mean(Seq("x", "y", "x")))))
+    assert(got(2L) == ((1L, mean(Seq("y")))))
+  }
+
   test("bpeTrain learns merges in frequency order, fusing learned symbols") {
     import spark.implicits._
     import graft.operators.CorpusOps
