@@ -711,4 +711,138 @@ object CorpusOps {
       .select(col("doc_id"), col("n_shingles"),
         expr("__novel * 1000000 div n_shingles").as("novel_ppm"))
   }
+
+  /** Poisson(λ=1) bootstrap resampling (Chamandy et al., Google tech
+    * report 2012 "Estimating uncertainty for massive data streams"):
+    * the streaming-friendly bootstrap — instead of drawing n docs with
+    * replacement per replicate (a global shuffle per replicate), every
+    * doc independently contributes k ~ Poisson(1) copies to each
+    * replicate, k derived from a 48-bit md5 uniform of (id, replicate)
+    * through the FIXED inverse-CDF thresholds below (integer compares,
+    * no float RNG — bit-portable, reproducible corpus builds). Returns
+    * per (replicate, stratum): resampled row count, docs sampled, and
+    * the resampled measure total — the bootstrap distribution whose
+    * spread IS the confidence interval on the per-stratum statistic.
+    *
+    * Scale shape: one scan fan-out ×R (generator, no shuffle), one
+    * map-side-combinable aggregate to R·|strata| rows. Never
+    * materializes a resampled corpus. */
+  def poissonBootstrap(df: DataFrame, id: Column, stratum: Column,
+      measure: Column, replicates: Int = 5): DataFrame = {
+    // floor(CDF_Poisson(1)(k) · 2⁴⁸) for k = 0..6; u ≥ last ⇒ k = 7
+    // (P(k ≥ 7 | λ=1) ≈ 8.3e-5 — the tail cap keeps the CASE finite)
+    val ths = Seq(103548857136060L, 207097714272121L, 258872142840152L,
+      276130285696162L, 280444821410164L, 281307728552965L, 281451546410098L)
+    val rep = df.select(id.as("__id"), stratum.as("stratum"), measure.as("__m"))
+      .withColumn("replicate",
+        explode(expr(s"sequence(0L, ${replicates - 1}L)")))
+    // 12 md5 hex chars → 48-bit uniform; same expression as the oracle
+    val u = conv(substring(md5(concat(col("__id").cast("string"), lit(":"),
+      col("replicate").cast("string"))), 1, 12), 16, 10).cast("long")
+    val k = ths.zipWithIndex.foldRight(lit(ths.length.toLong): Column) {
+      case ((t, i), acc) => when(u < t, i.toLong).otherwise(acc)
+    }
+    rep.withColumn("k", k)
+      .groupBy("replicate", "stratum")
+      .agg(sum(col("k")).as("n_rows"),
+        count(when(col("k") > 0, 1)).as("n_docs"),
+        sum(col("k") * col("__m")).as("sum_measure"))
+  }
+
+  /** C4-style boilerplate removal at SUB-document granularity (Raffel
+    * et al., JMLR'20 §2.2 drop repeated lines; here the unit is a
+    * fixed tiling of `segTokens` consecutive tokens because the corpus
+    * carries no line structure): a segment occurring in ≥ `maxDocs`
+    * DISTINCT documents corpus-wide is boilerplate (licence headers,
+    * navigation chrome, disclaimer paragraphs) and is cut from every
+    * document; the survivors re-join in original order. Returns
+    * (doc_id, n_segments, n_dropped, kept_text) for EVERY input doc —
+    * a fully-boilerplate doc keeps an empty string, so downstream
+    * length filters see it rather than losing the row.
+    *
+    * Document-level dedup ([[Dedup]]) keeps one copy of a repeated
+    * DOC; this removes repeated CONTENT from all copies — the two
+    * compose (C4 applies both).
+    *
+    * Scale shape: one segment exchange (corpus token count / segTokens
+    * rows), a distinct-doc count per segment (map-side partial), join
+    * back, per-doc rebuild — no pair enumeration anywhere; the segment
+    * count aggregate is exactly the inverted-index exchange every
+    * dedup query already pays. */
+  def segmentDedup(docs: DataFrame, text: Column, id: Column,
+      segTokens: Int = 5, maxDocs: Int = 3): DataFrame = {
+    val base = docs.select(id.as("doc_id"),
+      TextAnalysis.tokens(coalesce(text, lit(""))).as("toks"))
+    // fixed tiling: segment i = tokens [i·k+1, i·k+k], last one ragged
+    val segs = base.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(toks) + ${segTokens - 1}) div $segTokens - 1),
+           |  i -> struct(cast(i as bigint) as seg_idx,
+           |              array_join(slice(toks, i * $segTokens + 1, $segTokens), ' ') as seg))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"))
+    val counts = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+    segs.join(counts, Seq("seg"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("__nd") >= maxDocs, 1)).as("n_dropped"),
+        // collect_list skips the nulls `when` leaves for dropped
+        // segments; array_sort on (seg_idx, seg) structs restores
+        // document order (seg_idx is unique per doc — deterministic)
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__nd") < maxDocs,
+              struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")),
+          " ").as("kept_text"))
+  }
+
+  /** Gopher-style document quality rules (Rae et al., arXiv:2112.11446
+    * table A1, adapted to the corpus's whitespace-token grain): per-doc
+    * pass/fail flags for token count, mean word length, stopword
+    * fraction, distinct-token fraction, and top-token dominance, plus
+    * the conjunction. Every rule is an EXACT integer comparison
+    * (cross-multiplied thresholds — `50·n_stop ≥ 3·n_tokens` instead of
+    * a float ratio ≥ 0.06), so the flags are bit-portable by
+    * construction.
+    *
+    * Scale shape: one (doc, token) frequency aggregation (map-side
+    * partial over the token exchange), one per-doc rollup — the same
+    * two-level shape as the LM scorers; nothing holds more than a
+    * doc's distinct-token rows. */
+  def gopherRules(docs: DataFrame, text: Column, id: Column,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in"))
+      : DataFrame = {
+    val base = docs.select(id.as("doc_id"), length(text).as("__nc"),
+      TextAnalysis.tokens(text).as("toks"))
+    val tf = base
+      .select(col("doc_id"), col("__nc"), explode(col("toks")).as("tk"))
+      .groupBy("doc_id", "__nc", "tk").agg(count(lit(1)).as("c"))
+    val agg = tf.groupBy("doc_id", "__nc").agg(
+      sum(col("c")).as("n_tokens"),
+      max(col("c")).as("max_tok"),
+      count(lit(1)).as("n_distinct"),
+      coalesce(sum(when(lower(col("tk")).isin(stopwords: _*), col("c"))), lit(0L))
+        .as("n_stop"))
+    // mean word length = (chars − separators) / tokens; separators =
+    // n_tokens − 1 for the `\s+`-split grain, so word chars =
+    // n_chars − n_tokens + 1 exactly
+    val wordChars = col("__nc") - col("n_tokens") + lit(1L)
+    val passLen = col("n_tokens") >= 10L && col("n_tokens") <= 100000L
+    val passWordLen =
+      wordChars >= col("n_tokens") * 3L && wordChars <= col("n_tokens") * 10L
+    val passStop = col("n_stop") * 50L >= col("n_tokens") * 3L
+    val passDistinct = col("n_distinct") * 5L >= col("n_tokens")
+    val passDominance = col("max_tok") * 5L <= col("n_tokens")
+    agg.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      col("n_stop"), col("max_tok"),
+      passLen.as("pass_len"),
+      passWordLen.as("pass_wordlen"),
+      passStop.as("pass_stop"),
+      passDistinct.as("pass_distinct"),
+      passDominance.as("pass_dominance"),
+      (passLen && passWordLen && passStop && passDistinct && passDominance)
+        .as("pass_all"))
+  }
 }

@@ -205,6 +205,57 @@ object Graph {
     dist
   }
 
+  /** `rounds` rounds of Bellman–Ford single/multi-source shortest paths
+    * over weighted `edges(src, dst, w)` (w BIGINT ≥ 0): dist₀(seed) = 0;
+    * distᵢ(v) = min over paths of ≤ i edges. Returns (node, dist) for
+    * every node reached within `rounds` hops.
+    *
+    * The relaxation is FRONTIER-restricted (SPFA-style): round i only
+    * expands nodes whose distance improved in round i−1 — a settled
+    * node's candidates are duplicates of ones already folded into the
+    * running min, so the result is provably identical to full
+    * Bellman–Ford relaxation (what the unrolled oracle replays) while
+    * the join work per round shrinks with the frontier. Distances are
+    * exact BIGINTs and min() is order-free — bit-stable, oracle-
+    * reproducible.
+    *
+    * Scale shape: edges checkpointed once; per-round state is the
+    * distance vector (≤ one row per reached node) + the improved-set
+    * frontier, both checkpointed with superseded blocks freed. Early
+    * exit when a round improves nothing. */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val (eC, eRdd, _) = Iterate.ckpt(edges.select(col("src"), col("dst"), col("w")))
+    var (dist, distRdd, _) = Iterate.ckpt(
+      seeds.select(col("node")).distinct().withColumn("dist", lit(0L)))
+    // round-0 frontier = the seeds themselves
+    var front = dist
+    var frontRdd = distRdd
+    var frontOwned = false // round 0 shares dist's checkpoint — don't double-free
+    var i = 0
+    var done = false
+    while (i < rounds && !done) {
+      val cand = front.join(eC, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val merged = dist.union(cand).groupBy("node").agg(min("dist").as("dist"))
+      val (m, mRdd, _) = Iterate.ckpt(merged)
+      // next frontier: nodes whose distance strictly improved this round
+      val improved = m.join(
+          dist.withColumnRenamed("dist", "prev"), Seq("node"), "left")
+        .where(col("prev").isNull || col("dist") < col("prev"))
+        .select(col("node"), col("dist"))
+      val (f, fRdd, nImproved) = Iterate.ckpt(improved)
+      if (frontOwned) frontRdd.unpersist(blocking = false): Unit
+      distRdd.unpersist(blocking = false): Unit
+      dist = m; distRdd = mRdd
+      front = f; frontRdd = fRdd; frontOwned = true
+      done = nImproved == 0
+      i += 1
+    }
+    if (frontOwned) frontRdd.unpersist(blocking = false): Unit
+    eRdd.unpersist(blocking = false): Unit
+    dist
+  }
+
   /** `iters` rounds of synchronous label propagation (community
     * detection; Raghavan et al. 2007) over symmetrized `edges(src,
     * dst)`: label₀(v) = v; labelᵢ₊₁(v) = the most frequent label among

@@ -498,6 +498,64 @@ object Similarity {
       .distinct()
   }
 
+  /** Product-quantization ADC top-k (Jégou et al., TPAMI'11): the
+    * vector space splits into `m` subspaces of `subDim` dims; each
+    * subspace gets a `nCodes`-entry codebook (deterministic anchors:
+    * the sub-vectors of the first `nCodes` vectors by id — the PQ
+    * analogue of [[firstNCentroids]]; swap in per-subspace k-means for
+    * production recall, same contract). Corpus vectors ENCODE once to
+    * m code ids (nearest code by L2², ties to the smallest cid); each
+    * query builds an m×nCodes lookup table of sub-space inner products
+    * in integer MICROS, and a candidate's approximate score is the
+    * exact BIGINT sum of its m table cells — asymmetric distance
+    * computation with zero float accumulation, so the scores are
+    * bit-portable and the oracle hash-matches.
+    *
+    * Scale shape: the codebook is m·nCodes rows (broadcast); encoding
+    * is one broadcast join + a map-side argmin aggregate, m rows per
+    * corpus vector on the wire, codes are m bytes per vector — the
+    * memory-bandwidth win that makes PQ the billion-vector serving
+    * format. The ADC scan is linear in |corpus|·|queries| by design
+    * (each probe is m integer adds, 8–64× cheaper than a full-dim
+    * float dot); at corpus scale it composes with IVF — partition the
+    * codes by [[assignNearest]] cid and scan only probed lists. */
+  def topKPqAdc(emb: DataFrame, vec: Column, id: Column, isQuery: Column,
+      m: Int, subDim: Int, nCodes: Int, k: Int): DataFrame = {
+    val e = emb.select(id.as("vec_id"), Dedup.asDouble(vec).as("v"), isQuery.as("isq"))
+    // (vec_id, m, sv): the per-subspace slice rows
+    val sub = e.select(col("vec_id"), col("isq"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}),
+           |  mi -> struct(cast(mi as bigint) as m, slice(v, mi * $subDim + 1, $subDim) as sv))"""
+          .stripMargin)).as("s"))
+      .select(col("vec_id"), col("isq"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val cb = broadcast(sub.where(col("vec_id") < nCodes)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv")))
+    // encode: nearest code per (vector, subspace) — max_by over the
+    // packed (−l2, −cid) order = (l2 ASC, cid ASC), map-side partial
+    val enc = sub.join(cb, Seq("m"))
+      .withColumn("diff", zip_with(col("sv"), col("cv"), (a, b) => a - b))
+      .withColumn("l2", dot(col("diff"), col("diff")))
+      .groupBy("vec_id", "m")
+      .agg(max_by(col("cid"), struct(-col("l2"), -col("cid"))).as("cid"))
+    // per-query LUT: subspace inner products in integer micros
+    val lut = sub.where(col("isq"))
+      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
+      .join(cb, Seq("m"))
+      .select(col("qid"), col("m"), col("cid"),
+        round(dot(col("qv"), col("cv")) * 1e6, 0).cast("long").as("dm"))
+    // ADC: candidate score = Σ_m LUT[m, code(x, m)] — exact BIGINT
+    val scored = enc.join(broadcast(lut), Seq("m", "cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("dm")).as("score_micros"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micros").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("score_micros"))
+  }
+
   /** Sign-bit (binary) quantization: bit i of the code is `v[i] >= 0`,
     * packed into 32-bit words (MSB-first fold, so the word value stays
     * < 2³² — no 64-bit sign-overflow under ANSI arithmetic). `dims` is

@@ -423,6 +423,51 @@ object AnalyticsQueries {
         .select(col("event_type"), col("day"),
           round(aggregate(col("frame"), lit(0.0),
             (acc, x) => x + acc * lit(0.5)), 6).as("ewma"))
+    },
+    // lag-1..3 autocorrelation of the per-type daily volume series —
+    // the seasonality/burstiness diagnostic next to CUSUM and EWMA.
+    // Deviations are scaled integers (n·x − Σx, the mean cleared of
+    // its division), so every sum of products is an exact BIGINT; the
+    // one double division per lag uses identical operands in both
+    // engines. Denominator is the full-series sum of squared
+    // deviations (the standard ACF normalization).
+    QueryDef(
+      "events_autocorr",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n, sum(x) AS sx FROM daily GROUP BY 1),
+        |d AS (SELECT daily.event_type, day, CAST(n AS BIGINT) AS n,
+        |    CAST(x * n - sx AS BIGINT) AS dev
+        |  FROM daily JOIN st USING (event_type)),
+        |l AS (SELECT event_type, n, dev,
+        |    lead(dev, 1) OVER (PARTITION BY event_type ORDER BY day) AS dev1,
+        |    lead(dev, 2) OVER (PARTITION BY event_type ORDER BY day) AS dev2,
+        |    lead(dev, 3) OVER (PARTITION BY event_type ORDER BY day) AS dev3
+        |  FROM d)
+        |SELECT event_type, max(n) AS n_days,
+        |  round(CAST(sum(dev * dev1) AS DOUBLE) / CAST(sum(dev * dev) AS DOUBLE), 6) AS acf1,
+        |  round(CAST(sum(dev * dev2) AS DOUBLE) / CAST(sum(dev * dev) AS DOUBLE), 6) AS acf2,
+        |  round(CAST(sum(dev * dev3) AS DOUBLE) / CAST(sum(dev * dev) AS DOUBLE), 6) AS acf3
+        |FROM l GROUP BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.table(s, d, "events")
+        .groupBy(col("event_type"), expr("ts div 1000 div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val byType = Window.partitionBy(col("event_type"))
+      val ordered = byType.orderBy(col("day"))
+      val withDev = daily
+        .withColumn("n", count(lit(1)).over(byType))
+        .withColumn("dev", col("x") * col("n") - sum(col("x")).over(byType))
+        .withColumn("dev1", lead(col("dev"), 1).over(ordered))
+        .withColumn("dev2", lead(col("dev"), 2).over(ordered))
+        .withColumn("dev3", lead(col("dev"), 3).over(ordered))
+      def acf(devK: String, name: String) =
+        round((sum(col("dev") * col(devK)).cast("double") /
+          sum(col("dev") * col("dev")).cast("double")), 6).as(name)
+      withDev.groupBy("event_type").agg(
+        max(col("n")).as("n_days"),
+        acf("dev1", "acf1"), acf("dev2", "acf2"), acf("dev3", "acf3"))
     }
   )
 }

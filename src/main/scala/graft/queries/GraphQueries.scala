@@ -171,6 +171,35 @@ object GraphQueries {
     (Seq(head) ++ rounds).mkString(",\n") + s"\nSELECT node, dist FROM d$bfsHops"
   }
 
+  private val ssspRounds = 6
+
+  /** Unrolled Bellman–Ford — FULL relaxation every round, which
+    * Graph.sssp's frontier-restricted relaxation provably equals (a
+    * settled node's candidates are duplicates under min; see the
+    * operator's Scaladoc). Edge weight = min l_quantity per
+    * (supplier, customer) pair — integral by data contract (all
+    * quantities are whole numbers), so every distance is an exact
+    * BIGINT. */
+  private def ssspOracle: String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT l.l_suppkey AS src, o.o_custkey + 10000000 AS dst,
+        |    CAST(min(l.l_quantity) AS BIGINT) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+        |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM e WHERE src <= 5)""".stripMargin
+    val rounds = (1 to ssspRounds).map { i =>
+      s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, f.dist + e.w AS dist
+         |  FROM d${i - 1} f JOIN e ON f.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n") + s"\nSELECT node, dist FROM d$ssspRounds"
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("graph_pagerank", pagerankOracle) { (s, d) =>
       val l = Tables.table(s, d, "lineitem").select(col("l_suppkey"), col("l_orderkey"))
@@ -305,6 +334,20 @@ object GraphQueries {
         .distinct()
       val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       Graph.modularity(sym, Graph.labelPropagation(sym, lpaIters))
+    },
+    // weighted shortest paths from suppliers 1–5 (Graph.sssp):
+    // frontier-restricted Bellman–Ford, exact BIGINT distances
+    QueryDef("graph_sssp", ssspOracle) { (s, d) =>
+      val l = Tables.table(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val e0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").as("src"), (col("o_custkey") + 10000000L).as("dst"))
+        .agg(min(col("l_quantity")).cast("long").as("w"))
+      val edges = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = edges.where(col("src") <= 5).select(col("src").as("node")).distinct()
+      Graph.sssp(edges, seeds, ssspRounds)
     }
   )
 }

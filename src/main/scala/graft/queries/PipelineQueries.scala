@@ -338,6 +338,35 @@ object PipelineQueries {
         oIn.get("qty_in").asInstanceOf[java.math.BigDecimal].doubleValue,
         oOut.get("n_kept").asInstanceOf[Long]))
         .toDF("n_in", "qty_in", "n_kept")
+    },
+    // Poisson(1) bootstrap (CorpusOps.poissonBootstrap): 5 replicates
+    // of the per-source corpus totals without materializing a single
+    // resampled corpus — replicate counts from fixed inverse-CDF
+    // integer thresholds over 48-bit md5 uniforms, bit-portable
+    QueryDef(
+      "pipeline_bootstrap",
+      """WITH rep AS (SELECT doc_id, source, n_chars, CAST(u.r AS BIGINT) AS replicate
+        |  FROM documents, unnest(range(5)) AS u(r)),
+        |k AS (SELECT replicate, source, n_chars,
+        |    CASE WHEN uu < 103548857136060 THEN 0
+        |         WHEN uu < 207097714272121 THEN 1
+        |         WHEN uu < 258872142840152 THEN 2
+        |         WHEN uu < 276130285696162 THEN 3
+        |         WHEN uu < 280444821410164 THEN 4
+        |         WHEN uu < 281307728552965 THEN 5
+        |         WHEN uu < 281451546410098 THEN 6
+        |         ELSE 7 END AS k
+        |  FROM (SELECT *,
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(replicate AS VARCHAR)), 1, 12))::BIGINT AS uu
+        |    FROM rep) t)
+        |SELECT replicate, source, CAST(sum(k) AS BIGINT) AS n_rows,
+        |  count(*) FILTER (WHERE k > 0) AS n_docs,
+        |  CAST(sum(k * n_chars) AS BIGINT) AS sum_chars
+        |FROM k GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      CorpusOps.poissonBootstrap(Tables.table(s, d, "documents"),
+          col("doc_id"), col("source"), col("n_chars"), replicates = 5)
+        .withColumnRenamed("stratum", "source")
+        .withColumnRenamed("sum_measure", "sum_chars")
     }
   )
 }

@@ -172,6 +172,35 @@ object SimilarityQueries {
         Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"),
         col("vec_id") % 50 === 0, k = 5, shortlist = 50, dims = 64)
     },
+    // product-quantization ADC scan (Similarity.topKPqAdc): 8 subspaces
+    // × 8 dims, 8-code codebooks from the first-8 anchor vectors;
+    // candidate scores are exact BIGINT sums of integer-micro LUT
+    // cells, so even the approximate ranking hash-matches
+    QueryDef(
+      "ann_pq_adc",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, CAST(u.i AS BIGINT) AS m, v[(u.i*8+1):(u.i*8+8)] AS sv
+        |  FROM e, unnest(range(8)) AS u(i)),
+        |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 8),
+        |enc0 AS (SELECT s.vec_id AS vid, s.m, c.cid,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 9), i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), (x, y) -> x + y) AS l2
+        |  FROM sub s JOIN cb c USING (m)),
+        |enc AS (SELECT vid, m, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vid, m ORDER BY l2, cid) AS rn FROM enc0) WHERE rn = 1),
+        |lut AS (SELECT s.vec_id AS qid, s.m, c.cid,
+        |    CAST(round(list_reduce(list_prepend(0.0, list_transform(range(1, 9), i -> s.sv[i]*c.cv[i])), (x, y) -> x + y) * 1000000, 0) AS BIGINT) AS dm
+        |  FROM sub s JOIN cb c USING (m) WHERE s.vec_id % 50 = 0),
+        |sc AS (SELECT l.qid, e.vid, CAST(sum(l.dm) AS BIGINT) AS score_micros
+        |  FROM enc e JOIN lut l USING (m, cid) WHERE e.vid <> l.qid GROUP BY 1, 2),
+        |r AS (SELECT qid, vid, score_micros,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score_micros DESC, vid) AS rnk FROM sc)
+        |SELECT qid AS query_id, vid AS neighbor_id, rnk, score_micros
+        |FROM r WHERE rnk <= 5""".stripMargin) { (s, d) =>
+      Similarity.topKPqAdc(
+        Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"),
+        col("vec_id") % 50 === 0, m = 8, subDim = 8, nCodes = 8, k = 5)
+        .withColumnRenamed("rank", "rnk")
+    },
     // blocked exact k-NN graph: neighbor candidates from a plain
     // equi-join on the block key (label here; an IVF centroid id at
     // corpus scale) — Σ|block|² pairs, never n², each block co-located

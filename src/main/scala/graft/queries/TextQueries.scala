@@ -378,6 +378,56 @@ object TextQueries {
           size(col("pieces")).cast("long").as("n_pieces"),
           size(filter(col("pieces"), p => p === "[UNK]")).cast("long").as("n_unk"),
           md5(concat_ws("|", col("pieces")).cast("binary")).as("pieces_md5"))
+    },
+    // C4-style boilerplate segment removal (CorpusOps.segmentDedup):
+    // 5-token segments occurring in ≥3 distinct docs are cut from every
+    // doc, survivors re-join in order — sub-document dedup composing
+    // with the document-level Dedup family
+    QueryDef(
+      "text_segment_dedup",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |seg AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+        |    array_to_string(toks[(u.i*5+1):(u.i*5+5)], ' ') AS seg
+        |  FROM t, unnest(range((len(toks)+4)//5)) AS u(i)),
+        |cnt AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY seg)
+        |SELECT s.doc_id,
+        |  count(*) AS n_segments,
+        |  count(*) FILTER (WHERE c.nd >= 3) AS n_dropped,
+        |  coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx) FILTER (WHERE c.nd < 3), '') AS kept_text
+        |FROM seg s JOIN cnt c USING (seg) GROUP BY s.doc_id""".stripMargin) { (s, d) =>
+      CorpusOps.segmentDedup(Tables.table(s, d, "documents"),
+        col("text"), col("doc_id"), segTokens = 5, maxDocs = 3)
+    },
+    // Gopher-style quality rules (CorpusOps.gopherRules): pass/fail
+    // flags from exact cross-multiplied integer comparisons — the
+    // composed rule battery a pretraining filter actually applies
+    QueryDef(
+      "text_gopher_rules",
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |tf  AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS max_tok, count(*) AS n_distinct,
+        |    sum(c) FILTER (WHERE lower(tk) IN ('the','a','of','and','to','is','in')) AS n_stop
+        |  FROM tf GROUP BY doc_id),
+        |base AS (SELECT d.doc_id, length(d.text) AS n_chars,
+        |    CAST(a.n_tokens AS BIGINT) AS n_tokens, CAST(a.max_tok AS BIGINT) AS max_tok,
+        |    CAST(a.n_distinct AS BIGINT) AS n_distinct, CAST(coalesce(a.n_stop, 0) AS BIGINT) AS n_stop
+        |  FROM documents d JOIN agg a USING (doc_id))
+        |SELECT doc_id, n_tokens, n_distinct, n_stop, max_tok,
+        |  (n_tokens >= 10 AND n_tokens <= 100000) AS pass_len,
+        |  (n_chars - n_tokens + 1 >= 3 * n_tokens AND n_chars - n_tokens + 1 <= 10 * n_tokens) AS pass_wordlen,
+        |  (50 * n_stop >= 3 * n_tokens) AS pass_stop,
+        |  (5 * n_distinct >= n_tokens) AS pass_distinct,
+        |  (5 * max_tok <= n_tokens) AS pass_dominance,
+        |  ((n_tokens >= 10 AND n_tokens <= 100000)
+        |    AND (n_chars - n_tokens + 1 >= 3 * n_tokens AND n_chars - n_tokens + 1 <= 10 * n_tokens)
+        |    AND (50 * n_stop >= 3 * n_tokens)
+        |    AND (5 * n_distinct >= n_tokens)
+        |    AND (5 * max_tok <= n_tokens)) AS pass_all
+        |FROM base""".stripMargin) { (s, d) =>
+      CorpusOps.gopherRules(Tables.table(s, d, "documents"),
+        col("text"), col("doc_id"))
     }
   )
 }

@@ -413,4 +413,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(gen == hof && gen.exists(_._1 == 1L) && gen.exists(_._1 == 4L))
   }
+
+  test("PQ-ADC: encoding picks the nearest sub-code and scores are exact LUT sums") {
+    import spark.implicits._
+    // dim 8, m=2 subspaces of 4, 2 codes (vectors 0 and 1); vectors
+    // crafted so each half of vec 2/3 is unambiguously closer to one
+    // anchor, and vec 4 ties exactly (equidistant) -> lowest cid wins
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 1f)),
+      (1L, Array(0f, 1f, 0f, 0f, 0f, 0f, 1f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f, 0f, 0f, 1f, 0f)), // code (0, 1)
+      (3L, Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 1f)), // code (1, 0)
+      (4L, Array(0.5f, 0.5f, 0f, 0f, 0f, 0f, 0.5f, 0.5f)), // ties -> (0, 0)
+      (100L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 1f))) // the query
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topKPqAdc(vecs, col("embedding"), col("vec_id"),
+        col("vec_id") === 100L, m = 2, subDim = 4, nCodes = 2, k = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    // driver-side replication: q = v100 = anchor0 exactly, so
+    // LUT[m][cid] = dot(anchor0_sub, anchor_cid_sub) = 1 if cid
+    // matches anchor0's own code else 0 (orthogonal anchors)
+    // scores: code(0,0)=2e6, code(0,1)=1e6, code(1,0)=1e6, code(1,1)=0
+    val score = out.map { case (vid, _, s) => vid -> s }.toMap
+    assert(score(0L) == 2000000L && score(4L) == 2000000L)
+    assert(score(2L) == 1000000L && score(3L) == 1000000L)
+    assert(score(1L) == 0L)
+    // ranking: score desc then id — 0 before 4, then 2 before 3, then 1
+    assert(out.sortBy(_._2).map(_._1).toSeq == Seq(0L, 4L, 2L, 3L, 1L))
+  }
 }

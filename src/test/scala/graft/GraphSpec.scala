@@ -218,4 +218,44 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     assert(got2 == naiveKcore(edges, 2))
   }
+
+  /** Full Bellman–Ford relaxation, `rounds` rounds — what the oracle
+    * unrolls; sssp's frontier restriction must reproduce it exactly. */
+  private def naiveSssp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int): Map[Long, Long] = {
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val cand = edges.flatMap { case (s, d, w) =>
+        dist.get(s).map(ds => d -> (ds + w))
+      }
+      dist = (dist.toSeq ++ cand).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    dist
+  }
+
+  test("sssp equals full Bellman-Ford; shortcut paths win; unreachable stay absent") {
+    import spark.implicits._
+    // direct 1→3 edge (weight 100) loses to the 1→2→3 path (11);
+    // 5–6 is a disconnected component — never reached from 1
+    val und = Seq((1L, 2L, 10L), (2L, 3L, 1L), (1L, 3L, 100L), (3L, 4L, 2L),
+      (5L, 6L, 7L))
+    val edges = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val got = Graph.sssp(edges.toDF("src", "dst", "w"),
+        Seq(1L).toDF("node"), rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naiveSssp(edges, Seq(1L), 6))
+    assert(got == Map(1L -> 0L, 2L -> 10L, 3L -> 11L, 4L -> 13L))
+    // early exit must not truncate: a long chain still resolves within
+    // the round budget, and extra rounds change nothing
+    val chain = (1L to 5L).sliding(2).map { s => (s(0), s(1), 1L) }.toSeq
+      .flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val g6 = Graph.sssp(chain.toDF("src", "dst", "w"), Seq(1L).toDF("node"), 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g6 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // layout invariance: min is order-free
+    val re = Graph.sssp(edges.toDF("src", "dst", "w").repartition(7),
+        Seq(1L).toDF("node"), 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+  }
 }

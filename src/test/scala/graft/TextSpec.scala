@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftFunctions, RollingHash}
-import graft.operators.TextAnalysis
+import graft.operators.{CorpusOps, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -294,5 +294,90 @@ class TextSpec extends SparkSpec {
     val re = CorpusOps.bpeTrain(docs.repartition(7), col("text"), nMerges = 2)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(re.toSeq == m.toSeq)
+  }
+
+  test("segmentDedup cuts tile-aligned boilerplate in >= maxDocs docs, keeps order") {
+    import spark.implicits._
+    // 5-token tiles; "B1..B5" opens 3 docs (boilerplate: dropped
+    // everywhere), "R1..R5" opens only 2 (kept); unique tails survive
+    val bp = "B1 B2 B3 B4 B5"
+    val rare = "R1 R2 R3 R4 R5"
+    val docs = Seq(
+      (1L, s"$bp u1a u1b u1c u1d u1e"),
+      (2L, s"$bp u2a u2b u2c u2d u2e"),
+      (3L, s"$bp u3a u3b u3c u3d u3e"),
+      (4L, s"$rare u4a u4b u4c u4d u4e"),
+      (5L, s"$rare u5a u5b u5c u5d u5e"),
+      (6L, bp) // fully-boilerplate doc: kept as a row, empty text
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.segmentDedup(docs, col("text"), col("doc_id"),
+        segTokens = 5, maxDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.size == 6) // every doc present, including the emptied one
+    assert(out(1L) == ((2L, 1L, "u1a u1b u1c u1d u1e")))
+    assert(out(4L) == ((2L, 0L, s"$rare u4a u4b u4c u4d u4e")))
+    assert(out(6L) == ((1L, 1L, "")))
+    // order preservation across >2 kept segments: seg_idx sort, not
+    // lexicographic segment text
+    val long = Seq((9L, "z9 z8 z7 z6 z5 a1 a2 a3 a4 a5 m1 m2 m3")).toDF("doc_id", "text")
+    val kept = CorpusOps.segmentDedup(long, col("text"), col("doc_id"), 5, 2)
+      .collect().head.getString(3)
+    assert(kept == "z9 z8 z7 z6 z5 a1 a2 a3 a4 a5 m1 m2 m3")
+  }
+
+  test("gopherRules flags match hand-computed exact-integer thresholds") {
+    import spark.implicits._
+    val docs = Seq(
+      // 10 tokens, all distinct, 1 stopword ("the"), mean len ok
+      (1L, "the quick brown foxes jumped over several lazy sleeping dogs"),
+      // dominance fail: "spam" is 6 of 10 tokens (5*6 > 10)
+      (2L, "spam spam spam spam spam spam the eggs and ham"),
+      // length fail: 3 tokens
+      (3L, "too short doc")).toDF("doc_id", "text")
+    val out = CorpusOps.gopherRules(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_tokens") == 10 && d1.getAs[Long]("n_stop") == 1)
+    assert(d1.getAs[Boolean]("pass_len") && d1.getAs[Boolean]("pass_dominance"))
+    assert(d1.getAs[Boolean]("pass_stop")) // 50*1 >= 3*10
+    assert(d1.getAs[Boolean]("pass_all") == (d1.getAs[Boolean]("pass_wordlen")
+      && d1.getAs[Boolean]("pass_distinct")))
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("max_tok") == 6 && !d2.getAs[Boolean]("pass_dominance"))
+    assert(!d2.getAs[Boolean]("pass_all"))
+    assert(!out(3L).getAs[Boolean]("pass_len") && !out(3L).getAs[Boolean]("pass_all"))
+  }
+
+  test("poissonBootstrap equals the driver-side replication and is layout-invariant") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val got = CorpusOps.poissonBootstrap(docs, col("doc_id"), col("source"),
+        col("n_chars"), replicates = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // driver-side replication of the md5 → 48-bit → inverse-CDF walk
+    val ths = Seq(103548857136060L, 207097714272121L, 258872142840152L,
+      276130285696162L, 280444821410164L, 281307728552965L, 281451546410098L)
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = scala.collection.mutable.Map
+      .empty[(Long, String), (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((id, src, nc) <- rows; r <- 0L until 3L) {
+      val hex = md.digest(s"$id:$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = java.lang.Long.parseLong(hex, 16)
+      val k = ths.indexWhere(u < _) match { case -1 => 7L; case i => i.toLong }
+      val (a, b, c) = exp((r, src))
+      exp((r, src)) = (a + k, b + (if (k > 0) 1L else 0L), c + k * nc)
+    }
+    assert(got == exp.toMap)
+    // counts are pure functions of (id, replicate) — physical layout free
+    val re = CorpusOps.poissonBootstrap(docs.repartition(7), col("doc_id"),
+        col("source"), col("n_chars"), replicates = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(re == got)
   }
 }
