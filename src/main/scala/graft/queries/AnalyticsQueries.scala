@@ -468,6 +468,37 @@ object AnalyticsQueries {
       withDev.groupBy("event_type").agg(
         max(col("n")).as("n_days"),
         acf("dev1", "acf1"), acf("dev2", "acf2"), acf("dev3", "acf3"))
+    },
+    // day-of-week seasonality profile — the weekly-cycle companion to
+    // the ACF: per (type, weekday), the mean daily volume relative to
+    // the type's overall mean, in EXACT integer ppm (the one division
+    // is a BIGINT floor-div of cross-multiplied sums — no float
+    // anywhere). dow 0 = Sunday (epoch day 0 was a Thursday).
+    QueryDef(
+      "events_dow_seasonality",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, day, ((day + 4) % 7) AS dow, x FROM daily),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS days_total, CAST(sum(x) AS BIGINT) AS sum_total
+        |  FROM d GROUP BY 1),
+        |dw AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS days_dow, CAST(sum(x) AS BIGINT) AS sum_dow
+        |  FROM d GROUP BY 1, 2)
+        |SELECT dw.event_type, dw.dow, dw.days_dow, dw.sum_dow,
+        |  CAST(dw.sum_dow * tot.days_total * 1000000 // (dw.days_dow * tot.sum_total) AS BIGINT) AS seasonal_ppm
+        |FROM dw JOIN tot USING (event_type)""".stripMargin) { (s, d) =>
+      val daily = Tables.table(s, d, "events")
+        .groupBy(col("event_type"), expr("ts div 1000 div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow", (col("day") + 4) % 7)
+      val tot = daily.groupBy("event_type").agg(
+        count(lit(1)).as("days_total"), sum(col("x")).as("sum_total"))
+      daily.groupBy("event_type", "dow").agg(
+          count(lit(1)).as("days_dow"), sum(col("x")).as("sum_dow"))
+        .join(tot, "event_type")
+        .select(col("event_type"), col("dow"), col("days_dow"), col("sum_dow"),
+          expr("sum_dow * days_total * 1000000 div (days_dow * sum_total)")
+            .as("seasonal_ppm"))
     }
   )
 }

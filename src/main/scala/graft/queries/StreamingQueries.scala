@@ -83,6 +83,20 @@ object StreamingQueries {
     QueryDef("stream_late_drop", windowAppendOracle) { (s, d) =>
       Streaming.windowedAggLateDrop(s, d)
     },
+    // CHAINED stateful aggregations: hourly windows roll up into 4-hour
+    // windows inside one streaming query (two state stores, SPARK-40925);
+    // emitted set = 4h windows finalized by the final watermark
+    QueryDef(
+      "stream_chained_windows",
+      """SELECT * FROM (
+        |  SELECT (epoch_us(ts) // 14400000000) * 14400000000 AS window_start_us,
+        |    event_type, count(*) AS n_events,
+        |    count(DISTINCT epoch_us(ts) // 3600000000) AS n_hours
+        |  FROM events GROUP BY 1, 2)
+        |WHERE window_start_us + 14400000000 <=
+        |  (SELECT max(epoch_us(ts)) - 1800000000 FROM events)""".stripMargin) { (s, d) =>
+      Streaming.chainedWindowAgg(s, d)
+    },
     // SLIDING windows in watermarked append mode: each event in two
     // 10-min windows; emitted set = windows finalized by the final
     // watermark (same determinism argument as stream_window_append;

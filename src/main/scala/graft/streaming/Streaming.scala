@@ -443,6 +443,44 @@ object Streaming {
     runToMemory(spark, agg, s"slide_append_${System.nanoTime()}", OutputMode.Append())
   }
 
+  /** CHAINED stateful time-window aggregations in one streaming query
+    * (SPARK-40925, the Spark 3.4+ multiple-stateful-operator support):
+    * hourly tumbling counts roll up into 4-hour windows downstream of
+    * the first aggregation — `window(col("window"), "4 hours")` groups
+    * on the inner operator's window STRUCT, so the rollup is streaming-
+    * native (no re-reading raw events for the coarse grain; the classic
+    * two-query rollup cascade collapses into one plan with two state
+    * stores). An hourly window finalizes when the watermark
+    * passes its end and flows into the 4-hour state in the same
+    * micro-batch; the 4-hour window finalizes under the same watermark
+    * once all its hours can no longer change. Emitted set =
+    * {4h window | end ≤ final watermark} — both operators quantize to
+    * the same boundaries, so containment makes the two eviction rules
+    * agree (the oracle's predicate).
+    *
+    * Scale shape: state is one row per open hourly (window, type) plus
+    * one per open 4-hour (window, type) — both watermark-bounded; the
+    * coarse aggregation's input is pre-aggregated rows, |hours| not
+    * |events|, which is the point of chaining. */
+  def chainedWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    chainedWindowAggWithProgress(spark, sfDir)._1
+
+  def chainedWindowAggWithProgress(spark: SparkSession, sfDir: String,
+      nFiles: Int = 4)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val hourly = eventTime(eventsArrivalStream(spark, sfDir, nFiles))
+      .withWatermark("etime", "30 minutes")
+      .groupBy(window(col("etime"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val agg = hourly
+      .groupBy(window(col("window"), "4 hours"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"), count(lit(1)).as("n_hours"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("n_hours"))
+    runToMemoryWithProgress(spark, agg, s"chained_${System.nanoTime()}",
+      OutputMode.Append())
+  }
+
   /** Session windows per user (30 min gap) — the built-in session
     * operator; merge semantics are arrival-order independent. */
   def sessionAgg(spark: SparkSession, sfDir: String): DataFrame = {

@@ -308,6 +308,25 @@ class SimStreamSpec extends SparkSpec {
     assert(one.nonEmpty)
   }
 
+  test("chained window rollup: two state stores, slicing-invariant emitted set") {
+    // SPARK-40925 multi-stateful: hourly agg feeds a 4-hour agg in ONE
+    // query — the progress must show BOTH stateful operators
+    val (df, progress) = graft.streaming.Streaming
+      .chainedWindowAggWithProgress(spark, sf, nFiles = 4)
+    val four = df.orderBy("window_start_us", "event_type").collect().map(_.toSeq)
+    assert(four.nonEmpty)
+    assert(progress.exists(_.stateOperators.length == 2),
+      "expected two stateful operators in one streaming query")
+    // the emitted 4-hour set is a pure function of the data, not of how
+    // the arrival slices into micro-batches
+    val two = graft.streaming.Streaming
+      .chainedWindowAggWithProgress(spark, sf, nFiles = 2)._1
+      .orderBy("window_start_us", "event_type").collect().map(_.toSeq)
+    assert(four.sameElements(two))
+    // internal consistency: a 4h window aggregates 1..4 hourly rows
+    assert(df.filter(col("n_hours") < 1 || col("n_hours") > 4).count() == 0)
+  }
+
   test("streaming LSH ingest gate equals the batch incremental dedup, any slicing") {
     import org.apache.spark.sql.functions._
     val got = graft.streaming.Streaming.streamLshIngest(spark, sf)
