@@ -78,6 +78,10 @@ object Explain {
     // with itself — a bounded broadcast fan-out over pre-aggregated
     // sketches, never over raw events
     "sketch_kmv_jaccard",
+    // pipeline_domain_reweight crosses two 1-row scalar aggregates
+    // (corpus total, limiting-stratum cap) under the |strata|-sized
+    // token table — scalar broadcasts, not pair scans
+    "pipeline_domain_reweight",
     // graph_lpa_modularity crosses the 1-row |E| total under the
     // community-cardinality parts table — a scalar broadcast
     "graph_lpa_modularity")

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * files, no driver-side materialization, same posture as the native
   * Zipf source runs).
   *
-  * Usage: runMain graft.GraphScale <nEdges> [nNodesDivisor=10] [cpus=32] [zipfSkew=0] [ops=all|pagerank,bfs,cc,lpa,kcore]
+  * Usage: runMain graft.GraphScale <nEdges> [nNodesDivisor=10] [cpus=32] [zipfSkew=0] [ops=all|pagerank,bfs,cc,lpa,kcore,sssp]
   * With zipfSkew > 0 the destination degrees follow Zipf(s) (the G3
   * quantile sweep) — node 0 is a hub receiving ~1/H(n,s) of ALL edges.
   * Prints one JSON line per operator with wall seconds and output rows.
@@ -94,6 +94,15 @@ object GraphScale {
     val coreK = math.max(2L, nEdges / nNodes).toInt
     if (want("kcore")) timed(s"kcore_$coreK") {
       Graph.kCore(sym, coreK, iters = 4).count()
+    }
+    // weighted SSSP: hash-derived weights in [1,100], 5 seed nodes —
+    // measures the frontier-restricted relaxation's settling behavior
+    // (round joins shrink as distances stabilize) at edge scale
+    if (want("sssp")) timed("sssp_6") {
+      val wEdges = sym.withColumn("w",
+        pmod(xxhash64(col("src"), col("dst")), lit(100L)) + 1L)
+      val seeds = spark.range(5).select(col("id").as("node"))
+      Graph.sssp(wEdges, seeds, rounds = 6).count()
     }
     spark.stop()
   }

@@ -749,6 +749,45 @@ object CorpusOps {
         sum(col("k") * col("__m")).as("sum_measure"))
   }
 
+  /** Domain-mixture reweighting: per-stratum downsampling rates that
+    * reshape the corpus to a TARGET mixture (the DoReMi/Pile-style
+    * domain-weights step, solved for the proportional-scaling case):
+    * the achievable total under target shares is capped by the
+    * scarcest stratum — T* = min_s(tokens_s / target_s) — and every
+    * stratum keeps rate_s = T*·target_s / tokens_s of its tokens
+    * (clamped to 1 for the limiting stratum). All arithmetic is exact
+    * BIGINT ppm: cross-multiplied floor-divs, no float anywhere, so
+    * the rates are bit-portable and a corpus build applying them is
+    * reproducible.
+    *
+    * `targetPpm` is a per-row Column (constant for a uniform target;
+    * join a weights table for a learned one). Returns (stratum,
+    * tokens, current_ppm, target_ppm, rate_ppm, kept_tokens).
+    *
+    * Scale shape: one token-count aggregate (map-side partial), then
+    * two 1-row scalar aggregates broadcast over the |strata|-sized
+    * table — nothing beyond the first aggregation touches corpus-sized
+    * data. BIGINT headroom: tokens_s·10⁶ must fit 2⁶³ (tokens_s <
+    * 9.2e12 per stratum — beyond that, pre-divide counts to a coarser
+    * unit). */
+  def domainReweight(docs: DataFrame, text: Column, stratum: Column,
+      targetPpm: Column): DataFrame = {
+    val tok = docs
+      .select(stratum.as("stratum"), targetPpm.as("target_ppm"),
+        size(TextAnalysis.tokens(text)).cast("long").as("__ntok"))
+      .groupBy("stratum", "target_ppm").agg(sum(col("__ntok")).as("tokens"))
+    val totals = tok.agg(sum(col("tokens")).as("total"))
+    val t = tok.crossJoin(broadcast(totals))
+      .withColumn("current_ppm", expr("tokens * 1000000 div total"))
+    val lim = t.agg(min(expr("tokens * 1000000 div target_ppm")).as("tstar"))
+    t.crossJoin(broadcast(lim))
+      .select(col("stratum"), col("tokens"), col("current_ppm"),
+        col("target_ppm"),
+        least(lit(1000000L), expr("tstar * target_ppm div tokens")).as("rate_ppm"),
+        expr("least(1000000, tstar * target_ppm div tokens) * tokens div 1000000")
+          .as("kept_tokens"))
+  }
+
   /** C4-style boilerplate removal at SUB-document granularity (Raffel
     * et al., JMLR'20 §2.2 drop repeated lines; here the unit is a
     * fixed tiling of `segTokens` consecutive tokens because the corpus

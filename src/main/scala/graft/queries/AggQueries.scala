@@ -216,6 +216,63 @@ object AggQueries {
         |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
       graft.operators.Aggregates.saltedDistinctCount(
         Tables.table(s, d, "lineitem"), col("l_returnflag"), col("l_orderkey"))
+    },
+    // skewness + excess kurtosis from EXACT raw power sums: v..v⁴
+    // accumulate in explicitly-sized decimals (every product fits its
+    // declared precision, so both engines sum the identical rationals;
+    // the v₂² operand is pre-widened to DECIMAL(19,4) — 18-digit
+    // decimal multiplication would otherwise overflow the narrow
+    // engine path), then ONE conversion to double feeds the same
+    // moment-formula expression tree in both engines. The builtin
+    // skewness/kurtosis aggregates stream float partials whose
+    // reduce order drifts — this shape is order-independent.
+    QueryDef(
+      "agg_moments",
+      """WITH v AS (SELECT event_type, CAST(value AS DECIMAL(9,2)) AS v FROM events),
+        |p AS (SELECT event_type, v, CAST(v * v AS DECIMAL(18,4)) AS v2 FROM v),
+        |q AS (SELECT event_type, v, v2,
+        |    CAST(v2 * v AS DECIMAL(27,6)) AS v3,
+        |    CAST(CAST(v2 AS DECIMAL(19,4)) * v2 AS DECIMAL(36,8)) AS v4 FROM p),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS s1, sum(v2) AS s2, sum(v3) AS s3, sum(v4) AS s4
+        |  FROM q GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+        |    CAST(s3 AS DOUBLE) / n AS m3, CAST(s4 AS DOUBLE) / n AS m4
+        |  FROM s)
+        |SELECT event_type, n,
+        |  round(m1, 6) AS mean,
+        |  round(m2 - m1 * m1, 6) AS variance,
+        |  round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / pow(m2 - m1 * m1, 1.5), 6) AS skewness,
+        |  round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) / pow(m2 - m1 * m1, 2) - 3, 6) AS kurtosis_excess
+        |FROM d""".stripMargin) { (s, d) =>
+      val v = col("value").cast("decimal(9,2)")
+      val base = Tables.table(s, d, "events")
+        .select(col("event_type"), v.as("v"))
+        .withColumn("v2", (col("v") * col("v")).cast("decimal(18,4)"))
+        .withColumn("v3", (col("v2") * col("v")).cast("decimal(27,6)"))
+        .withColumn("v4",
+          (col("v2").cast("decimal(19,4)") * col("v2")).cast("decimal(36,8)"))
+      val sums = base.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s1"), sum(col("v2")).as("s2"),
+        sum(col("v3")).as("s3"), sum(col("v4")).as("s4"))
+      val m = sums.select(col("event_type"), col("n"),
+        (col("s1").cast("double") / col("n")).as("m1"),
+        (col("s2").cast("double") / col("n")).as("m2"),
+        (col("s3").cast("double") / col("n")).as("m3"),
+        (col("s4").cast("double") / col("n")).as("m4"))
+      m.select(col("event_type"), col("n"),
+        round(col("m1"), 6).as("mean"),
+        round(col("m2") - col("m1") * col("m1"), 6).as("variance"),
+        round((col("m3") - lit(3) * col("m1") * col("m2")
+            + lit(2) * col("m1") * col("m1") * col("m1"))
+          / pow(col("m2") - col("m1") * col("m1"), 1.5), 6).as("skewness"),
+        round((col("m4") - lit(4) * col("m1") * col("m3")
+            + lit(6) * col("m1") * col("m1") * col("m2")
+            - lit(3) * col("m1") * col("m1") * col("m1") * col("m1"))
+          / pow(col("m2") - col("m1") * col("m1"), 2) - lit(3), 6)
+          .as("kurtosis_excess"))
     }
   )
 }

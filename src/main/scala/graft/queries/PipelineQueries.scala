@@ -367,6 +367,26 @@ object PipelineQueries {
           col("doc_id"), col("source"), col("n_chars"), replicates = 5)
         .withColumnRenamed("stratum", "source")
         .withColumnRenamed("sum_measure", "sum_chars")
+    },
+    // domain-mixture reweighting (CorpusOps.domainReweight): exact-ppm
+    // downsampling rates that reshape the 20-source corpus to a uniform
+    // 50000-ppm-per-source target — the scarcest source caps the
+    // achievable total, everything else downsamples proportionally
+    QueryDef(
+      "pipeline_domain_reweight",
+      """WITH tok AS (SELECT source, CAST(50000 AS BIGINT) AS target_ppm,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tt AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM tok),
+        |t AS (SELECT tok.*, tokens * 1000000 // total AS current_ppm FROM tok, tt),
+        |lim AS (SELECT CAST(min(tokens * 1000000 // target_ppm) AS BIGINT) AS tstar FROM t)
+        |SELECT source, tokens, CAST(current_ppm AS BIGINT) AS current_ppm, target_ppm,
+        |  CAST(least(1000000, tstar * target_ppm // tokens) AS BIGINT) AS rate_ppm,
+        |  CAST(least(1000000, tstar * target_ppm // tokens) * tokens // 1000000 AS BIGINT) AS kept_tokens
+        |FROM t, lim""".stripMargin) { (s, d) =>
+      CorpusOps.domainReweight(Tables.table(s, d, "documents"),
+          col("text"), col("source"), lit(50000L))
+        .withColumnRenamed("stratum", "source")
     }
   )
 }
