@@ -515,6 +515,15 @@ object CorpusOps {
           .as("mean_logp"))
   }
 
+  /** [[unigramLogProb]] with the per-doc mean kept as the exact BIGINT
+    * micro-units value (`s_micros`) instead of the display double —
+    * for consumers that bucket or compare scores (a double→micros
+    * round-trip truncates one off at representation boundaries). */
+  def unigramScoreMicros(docs: DataFrame, text: Column, id: Column): DataFrame =
+    unigramLogProb(docs, text, id)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("mean_logp") * 1000000.0, 0).cast("long").as("s_micros"))
+
   /** round-half-away-from-zero of `sumCol / countCol` on integer
     * micro-units, as pure BIGINT arithmetic — `(2|s| + c) div 2c` with
     * the sign put back. Truncating integer `div` on NON-NEGATIVE

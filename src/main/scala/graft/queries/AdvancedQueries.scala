@@ -270,6 +270,49 @@ object AdvancedQueries {
         .filter(col("kind") === 1 && col("asof").isNotNull)
         .select(col("event_id"), col("asof").as("asof_orderkey"))
     },
+    // as-of with a STALENESS TOLERANCE (feature-store TTL semantics):
+    // the most recent order within the trailing 7 days of each event,
+    // LEFT — every event emits, null when the carried match is older
+    // than the window (or absent). Same union-merge dataflow as
+    // join_asof with the matched TIME carried alongside the key (the
+    // two `last`s pick from the same row, so the pair is consistent);
+    // the tolerance is a post-filter on the carried time, never a
+    // third join predicate — the pair set stays linear
+    QueryDef(
+      "join_asof_tolerance",
+      """WITH pairs AS (
+        |  SELECT e.event_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+        |    AND epoch_us(o.o_orderdate) >= epoch_us(e.ts) - 604800000000)
+        |SELECT e.event_id, p.o_orderkey AS asof_orderkey
+        |FROM events e LEFT JOIN (SELECT event_id, o_orderkey FROM pairs WHERE rn = 1) p
+        |  USING (event_id)""".stripMargin) { (s, d) =>
+      val tolUs = 604800000000L // 7 days
+      val e = Tables.table(s, d, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("eus"))
+      val o = Tables.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
+      val stream = o.select(col("o_custkey").as("uid"), col("ous").as("t"),
+          lit(0).as("kind"), col("o_orderkey").as("okey"),
+          lit(null).cast("long").as("event_id"))
+        .unionByName(e.select(col("user_id").as("uid"), col("eus").as("t"),
+          lit(1).as("kind"), lit(null).cast("long").as("okey"), col("event_id")))
+      val w = Window.partitionBy(col("uid"))
+        .orderBy(col("t"), col("kind"), col("okey").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      stream
+        .withColumn("asof", last(col("okey"), ignoreNulls = true).over(w))
+        .withColumn("asof_t",
+          last(when(col("kind") === 0, col("t")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"),
+          when(col("asof_t") >= col("t") - tolUs, col("asof"))
+            .as("asof_orderkey"))
+    },
     // FORWARD as-of: for each ORDER, the customer's EARLIEST event at
     // or after the order date ("next session after purchase") — the
     // same union-merge, scanned in descending time order so the

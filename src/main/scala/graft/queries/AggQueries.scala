@@ -217,6 +217,34 @@ object AggQueries {
       graft.operators.Aggregates.saltedDistinctCount(
         Tables.table(s, d, "lineitem"), col("l_returnflag"), col("l_orderkey"))
     },
+    // exact WEIGHTED median (smallest x with cumweight(≤x) ≥ W/2):
+    // the value domain pre-aggregates to |distinct quantities| rows per
+    // group, so the cumulative window runs over a tiny table — never
+    // the raw fact rows; weights accumulate in exact DECIMAL and the
+    // half test cross-multiplies (cw·2 ≥ W), no division at all
+    QueryDef(
+      "agg_weighted_median",
+      """WITH q AS (SELECT l_returnflag AS k, CAST(l_quantity AS BIGINT) AS x,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT k, x,
+        |    sum(w) OVER (PARTITION BY k ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY k) AS tw
+        |  FROM q)
+        |SELECT k, min(x) AS wmedian FROM c WHERE cw * 2 >= tw GROUP BY k""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("k"), col("l_quantity").cast("long").as("x"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("w"))
+      val byK = Window.partitionBy(col("k"))
+      val cum = byK.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      q.withColumn("cw", sum(col("w")).over(cum))
+        .withColumn("tw", sum(col("w")).over(byK))
+        .where(col("cw") * 2 >= col("tw"))
+        .groupBy("k").agg(min(col("x")).as("wmedian"))
+    },
     // skewness + excess kurtosis from EXACT raw power sums: v..v⁴
     // accumulate in explicitly-sized decimals (every product fits its
     // declared precision, so both engines sum the identical rationals;

@@ -205,6 +205,46 @@ object PipelineQueries {
         |FROM tok JOIN f USING (t) GROUP BY tok.doc_id""".stripMargin) { (s, d) =>
       CorpusOps.unigramLogProb(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
     },
+    // CCNet-style perplexity bucketing: docs split into LM-score
+    // quartiles (percentile_disc cutpoints broadcast — the ntile-free
+    // feature_binning pattern, no single-task global sort) — the
+    // keep-the-fluent-quartiles selection step. Scores are the unigram
+    // LM's portable integer-micros means, so cutpoints and compares
+    // are exact in both engines.
+    QueryDef(
+      "quality_perplexity_bucket",
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM tok),
+        |f AS (SELECT t, CAST(round(log10(CAST(count(*) AS DOUBLE) / max(n.n)) * 1000000, 0) AS BIGINT) AS lpm
+        |  FROM tok, n GROUP BY t),
+        |sc AS (SELECT tok.doc_id, count(*) AS n_tokens,
+        |    CAST(CASE WHEN sum(lpm) >= 0 THEN (2 * sum(lpm) + count(*)) // (2 * count(*))
+        |         ELSE -((2 * (-sum(lpm)) + count(*)) // (2 * count(*))) END AS BIGINT) AS s_micros
+        |  FROM tok JOIN f USING (t) GROUP BY tok.doc_id),
+        |b AS (SELECT quantile_disc(s_micros, 0.25) AS q1,
+        |    quantile_disc(s_micros, 0.5) AS q2,
+        |    quantile_disc(s_micros, 0.75) AS q3 FROM sc)
+        |SELECT 1 + CAST(s_micros > q1 AS INT) + CAST(s_micros > q2 AS INT)
+        |    + CAST(s_micros > q3 AS INT) AS bucket,
+        |  count(*) AS n_docs, min(s_micros) AS lo, max(s_micros) AS hi
+        |FROM sc, b GROUP BY 1""".stripMargin) { (s, d) =>
+      val sc = CorpusOps.unigramScoreMicros(
+          Tables.table(s, d, "documents"), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("s_micros"))
+      val b = sc.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY s_micros)").as("q1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY s_micros)").as("q2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY s_micros)").as("q3"))
+      sc.join(broadcast(b), lit(true))
+        .select((lit(1) + (col("s_micros") > col("q1")).cast("int")
+          + (col("s_micros") > col("q2")).cast("int")
+          + (col("s_micros") > col("q3")).cast("int")).as("bucket"),
+          col("s_micros"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("s_micros")).as("lo"), max(col("s_micros")).as("hi"))
+    },
     // end-to-end corpus selection: quality gates + language filter +
     // near-dup removal (keep the lower doc_id of each pair)
     QueryDef(

@@ -379,6 +379,73 @@ object TextQueries {
           size(filter(col("pieces"), p => p === "[UNK]")).cast("long").as("n_unk"),
           md5(concat_ws("|", col("pieces")).cast("binary")).as("pieces_md5"))
     },
+    // character-level Shannon entropy (gibberish/encoded-blob
+    // detection: natural text sits ~4 bits/char, base64 and
+    // hex dumps higher, repeated padding lower). Per-char terms
+    // −(k/n)·log₂(k/n) round to integer NANOS — integral values, so
+    // the per-doc sum is exact BIGINT and order-independent (the raw
+    // double sum would drift under Spark's reduce order)
+    QueryDef(
+      "text_entropy",
+      """WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c FROM documents),
+        |cf AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cf GROUP BY 1),
+        |term AS (SELECT cf.doc_id,
+        |    CAST(round(-(CAST(k AS DOUBLE) / n.n) * log2(CAST(k AS DOUBLE) / n.n) * 1000000000, 0) AS BIGINT) AS t
+        |  FROM cf JOIN n USING (doc_id))
+        |SELECT doc_id, CAST(sum(t) AS BIGINT) AS entropy_nanos, count(*) AS n_distinct_chars
+        |FROM term GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val cf = Tables.table(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+      val n = cf.groupBy("doc_id").agg(sum(col("k")).as("n"))
+      val p = col("k").cast("double") / col("n")
+      cf.join(n, "doc_id")
+        .select(col("doc_id"),
+          round(-p * log2(p) * 1000000000, 0).cast("long").as("t"))
+        .groupBy("doc_id")
+        .agg(sum(col("t")).as("entropy_nanos"),
+          count(lit(1)).as("n_distinct_chars"))
+    },
+    // BPE APPLICATION — the inference twin of text_bpe_train: each
+    // word becomes a space-separated symbol string and the fixed merge
+    // list applies IN ORDER as plain replaces ("lhs rhs" → "lhsrhs"),
+    // which on single-separator symbol strings IS canonical BPE's
+    // leftmost-first walk (the bpeTrain argument). The merge table is
+    // a deployment artifact, so a FIXED demo list is the honest
+    // contract (same stance as WordPiece.demoVocab); both engines
+    // build their replace chain from the same Scala value.
+    {
+      val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n",
+        "an" -> "d", "i" -> "n", "e" -> "r")
+      def chain(seed: String): String =
+        merges.foldLeft(seed) { case (acc, (l, r)) =>
+          s"replace($acc, '$l $r', '$l$r')" }
+      QueryDef(
+        "text_bpe_encode",
+        s"""WITH t AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1), i -> {'wi': i, 'w': ws[i]})) AS u
+           |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
+           |w AS (SELECT doc_id, u.wi AS wi, u.w AS w FROM t),
+           |enc AS (SELECT doc_id, wi, ${chain("array_to_string(regexp_split_to_array(w, ''), ' ')")} AS pieces FROM w)
+           |SELECT doc_id,
+           |  CAST(sum(len(regexp_split_to_array(pieces, ' '))) AS BIGINT) AS n_pieces,
+           |  md5(string_agg(pieces, '|' ORDER BY wi)) AS pieces_md5
+           |FROM enc GROUP BY doc_id""".stripMargin) { (s, d) =>
+        val words = Tables.table(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.tokens(col("text"))).as(Seq("wi", "w")))
+        words
+          .select(col("doc_id"), col("wi"),
+            expr(chain("array_join(split(w, ''), ' ')")).as("pieces"))
+          .groupBy("doc_id")
+          .agg(
+            sum(size(split(col("pieces"), " "))).as("n_pieces"),
+            md5(concat_ws("|",
+              transform(
+                array_sort(collect_list(struct(col("wi"), col("pieces")))),
+                x => x.getField("pieces"))).cast("binary")).as("pieces_md5"))
+      }
+    },
     // C4-style boilerplate segment removal (CorpusOps.segmentDedup):
     // 5-token segments occurring in ≥3 distinct docs are cut from every
     // doc, survivors re-join in order — sub-document dedup composing
