@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   * of the cached index (no corpus shuffle: the delta side is broadcast,
   * ScaleSpec pins the plan). Self-check: exactly nDelta/10 verdicts.
   *
-  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32] [mode=spans|lsh|ingest|stored]
+  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32] [mode=spans|lsh|ingest|stored|segments]
   */
 object DedupScale {
   def main(args: Array[String]): Unit = {
@@ -175,6 +175,25 @@ object DedupScale {
       }
       val expSpans = 2 * expPairs
       println(s"""{"op":"spans_check","expected":$expSpans,"got":$spans,"ok":${spans == expSpans}}""")
+    } else if (mode == "segments") {
+      // C4 segment dedup over the spans-mode corpus: the 16-token
+      // boilerplate prefix tiles into exactly 4 pure 4-token segments,
+      // each shared by nDocs/plantEvery/50 docs (>= 3 above 150·
+      // plantEvery docs, so all 4 drop); random 4-gram tiles can pair-
+      // collide at these sizes (~10^16 values) but a TRIPLE collision —
+      // what maxDocs = 3 would need — is vanishingly unlikely, so the
+      // planted drop count stays exact
+      val expDropped = 4L * (nDocs / plantEvery +
+        (if (nDocs % plantEvery == 0) 0 else 1))
+      var dropped = 0L
+      timed("segment_dedup_s4") {
+        val res = graft.operators.CorpusOps.segmentDedup(
+          docs, col("text"), col("doc_id"), segTokens = 4, maxDocs = 3)
+        val agg = res.agg(sum(col("n_dropped")), count(lit(1))).head()
+        dropped = agg.getLong(0)
+        agg.getLong(1)
+      }
+      println(s"""{"op":"segments_check","expected":$expDropped,"got":$dropped,"ok":${dropped == expDropped}}""")
     } else {
       val spans = timed("substring_spans_k8") {
         Dedup.substringSpans(docs, col("text"), col("doc_id"), k = 8).count()
