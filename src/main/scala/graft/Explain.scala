@@ -80,8 +80,13 @@ object Explain {
     "sketch_kmv_jaccard",
     // pipeline_domain_reweight crosses two 1-row scalar aggregates
     // (corpus total, limiting-stratum cap) under the |strata|-sized
-    // token table — scalar broadcasts, not pair scans
-    "pipeline_domain_reweight",
+    // token table — scalar broadcasts, not pair scans; the repetition
+    // schedule is the same shape with one scalar
+    "pipeline_domain_reweight", "pipeline_repetition_schedule",
+    // quality_perplexity_bucket fans the 1-row percentile-cutpoint
+    // aggregate out over the doc-score table (the feature_binning
+    // pattern), and the LM underneath fans out its 1-row corpus total
+    "quality_perplexity_bucket",
     // graph_lpa_modularity crosses the 1-row |E| total under the
     // community-cardinality parts table — a scalar broadcast
     "graph_lpa_modularity")

@@ -499,6 +499,59 @@ object AnalyticsQueries {
         .select(col("event_type"), col("dow"), col("days_dow"), col("sum_dow"),
           expr("sum_dow * days_total * 1000000 div (days_dow * sum_total)")
             .as("seasonal_ppm"))
+    },
+    // maximum drawdown of the per-type daily volume (largest peak-to-
+    // trough decline — the health-monitoring dual of CUSUM's level
+    // shift): running max window over exact BIGINT counts, ratio as a
+    // cross-multiplied floor-div — pure integer ppm end to end
+    QueryDef(
+      "events_drawdown",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, x,
+        |    max(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |  FROM daily)
+        |SELECT event_type,
+        |  CAST(min(x * 1000000 // runmax) AS BIGINT) AS min_ratio_ppm,
+        |  CAST(1000000 - min(x * 1000000 // runmax) AS BIGINT) AS max_drawdown_ppm
+        |FROM r GROUP BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.table(s, d, "events")
+        .groupBy(col("event_type"), expr("ts div 1000 div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val run = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("runmax", max(col("x")).over(run))
+        .withColumn("ratio", expr("x * 1000000 div runmax"))
+        .groupBy("event_type")
+        .agg(min(col("ratio")).as("min_ratio_ppm"),
+          (lit(1000000L) - min(col("ratio"))).as("max_drawdown_ppm"))
+    },
+    // per-user behavioral diversity: Shannon entropy of each user's
+    // event-type mix — the text_entropy recipe (integer-nano terms,
+    // exact BIGINT sums) applied to categorical distributions; bots
+    // concentrate near 0, organic users spread toward log2(5)
+    QueryDef(
+      "events_user_entropy",
+      """WITH f AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS k FROM events GROUP BY 1, 2),
+        |n AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS n, count(*) AS nt FROM f GROUP BY 1),
+        |term AS (SELECT f.user_id, n.nt,
+        |    CAST(round(-(CAST(k AS DOUBLE) / n.n) * log2(CAST(k AS DOUBLE) / n.n) * 1000000000, 0) AS BIGINT) AS t
+        |  FROM f JOIN n USING (user_id))
+        |SELECT user_id, CAST(sum(t) AS BIGINT) AS entropy_nanos, max(nt) AS n_types
+        |FROM term GROUP BY user_id""".stripMargin) { (s, d) =>
+      val f = Tables.table(s, d, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("k"))
+      val n = f.groupBy("user_id")
+        .agg(sum(col("k")).as("n"), count(lit(1)).as("nt"))
+      val p = col("k").cast("double") / col("n")
+      f.join(n, "user_id")
+        .select(col("user_id"), col("nt"),
+          round(-p * log2(p) * 1000000000, 0).cast("long").as("t"))
+        .groupBy("user_id")
+        .agg(sum(col("t")).as("entropy_nanos"), max(col("nt")).as("n_types"))
     }
   )
 }

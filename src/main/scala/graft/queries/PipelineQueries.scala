@@ -427,6 +427,38 @@ object PipelineQueries {
       CorpusOps.domainReweight(Tables.table(s, d, "documents"),
           col("text"), col("source"), lit(50000L))
         .withColumnRenamed("stratum", "source")
+    },
+    // data-repetition schedule — the UPSAMPLING twin of
+    // pipeline_domain_reweight (Muennighoff et al., arXiv:2305.16264:
+    // repeating data beats nothing when the budget exceeds the
+    // corpus): given a token budget (2× the corpus here) and target
+    // shares, each source's rate_ppm = budget·target div tokens may
+    // exceed 10⁶ — full passes + a fractional-pass ppm, all exact
+    // BIGINT, the reproducible epoch plan a trainer consumes
+    QueryDef(
+      "pipeline_repetition_schedule",
+      """WITH tok AS (SELECT source, CAST(50000 AS BIGINT) AS target_ppm,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tt AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM tok),
+        |r AS (SELECT tok.source, tok.tokens, tok.target_ppm,
+        |    (2 * tt.total * tok.target_ppm) // tok.tokens AS rate_ppm
+        |  FROM tok, tt)
+        |SELECT source, tokens, target_ppm,
+        |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
+        |  CAST(rate_ppm // 1000000 AS BIGINT) AS full_epochs,
+        |  CAST(rate_ppm % 1000000 AS BIGINT) AS frac_ppm
+        |FROM r""".stripMargin) { (s, d) =>
+      val tok = Tables.table(s, d, "documents")
+        .select(col("source"), lit(50000L).as("target_ppm"),
+          size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("__ntok"))
+        .groupBy("source", "target_ppm").agg(sum(col("__ntok")).as("tokens"))
+      val tt = tok.agg(sum(col("tokens")).as("total"))
+      tok.crossJoin(broadcast(tt))
+        .withColumn("rate_ppm", expr("2 * total * target_ppm div tokens"))
+        .select(col("source"), col("tokens"), col("target_ppm"), col("rate_ppm"),
+          expr("rate_ppm div 1000000").as("full_epochs"),
+          expr("rate_ppm % 1000000").as("frac_ppm"))
     }
   )
 }

@@ -517,4 +517,38 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(auto == exp, s"auto(budget=100) diverged: $auto vs $exp")
   }
+
+  test("PQ-ADC plan: codebook and LUT broadcast, corpus never sort-merge joins") {
+    val df = graft.operators.Similarity.topKPqAdc(
+      Tables.table(spark, sf, "embeddings"), col("embedding"), col("vec_id"),
+      col("vec_id") % 50 === 0, m = 8, subDim = 8, nCodes = 8, k = 5)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val nodes = flattenPlan(plan).map(_.nodeName)
+    // encode join (sub × codebook) and probe join (codes × LUT) must
+    // both broadcast the small side — at corpus scale the vector table
+    // is the big side and must never enter a sort-merge exchange
+    assert(nodes.count(_.startsWith("BroadcastHashJoin")) >= 2, nodes.mkString(","))
+    assert(!nodes.exists(_.startsWith("SortMergeJoin")), nodes.mkString(","))
+  }
+
+  test("segment dedup plan: distinct-doc counting partial-aggregates map-side") {
+    val df = graft.operators.CorpusOps.segmentDedup(
+      Tables.table(spark, sf, "documents"), col("text"), col("doc_id"), 5, 3)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val flat = flattenPlan(plan)
+    // the (seg, doc) distinct + count pipeline must be hash aggregates
+    // with partial modes, and the seg-count join back must be an
+    // equi-join — never a nested loop over the segment space
+    assert(flat.map(_.nodeName).count(_.contains("HashAggregate")) >= 3)
+    assert(!flat.map(_.nodeName).exists(n =>
+      n.startsWith("CartesianProduct") || n.startsWith("BroadcastNestedLoopJoin")))
+  }
 }
