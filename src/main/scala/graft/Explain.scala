@@ -87,6 +87,9 @@ object Explain {
     // aggregate out over the doc-score table (the feature_binning
     // pattern), and the LM underneath fans out its 1-row corpus total
     "quality_perplexity_bucket",
+    // events_funnel_windowed crosses its three 1-row stage-count
+    // aggregates into the single report row — scalar broadcasts
+    "events_funnel_windowed",
     // graph_lpa_modularity crosses the 1-row |E| total under the
     // community-cardinality parts table — a scalar broadcast
     "graph_lpa_modularity")

@@ -552,6 +552,40 @@ object AnalyticsQueries {
           round(-p * log2(p) * 1000000000, 0).cast("long").as("t"))
         .groupBy("user_id")
         .agg(sum(col("t")).as("entropy_nanos"), max(col("nt")).as("n_types"))
+    },
+    // TIME-BOXED funnel: view → click within 1 day → purchase within
+    // 7 days of the click (funnel_conversion's unbounded ordering
+    // misses expiry semantics — real funnels window each step). Each
+    // stage is an equi-join on user restricted to the window, min-
+    // reduced — per-user work bounded by event counts, no pair blowup
+    // beyond the per-user step candidates.
+    QueryDef(
+      "events_funnel_windowed",
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM v GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, min(c.t) AS t2 FROM s1 JOIN c ON c.user_id = s1.user_id
+        |  AND c.t >= s1.t1 AND c.t <= s1.t1 + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT s2.user_id, min(p.t) AS t3 FROM s2 JOIN p ON p.user_id = s2.user_id
+        |  AND p.t >= s2.t2 AND p.t <= s2.t2 + 604800000000 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS n_step1,
+        |  (SELECT count(*) FROM s2) AS n_step2,
+        |  (SELECT count(*) FROM s3) AS n_step3""".stripMargin) { (s, d) =>
+      val ev = Tables.table(s, d, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"))
+      def stage(t: String) = ev.where(col("event_type") === t)
+        .select(col("user_id"), col("t"))
+      val s1 = stage("view").groupBy("user_id").agg(min(col("t")).as("t1"))
+      val s2 = s1.join(stage("click").withColumnRenamed("t", "ct"), "user_id")
+        .where(col("ct") >= col("t1") && col("ct") <= col("t1") + 86400000000L)
+        .groupBy("user_id").agg(min(col("ct")).as("t2"))
+      val s3 = s2.join(stage("purchase").withColumnRenamed("t", "pt"), "user_id")
+        .where(col("pt") >= col("t2") && col("pt") <= col("t2") + 604800000000L)
+        .groupBy("user_id").agg(min(col("pt")).as("t3"))
+      s1.agg(count(lit(1)).as("n_step1"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_step2")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_step3")))
     }
   )
 }

@@ -406,6 +406,50 @@ object CurationQueries {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
         col("text"), col("doc_id"), k = 100)
+    },
+    // k-anonymity audit over quasi-identifiers (nation, market
+    // segment): equivalence-class sizes with a below-k flag — the
+    // suppression/generalization work list a release pipeline consumes
+    // (Sweeney 2002). One aggregate, exact integers.
+    QueryDef(
+      "privacy_k_anonymity",
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, n, (n < 10) AS below_k
+        |FROM g""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          (col("n") < 10).as("below_k"))
+    },
+    // Laplace-mechanism noisy counts (ε = 0.5, sensitivity 1, so
+    // b = 2): the DP release shape for per-category counts. The noise
+    // draw inverts the Laplace CDF over a 48-bit md5 uniform of the
+    // category — SEEDED, so the release is reproducible and the
+    // oracle replays it exactly; a production ε-DP release swaps the
+    // seeded uniform for true randomness, everything else unchanged.
+    // Integer-micros output, no float in the stored result.
+    QueryDef(
+      "privacy_dp_counts",
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |u AS (SELECT event_type, n,
+        |    ('0x' || substr(md5(event_type), 1, 12))::BIGINT / 281474976710656.0 AS u
+        |  FROM g)
+        |SELECT event_type, n,
+        |  CAST(round((CASE WHEN u >= 0.5 THEN -ln(2 * (1 - u)) ELSE ln(2 * u) END) * 2.0 * 1000000, 0) AS BIGINT) AS noise_micros,
+        |  CAST(n * 1000000 + CAST(round((CASE WHEN u >= 0.5 THEN -ln(2 * (1 - u)) ELSE ln(2 * u) END) * 2.0 * 1000000, 0) AS BIGINT) AS BIGINT) AS noisy_micros
+        |FROM u""".stripMargin) { (s, d) =>
+      val g = Tables.table(s, d, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val u = conv(substring(md5(col("event_type")), 1, 12), 16, 10)
+        .cast("long").cast("double") / 281474976710656.0
+      val lap = when(u >= 0.5, -log(lit(2) * (lit(1) - u)))
+        .otherwise(log(lit(2) * u)) * 2.0
+      g.select(col("event_type"), col("n"),
+          round(lap * 1000000, 0).cast("long").as("noise_micros"))
+        .withColumn("noisy_micros",
+          col("n") * 1000000L + col("noise_micros"))
     }
   )
 
