@@ -88,8 +88,10 @@ object Explain {
     // pattern), and the LM underneath fans out its 1-row corpus total
     "quality_perplexity_bucket",
     // events_funnel_windowed crosses its three 1-row stage-count
-    // aggregates into the single report row — scalar broadcasts
-    "events_funnel_windowed",
+    // aggregates into the single report row — scalar broadcasts; the
+    // clustering coefficient crosses the 1-row wedge total under the
+    // 1-row triangle count
+    "events_funnel_windowed", "graph_clustering_coeff",
     // graph_lpa_modularity crosses the 1-row |E| total under the
     // community-cardinality parts table — a scalar broadcast
     "graph_lpa_modularity")

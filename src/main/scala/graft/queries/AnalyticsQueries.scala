@@ -586,6 +586,54 @@ object AnalyticsQueries {
       s1.agg(count(lit(1)).as("n_step1"))
         .crossJoin(s2.agg(count(lit(1)).as("n_step2")))
         .crossJoin(s3.agg(count(lit(1)).as("n_step3")))
+    },
+    // Welch two-sample t statistic per metric (experimentation
+    // analytics): cohorts from the deterministic user-id hash split,
+    // n/mean/variance from EXACT decimal raw sums (the agg_moments
+    // recipe), one identical double formula per row in both engines —
+    // the A/B readout a metrics pipeline emits
+    QueryDef(
+      "stats_welch_ttest",
+      """WITH g AS (SELECT event_type,
+        |    CASE WHEN (user_id * 2654435761) % 4294967296 % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+        |    CAST(value AS DECIMAL(9,2)) AS v
+        |  FROM events),
+        |s AS (SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS s1, sum(CAST(v * v AS DECIMAL(18,4))) AS s2
+        |  FROM g GROUP BY 1, 2),
+        |m AS (SELECT event_type, cohort, n,
+        |    CAST(s1 AS DOUBLE) / n AS mean,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n)) / (n - 1) AS var
+        |  FROM s)
+        |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+        |  round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+        |  round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6) AS t_welch
+        |FROM m a JOIN m b ON a.event_type = b.event_type
+        |  AND a.cohort = 'A' AND b.cohort = 'B'""".stripMargin) { (s, d) =>
+      val v = col("value").cast("decimal(9,2)")
+      val g = Tables.table(s, d, "events").select(col("event_type"),
+        when(graft.operators.CorpusOps.hash32(col("user_id")) % 2 === 0, "A")
+          .otherwise("B").as("cohort"), v.as("v"))
+      val sums = g.groupBy("event_type", "cohort").agg(
+        count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum((col("v") * col("v")).cast("decimal(18,4)")).as("s2"))
+      val s1d = col("s1").cast("double")
+      val m = sums.select(col("event_type"), col("cohort"), col("n"),
+        (s1d / col("n")).as("mean"),
+        ((col("s2").cast("double") - s1d * (s1d / col("n"))) / (col("n") - 1))
+          .as("var"))
+      val a = m.where(col("cohort") === "A")
+        .select(col("event_type"), col("n").as("n_a"),
+          col("mean").as("ma"), col("var").as("va"))
+      val b = m.where(col("cohort") === "B")
+        .select(col("event_type").as("et_b"), col("n").as("n_b"),
+          col("mean").as("mb"), col("var").as("vb"))
+      a.join(b, col("event_type") === col("et_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+          round((col("ma") - col("mb")) /
+            sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), 6)
+            .as("t_welch"))
     }
   )
 }

@@ -348,6 +348,89 @@ object GraphQueries {
         e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       val seeds = edges.where(col("src") <= 5).select(col("src").as("node")).distinct()
       Graph.sssp(edges, seeds, ssspRounds)
+    },
+    // degree assortativity (Newman 2002): Pearson correlation of
+    // endpoint degrees over the symmetrized edge list — one edge-level
+    // join against the degree table, exact BIGINT moment sums, one
+    // double formula from identical operands in both engines. The
+    // bipartite supplier↔customer graph is strongly DISassortative
+    // (hubs connect to leaves), which the metric reports directly.
+    QueryDef(
+      "graph_assortativity",
+      """WITH e0 AS (
+        |  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 10000000 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity >= 48),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        |p AS (SELECT da.d AS x, db.d AS y FROM e
+        |  JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy FROM p)
+        |SELECT m, round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |  (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |   * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS assortativity
+        |FROM s""".stripMargin) { (s, d) =>
+      val l = Tables.table(s, d, "lineitem")
+        .where(col("l_quantity") >= 48)
+        .select(col("l_suppkey"), col("l_orderkey"))
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val e0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), (col("o_custkey") + 10000000L).as("dst"))
+        .distinct()
+      val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      val p = e
+        .join(deg.select(col("node").as("na"), col("d").as("x")), col("src") === col("na"))
+        .join(deg.select(col("node").as("nb"), col("d").as("y")), col("dst") === col("nb"))
+        .select(col("x"), col("y"))
+      val sums = p.agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val md = col("m").cast("double")
+      sums.select(col("m"),
+        round((md * col("sxy") - col("sx").cast("double") * col("sy")) /
+          (sqrt(md * col("sxx") - col("sx").cast("double") * col("sx"))
+            * sqrt(md * col("syy") - col("sy").cast("double") * col("sy"))), 6)
+          .as("assortativity"))
+    },
+    // global clustering coefficient = 3·triangles / wedges over the
+    // co-order graph graph_triangles counts: wedges are one pass over
+    // the degree table (Σ d(d−1)/2, exact BIGINT), triangles reuse the
+    // degree-oriented O(E^1.5) counter — the transitivity metric next
+    // to the raw triangle count
+    QueryDef(
+      "graph_clustering_coeff",
+      """WITH e AS (
+        |  SELECT a.o_orderkey AS u, b.o_orderkey AS v
+        |  FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+        |    AND year(a.o_orderdate) = year(b.o_orderdate)
+        |    AND a.o_orderkey < b.o_orderkey),
+        |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        |wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS triangles
+        |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT triangles, wedges,
+        |  round(3.0 * triangles / wedges, 6) AS global_cc
+        |FROM tri, wed""".stripMargin) { (s, d) =>
+      val o = Tables.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("y"))
+      val a = o.select(col("o_orderkey").as("u"), col("o_custkey"), col("y"))
+      val b = o.select(col("o_orderkey").as("v"), col("o_custkey"), col("y"))
+      val edges = a.join(b, Seq("o_custkey", "y")).where(col("u") < col("v"))
+        .select(col("u"), col("v"))
+      val sym = edges.select(col("u").as("a")).union(edges.select(col("v").as("a")))
+      val wed = sym.groupBy("a").agg(count(lit(1)).as("d"))
+        .agg(sum(expr("d * (d - 1) div 2")).as("wedges"))
+      Graph.triangleCount(edges)
+        .crossJoin(broadcast(wed))
+        .select(col("triangles"), col("wedges"),
+          round(lit(3.0) * col("triangles") / col("wedges"), 6).as("global_cc"))
     }
   )
 }
