@@ -92,6 +92,10 @@ object Explain {
     // clustering coefficient crosses the 1-row wedge total under the
     // 1-row triangle count
     "events_funnel_windowed", "graph_clustering_coeff",
+    // Kaplan–Meier crosses two 1-row scalar aggregates (the global
+    // observation end for censoring, the subject total for at-risk
+    // counts) under the duration-domain table
+    "events_kaplan_meier",
     // graph_lpa_modularity crosses the 1-row |E| total under the
     // community-cardinality parts table — a scalar broadcast
     "graph_lpa_modularity")

@@ -80,6 +80,38 @@ object TextAnalysis {
     * the raw text — identical in DuckDB. */
   def contentMd5(text: Column): Column = md5(text)
 
+  /** Exact phrase search via a positional inverted index: every
+    * occurrence of the n-token `phrase` as `(doc_id, start_pos)` rows
+    * (token-grain positions, overlapping matches included — the
+    * distributed grep a corpus pipeline runs for contamination
+    * forensics and boilerplate hunting).
+    *
+    * Scale shape: the token stream is FILTERED to the phrase's words
+    * before anything joins (predicate reaches the scan — the posting
+    * lists of n words, not the corpus), then n−1 equi-joins on
+    * `(doc_id, aligned position)` assemble occurrences. Cost is the
+    * phrase words' posting mass, not corpus × phrase — the inverted-
+    * index contract; a LIKE scan reads everything, this reads matches.
+    * Self-overlapping phrases (repeated words) fall out naturally:
+    * each join aligns positions arithmetically, so "x x" in "x x x"
+    * yields starts 0 and 1. */
+  def phrasePositions(docs: DataFrame, text: Column, id: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val toks = docs
+      .select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase.distinct: _*))
+    val first = toks.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos").as("start_pos"))
+    phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      val ti = toks.filter(col("tok") === w)
+        .select(col("doc_id").as(s"__d$i"), (col("pos") - i).as(s"__p$i"))
+      acc.join(ti,
+          col("doc_id") === col(s"__d$i") && col("start_pos") === col(s"__p$i"))
+        .select(col("doc_id"), col("start_pos"))
+    }
+  }
+
   /** Quality metrics. All ratios are integer counts promoted to double
     * with a single division — bit-identical cross-engine. Divisors are
     * nullif-guarded: ANSI mode (Spark 4 default) turns empty-text

@@ -634,6 +634,148 @@ object AnalyticsQueries {
           round((col("ma") - col("mb")) /
             sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), 6)
             .as("t_welch"))
+    },
+    // Mann–Whitney U per metric (Stats.mannWhitneyU): the rank-based
+    // nonparametric twin of the Welch readout — exact tie-averaged
+    // ranks carried as 2×rank BIGINTs over the pre-aggregated value
+    // domain, tie-corrected z from integer moment sums
+    QueryDef(
+      "stats_mannwhitney_u",
+      """WITH g AS (SELECT event_type AS g,
+        |    CASE WHEN (user_id * 2654435761) % 4294967296 % 2 = 0 THEN 'A' ELSE 'B' END AS c,
+        |    value AS v FROM events),
+        |dom AS (SELECT g, v, CAST(sum(CASE WHEN c = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+        |r AS (SELECT g, ca, cnt,
+        |    2 * (sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1)
+        |      + cnt - 1 AS r2
+        |  FROM dom),
+        |s AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cnt - ca) AS BIGINT) AS nb,
+        |    CAST(sum(ca * r2) AS BIGINT) AS ra2,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties3 FROM r GROUP BY 1)
+        |SELECT g AS group_key, na AS n_a, nb AS n_b,
+        |  CAST(ra2 - na * (na + 1) AS DOUBLE) / 2 AS u_a,
+        |  CAST(2 * na * nb - (ra2 - na * (na + 1)) AS DOUBLE) / 2 AS u_b,
+        |  round((CAST(ra2 - na * (na + 1) AS DOUBLE) / 2 - CAST(na AS DOUBLE) * nb / 2)
+        |    / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+        |        * ((CAST(na + nb AS DOUBLE) + 1)
+        |           - CAST(ties3 AS DOUBLE)
+        |             / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1)))), 6) AS z
+        |FROM s""".stripMargin) { (s, d) =>
+      import graft.operators.Stats
+      Stats.mannWhitneyU(Tables.table(s, d, "events"),
+        col("event_type"),
+        when(graft.operators.CorpusOps.hash32(col("user_id")) % 2 === 0, "A")
+          .otherwise("B"),
+        col("value"))
+    },
+    // two-regressor OLS per return flag (Stats.olsTwo): price ~
+    // quantity + discount solved in closed form from exact DECIMAL
+    // normal-equation moments — the controlled-effect readout without
+    // an iterative solver
+    QueryDef(
+      "stats_ols_multi",
+      """WITH v AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(9,2)) AS y,
+        |    CAST(l_quantity AS DECIMAL(9,2)) AS x1,
+        |    CAST(l_discount AS DECIMAL(6,4)) AS x2 FROM lineitem),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(y AS DECIMAL(38,8))) AS sy,
+        |    sum(CAST(x1 AS DECIMAL(38,8))) AS s1,
+        |    sum(CAST(x2 AS DECIMAL(38,8))) AS s2,
+        |    sum(CAST(x1 * x1 AS DECIMAL(38,8))) AS s11,
+        |    sum(CAST(x1 * x2 AS DECIMAL(38,8))) AS s12,
+        |    sum(CAST(x2 * x2 AS DECIMAL(38,8))) AS s22,
+        |    sum(CAST(x1 * y AS DECIMAL(38,8))) AS s1y,
+        |    sum(CAST(x2 * y AS DECIMAL(38,8))) AS s2y,
+        |    sum(CAST(y * y AS DECIMAL(38,8))) AS syy
+        |  FROM v GROUP BY 1),
+        |m AS (SELECT g, n,
+        |    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n AS a11,
+        |    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n AS a12,
+        |    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n AS a22,
+        |    CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / n AS a1y,
+        |    CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / n AS a2y,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS ayy,
+        |    CAST(sy AS DOUBLE) / n AS my, CAST(s1 AS DOUBLE) / n AS m1,
+        |    CAST(s2 AS DOUBLE) / n AS m2
+        |  FROM s),
+        |b AS (SELECT g, n, my, m1, m2, a1y, a2y, ayy,
+        |    (a1y * a22 - a2y * a12) / (a11 * a22 - a12 * a12) AS b1,
+        |    (a2y * a11 - a1y * a12) / (a11 * a22 - a12 * a12) AS b2
+        |  FROM m)
+        |SELECT g AS group_key, n,
+        |  round(my - b1 * m1 - b2 * m2, 6) AS b0,
+        |  round(b1, 6) AS b1, round(b2, 6) AS b2,
+        |  round((b1 * a1y + b2 * a2y) / ayy, 6) AS r2
+        |FROM b""".stripMargin) { (s, d) =>
+      import graft.operators.Stats
+      Stats.olsTwo(Tables.table(s, d, "lineitem"),
+        col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(9,2)"),
+        col("l_quantity").cast("decimal(9,2)"),
+        col("l_discount").cast("decimal(6,4)"))
+    },
+    // Kaplan–Meier time-to-conversion (Stats.kaplanMeier): subject =
+    // every 'view' event, event-of-interest = the SAME user's next
+    // 'purchase' (hour grain), right-censored at the observation end
+    // when no purchase follows — the conversion-latency curve with
+    // NATURAL censoring, computed over the bounded duration domain
+    // with an exp-of-decimal-sum product so the oracle matches
+    // bit-for-bit
+    QueryDef(
+      "events_kaplan_meier",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+        |v AS (SELECT user_id, event_type, tus,
+        |    min(CASE WHEN event_type = 'purchase' THEN tus END) OVER
+        |      (PARTITION BY user_id ORDER BY tus, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+        |  FROM e),
+        |g AS (SELECT max(tus) AS gmax FROM e),
+        |subj AS (SELECT CASE WHEN np IS NOT NULL THEN (np - tus) // 3600000000
+        |         ELSE (gmax - tus) // 3600000000 END AS t,
+        |    np IS NULL AS cen
+        |  FROM v, g WHERE event_type = 'view'),
+        |dom AS (SELECT t, CAST(sum(CASE WHEN cen THEN 0 ELSE 1 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS tot FROM subj GROUP BY 1),
+        |tt AS (SELECT CAST(sum(tot) AS BIGINT) AS n_total FROM dom),
+        |r AS (SELECT t, d, tot,
+        |    CAST(n_total - sum(tot) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + tot AS BIGINT) AS n_risk
+        |  FROM dom, tt),
+        |ee AS (SELECT t, n_risk, d,
+        |    CASE WHEN d = n_risk THEN CAST(0 AS DECIMAL(28,12))
+        |         ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 9)
+        |                   AS DECIMAL(28,12)) END AS lnterm,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS da
+        |  FROM r WHERE d > 0),
+        |c AS (SELECT t, n_risk, d,
+        |    sum(lnterm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+        |    max(da) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM ee)
+        |SELECT t, n_risk, d AS n_events,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |       ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+        |FROM c""".stripMargin) { (s, d) =>
+      import graft.operators.Stats
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.table(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"), col("event_id"))
+      val wNext = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val views = ev
+        .withColumn("np",
+          min(when(col("event_type") === "purchase", col("tus"))).over(wNext))
+        .filter(col("event_type") === "view")
+      val gmax = ev.agg(max(col("tus")).as("gmax"))
+      val subj = views.crossJoin(broadcast(gmax))
+        .select(
+          when(col("np").isNotNull, expr("(np - tus) div 3600000000"))
+            .otherwise(expr("(gmax - tus) div 3600000000")).as("dur"),
+          col("np").isNull.as("cen"))
+      Stats.kaplanMeier(subj, col("dur"), col("cen"))
     }
   )
 }

@@ -495,6 +495,66 @@ object TextQueries {
         |FROM base""".stripMargin) { (s, d) =>
       CorpusOps.gopherRules(Tables.table(s, d, "documents"),
         col("text"), col("doc_id"))
+    },
+    // exact phrase search over a positional inverted index
+    // (TextAnalysis.phrasePositions): every occurrence of the 2-token
+    // phrase "table table" as (doc_id, start_pos) — the token stream is
+    // filtered to the phrase's words BEFORE any join (posting-list
+    // mass, not corpus mass), then aligned-position equi-joins
+    // assemble occurrences, overlapping matches included. The oracle
+    // replays the identical positional logic; a LIKE scan would read
+    // everything, this reads matches.
+    QueryDef(
+      "text_phrase_positions",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |p AS (SELECT doc_id, i AS start_pos
+        |  FROM t, LATERAL unnest(generate_series(0, len(a) - 2)) u(i)
+        |  WHERE a[i + 1] = 'table' AND a[i + 2] = 'table')
+        |SELECT doc_id, start_pos FROM p""".stripMargin) { (s, d) =>
+      TextAnalysis.phrasePositions(Tables.table(s, d, "documents"),
+        col("text"), col("doc_id"), Seq("table", "table"))
+    },
+    // classifier calibration bins (the reliability diagram behind
+    // quality-filter threshold picking): hashed-classifier scores
+    // bucketed into 10 equal-width bins over [-0.5, 0.5], per-bin mean
+    // score from exact micro-integer sums next to the empirical
+    // positive rate (lang = 'en' as the demo label) — a calibrated
+    // filter has rate tracking score
+    QueryDef(
+      "quality_calibration_bins",
+      """WITH w AS (SELECT i AS bucket,
+        |    CAST((i * 2654435761) % 4294967296 % 1000001 - 500000 AS BIGINT) AS wm
+        |  FROM range(65536) t(i)),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+        |b AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 65536 AS bucket FROM tok),
+        |sc AS (SELECT doc_id,
+        |    CAST(CASE WHEN sum(wm) >= 0 THEN (2 * sum(wm) + count(*)) // (2 * count(*))
+        |         ELSE -((2 * (-sum(wm)) + count(*)) // (2 * count(*))) END AS BIGINT) AS sm
+        |  FROM b JOIN w USING (bucket) GROUP BY doc_id),
+        |lab AS (SELECT s.doc_id, s.sm, (d.lang = 'en') AS pos
+        |  FROM sc s JOIN documents d USING (doc_id))
+        |SELECT least(CAST(floor((CAST(sm AS DOUBLE) / 1000000.0 + 0.5) * 10) AS BIGINT), 9) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(sm) AS DOUBLE) / 1000000.0 / count(*), 6) AS mean_score,
+        |  round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pos_rate
+        |FROM lab GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val scored = CorpusOps.classifierScore(docs, col("text"), col("doc_id"),
+          CorpusOps.hashWeights(s, 65536L), 65536L)
+        // score is micros/1e6 — recover the exact micro integer so the
+        // per-bin mean sums BIGINTs, not floats
+        .select(col("doc_id"),
+          round(col("score") * 1000000d).cast("long").as("sm"))
+      scored.join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")),
+          Seq("doc_id"))
+        .groupBy(least(floor((col("sm").cast("double") / 1000000.0 + 0.5) * 10)
+          .cast("long"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("sm")).cast("double") / 1000000.0 / count(lit(1)), 6)
+            .as("mean_score"),
+          round(sum(when(col("pos"), 1).otherwise(0)).cast("double")
+            / count(lit(1)), 6).as("pos_rate"))
     }
   )
 }
