@@ -489,7 +489,17 @@ object CorpusOps {
     * decimal halves — see the boundary note in the body). Two
     * aggregations (corpus freqs, per-doc mean) + one broadcast-size
     * join on token — the frequency table is vocabulary-sized. */
-  def unigramLogProb(docs: DataFrame, text: Column, id: Column): DataFrame = {
+  def unigramLogProb(docs: DataFrame, text: Column, id: Column): DataFrame =
+    unigramSums(docs, text, id)
+      .select(col("doc_id"), col("n_tokens"),
+        (meanMicrosHalfAway("__s", "n_tokens").cast("double") / 1000000.0)
+          .as("mean_logp"))
+
+  /** Shared pre-division aggregation: (doc_id, n_tokens, __s) with __s
+    * the exact BIGINT sum of per-token log-micros — both public views
+    * derive from this select, so the micros value is computed once and
+    * never round-tripped through a display double. */
+  private def unigramSums(docs: DataFrame, text: Column, id: Column): DataFrame = {
     val tok = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
     // the corpus total joins in as a broadcast 1-row aggregate OVER THE
     // FREQUENCY TABLE, inside the same plan — both freqCounts instances
@@ -510,19 +520,17 @@ object CorpusOps {
     tok.join(broadcast(freqs), Seq("t"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lpm")).as("__s"))
-      .select(col("doc_id"), col("n_tokens"),
-        (meanMicrosHalfAway("__s", "n_tokens").cast("double") / 1000000.0)
-          .as("mean_logp"))
   }
 
   /** [[unigramLogProb]] with the per-doc mean kept as the exact BIGINT
     * micro-units value (`s_micros`) instead of the display double —
-    * for consumers that bucket or compare scores (a double→micros
-    * round-trip truncates one off at representation boundaries). */
+    * for consumers that bucket or compare scores. Emitted straight from
+    * the shared [[unigramSums]] BIGINT division (ADVICE r5: the old
+    * double→micros round-trip was exact only while |micros| ≪ 2⁵²). */
   def unigramScoreMicros(docs: DataFrame, text: Column, id: Column): DataFrame =
-    unigramLogProb(docs, text, id)
+    unigramSums(docs, text, id)
       .select(col("doc_id"), col("n_tokens"),
-        round(col("mean_logp") * 1000000.0, 0).cast("long").as("s_micros"))
+        meanMicrosHalfAway("__s", "n_tokens").cast("long").as("s_micros"))
 
   /** round-half-away-from-zero of `sumCol / countCol` on integer
     * micro-units, as pure BIGINT arithmetic — `(2|s| + c) div 2c` with
@@ -862,21 +870,23 @@ object CorpusOps {
   def gopherRules(docs: DataFrame, text: Column, id: Column,
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in"))
       : DataFrame = {
-    val base = docs.select(id.as("doc_id"), length(text).as("__nc"),
-      TextAnalysis.tokens(text).as("toks"))
+    val base = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
     val tf = base
-      .select(col("doc_id"), col("__nc"), explode(col("toks")).as("tk"))
-      .groupBy("doc_id", "__nc", "tk").agg(count(lit(1)).as("c"))
-    val agg = tf.groupBy("doc_id", "__nc").agg(
+      .select(col("doc_id"), explode(col("toks")).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+    // word chars accumulate EXACTLY as Σ occurrences·len(token) inside
+    // the per-token aggregate (ADVICE r5: deriving them from raw
+    // length(text) − n_tokens + 1 is exact only for trimmed
+    // single-space text — tabs or space runs inflate the count and can
+    // flip pass_wordlen)
+    val agg = tf.groupBy("doc_id").agg(
       sum(col("c")).as("n_tokens"),
       max(col("c")).as("max_tok"),
       count(lit(1)).as("n_distinct"),
       coalesce(sum(when(lower(col("tk")).isin(stopwords: _*), col("c"))), lit(0L))
-        .as("n_stop"))
-    // mean word length = (chars − separators) / tokens; separators =
-    // n_tokens − 1 for the `\s+`-split grain, so word chars =
-    // n_chars − n_tokens + 1 exactly
-    val wordChars = col("__nc") - col("n_tokens") + lit(1L)
+        .as("n_stop"),
+      sum(col("c") * length(col("tk")).cast("long")).as("__wc"))
+    val wordChars = col("__wc")
     val passLen = col("n_tokens") >= 10L && col("n_tokens") <= 100000L
     val passWordLen =
       wordChars >= col("n_tokens") * 3L && wordChars <= col("n_tokens") * 10L

@@ -56,8 +56,15 @@ object Stats {
     val u2a = col("ra2") - col("na") * (col("na") + 1) // 2·U_A, exact BIGINT
     val u2b = lit(2) * col("na") * col("nb") - u2a
     val nd = n.cast("double")
-    val varU = col("na").cast("double") * col("nb") / 12.0 *
-      ((nd + 1) - col("ties3").cast("double") / (nd * (nd - 1)))
+    // nullif-guard (house pattern, TextAnalysis): a group whose values
+    // all land in one cohort (na·nb = 0) or whose whole domain is one
+    // tied value (ties3 = n³−n) gives varU = 0 — z is undefined, and
+    // unguarded ±Infinity/NaN rendering diverges across engines. Both
+    // engines emit NULL z for the degenerate case instead.
+    val varU = nullif(
+      col("na").cast("double") * col("nb") / 12.0 *
+        ((nd + 1) - col("ties3").cast("double") / (nd * (nd - 1))),
+      lit(0.0))
     sums.select(col("g").as("group_key"), col("na").as("n_a"), col("nb").as("n_b"),
       (u2a.cast("double") / 2).as("u_a"), (u2b.cast("double") / 2).as("u_b"),
       round((u2a.cast("double") / 2 - col("na").cast("double") * col("nb") / 2)

@@ -603,7 +603,7 @@ object AnalyticsQueries {
         |  FROM g GROUP BY 1, 2),
         |m AS (SELECT event_type, cohort, n,
         |    CAST(s1 AS DOUBLE) / n AS mean,
-        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n)) / (n - 1) AS var
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n)) / nullif(n - 1, 0) AS var
         |  FROM s)
         |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
         |  round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
@@ -618,10 +618,12 @@ object AnalyticsQueries {
         count(lit(1)).as("n"), sum(col("v")).as("s1"),
         sum((col("v") * col("v")).cast("decimal(18,4)")).as("s2"))
       val s1d = col("s1").cast("double")
+      // nullif-guard (ADVICE r5): a single-row cohort gives n−1 = 0 —
+      // the variance (and t) is undefined; both engines emit NULL
       val m = sums.select(col("event_type"), col("cohort"), col("n"),
         (s1d / col("n")).as("mean"),
-        ((col("s2").cast("double") - s1d * (s1d / col("n"))) / (col("n") - 1))
-          .as("var"))
+        ((col("s2").cast("double") - s1d * (s1d / col("n")))
+          / nullif(col("n") - 1, lit(0L))).as("var"))
       val a = m.where(col("cohort") === "A")
         .select(col("event_type"), col("n").as("n_a"),
           col("mean").as("ma"), col("var").as("va"))
@@ -658,10 +660,10 @@ object AnalyticsQueries {
         |  CAST(ra2 - na * (na + 1) AS DOUBLE) / 2 AS u_a,
         |  CAST(2 * na * nb - (ra2 - na * (na + 1)) AS DOUBLE) / 2 AS u_b,
         |  round((CAST(ra2 - na * (na + 1) AS DOUBLE) / 2 - CAST(na AS DOUBLE) * nb / 2)
-        |    / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+        |    / sqrt(nullif(CAST(na AS DOUBLE) * nb / 12.0
         |        * ((CAST(na + nb AS DOUBLE) + 1)
         |           - CAST(ties3 AS DOUBLE)
-        |             / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1)))), 6) AS z
+        |             / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1))), 0)), 6) AS z
         |FROM s""".stripMargin) { (s, d) =>
       import graft.operators.Stats
       Stats.mannWhitneyU(Tables.table(s, d, "events"),

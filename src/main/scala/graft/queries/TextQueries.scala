@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** Doubled-separator BPE encode chain — shared by the text_bpe_encode
+    * query (both engines) and TextSpec's canonical-walk pin (oracle
+    * parity structurally cannot catch a tokenization that is wrong the
+    * same way in both engines, so the walk itself is spec-asserted). */
+  private[graft] val bpeDemoMerges = Seq("t" -> "h", "th" -> "e", "a" -> "n",
+    "an" -> "d", "i" -> "n", "e" -> "r")
+  private[graft] val BpeSep = "chr(1)" // U+0001 in BOTH engines
+  private[graft] def bpeChainSql(seed: String): String =
+    bpeDemoMerges.foldLeft(seed) { case (acc, (l, r)) =>
+      s"replace($acc, $BpeSep||'$l'||$BpeSep||$BpeSep||'$r'||$BpeSep, $BpeSep||'$l$r'||$BpeSep)" }
+  private[graft] def bpeDisplaySql(sym: String): String =
+    s"replace(trim(BOTH $BpeSep FROM $sym), $BpeSep||$BpeSep, ' ')"
+  /** Spark-side encode of a word column (name `word`) to display pieces. */
+  private[graft] def bpeEncodeSparkSql(word: String): String =
+    bpeDisplaySql(bpeChainSql(
+      s"$BpeSep||$BpeSep||array_join(split($word, ''), $BpeSep||$BpeSep)||$BpeSep||$BpeSep"))
+
   val all: Seq[QueryDef] = Seq(
     // token counting: whitespace tokens + BPE-ish subword estimate
     QueryDef(
@@ -407,44 +424,42 @@ object TextQueries {
         .agg(sum(col("t")).as("entropy_nanos"),
           count(lit(1)).as("n_distinct_chars"))
     },
-    // BPE APPLICATION — the inference twin of text_bpe_train: each
-    // word becomes a space-separated symbol string and the fixed merge
-    // list applies IN ORDER as plain replaces ("lhs rhs" → "lhsrhs"),
-    // which on single-separator symbol strings IS canonical BPE's
-    // leftmost-first walk (the bpeTrain argument). The merge table is
-    // a deployment artifact, so a FIXED demo list is the honest
-    // contract (same stance as WordPiece.demoVocab); both engines
-    // build their replace chain from the same Scala value.
-    {
-      val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n",
-        "an" -> "d", "i" -> "n", "e" -> "r")
-      def chain(seed: String): String =
-        merges.foldLeft(seed) { case (acc, (l, r)) =>
-          s"replace($acc, '$l $r', '$l$r')" }
-      QueryDef(
-        "text_bpe_encode",
-        s"""WITH t AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1), i -> {'wi': i, 'w': ws[i]})) AS u
-           |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
-           |w AS (SELECT doc_id, u.wi AS wi, u.w AS w FROM t),
-           |enc AS (SELECT doc_id, wi, ${chain("array_to_string(regexp_split_to_array(w, ''), ' ')")} AS pieces FROM w)
-           |SELECT doc_id,
-           |  CAST(sum(len(regexp_split_to_array(pieces, ' '))) AS BIGINT) AS n_pieces,
-           |  md5(string_agg(pieces, '|' ORDER BY wi)) AS pieces_md5
-           |FROM enc GROUP BY doc_id""".stripMargin) { (s, d) =>
-        val words = Tables.table(s, d, "documents")
-          .select(col("doc_id"),
-            posexplode(TextAnalysis.tokens(col("text"))).as(Seq("wi", "w")))
-        words
-          .select(col("doc_id"), col("wi"),
-            expr(chain("array_join(split(w, ''), ' ')")).as("pieces"))
-          .groupBy("doc_id")
-          .agg(
-            sum(size(split(col("pieces"), " "))).as("n_pieces"),
-            md5(concat_ws("|",
-              transform(
-                array_sort(collect_list(struct(col("wi"), col("pieces")))),
-                x => x.getField("pieces"))).cast("binary")).as("pieces_md5"))
-      }
+    // BPE APPLICATION — the inference twin of text_bpe_train: each word
+    // becomes a DOUBLED-SEPARATOR symbol string (SS+c+SS+…+SS with
+    // SEP = chr(1), exactly bpeTrain's representation) and the fixed
+    // merge list applies IN ORDER as replace(SEP+l+SS+r+SEP →
+    // SEP+lr+SEP): the pattern consumes one boundary separator each
+    // side and restores it, so merges can never span a symbol boundary
+    // (ADVICE r5: the old single-separator chain merged 'the'+'r'
+    // through the trailing 'e' — not canonical BPE) and back-to-back
+    // runs still fuse leftmost-first. The merge table is a deployment
+    // artifact, so a FIXED demo list is the honest contract (same
+    // stance as WordPiece.demoVocab); both engines build their replace
+    // chain from the same Scala value.
+    QueryDef(
+      "text_bpe_encode",
+      s"""WITH t AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1), i -> {'wi': i, 'w': ws[i]})) AS u
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
+         |w AS (SELECT doc_id, u.wi AS wi, u.w AS w FROM t),
+         |enc AS (SELECT doc_id, wi, ${bpeDisplaySql(bpeChainSql(
+            s"$BpeSep||$BpeSep||array_to_string(regexp_split_to_array(w, ''), $BpeSep||$BpeSep)||$BpeSep||$BpeSep"))} AS pieces FROM w)
+         |SELECT doc_id,
+         |  CAST(sum(len(regexp_split_to_array(pieces, ' '))) AS BIGINT) AS n_pieces,
+         |  md5(string_agg(pieces, '|' ORDER BY wi)) AS pieces_md5
+         |FROM enc GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val words = Tables.table(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("wi", "w")))
+      words
+        .select(col("doc_id"), col("wi"),
+          expr(bpeEncodeSparkSql("w")).as("pieces"))
+        .groupBy("doc_id")
+        .agg(
+          sum(size(split(col("pieces"), " "))).as("n_pieces"),
+          md5(concat_ws("|",
+            transform(
+              array_sort(collect_list(struct(col("wi"), col("pieces")))),
+              x => x.getField("pieces"))).cast("binary")).as("pieces_md5"))
     },
     // C4-style boilerplate segment removal (CorpusOps.segmentDedup):
     // 5-token segments occurring in ≥3 distinct docs are cut from every
@@ -452,7 +467,7 @@ object TextQueries {
     // with the document-level Dedup family
     QueryDef(
       "text_segment_dedup",
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks FROM documents),
         |seg AS (
         |  SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
         |    array_to_string(toks[(u.i*5+1):(u.i*5+5)], ' ') AS seg
@@ -471,24 +486,22 @@ object TextQueries {
     // composed rule battery a pretraining filter actually applies
     QueryDef(
       "text_gopher_rules",
-      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
         |tf  AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
-        |agg AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS max_tok, count(*) AS n_distinct,
-        |    sum(c) FILTER (WHERE lower(tk) IN ('the','a','of','and','to','is','in')) AS n_stop
-        |  FROM tf GROUP BY doc_id),
-        |base AS (SELECT d.doc_id, length(d.text) AS n_chars,
-        |    CAST(a.n_tokens AS BIGINT) AS n_tokens, CAST(a.max_tok AS BIGINT) AS max_tok,
-        |    CAST(a.n_distinct AS BIGINT) AS n_distinct, CAST(coalesce(a.n_stop, 0) AS BIGINT) AS n_stop
-        |  FROM documents d JOIN agg a USING (doc_id))
+        |base AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(max(c) AS BIGINT) AS max_tok, CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(coalesce(sum(c) FILTER (WHERE lower(tk) IN ('the','a','of','and','to','is','in')), 0) AS BIGINT) AS n_stop,
+        |    CAST(sum(c * length(tk)) AS BIGINT) AS wc
+        |  FROM tf GROUP BY doc_id)
         |SELECT doc_id, n_tokens, n_distinct, n_stop, max_tok,
         |  (n_tokens >= 10 AND n_tokens <= 100000) AS pass_len,
-        |  (n_chars - n_tokens + 1 >= 3 * n_tokens AND n_chars - n_tokens + 1 <= 10 * n_tokens) AS pass_wordlen,
+        |  (wc >= 3 * n_tokens AND wc <= 10 * n_tokens) AS pass_wordlen,
         |  (50 * n_stop >= 3 * n_tokens) AS pass_stop,
         |  (5 * n_distinct >= n_tokens) AS pass_distinct,
         |  (5 * max_tok <= n_tokens) AS pass_dominance,
         |  ((n_tokens >= 10 AND n_tokens <= 100000)
-        |    AND (n_chars - n_tokens + 1 >= 3 * n_tokens AND n_chars - n_tokens + 1 <= 10 * n_tokens)
+        |    AND (wc >= 3 * n_tokens AND wc <= 10 * n_tokens)
         |    AND (50 * n_stop >= 3 * n_tokens)
         |    AND (5 * n_distinct >= n_tokens)
         |    AND (5 * max_tok <= n_tokens)) AS pass_all

@@ -296,6 +296,20 @@ class TextSpec extends SparkSpec {
     assert(re.toSeq == m.toSeq)
   }
 
+  test("bpe encode chain is canonical leftmost-first BPE (no cross-symbol merges)") {
+    import spark.implicits._
+    import graft.queries.TextQueries
+    // ADVICE r5: the single-separator chain encoded 'other' as [o, ther]
+    // (the 'e r' replace spanned the 'the' symbol's last char) — the
+    // doubled-separator walk must yield canonical [o, the, r]. Both
+    // engines share the chain, so ONLY this spec can catch the hazard.
+    val got = Seq("other", "and", "then", "aaaa", "er")
+      .toDF("w").select(expr(TextQueries.bpeEncodeSparkSql("w")).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    // merges in order: (t,h)(th,e)(a,n)(an,d)(i,n)(e,r)
+    assert(got == Seq("o the r", "and", "the n", "a a a a", "er"))
+  }
+
   test("segmentDedup cuts tile-aligned boilerplate in >= maxDocs docs, keeps order") {
     import spark.implicits._
     // 5-token tiles; "B1..B5" opens 3 docs (boilerplate: dropped
