@@ -26,8 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[N] = driver-only JVM: heap is the one memory knob. 24g keeps
-  // the 70-query bench out of GC churn on the 128 GiB box while leaving
-  // room for the driver's own processes.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // local[N] = driver-only JVM: heap is the one memory knob. The r5
+  // bench showed late-run queries contaminated by GC pressure at 24g
+  // across 270 queries (dedup_simhash 4.5 s in-run vs 2.9 s isolated);
+  // 40g keeps the full-registry run out of churn on the 128 GiB box
+  // while leaving room for the driver's own processes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
 )

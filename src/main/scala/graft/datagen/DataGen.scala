@@ -107,6 +107,17 @@ object DataGen {
     withAttrs(base, col("rid"))
   }
 
+  /** KeyType.STRING arm (DataGenerator.java:50-52 declares
+    * {NUMERIC, STRING}; the reference's own simulations only ever run
+    * NUMERIC): a deterministic alphanumeric string per key id —
+    * md5-derived like the attribute pool, so an SQL oracle regenerates
+    * identical bytes, and collision-free over any realistic key domain
+    * (48 bits of prefix vs the sweeps' ≤ 10⁷ keys). Applied on top of
+    * the numeric generators, every generator gains a string-keyed
+    * variant without duplicating the CDF machinery. */
+  def stringKey(key: Column): Column =
+    concat(lit("k"), substring(md5(concat(lit("skey"), key.cast("string"))), 1, 12))
+
   /** G6: expected multiplicity of the hottest Zipf key —
     * rows / H(n, s) with H the generalized harmonic number
     * (DataGenerator.java:72-100; sizes the reference's merge-join

@@ -369,13 +369,25 @@ object Similarity {
   def tfidfCosinePairs(terms: DataFrame, threshold: Double,
       maxDfPpm: Long = 500000L, strategy: String = "auto",
       directRowBudget: Long = 200000000L): DataFrame = {
-    require(Set("auto", "direct", "prefix")(strategy), s"bad strategy: $strategy")
     val u = tfidfIndex(terms, maxDfPpm)
-    val uu = u.select(col("doc_id"), col("t"), col("u"))
+    pairsFromPostings(u.select(col("doc_id"), col("t"), col("u")),
+      withRem(u), docVectors(u.select(col("doc_id"), col("t"), col("u"))),
+      threshold, strategy, directRowBudget)
+  }
+
+  /** The strategy core shared by the in-memory and storage-served
+    * forms: direct posting-join accumulation under the Σ df² budget,
+    * prefix-filtered candidates + exact verify above it. `remDf` and
+    * `vecs` are by-name — the direct path never evaluates them (the
+    * stored form would otherwise always scan its vectors/ layout). */
+  private def pairsFromPostings(uu: DataFrame, remDf: => DataFrame,
+      vecs: => DataFrame, threshold: Double, strategy: String,
+      directRowBudget: Long): DataFrame = {
+    require(Set("auto", "direct", "prefix")(strategy), s"bad strategy: $strategy")
     val pick =
       if (strategy != "auto") strategy
       else {
-        // Σ df² from the persisted index — a vocabulary-sized
+        // Σ df² from the posting index — a vocabulary-sized
         // aggregate collapsing to one row; the cost model's only input
         val sumDf2 = uu.groupBy("t").agg(count(lit(1)).as("df"))
           .agg(sum(col("df") * col("df"))).head().getLong(0)
@@ -390,29 +402,39 @@ object Similarity {
         .agg(round(sum(col("p")).cast("double"), 6).as("cos"))
         .filter(col("cos") >= threshold)
     } else {
-      val cand = prefixCandidates(u, threshold)
-      // per-doc sparse vectors as maps: dimension-shaped (one row per
-      // doc), so Catalyst broadcasts them at small scale and
-      // shuffle-joins at large — never a per-term explode
-      val vecs = uu.groupBy("doc_id")
-        .agg(map_from_entries(collect_list(struct(col("t"), col("u")))).as("vec"))
-      // exact dot in integer micro-units: each shared-term product is
-      // the SAME 6 dp-rounded value the direct path feeds DECIMAL
-      // accumulation (round(p,6)·10⁶ is integral, so the long sum is
-      // exactly 10⁶ × the decimal sum and the final rounded double is
-      // bit-identical); missing keys contribute 0 like non-shared terms
-      val micro = aggregate(map_entries(col("va")), lit(0L),
-        (acc, e) => acc + coalesce(
-          round(round(e.getField("value") * element_at(col("vb"), e.getField("key")), 6)
-            * 1000000d).cast("long"),
-          lit(0L)))
-      cand
-        .join(vecs.select(col("doc_id").as("doc_a"), col("vec").as("va")), "doc_a")
-        .join(vecs.select(col("doc_id").as("doc_b"), col("vec").as("vb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(micro / 1000000d, 6).as("cos"))
-        .filter(col("cos") >= threshold)
+      verifyCandidatePairs(candidatesFromRem(remDf, threshold), vecs, threshold)
     }
+  }
+
+  /** Per-doc sparse vectors as maps: dimension-shaped (one row per
+    * doc), so Catalyst broadcasts them at small scale and shuffle-joins
+    * at large — never a per-term explode. */
+  private def docVectors(uu: DataFrame): DataFrame =
+    uu.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("t"), col("u")))).as("vec"))
+
+  /** Exact-cosine verify over candidate pairs against (doc_id, vec)
+    * sparse-map vectors — shared by the in-memory prefix path and the
+    * storage-served form (one definition, so the two can never drift).
+    *
+    * The dot runs in integer micro-units: each shared-term product is
+    * the SAME 6 dp-rounded value the direct path feeds DECIMAL
+    * accumulation (round(p,6)·10⁶ is integral, so the long sum is
+    * exactly 10⁶ × the decimal sum and the final rounded double is
+    * bit-identical); missing keys contribute 0 like non-shared terms. */
+  private def verifyCandidatePairs(cand: DataFrame, vecs: DataFrame,
+      threshold: Double): DataFrame = {
+    val micro = aggregate(map_entries(col("va")), lit(0L),
+      (acc, e) => acc + coalesce(
+        round(round(e.getField("value") * element_at(col("vb"), e.getField("key")), 6)
+          * 1000000d).cast("long"),
+        lit(0L)))
+    cand
+      .join(vecs.select(col("doc_id").as("doc_a"), col("vec").as("va")), "doc_a")
+      .join(vecs.select(col("doc_id").as("doc_b"), col("vec").as("vb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(micro / 1000000d, 6).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** The candidate-pair set the prefix strategy verifies — exposed so
@@ -466,36 +488,117 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Prefix-filtered candidate pairs over a [[tfidfIndex]] table. */
-  private def prefixCandidates(u: DataFrame, threshold: Double): DataFrame = {
-    val uu = u.select(col("doc_id"), col("t"), col("u"))
-    // rem_j = Σ_{i ≥ j} u_i² in the global (idf desc, t) order: the
-    // squared mass this doc still holds from term j onward. Term j is
-    // indexed iff √rem_j could still reach the (slack-adjusted)
-    // threshold — once it can't, every remaining (hotter) term stays
-    // out of the index. rem_1 ≈ 1, so every doc indexes ≥ 1 term.
-    // Computed as whole-doc total MINUS the running prefix sum: both
-    // frames are O(terms) per document, where the direct
-    // currentRow→unboundedFollowing suffix frame is re-aggregated per
-    // row by the engine — O(terms²) per doc (a measured 10+ s of the
-    // old 59.7 s at sf0.1). The subtraction's float error (~1e-12
-    // relative) is absorbed by PrefixSlack; candidates are verified
-    // exactly, so borderline prefix membership never changes output.
+  /** rem_j = Σ_{i ≥ j} u_i² in the global (idf desc, t) order: the
+    * squared mass this doc still holds from term j onward. Term j is
+    * indexed iff √rem_j could still reach the (slack-adjusted)
+    * threshold — once it can't, every remaining (hotter) term stays
+    * out of the index. rem_1 ≈ 1, so every doc indexes ≥ 1 term.
+    * Computed as whole-doc total MINUS the running prefix sum: both
+    * frames are O(terms) per document, where the direct
+    * currentRow→unboundedFollowing suffix frame is re-aggregated per
+    * row by the engine — O(terms²) per doc (a measured 10+ s of the
+    * old 59.7 s at sf0.1). The subtraction's float error (~1e-12
+    * relative) is absorbed by PrefixSlack; candidates are verified
+    * exactly, so borderline prefix membership never changes output.
+    *
+    * rem is threshold-INDEPENDENT, so [[writeTfidfIndex]] computes it
+    * once at build time and any query threshold filters the stored
+    * value. */
+  private def withRem(u: DataFrame): DataFrame = {
     val ordered = Window.partitionBy(col("doc_id"))
       .orderBy(col("idf").desc, col("t"))
     val upToPrev = ordered.rowsBetween(Window.unboundedPreceding, -1)
     val whole = Window.partitionBy(col("doc_id"))
     val uSq = col("u") * col("u")
-    val pref = u
-      .withColumn("rem",
-        sum(uSq).over(whole) - coalesce(sum(uSq).over(upToPrev), lit(0.0)))
-      .filter(sqrt(col("rem")) >= threshold - PrefixSlack)
+    u.withColumn("rem",
+      sum(uSq).over(whole) - coalesce(sum(uSq).over(upToPrev), lit(0.0)))
+  }
+
+  /** Prefix-filtered candidate pairs over a [[tfidfIndex]] table. */
+  private def prefixCandidates(u: DataFrame, threshold: Double): DataFrame =
+    candidatesFromRem(withRem(u), threshold)
+
+  /** Candidate generation over postings that already carry `rem` —
+    * shared by the in-memory path (fresh [[withRem]]) and the stored
+    * index (rem materialized at build time). */
+  private def candidatesFromRem(uRem: DataFrame, threshold: Double): DataFrame = {
+    val uu = uRem.select(col("doc_id"), col("t"), col("u"))
+    val pref = uRem.filter(sqrt(col("rem")) >= threshold - PrefixSlack)
       .select(col("doc_id"), col("t"), col("u"))
     pref.alias("a").join(uu.alias("b"),
         col("a.t") === col("b.t") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+  }
+
+  /** Storage layout for tf-idf similarity SERVING — the sparse-vector
+    * counterpart of [[writeIvfIndex]]/[[Dedup.writeIncrementalIndex]]:
+    * the expensive corpus pass (tokenize → tf → df → idf → norms →
+    * unit vectors → suffix mass) runs ONCE at build time and lands as
+    *
+    *  - `postings/` — (doc_id, t, idf, u, rem), dir-partitioned by
+    *    `tb = pmod(xxhash64(t), termBuckets)`: the candidate self-join
+    *    reads the whole layout, but a DELTA probe (decontamination, an
+    *    ingest gate joining arriving docs against the corpus index)
+    *    touches only its own terms' buckets — partition pruning, the
+    *    [[Dedup.incrementalDedupStored]] shape;
+    *  - `vectors/` — (doc_id, vec sparse map), dir-partitioned by
+    *    `db = pmod(xxhash64(doc_id), docBuckets)`: the verify stage of
+    *    a delta probe reads candidate docs' buckets only;
+    *  - `meta/` — (max_df_ppm, term_buckets, doc_buckets), so serving
+    *    can never drift from the stored contract.
+    *
+    * `rem` (see [[withRem]]) is threshold-independent and stored, so
+    * serving skips both corpus windows as well as the aggregations. At
+    * 100 TB the posting index is the artifact a sparse-similarity
+    * pipeline maintains incrementally; rebuilding it per query — what
+    * the in-memory form must do — is the measured 2/3 of
+    * `join_tfidf_cosine`'s cost at sf0.1.
+    *
+    * Bucket counts auto-size from the corpus doc count exactly like
+    * the dedup index (≤ 0 → nDocs/2000 clamped to [1, 256]/[1, 512]) —
+    * fixed large counts make small corpora pay a metadata storm. */
+  def writeTfidfIndex(terms: DataFrame, path: String, maxDfPpm: Long = 500000L,
+      termBuckets0: Int = 0, docBuckets0: Int = 0): Unit = {
+    val u = tfidfIndex(terms, maxDfPpm)
+    try {
+      val nDocs = if (termBuckets0 > 0 && docBuckets0 > 0) 0L
+        else u.select(col("doc_id")).distinct().count()
+      val termBuckets = if (termBuckets0 > 0) termBuckets0
+        else math.max(1L, math.min(256L, nDocs / 2000L)).toInt
+      val docBuckets = if (docBuckets0 > 0) docBuckets0
+        else math.max(1L, math.min(512L, nDocs / 2000L)).toInt
+      withRem(u)
+        .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+      docVectors(u.select(col("doc_id"), col("t"), col("u")))
+        .withColumn("db", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)))
+        .repartition(col("db"))
+        .write.mode("overwrite").partitionBy("db").parquet(s"$path/vectors")
+      terms.sparkSession.range(1).select(
+          lit(maxDfPpm).as("max_df_ppm"), lit(termBuckets).as("term_buckets"),
+          lit(docBuckets).as("doc_buckets"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally u.unpersist(): Unit
+  }
+
+  /** [[tfidfCosinePairs]] served from a [[writeTfidfIndex]] layout:
+    * the SAME auto strategy (direct under the Σ df² budget, prefix +
+    * verify above it) with candidates drawn from the stored
+    * rem-carrying postings and verification against the stored sparse
+    * vectors — output value-identical to the in-memory form under
+    * either strategy (ScaleSpec pins both). */
+  def tfidfCosinePairsStored(spark: org.apache.spark.sql.SparkSession,
+      path: String, threshold: Double, strategy: String = "auto",
+      directRowBudget: Long = 200000000L): DataFrame = {
+    val posts = spark.read.parquet(s"$path/postings")
+      .select(col("doc_id"), col("t"), col("u"), col("rem"))
+    pairsFromPostings(posts.select(col("doc_id"), col("t"), col("u")),
+      posts,
+      spark.read.parquet(s"$path/vectors").select(col("doc_id"), col("vec")),
+      threshold, strategy, directRowBudget)
   }
 
   /** Product-quantization ADC top-k (Jégou et al., TPAMI'11): the

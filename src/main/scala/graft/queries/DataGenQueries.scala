@@ -98,6 +98,38 @@ object DataGenQueries {
         .agg(count(lit(1)).as("n_right"))
         .select(col("key"), col("left_rid"), col("n_right"))
     },
+    // the STRING-keyed generator arm (DataGenerator.java:50-52
+    // KeyType.STRING — the last unported enum arm, VERDICT r5) driven
+    // through the FULL reference lifecycle: string-keyed tables written
+    // as positional CSV, joined by runCsvJoin's non-numeric key path
+    // (key stays a string — no cast), per-key match counts recovered
+    // from the `key TAB left,right` projection
+    QueryDef(
+      "datagen_string_keys",
+      s"""$zipfCdfCte,
+         |e AS (SELECT k, unnest(range(cnt)) AS g FROM d WHERE cnt > 0),
+         |rt AS (SELECT 'k' || substr(md5('skey' || k), 1, 12) AS key FROM e),
+         |lt AS (SELECT i AS left_rid,
+         |    'k' || substr(md5('skey' || ((i * 1000003) % 100)), 1, 12) AS key
+         |  FROM range(100) t(i))
+         |SELECT lt.key AS key, lt.left_rid, count(*) AS n_right
+         |FROM lt JOIN rt USING (key) GROUP BY 1, 2""".stripMargin) { (s, _) =>
+      import graft.operators.Joins
+      import graft.sources.Tables
+      val dir = Tables.scratchDir("graft_strkeys")
+      val lt = DataGen.uniqueShuffled(s, 100)
+        .select(DataGen.stringKey(col("key")).as("key"), col("rid"))
+      val rt = DataGen.zipfTable(s, 10000, 100, 0.9)
+        .select(DataGen.stringKey(col("key")).as("key"), col("rid"))
+      DataGen.writeCsvParts(lt, s"$dir/left", 2)
+      DataGen.writeCsvParts(rt, s"$dir/right", 2)
+      val out = Joins.runCsvJoin(s, graft.JoinConfig(
+        left = s"$dir/left", right = s"$dir/right",
+        leftKeyIdx = 0, rightKeyIdx = 0, numericKey = false))
+      out.groupBy(col("key"),
+          split(col("left_row"), ",").getItem(1).cast("long").as("left_rid"))
+        .agg(count(lit(1)).as("n_right"))
+    },
     // heavy-hitter detection over the Zipf workload: a one-pass
     // Misra-Gries summary (candidates) + exact candidate recount finds
     // the hot join keys (the ones that overflow a naive partition,

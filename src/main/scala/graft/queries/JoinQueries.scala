@@ -246,6 +246,14 @@ object JoinQueries {
             count(lit(1)).as("n"),
             sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
         val rows = df.collect()
+        // the collect stays inside the conf scope ON PURPOSE (the bloom
+        // confs must be live when the plan executes) and is safe ONLY
+        // because the groupBy key is pinned to one literal value by the
+        // filter — assert that bound so a widened key can never turn
+        // this into a silent driver materialization (VERDICT r5)
+        require(rows.length <= 8,
+          s"join_bloom_pruned collected ${rows.length} rows — the group key " +
+            "widened; restructure before collecting driver-side")
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
       }
     },

@@ -44,6 +44,58 @@ object SimilarityQueries {
        |SELECT qid AS query_id, vid AS neighbor_id, rnk, round(cos, 6) AS cos
        |FROM r WHERE rnk <= 5""".stripMargin
 
+  /** Word 3-shingle term stream for the tf-idf pair queries. */
+  private def tfidfTerms(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.table(s, d, "documents").select(col("doc_id"),
+      graft.functions.ShingleGenerator.shingles(col("text"), 3).as("t"))
+
+  /** Shared oracle for join_tfidf_cosine and join_tfidf_stored — the
+    * two serving paths are value-identical by contract. */
+  private val tfidfOracle: String =
+    """WITH t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |tok0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t
+      |  FROM t0 WHERE len(w) >= 3),
+      |tok AS (SELECT doc_id, t, count(*) AS tf FROM tok0 GROUP BY doc_id, t),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+      |df AS (SELECT t, round(log10(CAST(n.n AS DOUBLE) / count(*)), 6) AS idf
+      |  FROM tok, n GROUP BY t, n.n HAVING count(*) * 1000000 <= n.n * 500000),
+      |w AS (SELECT tok.doc_id, tok.t, round(tf * idf, 6) AS w
+      |  FROM tok JOIN df ON tok.t = df.t),
+      |nrm AS (SELECT doc_id,
+      |    sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+      |  FROM w GROUP BY doc_id),
+      |u AS (SELECT w.doc_id, w.t, round(w.w / nrm.nrm, 6) AS u
+      |  FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(round(a.u * b.u, 6) AS DECIMAL(28,12)) AS p
+      |  FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, round(CAST(sum(p) AS DOUBLE), 6) AS cos
+      |FROM p GROUP BY doc_a, doc_b
+      |HAVING round(CAST(sum(p) AS DOUBLE), 6) >= 0.3""".stripMargin
+
+  /** Idempotent stamp-keyed stored tf-idf index under java.io.tmpdir —
+    * built once per (sfDir, documents.parquet bytes); the srcStamp key
+    * (the Streaming arrival-fixture scheme) means driver testdata
+    * regeneration auto-invalidates a stale index instead of silently
+    * serving old postings. */
+  private def storedTfidfIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val src = new java.io.File(s"$d/documents.parquet")
+    require(src.exists(), s"stored-tfidf source does not exist: $src")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_tfidf_idx_$key")
+    val ready = new java.io.File(root, "_GRAFT_READY")
+    if (!ready.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      Similarity.writeTfidfIndex(tfidfTerms(s, d), root.getPath)
+      ready.createNewFile(): Unit
+    }
+    root.getPath
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "ann_topk_bruteforce",
@@ -225,32 +277,18 @@ object SimilarityQueries {
     // exact cosine through the inverted-index equi-join (no verify pass
     // — non-shared terms contribute 0), idf-weighted, hot terms over
     // 50% df dropped on both sides of the contract
-    QueryDef(
-      "join_tfidf_cosine",
-      """WITH t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-        |tok0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t
-        |  FROM t0 WHERE len(w) >= 3),
-        |tok AS (SELECT doc_id, t, count(*) AS tf FROM tok0 GROUP BY doc_id, t),
-        |n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
-        |df AS (SELECT t, round(log10(CAST(n.n AS DOUBLE) / count(*)), 6) AS idf
-        |  FROM tok, n GROUP BY t, n.n HAVING count(*) * 1000000 <= n.n * 500000),
-        |w AS (SELECT tok.doc_id, tok.t, round(tf * idf, 6) AS w
-        |  FROM tok JOIN df ON tok.t = df.t),
-        |nrm AS (SELECT doc_id,
-        |    sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
-        |  FROM w GROUP BY doc_id),
-        |u AS (SELECT w.doc_id, w.t, round(w.w / nrm.nrm, 6) AS u
-        |  FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(round(a.u * b.u, 6) AS DECIMAL(28,12)) AS p
-        |  FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, round(CAST(sum(p) AS DOUBLE), 6) AS cos
-        |FROM p GROUP BY doc_a, doc_b
-        |HAVING round(CAST(sum(p) AS DOUBLE), 6) >= 0.3""".stripMargin) { (s, d) =>
-      val terms = Tables.table(s, d, "documents").select(col("doc_id"),
-        graft.functions.ShingleGenerator.shingles(col("text"), 3).as("t"))
-      Similarity.tfidfCosinePairs(terms, threshold = 0.3)
+    QueryDef("join_tfidf_cosine", tfidfOracle) { (s, d) =>
+      Similarity.tfidfCosinePairs(tfidfTerms(s, d), threshold = 0.3)
+    },
+    // the same contract SERVED FROM STORAGE (Similarity.writeTfidfIndex
+    // / tfidfCosinePairsStored): the corpus pass (tokenize → tf → df →
+    // norms → unit vectors → suffix mass) is a maintained artifact built
+    // once per corpus version — stamp-keyed like the streaming arrival
+    // fixtures, so driver testdata regeneration invalidates it — and
+    // queries serve candidates + verify from the stored postings.
+    // Output value-identical to join_tfidf_cosine; the oracle is shared.
+    QueryDef("join_tfidf_stored", tfidfOracle) { (s, d) =>
+      Similarity.tfidfCosinePairsStored(s, storedTfidfIndex(s, d), threshold = 0.3)
     },
     // multimodal: binary payload + typed metadata + partition-batched
     // stub decode (see operators.Multimodal — only the codec is fake)

@@ -518,6 +518,77 @@ class ScaleSpec extends SparkSpec {
     assert(auto == exp, s"auto(budget=100) diverged: $auto vs $exp")
   }
 
+  test("kaplanMeier: hand-computed curve; no global window over the duration domain") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // 5 subjects: deaths at t=1,2,4, censored at t=1,3. S(1)=4/5,
+    // S(2)=4/5·2/3, t=4 kills everyone remaining → survival 0
+    val subj = Seq((1L, false), (1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("dur", "cen")
+    val km = Stats.kaplanMeier(subj, col("dur"), col("cen"))
+    val rows = km.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set((1L, 5L, 1L, 0.8), (2L, 3L, 1L, 0.533333),
+      (4L, 1L, 1L, 0.0)), s"KM curve wrong: $rows")
+    // scale pin (VERDICT r5): the running sums must be bucketed — any
+    // WindowExec with EMPTY partitioning may only run over the
+    // per-bucket offset table (subtree aggregates by __part; ≤
+    // numShufflePartitions rows by construction), never the raw domain.
+    // AQE wraps finalized subtrees inside query stages where collect
+    // can't see them — the pin runs with AQE off (plan shape is
+    // planning-time and AQE-independent, the stored-IVF precedent).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pinned = Stats.kaplanMeier(subj, col("dur"), col("cen"))
+      val unpartitioned = pinned.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.nonEmpty, "expected bounded offset windows in plan")
+      unpartitioned.foreach { w =>
+        assert(w.child.toString().contains("__part"),
+          s"global window over non-bucketed input:\n$w")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // empty input: schema-stable empty result, no job failure
+    assert(Stats.kaplanMeier(subj.filter(lit(false)), col("dur"), col("cen"))
+      .collect().isEmpty)
+  }
+
+  test("stored tfidf index: serve equals the in-memory prefix form") {
+    import graft.operators.Similarity
+    val terms = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.ShingleGenerator.shingles(col("text"), 3).as("t"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    Similarity.writeTfidfIndex(terms, idx)
+    // BOTH stored strategies must equal the in-memory prefix form:
+    // stored serving (and the direct/prefix pick) is a serving-layer
+    // change, never a semantics change
+    val storedDirect = Similarity.tfidfCosinePairsStored(spark, idx,
+        threshold = 0.3, strategy = "direct")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val storedPrefix = Similarity.tfidfCosinePairsStored(spark, idx,
+        threshold = 0.3, strategy = "prefix")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem = Similarity.tfidfCosinePairs(terms, threshold = 0.3,
+        strategy = "prefix")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(storedDirect == mem && storedPrefix == mem && mem.nonEmpty,
+      s"stored tfidf diverged: direct=${storedDirect.size} prefix=${storedPrefix.size} mem=${mem.size}")
+    // the stored postings carry rem (build-time suffix mass): serving
+    // must not re-run the per-doc windows — no WindowExec in either plan
+    Seq("direct", "prefix").foreach { st =>
+      val plan = Similarity.tfidfCosinePairsStored(spark, idx,
+          threshold = 0.3, strategy = st)
+        .queryExecution.executedPlan.toString()
+      assert(!plan.contains("Window"),
+        s"stored tfidf serve ($st) re-computes windows:\n$plan")
+    }
+    graft.sources.Tables.deleteRecursive(idx)
+  }
+
   test("PQ-ADC plan: codebook and LUT broadcast, corpus never sort-merge joins") {
     val df = graft.operators.Similarity.topKPqAdc(
       Tables.table(spark, sf, "embeddings"), col("embedding"), col("vec_id"),

@@ -296,6 +296,19 @@ class TextSpec extends SparkSpec {
     assert(re.toSeq == m.toSeq)
   }
 
+  test("bpeTrain batched rounds equal the sequential walk on corpus text") {
+    import graft.operators.CorpusOps
+    // the safe-batch selection is provably sequential-equivalent; this
+    // pins it empirically on natural text (sf documents, 24 merges)
+    // where batches actually exceed size 1
+    val docs = Tables.table(spark, sf, "documents").select(col("text"))
+    def table(batch: Int) =
+      CorpusOps.bpeTrain(docs, col("text"), nMerges = 24, batch = batch)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(table(16) == table(1), "batched merge table diverged from sequential")
+  }
+
   test("bpe encode chain is canonical leftmost-first BPE (no cross-symbol merges)") {
     import spark.implicits._
     import graft.queries.TextQueries
