@@ -493,6 +493,40 @@ object Dedup {
     } finally shBase.unpersist(): Unit
   }
 
+  /** Fold an ACCEPTED delta batch into a [[writeIncrementalIndex]]
+    * layout — the index-maintenance step that completes the ingest
+    * lifecycle (build once → gate deltas → append accepted docs →
+    * later deltas dedup against the GROWN corpus). Parquet `append`
+    * into the same `partitionBy` dirs: the delta's bands/shingles land
+    * as new files inside their (band, hb) / (db) partitions, so
+    * partition pruning over the layout is unchanged and per-append
+    * cost is O(delta) — never a rewrite of the stored corpus. Banding
+    * parameters come from `meta/`, so an appended batch can never
+    * drift from the stored contract. (Compaction of many small delta
+    * files is [[Layout]]'s compact operator applied per partition —
+    * orthogonal, as in any LSM-shaped index.) */
+  def appendToIncrementalIndex(path: String, delta: DataFrame, text: Column,
+      id: Column): Unit = {
+    val spark = delta.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (k, numHashes, rows) =
+      (m.getAs[Int]("k"), m.getAs[Int]("num_hashes"), m.getAs[Int]("rows"))
+    val bandBuckets = m.getAs[Int]("band_buckets")
+    val docBuckets = m.getAs[Int]("doc_buckets")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shDelta = shingles(delta, text, id, k).persist(lvl)
+    try {
+      bandedBuckets(minhashSignatures(shDelta, numHashes), numHashes, rows)
+        .withColumn("hb", pmod(col("h"), lit(bandBuckets.toLong)))
+        .repartition(col("band"), col("hb"))
+        .write.mode("append").partitionBy("band", "hb").parquet(s"$path/bands")
+      shDelta
+        .withColumn("db", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)))
+        .repartition(col("db"))
+        .write.mode("append").partitionBy("db").parquet(s"$path/shingles")
+    } finally shDelta.unpersist(): Unit
+  }
+
   /** [[incrementalDedup]] served from a [[writeIncrementalIndex]]
     * layout. EAGER (unlike the cached-index form): the two bucket-list
     * collects and the final verdict materialization run inside the
@@ -609,6 +643,13 @@ object Dedup {
     var (e, eRdd, eCount) = ckpt(canon(edges.select(col("a"), col("b"))))
     var rounds = 0
     var converged = false
+    // NOTE on round shuffle width: a measured experiment (round 13)
+    // pinned the rounds' shuffle.partitions to an edge-count-sized
+    // width (4 at near-dup scale) expecting to shed per-task overhead —
+    // it was consistently ~50 % SLOWER at sf0.1 than leaving the
+    // session default with AQE coalescing; AQE already folds the tiny
+    // exchanges, and the narrow setting only removed its headroom. Kept
+    // at session default deliberately.
     while (!converged && rounds < maxIters) {
       val (next, nextRdd, nextCount) = ckpt(smallStar(largeStar(e)))
       // both sides are distinct sets: equal count + empty one-sided

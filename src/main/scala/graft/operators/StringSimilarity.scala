@@ -120,8 +120,19 @@ object StringSimilarity {
     val spark = df.sparkSession
     val nP = spark.sessionState.conf.numShufflePartitions
     val base = df.select(id.as("__id"), key.as("__k"))
-    val parts = base.repartitionByRange(nP, col("__k"), col("__id"))
-      .withColumn("__pid", spark_partition_id().cast("long"))
+    // PIN the range partitioning before anything reads __pid:
+    // repartitionByRange draws its boundaries from a per-execution
+    // SAMPLE, and the offsets job plus the rank job below would
+    // otherwise each re-evaluate the exchange — measured at sf0.1, the
+    // two samplings disagree by tens of rows per boundary, which
+    // shifted ~15 k global ranks and minted 346 DUPLICATE ranks inside
+    // one query (the silent wrong-answer class packBins' docstring
+    // names; packBins sidesteps it with value-range buckets, which
+    // need a numeric key — this operator sorts by string, so the fix
+    // is materializing ONE partitioning that every consumer reads).
+    val (parts, _, _) = Iterate.ckpt(
+      base.repartitionByRange(nP, col("__k"), col("__id"))
+        .withColumn("__pid", spark_partition_id().cast("long")))
     val offsets = parts.groupBy("__pid").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
       .scanLeft((0L, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }

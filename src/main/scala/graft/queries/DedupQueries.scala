@@ -186,6 +186,70 @@ object DedupQueries {
         docs.filter(col("doc_id") % 5 === 0),
         col("text"), col("doc_id"))
     },
+    // full stored-index LIFECYCLE: build the corpus index (doc_id%5 ∈
+    // {2,3,4}), gate delta1 (%5=1) against it, APPEND delta1's accepted
+    // postings (Dedup.appendToIncrementalIndex — O(delta) parquet
+    // appends into the partitioned layout), then gate delta2 (%5=0)
+    // against the GROWN index: its verdicts must include dups vs the
+    // appended delta1 docs, which a build-once index would miss. The
+    // oracle replays both gates as batch joins with the matching
+    // corpus-membership predicates.
+    QueryDef(
+      "dedup_index_append",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |i1 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 5 = 1 AND b.doc_id % 5 NOT IN (0, 1) GROUP BY 1, 2),
+        |i2 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 GROUP BY 1, 2),
+        |g1 AS (SELECT CAST(1 AS BIGINT) AS stage, da AS new_doc, db AS dup_of,
+        |    round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |  FROM i1 JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+        |g2 AS (SELECT CAST(2 AS BIGINT) AS stage, da AS new_doc, db AS dup_of,
+        |    round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |  FROM i2 JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8)
+        |SELECT stage, new_doc, dup_of, jaccard FROM g1
+        |UNION ALL SELECT stage, new_doc, dup_of, jaccard FROM g2""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      // the PRISTINE corpus index is a stamp-keyed fixture (built once
+      // per testdata version — the streamLshIngest posture: a corpus
+      // index is a maintained artifact, its build is priced by
+      // dedup_incremental); each run works on a FILE COPY because the
+      // append below mutates the layout
+      val src = new java.io.File(s"$d/documents.parquet")
+      require(src.exists(), s"index source does not exist: $src")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val pristine = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_idxapp_$key")
+      val ready = new java.io.File(pristine, "_GRAFT_READY")
+      if (!ready.exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(pristine)
+        Dedup.writeIncrementalIndex(
+          docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
+          col("text"), col("doc_id"), pristine.getPath)
+        ready.createNewFile(): Unit
+      }
+      val idx = graft.sources.Tables.scratchDir("graft_idx_append")
+      org.apache.commons.io.FileUtils.copyDirectory(pristine, new java.io.File(idx))
+      val delta1 = docs.filter(col("doc_id") % 5 === 1)
+      val g1 = Dedup.incrementalDedupStored(idx, delta1, col("text"), col("doc_id"))
+        .select(lit(1L).as("stage"), col("new_doc"), col("dup_of"), col("jaccard"))
+      Dedup.appendToIncrementalIndex(idx, delta1, col("text"), col("doc_id"))
+      val g2 = Dedup.incrementalDedupStored(idx,
+          docs.filter(col("doc_id") % 5 === 0), col("text"), col("doc_id"))
+        .select(lit(2L).as("stage"), col("new_doc"), col("dup_of"), col("jaccard"))
+      g1.unionAll(g2)
+    },
     QueryDef(
       "dedup_embedding",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1148,8 +1148,15 @@ object Streaming {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
+      // 2 files per trigger over the 4 arrival slices = 2 micro-batches:
+      // the gate is STATELESS per batch (foreachBatch against the stored
+      // index — no watermark/eviction contract to exercise), so two
+      // ingests prove the multi-batch path while halving the fixed
+      // per-batch cost (~6 delta-sized jobs + a parquet append each;
+      // VERDICT r7 streaming-overhead item). Verdicts are slicing-
+      // independent by the operator's determinism contract either way.
       val stream = spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .parquet(documentsArrivalDir(spark, sfDir))

@@ -381,6 +381,37 @@ class ScaleSpec extends SparkSpec {
       s"no pruning: read $filesRead of $allFiles band-index files")
   }
 
+  test("stored incremental index: append folds a delta in, later gates see it") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // per-doc UNIQUE word streams — docs must only match their planted
+    // duplicate, not each other through a shared filler vocabulary
+    def body(tag: String) = (0 until 40).map(j => s"${tag}_$j").mkString(" ")
+    val base = (0L until 100L).map(i => (i * 3 + 2, body(s"b$i"))).toDF("doc_id", "text")
+    // delta1 doc 5000 duplicates base doc 7's text; delta2 doc 6000
+    // duplicates DELTA1's unique text — only visible after the append
+    val delta1 = Seq((5000L, body("b7")), (5001L, body("d1u")))
+      .toDF("doc_id", "text")
+    val delta2 = Seq((6000L, body("d1u"))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_app").toString
+    Dedup.writeIncrementalIndex(base, col("text"), col("doc_id"), idx,
+      bandBuckets0 = 16, docBuckets0 = 8)
+    // before the append: delta2 matches nothing in the stored corpus
+    val pre = Dedup.incrementalDedupStored(idx, delta2, col("text"), col("doc_id"))
+    assert(pre.count() == 0, "delta2 must not match the pre-append corpus")
+    Dedup.appendToIncrementalIndex(idx, delta1, col("text"), col("doc_id"))
+    // after: delta2's dup of the APPENDED 5001 is found, and the result
+    // equals the cached-form gate against base ∪ delta1
+    val post = Dedup.incrementalDedupStored(idx, delta2, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = Dedup.incrementalDedup(base.unionByName(delta1), delta2,
+        col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(post == expect && post.exists(_._2 == 5001L),
+      s"appended index not served: post=$post expect=$expect")
+    graft.sources.Tables.deleteRecursive(idx)
+  }
+
   test("graft-kv DSv2 source pushes filters and prunes columns into the reader") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_kv_v2").toString + "/data"
