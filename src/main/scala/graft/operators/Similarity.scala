@@ -172,6 +172,29 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Fold a delta batch of vectors into a [[writeIvfIndex]] layout —
+    * the index-maintenance step that completes the ANN serving
+    * lifecycle (build once → serve → append new vectors → later
+    * queries see them), the vector twin of
+    * [[Dedup.appendToIncrementalIndex]]. Assignment uses the STORED
+    * centroid table, never a retrain: the coarse quantizer is the
+    * index's contract, and re-deriving it from delta data would
+    * silently re-bucket the existing lists. Parquet `append` into the
+    * same `partitionBy(cid)` dirs keeps partition pruning intact and
+    * per-append cost O(delta); centroid drift from a long append
+    * stream is a REBUILD decision (monitor via
+    * `EmbeddingAnalytics.centroidDrift`), not an append-path concern —
+    * the standard IVF posture (FAISS indexes add against fixed
+    * quantizers the same way). Small-file buildup per list is
+    * [[Layout]]'s compact operator applied per partition. */
+  def appendToIvfIndex(path: String, delta: DataFrame, vec: Column,
+      id: Column): Unit = {
+    val cents = delta.sparkSession.read.parquet(s"$path/centroids")
+    assignNearest(withNorm(delta, vec, id), cents, Seq("v", "nrm"))
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/vectors")
+  }
+
   /** [[topKIvfWith]] served from a [[writeIvfIndex]] layout: probe
     * lists come from the stored (tiny) centroid table, the probed
     * centroid ids are collected driver-side (≤ nCentroids literals —

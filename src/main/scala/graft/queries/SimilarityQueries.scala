@@ -44,6 +44,57 @@ object SimilarityQueries {
        |SELECT qid AS query_id, vid AS neighbor_id, rnk, round(cos, 6) AS cos
        |FROM r WHERE rnk <= 5""".stripMargin
 
+  /** ann_ivf_kmeans oracle: Lloyd's algorithm UNROLLED — 2 spherical
+    * k-means iterations from the first-8 seed (assignment by max
+    * cosine with the shared sequential fold, per-(cluster, dim) means
+    * accumulated in DECIMAL(28,12) before ONE double division — the
+    * exact arithmetic `Similarity.kmeansCentroids` commits to), then
+    * the standard IVF probe/top-k against the TRAINED centroids. A
+    * cluster that loses every point keeps its previous center (LEFT
+    * JOIN + coalesce, mirroring the engine's map-merge). */
+  private val kmeansIvfOracle: String = {
+    // one Scala builder emits each iteration's four CTEs — the oracle
+    // stays a single self-contained SQL string, and both iterations
+    // are guaranteed textually identical up to naming
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def iter(cin: String, k: Int): String = {
+      val (g, s, m, v, cout) = (s"g$k", s"s$k", s"m$k", s"v$k", s"c${k + 1}")
+      s"""$g AS (SELECT n.vec_id AS vid, n.v, $cin.cid,
+         |  ${fold("n.v", s"$cin.cv")} / (n.nrm * $cin.cn) AS ccos
+         |  FROM n CROSS JOIN $cin),
+         |$s AS (SELECT vid, v, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn FROM $g) WHERE rn = 1),
+         |$m AS (SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+         |  FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM $s) GROUP BY cid, dim),
+         |$v AS (SELECT cid, list(m ORDER BY dim) AS mv FROM $m GROUP BY cid),
+         |$cout AS (SELECT $cin.cid, coalesce($v.mv, $cin.cv) AS cv,
+         |  sqrt(${fold(s"coalesce($v.mv, $cin.cv)", s"coalesce($v.mv, $cin.cv)")}) AS cn
+         |  FROM $cin LEFT JOIN $v ON $cin.cid = $v.cid)""".stripMargin
+    }
+    s"""$normCte,
+       |c1 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+       |${iter("c1", 1)},
+       |${iter("c2", 2)},
+       |asg0 AS (SELECT n.vec_id AS vid, n.v, n.nrm, c3.cid,
+       |  ${fold("n.v", "c3.cv")} / (n.nrm * c3.cn) AS ccos
+       |  FROM n CROSS JOIN c3),
+       |asg AS (SELECT vid, v, nrm, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS crn FROM asg0) WHERE crn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+       |pr0 AS (SELECT q.qid, q.qv, q.qn, c3.cid,
+       |  ${fold("q.qv", "c3.cv")} / (q.qn * c3.cn) AS qcos
+       |  FROM q CROSS JOIN c3),
+       |pr AS (SELECT qid, qv, qn, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS qrn FROM pr0) WHERE qrn <= 2),
+       |sc AS (SELECT pr.qid, asg.vid,
+       |  ${fold("pr.qv", "asg.v")} / (pr.qn * asg.nrm) AS cos
+       |  FROM pr JOIN asg USING (cid) WHERE asg.vid <> pr.qid),
+       |r AS (SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk FROM sc)
+       |SELECT qid AS query_id, vid AS neighbor_id, rnk, round(cos, 6) AS cos
+       |FROM r WHERE rnk <= 5""".stripMargin
+  }
+
   /** Word 3-shingle term stream for the tf-idf pair queries. */
   private def tfidfTerms(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.table(s, d, "documents").select(col("doc_id"),
@@ -130,6 +181,54 @@ object SimilarityQueries {
       Similarity.writeIvfIndex(emb, col("embedding"), col("vec_id"),
         Similarity.firstNCentroids(emb, col("embedding"), col("vec_id"), 8), tmp)
       Similarity.topKIvfStored(tmp, emb.filter(col("vec_id") % 50 === 0),
+          col("embedding"), col("vec_id"), k = 5, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // IVF with a TRAINED coarse quantizer: 2 spherical-Lloyd
+    // iterations from the first-8 seed (Similarity.kmeansCentroids —
+    // deterministic by construction: decimal mean accumulation, cid
+    // tie-breaks, fixed iteration count), then the identical
+    // topKIvfWith dataflow. The oracle unrolls both iterations, so the
+    // TRAINER itself is oracle-verified — not just the serving path.
+    QueryDef("ann_ivf_kmeans", kmeansIvfOracle) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.topKIvfWith(emb, col("embedding"), col("vec_id"),
+          col("vec_id") % 50 === 0, k = 5, nProbe = 2,
+          Similarity.kmeansCentroids(emb, col("embedding"), col("vec_id"),
+            nCentroids = 8, iters = 2))
+        .withColumnRenamed("rank", "rnk")
+    },
+    // stored-index APPEND lifecycle (Similarity.appendToIvfIndex — the
+    // ANN twin of dedup_index_append): the pristine index holds only
+    // vec_id % 3 <> 1 under the same first-8 quantizer; the run works
+    // on a file copy, appends the missing third as a delta batch
+    // (assignment against the STORED centroids, O(delta) parquet
+    // appends into the cid partitions), then serves queries from the
+    // grown index. Result must be value-identical to full-corpus IVF,
+    // so the oracle is shared with ann_ivf / ann_ivf_stored.
+    QueryDef("ann_ivf_append", ivfOracle) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      require(src.exists(), s"ivf-append source does not exist: $src")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val pristine = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_ivfapp_$key")
+      val ready = new java.io.File(pristine, "_GRAFT_READY")
+      if (!ready.exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(pristine)
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 1),
+          col("embedding"), col("vec_id"),
+          Similarity.firstNCentroids(emb, col("embedding"), col("vec_id"), 8),
+          pristine.getPath)
+        ready.createNewFile(): Unit
+      }
+      val idx = Tables.scratchDir("graft_ivf_append")
+      org.apache.commons.io.FileUtils.copyDirectory(pristine, new java.io.File(idx))
+      Similarity.appendToIvfIndex(idx, emb.filter(col("vec_id") % 3 === 1),
+        col("embedding"), col("vec_id"))
+      Similarity.topKIvfStored(idx, emb.filter(col("vec_id") % 50 === 0),
           col("embedding"), col("vec_id"), k = 5, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
     },

@@ -490,6 +490,34 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("stored IVF index: append folds a delta in, queries see the grown corpus") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.table(spark, sf, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val cents = Similarity.firstNCentroids(emb, col("embedding"), col("vec_id"), 8)
+    // index holds only vec_id % 3 <> 1; the delta is the missing third
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 1),
+      col("embedding"), col("vec_id"), cents, idx)
+    val queries = emb.filter(col("vec_id").isin(11L, 12L))
+    val pre = Similarity.topKIvfStored(idx, queries,
+        col("embedding"), col("vec_id"), k = 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    Similarity.appendToIvfIndex(idx, emb.filter(col("vec_id") % 3 === 1),
+      col("embedding"), col("vec_id"))
+    val post = Similarity.topKIvfStored(idx, queries,
+        col("embedding"), col("vec_id"), k = 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    // the appended index serves exactly what a full-corpus build serves
+    val full = Similarity.topKIvfWith(emb, col("embedding"), col("vec_id"),
+        col("vec_id").isin(11L, 12L), k = 3, nProbe = 2, cents)
+      .collect().map(_.toSeq).toSet
+    assert(post == full && post.nonEmpty, s"appended IVF diverged: $post vs $full")
+    // and the append genuinely changed what the index serves (the delta
+    // third contains nearer neighbors for at least one of the queries)
+    assert(pre != post, "append was a no-op: delta vectors never surfaced")
+    graft.sources.Tables.deleteRecursive(idx)
+  }
+
   test("tfidf prefix filter: candidates well under the Σ df² bound, output unchanged") {
     import spark.implicits._
     import graft.operators.Similarity
