@@ -882,6 +882,46 @@ object CorpusOps {
     * back, per-doc rebuild — no pair enumeration anywhere; the segment
     * count aggregate is exactly the inverted-index exchange every
     * dedup query already pays. */
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm): per document, hash every `k`-token shingle
+    * of the NORMALIZED text (lowercase, [a-z0-9 ] — MOSS's own
+    * normalization, and what keeps the polynomial hash in ASCII where
+    * UTF-16 units ≡ codepoints cross-engine), then slide a window of
+    * `w` consecutive hashes and select each window's minimum —
+    * RIGHTMOST occurrence on ties, the paper's rule — deduplicating
+    * selections shared by overlapping windows. The guarantee: any
+    * shared run of ≥ w+k−1 tokens yields at least one shared
+    * fingerprint, with ~2/(w+1) of positions selected — a fixed-rate
+    * local sample of the shingle stream, the signature set MOSS-style
+    * containment detection joins on. Documents shorter than w shingles
+    * contribute their single partial window's minimum.
+    *
+    * Scale shape: everything is per-document expression work (one
+    * projection, no self-join, no window function — the "windows" are
+    * array slices of the doc's own hash list); the output is the
+    * fingerprint index downstream containment joins bucket by `fp`,
+    * exactly like the shingle inverted index but ~(w+1)/2× smaller. */
+  def winnowingFingerprints(docs: DataFrame, text: Column, id: Column,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val base = docs.select(id.as("doc_id"),
+        TextAnalysis.tokens(TextAnalysis.normalized(text)).as("toks"))
+      .filter(size(col("toks")) >= k)
+    val hs = base.select(col("doc_id"),
+      transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => graft.functions.GraftFunctions.rolling_hash(
+          array_join(slice(col("toks"), i + 1, lit(k)), " "))
+      ).as("H"))
+    hs.select(col("doc_id"), col("H"),
+        explode(sequence(lit(0), greatest(size(col("H")) - w, lit(0)))).as("t"))
+      .withColumn("sub", slice(col("H"), col("t") + 1, lit(w)))
+      .withColumn("fp", array_min(col("sub")))
+      .withColumn("pos",
+        col("t") + size(col("sub")) - array_position(reverse(col("sub")), col("fp")))
+      .select(col("doc_id"), col("pos"), col("fp"))
+      .distinct()
+  }
+
   def segmentDedup(docs: DataFrame, text: Column, id: Column,
       segTokens: Int = 5, maxDocs: Int = 3): DataFrame = {
     val base = docs.select(id.as("doc_id"),

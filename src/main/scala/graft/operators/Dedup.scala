@@ -687,6 +687,32 @@ object Dedup {
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
 
+  /** Canonical-copy selection: [[dedupClusters]] decides WHICH docs
+    * are duplicates; this decides which copy to KEEP — the highest
+    * `quality` member of each near-dup cluster (ties to the smallest
+    * id), with singletons canonical by themselves. The standard
+    * curation refinement over keep-the-min-id: near-dup copies differ
+    * (truncation, boilerplate, OCR noise), so the kept copy should be
+    * chosen by a quality signal, not by id accident. Returns one row
+    * per input doc: (doc_id, canonical_id, is_kept).
+    *
+    * Scale shape: the argmax is a `max_by` aggregate (map-side
+    * partial, one cluster-count-sized exchange), never a per-cluster
+    * sort window; the member→canonical join is an equi-join on the
+    * cluster key the aggregation already partitioned by. */
+  def canonicalSelection(docs: DataFrame, id: Column, quality: Column,
+      pairs: DataFrame): DataFrame = {
+    val base = docs.select(id.as("doc_id"), quality.as("__q"))
+      .join(dedupClusters(pairs), Seq("doc_id"), "left_outer")
+      .withColumn("__cl", coalesce(col("cluster_rep"), col("doc_id")))
+    val canon = base.groupBy("__cl")
+      .agg(max_by(col("doc_id"), struct(col("__q"), -col("doc_id")))
+        .as("canonical_id"))
+    base.join(canon, Seq("__cl"))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_kept"))
+  }
+
   /** Elementwise double promotion of a float embedding. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 

@@ -67,6 +67,28 @@ object DedupQueries {
       Dedup.dedupClusters(
         Dedup.ngramJaccard(Tables.table(s, d, "documents"), col("text"), col("doc_id")))
     },
+    // canonical-copy selection over the same clusters: keep each
+    // cluster's HIGHEST-QUALITY member (n_chars here; a classifier
+    // score in production), ties to the smallest id — the curation
+    // refinement over keep-the-min-id, since near-dup copies differ
+    // and the kept one should be chosen by signal, not id accident.
+    // Engine: max_by aggregate per cluster (map-side partial), never a
+    // per-cluster sort window.
+    QueryDef(
+      "dedup_canonical",
+      s"""WITH RECURSIVE $clusterCtes,
+         |cc AS (SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node),
+         |b AS (SELECT d.doc_id, coalesce(cc.cluster_rep, d.doc_id) AS cl, d.n_chars AS q
+         |  FROM documents d LEFT JOIN cc USING (doc_id)),
+         |k AS (SELECT cl, doc_id AS canonical_id FROM (
+         |  SELECT cl, doc_id, row_number() OVER (PARTITION BY cl ORDER BY q DESC, doc_id) AS rn
+         |  FROM b) WHERE rn = 1)
+         |SELECT b.doc_id, k.canonical_id, b.doc_id = k.canonical_id AS is_kept
+         |FROM b JOIN k ON b.cl = k.cl""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      Dedup.canonicalSelection(docs, col("doc_id"), col("n_chars"),
+        Dedup.ngramJaccard(docs, col("text"), col("doc_id")))
+    },
     // composition view of the same pairs: per SOURCE, how much of the
     // corpus is near-duplicated (docs appearing in any qualifying pair,
     // in exact integer ppm) — the per-provider duplication report a

@@ -247,6 +247,36 @@ object TextQueries {
         GraftFunctions.rolling_hash(TextAnalysis.normalized(col("text"))).as("fp"),
         TextAnalysis.contentMd5(col("text")).as("content_md5"))
     },
+    // winnowing fingerprints (Schleimer et al., SIGMOD'03 / MOSS):
+    // 3-token shingle hashes over normalized text, window-of-4 minima
+    // with the paper's rightmost-tie rule, selections deduplicated —
+    // the guaranteed-detection local sampler (any shared run of w+k-1
+    // tokens shares a fingerprint) at ~2/(w+1) the shingle-index size.
+    // Oracle: identical hash fold per shingle, windows as list slices,
+    // rightmost min via list_position over the reversed window.
+    QueryDef(
+      "text_winnowing",
+      """WITH t0 AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> {'pos': i - 1, 's': w[i] || ' ' || w[i+1] || ' ' || w[i+2]})) AS e
+        |  FROM t0 WHERE len(w) >= 3),
+        |hh AS (SELECT doc_id, e.pos AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(e.s) + 1), c -> CAST(unicode(e.s[c]) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007) AS h
+        |  FROM sh),
+        |hl AS (SELECT doc_id, list(h ORDER BY pos) AS H FROM hh GROUP BY doc_id),
+        |win AS (SELECT doc_id, H, unnest(range(0, greatest(len(H) - 4, 0) + 1)) AS t FROM hl),
+        |sel AS (SELECT doc_id, t, H[t+1:t+4] AS sub FROM win)
+        |SELECT DISTINCT doc_id,
+        |  t + len(sub) - list_position(list_reverse(sub), list_min(sub)) AS pos,
+        |  list_min(sub) AS fp
+        |FROM sel""".stripMargin) { (s, d) =>
+      CorpusOps.winnowingFingerprints(
+        Tables.table(s, d, "documents"), col("text"), col("doc_id"), k = 3, w = 4)
+    },
     // vocabulary coverage / OOV rate against the corpus top-500 vocab
     // (frequency ties at the boundary break by token text): the
     // tokenizer-fit diagnostic. Exact integer ppm.

@@ -441,4 +441,20 @@ class DedupSpec extends SparkSpec {
     // ranking: score desc then id — 0 before 4, then 2 before 3, then 1
     assert(out.sortBy(_._2).map(_._1).toSeq == Seq(0L, 4L, 2L, 3L, 1L))
   }
+
+  test("canonicalSelection keeps the max-quality member, min id on ties, singletons") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // cluster {1,2,3} via chain pairs; quality tie between 2 and 3 at 9
+    // -> canonical 2 (smaller id); 4 alone in a pair-cluster with 5
+    // where 5 wins on quality; 10 is a singleton (no pair at all)
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 7L), (10L, 3L))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.canonicalSelection(docs, col("doc_id"), col("q"), pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> (2L, false), 2L -> (2L, true), 3L -> (2L, false),
+      4L -> (5L, false), 5L -> (5L, true), 10L -> (10L, true)))
+  }
 }

@@ -407,4 +407,53 @@ class TextSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(re == got)
   }
+
+  test("winnowing equals the driver-replicated walk; rightmost ties; run guarantee") {
+    import spark.implicits._
+    val (k, w) = (3, 4)
+    // doc 1: plain text; doc 2 shares a >= w+k-1 = 6-token run with doc 1
+    // (the paper's detection guarantee applies); doc 3: a period-3
+    // repetition so every window holds EQUAL minima (rightmost-tie
+    // path); doc 4: shorter than w shingles (single partial window);
+    // doc 5: punctuation/case noise the normalization must strip
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "once more the quick brown fox jumps over a fence"),
+      (3L, "a b c a b c a b c a b c"),
+      (4L, "just four little words"),
+      (5L, "The QUICK, brown fox!! jumps over... the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.winnowingFingerprints(docs, col("text"), col("doc_id"), k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent driver walk: normalize, shingle, charAt fold, window
+    // minima with rightmost tie, dedup
+    def hash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31L + c) % 1000000007L)
+    val exp = docs.collect().flatMap { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", "")
+        .trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (toks.length < k) Seq.empty
+      else {
+        val hs = (0 to toks.length - k).map(i => hash(toks.slice(i, i + k).mkString(" ")))
+        (0 to math.max(hs.length - w, 0)).map { t =>
+          val sub = hs.slice(t, t + w)
+          val m = sub.min
+          (id, (t + sub.lastIndexOf(m)).toLong, m)
+        }.toSet
+      }
+    }.toSet
+    assert(got == exp, s"winnowing diverged:\n got=$got\n exp=$exp")
+    // normalization: doc 5 is doc 1 up to case/punctuation — identical
+    // fingerprint (pos, fp) sets
+    assert(got.filter(_._1 == 5L).map(t => (t._2, t._3)) ==
+      got.filter(_._1 == 1L).map(t => (t._2, t._3)))
+    // detection guarantee: docs 1 and 2 share a 6-token run -> at least
+    // one common fingerprint hash
+    val f1 = got.filter(_._1 == 1L).map(_._3)
+    val f2 = got.filter(_._1 == 2L).map(_._3)
+    assert((f1 & f2).nonEmpty, "shared w+k-1 run yielded no shared fingerprint")
+    // short doc: exactly one selection (its single partial window)
+    assert(got.count(_._1 == 4L) == 1)
+  }
 }
