@@ -687,6 +687,39 @@ object Dedup {
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
 
+  /** MOSS-style overlap detection over
+    * [[CorpusOps.winnowingFingerprints]]: candidate pairs share at
+    * least `minShared` distinct fingerprints, scored by containment
+    * ratio shared / min(|fp_a|, |fp_b|) — the measure MOSS reports,
+    * robust to one side being much longer. Winnowing's guarantee makes
+    * the selection safe: any shared token run of ≥ w+k−1 tokens
+    * surfaces at least one shared fingerprint, so real overlap cannot
+    * be sampled away while the joined index is ~2/(w+1) the size of
+    * the full shingle inverted index the Jaccard/containment joins
+    * pay. Same inverted-index scale shape as [[jaccardVerify]]: the
+    * self-join is bounded by per-fingerprint document frequency, never
+    * pairs × corpus; boilerplate-hot fingerprints are exactly the hot
+    * shingles segmentDedup removes upstream. */
+  def winnowingOverlapJoin(docs: DataFrame, text: Column, id: Column,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val f = CorpusOps.winnowingFingerprints(docs, text, id, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val sz = f.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = f.as("a")
+      .join(f.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val ratio = col("shared").cast("double") /
+      least(col("sa.n"), col("sb.n"))
+    shared
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(col("shared") >= minShared && ratio >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(ratio, 6).as("overlap"))
+  }
+
   /** Canonical-copy selection: [[dedupClusters]] decides WHICH docs
     * are duplicates; this decides which copy to KEEP — the highest
     * `quality` member of each near-dup cluster (ties to the smallest

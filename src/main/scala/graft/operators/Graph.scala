@@ -205,6 +205,50 @@ object Graph {
     dist
   }
 
+  /** Per-seed hop distances — [[bfs]] keyed by (seed, node) instead of
+    * collapsing to the min over all seeds: seed s's BFS tree stays
+    * separate, which is what per-seed centralities need. State is
+    * ≤ |seeds|·|V| rows by construction, so the seed set must be
+    * BOUNDED (a sample — the standard regime for centrality at scale);
+    * the per-round shape is [[bfs]]'s exactly (frontier-restricted
+    * expansion, order-free min merge, checkpoint per round). */
+  def multiSourceHops(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val (eC, eRdd, _) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    var (dist, distRdd, _) = Iterate.ckpt(seeds.select(col("node")).distinct()
+      .select(col("node").as("seed"), col("node"), lit(0).as("dist")))
+    for (i <- 1 to maxHops) {
+      val frontier = dist.where(col("dist") === i - 1)
+      val cand = frontier.join(eC, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node"), lit(i).as("dist"))
+      val merged = dist.union(cand)
+        .groupBy("seed", "node").agg(min("dist").as("dist"))
+      val (m, mRdd, _) = Iterate.ckpt(merged)
+      distRdd.unpersist(blocking = false): Unit
+      dist = m
+      distRdd = mRdd
+    }
+    eRdd.unpersist(blocking = false): Unit
+    dist
+  }
+
+  /** Harmonic centrality (Boldi & Vigna, "Axioms for centrality",
+    * 2014) for a bounded seed sample: H(s) = Σ_{v≠s} 1/d(s,v), the
+    * closeness variant that handles disconnected graphs (unreached
+    * nodes contribute 0 instead of poisoning a mean). Distances from
+    * [[multiSourceHops]] truncated at `maxHops` — the standard
+    * bounded-radius approximation; report in exact integer ppm
+    * (Σ 1000000 div d — order-free BIGINT sum, oracle-reproducible
+    * where a float Σ1/d would be fold-order-dependent). */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame =
+    multiSourceHops(edges, seeds, maxHops)
+      .groupBy("seed")
+      .agg(
+        sum(when(col("dist") > 0, expr("1000000 div dist")).otherwise(lit(0L)))
+          .as("harmonic_ppm"),
+        (count(lit(1)) - 1).as("n_reached"))
+
   /** `rounds` rounds of Bellman–Ford single/multi-source shortest paths
     * over weighted `edges(src, dst, w)` (w BIGINT ≥ 0): dist₀(seed) = 0;
     * distᵢ(v) = min over paths of ≤ i edges. Returns (node, dist) for

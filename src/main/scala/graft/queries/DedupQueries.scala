@@ -67,6 +67,25 @@ object DedupQueries {
       Dedup.dedupClusters(
         Dedup.ngramJaccard(Tables.table(s, d, "documents"), col("text"), col("doc_id")))
     },
+    // MOSS-style overlap join over winnowing fingerprints: pairs
+    // sharing >= 2 distinct fingerprints at containment ratio >= 0.5
+    // (shared / min fingerprint count). Winnowing's w+k-1 run
+    // guarantee means real overlap can't be sampled away while the
+    // joined index is ~2/(w+1) the full shingle index.
+    QueryDef(
+      "dedup_winnowing",
+      s"""WITH ${TextQueries.winnowingCtes},
+         |f AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+         |sj AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared,
+         |  round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+         |FROM sj JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE shared >= 2 AND CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5""".stripMargin) { (s, d) =>
+      Dedup.winnowingOverlapJoin(Tables.table(s, d, "documents"),
+        col("text"), col("doc_id"), k = 3, w = 4, minShared = 2, threshold = 0.5)
+    },
     // canonical-copy selection over the same clusters: keep each
     // cluster's HIGHEST-QUALITY member (n_chars here; a classifier
     // score in production), ties to the smallest id — the curation

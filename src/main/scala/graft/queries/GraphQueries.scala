@@ -171,6 +171,34 @@ object GraphQueries {
     (Seq(head) ++ rounds).mkString(",\n") + s"\nSELECT node, dist FROM d$bfsHops"
   }
 
+  /** Unrolled PER-SEED min-distance propagation (the (seed, node)-keyed
+    * twin of [[bfsOracle]]) folded into harmonic centrality: Σ 1/d in
+    * exact integer ppm (1000000 div d), unreached nodes contributing
+    * nothing — Boldi & Vigna's disconnected-safe closeness variant. */
+  private def harmonicOracle: String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 10000000 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity >= 45),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |d0 AS (SELECT s_suppkey AS seed, s_suppkey AS node, 0 AS dist
+        |  FROM supplier WHERE s_suppkey <= 5)""".stripMargin
+    val rounds = (1 to bfsHops).map { i =>
+      s"""d$i AS (SELECT seed, node, min(dist) AS dist FROM (
+         |  SELECT seed, node, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT f.seed, e.dst AS node, ${i} AS dist
+         |  FROM d${i - 1} f JOIN e ON f.node = e.src WHERE f.dist = ${i - 1})
+         |  GROUP BY seed, node)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n") +
+      s"""
+         |SELECT seed, CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END) AS BIGINT) AS harmonic_ppm,
+         |  count(*) - 1 AS n_reached
+         |FROM d$bfsHops GROUP BY seed""".stripMargin
+  }
+
   private val ssspRounds = 6
 
   /** Unrolled Bellman–Ford — FULL relaxation every round, which
@@ -268,6 +296,24 @@ object GraphQueries {
       val seeds = Tables.table(s, d, "supplier")
         .where(col("s_suppkey") <= 5).select(col("s_suppkey").as("node"))
       Graph.bfs(edges, seeds, bfsHops, broadcastFrontier = true)
+    },
+    // harmonic centrality for the same 5-seed sample over the same
+    // graph: per-seed BFS trees (state keyed (seed, node) — bounded by
+    // |seeds|·|V|), H(s) = Σ 1/d in exact integer ppm, radius-6
+    // truncated. The bounded-seed-sample regime is how centrality is
+    // computed at scale; all-nodes exact harmonic is all-pairs BFS.
+    QueryDef("graph_harmonic", harmonicOracle) { (s, d) =>
+      val l = Tables.table(s, d, "lineitem")
+        .where(col("l_quantity") >= 45)
+        .select(col("l_suppkey"), col("l_orderkey"))
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val e0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), (col("o_custkey") + 10000000L).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.table(s, d, "supplier")
+        .where(col("s_suppkey") <= 5).select(col("s_suppkey").as("node"))
+      Graph.harmonicCentrality(edges, seeds, bfsHops)
     },
     // synchronous label propagation on the same sparse graph: 1417
     // nodes converge to ~129 communities in 4 rounds at sf0.01

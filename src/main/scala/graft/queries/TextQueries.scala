@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** Winnowing fingerprint CTE block (k=3, w=4), ending in
+    * `fps(doc_id, pos, fp)` — shared by text_winnowing and
+    * dedup_winnowing's overlap-join oracle. Normalization, hash fold,
+    * window slices, and the rightmost-tie rule mirror
+    * `CorpusOps.winnowingFingerprints` exactly. */
+  private[queries] val winnowingCtes: String =
+    """t0 AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), '\s+') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> {'pos': i - 1, 's': w[i] || ' ' || w[i+1] || ' ' || w[i+2]})) AS e
+      |  FROM t0 WHERE len(w) >= 3),
+      |hh AS (SELECT doc_id, e.pos AS pos,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(e.s) + 1), c -> CAST(unicode(e.s[c]) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 1000000007) AS h
+      |  FROM sh),
+      |hl AS (SELECT doc_id, list(h ORDER BY pos) AS H FROM hh GROUP BY doc_id),
+      |win AS (SELECT doc_id, H, unnest(range(0, greatest(len(H) - 4, 0) + 1)) AS t FROM hl),
+      |sel AS (SELECT doc_id, t, H[t+1:t+4] AS sub FROM win),
+      |fps AS (SELECT DISTINCT doc_id,
+      |  t + len(sub) - list_position(list_reverse(sub), list_min(sub)) AS pos,
+      |  list_min(sub) AS fp
+      |FROM sel)""".stripMargin
+
   /** Doubled-separator BPE encode chain — shared by the text_bpe_encode
     * query (both engines) and TextSpec's canonical-walk pin (oracle
     * parity structurally cannot catch a tokenization that is wrong the
@@ -256,24 +281,8 @@ object TextQueries {
     // rightmost min via list_position over the reversed window.
     QueryDef(
       "text_winnowing",
-      """WITH t0 AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), '\s+') AS w
-        |  FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-        |    i -> {'pos': i - 1, 's': w[i] || ' ' || w[i+1] || ' ' || w[i+2]})) AS e
-        |  FROM t0 WHERE len(w) >= 3),
-        |hh AS (SELECT doc_id, e.pos AS pos,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(1, length(e.s) + 1), c -> CAST(unicode(e.s[c]) AS BIGINT))),
-        |      (h, c) -> (h * 31 + c) % 1000000007) AS h
-        |  FROM sh),
-        |hl AS (SELECT doc_id, list(h ORDER BY pos) AS H FROM hh GROUP BY doc_id),
-        |win AS (SELECT doc_id, H, unnest(range(0, greatest(len(H) - 4, 0) + 1)) AS t FROM hl),
-        |sel AS (SELECT doc_id, t, H[t+1:t+4] AS sub FROM win)
-        |SELECT DISTINCT doc_id,
-        |  t + len(sub) - list_position(list_reverse(sub), list_min(sub)) AS pos,
-        |  list_min(sub) AS fp
-        |FROM sel""".stripMargin) { (s, d) =>
+      s"""WITH $winnowingCtes
+        |SELECT doc_id, pos, fp FROM fps""".stripMargin) { (s, d) =>
       CorpusOps.winnowingFingerprints(
         Tables.table(s, d, "documents"), col("text"), col("doc_id"), k = 3, w = 4)
     },

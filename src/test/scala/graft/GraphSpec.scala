@@ -258,4 +258,23 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(re == got)
   }
+
+  test("harmonicCentrality: hand-computed path graph, truncation, disconnection") {
+    import spark.implicits._
+    // path 1-2-3-4 plus isolated edge 8-9: undirected via both arcs
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("src", "dst")
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq(1L, 2L, 8L).toDF("node")
+    def run(hops: Int) = Graph.harmonicCentrality(edges, seeds, hops)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // full radius: H(1) = 1/1 + 1/2 + 1/3 (ppm, floor div) — nodes 8,9
+    // unreachable contribute nothing; H(2) = 1 + 1 + 1/2; H(8) = 1
+    assert(run(3) == Map(
+      1L -> (1000000L + 500000L + 333333L, 3L),
+      2L -> (2000000L + 500000L, 3L),
+      8L -> (1000000L, 1L)))
+    // radius-1 truncation: only direct neighbors counted
+    assert(run(1) == Map(
+      1L -> (1000000L, 1L), 2L -> (2000000L, 2L), 8L -> (1000000L, 1L)))
+  }
 }
