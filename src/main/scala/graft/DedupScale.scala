@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   * of the cached index (no corpus shuffle: the delta side is broadcast,
   * ScaleSpec pins the plan). Self-check: exactly nDelta/10 verdicts.
   *
-  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32] [mode=spans|lsh|ingest|stored|segments]
+  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32] [mode=spans|lsh|ingest|stored|segments|winnow]
   */
 object DedupScale {
   def main(args: Array[String]): Unit = {
@@ -70,7 +70,7 @@ object DedupScale {
         s"k -> concat('bp', pmod(id div $plantEvery, 50), '_', k)))")
     val pairEvery = 2001L
     val docsPlan =
-      if (mode == "lsh") {
+      if (mode == "lsh" || mode == "winnow") {
         // near-dup pairs: doc 2001m+1 copies doc 2001m's body with the
         // last token replaced ('zz9' is outside the 'w<n>' vocabulary)
         val srcSql =
@@ -175,6 +175,24 @@ object DedupScale {
       }
       val expSpans = 2 * expPairs
       println(s"""{"op":"spans_check","expected":$expSpans,"got":$spans,"ok":${spans == expSpans}}""")
+    } else if (mode == "winnow") {
+      // the lsh-mode corpus through the MOSS winnowing lens: each
+      // planted near-copy shares its whole 59-token prefix run with its
+      // source (>> w+k-1, so the detection guarantee applies — ratio
+      // ~1.0), while random cross pairs share at most stray hash
+      // collisions (ratio << 0.5). Also reports the fingerprint-index
+      // size against the shingle count for the ~2/(w+1) density claim.
+      val expPairs = if (nDocs < 2) 0L else (nDocs - 2) / pairEvery + 1
+      val nFps = timed("winnowing_fingerprints") {
+        graft.operators.CorpusOps.winnowingFingerprints(
+          docs, col("text"), col("doc_id")).count()
+      }
+      val nShingles = nDocs * (tpd - 2)
+      println(s"""{"op":"winnow_density","fps":$nFps,"shingles":$nShingles,"ratio":${nFps.toDouble / nShingles}}""")
+      val pairs = timed("winnowing_overlap_join") {
+        Dedup.winnowingOverlapJoin(docs, col("text"), col("doc_id")).count()
+      }
+      println(s"""{"op":"winnow_check","expected":$expPairs,"got":$pairs,"ok":${pairs == expPairs}}""")
     } else if (mode == "segments") {
       // C4 segment dedup over the spans-mode corpus: the 16-token
       // boilerplate prefix tiles into exactly 4 pure 4-token segments,

@@ -424,6 +424,58 @@ object AnalyticsQueries {
           round(aggregate(col("frame"), lit(0.0),
             (acc, x) => x + acc * lit(0.5)), 6).as("ewma"))
     },
+    // Holt's linear-trend double exponential smoothing (α = β = ½) of
+    // the same per-type daily volumes — EWMA's trend-aware upgrade:
+    //   l_t = αx_t + (1−α)(l_{t−1} + b_{t−1})
+    //   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},  l₀ = x₀, b₀ = 0
+    // evaluated as a left fold over the 64-row trailing frame with the
+    // (level, trend) state as a 2-element DOUBLE ARRAY in BOTH engines.
+    // Array state is deliberate: DuckDB 1.0's struct-building lambda
+    // aliases the accumulator (the 'b' field expression observes the
+    // already-updated 'l' — measured, off by 0.0625 on a 4-point
+    // series), while list construction is atomic in both engines. All
+    // inputs are counts and both coefficients are dyadic (½), so every
+    // intermediate is an exact double — the fold is bit-equal across
+    // engines by construction, not by rounding. Forecast = l + b (the
+    // one-step-ahead point forecast).
+    QueryDef(
+      "events_holt_trend",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, day,
+        |    list(CAST(x AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS frame
+        |  FROM daily),
+        |st AS (SELECT event_type, day,
+        |    list_reduce(list_transform(frame, x -> [x, CAST(0 AS DOUBLE)]),
+        |      (acc, e) -> [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+        |        0.5 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1]) + 0.5 * acc[2]]) AS s
+        |  FROM f)
+        |SELECT event_type, day, round(s[1], 6) AS level, round(s[2], 6) AS trend,
+        |  round(s[1] + s[2], 6) AS forecast
+        |FROM st""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.table(s, d, "events")
+        .groupBy(col("event_type"), expr("ts div 1000 div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val frame = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-63, Window.currentRow)
+      daily
+        .withColumn("frame", collect_list(col("x").cast("double")).over(frame))
+        .withColumn("s", expr(
+          """aggregate(
+            |  slice(frame, 2, size(frame) - 1),
+            |  array(element_at(frame, 1), CAST(0 AS DOUBLE)),
+            |  (acc, x) -> array(
+            |    0.5D * x + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
+            |    0.5D * ((0.5D * x + 0.5D * (element_at(acc, 1) + element_at(acc, 2))) - element_at(acc, 1))
+            |      + 0.5D * element_at(acc, 2)))""".stripMargin))
+        .select(col("event_type"), col("day"),
+          round(element_at(col("s"), 1), 6).as("level"),
+          round(element_at(col("s"), 2), 6).as("trend"),
+          round(element_at(col("s"), 1) + element_at(col("s"), 2), 6).as("forecast"))
+    },
     // lag-1..3 autocorrelation of the per-type daily volume series —
     // the seasonality/burstiness diagnostic next to CUSUM and EWMA.
     // Deviations are scaled integers (n·x − Σx, the mean cleared of
