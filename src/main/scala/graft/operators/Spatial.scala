@@ -48,4 +48,56 @@ object Spatial {
       .filter(d2 <= r * r)
       .select(col("pid_a"), col("pid_b"), d2.as("dist2"))
   }
+
+  /** DBSCAN (Ester et al., KDD'96) via the grid-bucketed neighbor
+    * join — the distributed formulation (MR-DBSCAN family): density
+    * classification and cluster formation become three relational
+    * passes over the [[radiusSelfJoin]] pair set instead of the
+    * paper's sequential region queries.
+    *
+    *  - core:   > = `minPts` OTHER points within `eps` (self excluded —
+    *    stated contract; the classic "incl. self" count is minPts+1)
+    *  - clusters: connected components over CORE–CORE eps-edges
+    *    ([[Dedup.connectedComponents]] — O(log n) star rounds), label =
+    *    component-minimum core id; a core with no core neighbor is its
+    *    own cluster
+    *  - border: non-core with ≥ 1 core neighbor, assigned the MINIMUM
+    *    cluster label among its core neighbors (DBSCAN leaves
+    *    multi-reachable border assignment arbitrary; min makes it
+    *    deterministic and oracle-reproducible)
+    *  - noise: everything else (cluster NULL)
+    *
+    * Scale shape: one grid-bucketed pair join (never all pairs), one
+    * degree aggregate, the star-contraction rounds on the core
+    * subgraph, two label joins. Density hotspots are join skew on the
+    * cell key — AQE/salting apply unchanged. */
+  def dbscan(points: DataFrame, id: Column, x: Column, y: Column,
+      eps: Double, minPts: Int): DataFrame = {
+    val base = points.select(id.as("pid"), x.as("x"), y.as("y"))
+    val pairs = radiusSelfJoin(base, col("pid"), col("x"), col("y"), eps)
+    val sym = pairs.select(col("pid_a").as("s"), col("pid_b").as("t"))
+      .unionAll(pairs.select(col("pid_b").as("s"), col("pid_a").as("t")))
+    val core = sym.groupBy(col("s").as("pid")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPts).select(col("pid"))
+    val coreEdges = sym
+      .join(core.withColumnRenamed("pid", "s"), Seq("s"))
+      .join(core.withColumnRenamed("pid", "t"), Seq("t"))
+      .filter(col("s") < col("t"))
+      .select(col("s").as("a"), col("t").as("b"))
+    val cc = Dedup.connectedComponents(coreEdges)
+    val coreRep = core.join(cc, col("pid") === col("node"), "left_outer")
+      .select(col("pid"), coalesce(col("rep"), col("pid")).as("rep"))
+    val borderRep = sym
+      .join(core, sym("s") === core("pid"), "left_anti")
+      .join(coreRep.select(col("pid").as("t"), col("rep")), Seq("t"))
+      .groupBy(col("s").as("pid")).agg(min(col("rep")).as("rep"))
+    base.select(col("pid"))
+      .join(coreRep.withColumnRenamed("rep", "crep"), Seq("pid"), "left_outer")
+      .join(borderRep.withColumnRenamed("rep", "brep"), Seq("pid"), "left_outer")
+      .select(col("pid"),
+        when(col("crep").isNotNull, lit("core"))
+          .when(col("brep").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("crep"), col("brep")).as("cluster"))
+  }
 }

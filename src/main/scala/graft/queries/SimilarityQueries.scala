@@ -443,6 +443,69 @@ object SimilarityQueries {
           (CorpusOps.hash32(col("user_id") + 1000000007L).cast("double") / 4294967296.0).as("y"))
       Spatial.radiusSelfJoin(pts, col("pid"), col("x"), col("y"), r = 0.05)
     },
+    // DBSCAN over a blob+scatter point cloud (the plain hash cloud is
+    // a golden-ratio low-discrepancy lattice — near-CONSTANT local
+    // density, so every point classifies identically; 8 hash-centered
+    // 0.05-side blobs + 2-in-10 full-square scatter give real density
+    // variation: 80 core / 41 border / 29 noise at sf0.01). Capped at
+    // user_id < 2000 so the oracle's transitive closure stays bounded
+    // at every SF. Pipeline: grid-bucketed neighbor join -> degree
+    // classify (core = >= 8 others within eps, self excluded) ->
+    // connected components over core-core edges -> min-label border
+    // assignment. The eps^2 threshold is written CAST(0.02 AS DOUBLE)*
+    // CAST(0.02 AS DOUBLE) so both engines compute the identical
+    // rounded double (DuckDB's bare 0.02*0.02 is exact DECIMAL 0.0004,
+    // which is NOT the double product).
+    QueryDef(
+      "cluster_dbscan",
+      """WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 2000),
+        |p0 AS (SELECT user_id AS pid, user_id % 10 AS g,
+        |    CAST((user_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 AS h1,
+        |    CAST(((user_id + 1000000007) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 AS h2,
+        |    CAST(((user_id % 10) * 7919 * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 * CAST(0.8 AS DOUBLE) + CAST(0.05 AS DOUBLE) AS cgx,
+        |    CAST((((user_id % 10) * 7919 + 104729) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 * CAST(0.8 AS DOUBLE) + CAST(0.05 AS DOUBLE) AS cgy
+        |  FROM u),
+        |p AS (SELECT pid,
+        |    CASE WHEN g < 8 THEN cgx + h1 * CAST(0.05 AS DOUBLE) ELSE h1 END AS x,
+        |    CASE WHEN g < 8 THEN cgy + h2 * CAST(0.05 AS DOUBLE) ELSE h2 END AS y
+        |  FROM p0),
+        |e AS (SELECT a.pid AS pa, b.pid AS pb
+        |  FROM p a JOIN p b ON a.pid < b.pid
+        |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+        |        <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)),
+        |sym AS (SELECT pa AS s, pb AS t FROM e UNION ALL SELECT pb, pa FROM e),
+        |core AS (SELECT s AS pid FROM sym GROUP BY s HAVING count(*) >= 8),
+        |ce AS (SELECT s, t FROM sym
+        |  WHERE s IN (SELECT pid FROM core) AND t IN (SELECT pid FROM core)),
+        |reach(node, r) AS (
+        |  SELECT pid, pid FROM core
+        |  UNION
+        |  SELECT ce.s, reach.r FROM ce JOIN reach ON ce.t = reach.node),
+        |cc AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+        |bord AS (SELECT sym.s AS pid, min(cc.rep) AS rep
+        |  FROM sym JOIN cc ON sym.t = cc.node
+        |  WHERE sym.s NOT IN (SELECT pid FROM core)
+        |  GROUP BY sym.s)
+        |SELECT p.pid,
+        |  CASE WHEN cc.node IS NOT NULL THEN 'core'
+        |       WHEN bord.pid IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  coalesce(cc.rep, bord.rep) AS cluster
+        |FROM p LEFT JOIN cc ON p.pid = cc.node
+        |LEFT JOIN bord ON p.pid = bord.pid""".stripMargin) { (s, d) =>
+      import graft.operators.{CorpusOps, Spatial}
+      val g = col("user_id") % 10
+      val h1 = CorpusOps.hash32(col("user_id")).cast("double") / 4294967296.0
+      val h2 = CorpusOps.hash32(col("user_id") + 1000000007L).cast("double") / 4294967296.0
+      val cgx = CorpusOps.hash32(g * 7919L).cast("double") / 4294967296.0 * 0.8 + 0.05
+      val cgy = CorpusOps.hash32(g * 7919L + 104729L).cast("double") / 4294967296.0 * 0.8 + 0.05
+      val pts = Tables.table(s, d, "events")
+        .filter(col("user_id") < 2000).select(col("user_id")).distinct()
+        .select(col("user_id").as("pid"),
+          when(g < 8, cgx + h1 * 0.05).otherwise(h1).as("x"),
+          when(g < 8, cgy + h2 * 0.05).otherwise(h2).as("y"))
+      Spatial.dbscan(pts, col("pid"), col("x"), col("y"), eps = 0.02, minPts = 8)
+    },
     // edit-distance similarity self-join (typo-class near-duplicates):
     // symmetric-delete signatures → bucket join → exact levenshtein
     // verify on candidates only (operators.StringSimilarity); the

@@ -206,6 +206,49 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("dbscan: core/border/noise roles, min-label borders, brute-force equality") {
+    import graft.operators.Spatial
+    import spark.implicits._
+    // blob A (ids 1-4): mutual distances <= 0.1 -> all core at minPts=3;
+    // id 5 sits within eps of ONLY id 4 (one core neighbor) -> border;
+    // blob B (ids 10-13) a second cluster; id 20 isolated -> noise;
+    // id 6 within eps of borders only (id 5) -> still noise (DBSCAN:
+    // border points do not propagate density)
+    val pts = Seq(
+      (1L, 0.10, 0.10), (2L, 0.15, 0.10), (3L, 0.10, 0.15), (4L, 0.15, 0.15),
+      (5L, 0.24, 0.15),                    // 0.09 from 4; >0.1 from 1,2,3
+      (6L, 0.33, 0.15),                    // 0.09 from 5 only
+      (10L, 0.70, 0.70), (11L, 0.75, 0.70), (12L, 0.70, 0.75), (13L, 0.75, 0.75),
+      (20L, 0.50, 0.95)
+    ).toDF("pid", "x", "y")
+    val got = Spatial.dbscan(pts, col("pid"), col("x"), col("y"),
+        eps = 0.1, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(got == Map(
+      1L -> ("core", Some(1L)), 2L -> ("core", Some(1L)),
+      3L -> ("core", Some(1L)), 4L -> ("core", Some(1L)),
+      5L -> ("border", Some(1L)), 6L -> ("noise", None),
+      10L -> ("core", Some(10L)), 11L -> ("core", Some(10L)),
+      12L -> ("core", Some(10L)), 13L -> ("core", Some(10L)),
+      20L -> ("noise", None)), s"got $got")
+    // random cloud: roles equal a driver-side brute-force DBSCAN
+    val rnd = new scala.util.Random(11)
+    val cloud = (0 until 200).map(i => (i.toLong, rnd.nextDouble(), rnd.nextDouble()))
+    val (eps, minPts) = (0.08, 4)
+    val n = cloud.map { case (i, xi, yi) =>
+      i -> cloud.count { case (j, xj, yj) =>
+        j != i && (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj) <= eps * eps }
+    }.toMap
+    val coreSet = cloud.map(_._1).filter(n(_) >= minPts).toSet
+    val gotCloud = Spatial.dbscan(cloud.toDF("pid", "x", "y"),
+        col("pid"), col("x"), col("y"), eps, minPts)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cloud.forall { case (i, _, _) =>
+      (gotCloud(i) == "core") == coreSet.contains(i) })
+    assert(Seq("core", "border", "noise").forall(r => gotCloud.values.exists(_ == r)))
+  }
+
   test("trendSlope recovers an exact line, nulls degenerate groups") {
     import graft.operators.Intervals
     import spark.implicits._
