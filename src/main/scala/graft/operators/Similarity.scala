@@ -682,6 +682,113 @@ object Similarity {
         col("rank"), col("score_micros"))
   }
 
+  /** Storage layout for IVF+PQ SERVING — the production
+    * billion-vector index shape (FAISS "IVF…,PQ…" with an exact
+    * re-rank tier): corpus vectors assigned to coarse centroids and
+    * written PARTITIONED BY centroid id, each row carrying its m-byte
+    * PQ code array NEXT TO the exact vector (the re-rank tier; codes
+    * alone are the scan tier), plus the tiny centroid/codebook/meta
+    * tables. A query batch partition-prunes to its probed lists, ADC-
+    * scans the CODES (m integer adds per candidate), and re-ranks only
+    * the shortlist against the exact vectors. Codebooks are the
+    * deterministic first-`nCodes` anchors ([[topKPqAdc]]'s contract —
+    * swap per-subspace k-means in production, same layout). */
+  def writeIvfPqIndex(emb: DataFrame, vec: Column, id: Column,
+      centroids: DataFrame, path: String,
+      m: Int = 8, subDim: Int = 8, nCodes: Int = 8): Unit = {
+    val spark = emb.sparkSession
+    val e = withNorm(emb, vec, id)
+    val sub = e.select(col("vid"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}),
+           |  mi -> struct(cast(mi as bigint) as m, slice(v, mi * $subDim + 1, $subDim) as sv))"""
+          .stripMargin)).as("s"))
+      .select(col("vid"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val cb = sub.where(col("vid") < nCodes)
+      .select(col("m"), col("vid").as("code"), col("sv").as("cv"))
+    // encode: nearest sub-code per (vector, subspace), ties to the
+    // smallest code — map-side max_by, then the m codes fold into one
+    // ordered array per vector
+    val codes = sub.join(broadcast(cb), Seq("m"))
+      .withColumn("diff", zip_with(col("sv"), col("cv"), (a, b) => a - b))
+      .withColumn("l2", dot(col("diff"), col("diff")))
+      .groupBy("vid", "m")
+      .agg(max_by(col("code"), struct(-col("l2"), -col("code"))).as("code"))
+      .groupBy("vid")
+      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
+      .select(col("vid"), expr("transform(mc, p -> p.code)").as("codes"))
+    assignNearest(e, centroids, Seq("v", "nrm"))
+      .join(codes, Seq("vid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    spark.range(1).select(lit(m).as("m"), lit(subDim).as("sub_dim"),
+        lit(nCodes).as("n_codes"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Serve top-k from a [[writeIvfPqIndex]] layout: probe lists from
+    * the stored centroids, driver-side bounded cid literals prune the
+    * vector scan to the probed partitions, the ADC pass scores CODES
+    * against per-query integer-micro LUTs (exact BIGINT sums — zero
+    * float accumulation, bit-portable), and only the per-query
+    * `shortlist` deepest ADC candidates pay the exact-cosine re-rank.
+    * Identical ranking semantics to composing [[topKIvfWith]]'s probe
+    * restriction with [[topKPqAdc]]'s scores and an exact re-rank. */
+  def topKIvfPqStored(path: String, queries: DataFrame, vec: Column,
+      id: Column, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (m, subDim) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub_dim"))
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val q2 = withNorm(queries, vec, id)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    val probes = q2.join(broadcast(cents), lit(true))
+      .withColumn("qcos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("qrn", row_number().over(wProbe))
+      .filter(col("qrn") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .filter(col("cid").isin(probedCids: _*))
+      .select(col("vid"), col("v"), col("nrm"), col("codes"),
+        col("cid").cast("long").as("cid"))
+    // per-query LUT in integer micros (qid, m, code) -> dm
+    val qsub = q2.select(col("qid"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}),
+           |  mi -> struct(cast(mi as bigint) as m, slice(qv, mi * $subDim + 1, $subDim) as sv))"""
+          .stripMargin)).as("s"))
+      .select(col("qid"), col("s.m").as("m"), col("s.sv").as("qsv"))
+    val lut = qsub.join(broadcast(cb), Seq("m"))
+      .select(col("qid"), col("m"), col("code"),
+        round(dot(col("qsv"), col("cv")) * 1e6, 0).cast("long").as("dm"))
+    // ADC over probed lists: explode each candidate's code array back
+    // to (m, code) rows, join the LUT, exact BIGINT sum — the same
+    // inverted shape topKPqAdc scans, restricted to probed partitions
+    val adc = probes.join(vecs, Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("qn"), col("vid"), col("v"),
+        col("nrm"), posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(first(col("qv")).as("qv"), first(col("qn")).as("qn"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        sum(col("dm")).as("score_micros"))
+    val wSl = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micros").desc, col("vid"))
+    val wK = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    adc.withColumn("srn", row_number().over(wSl))
+      .filter(col("srn") <= shortlist)
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cos"), col("score_micros"))
+  }
+
   /** Sign-bit (binary) quantization: bit i of the code is `v[i] >= 0`,
     * packed into 32-bit words (MSB-first fold, so the word value stays
     * < 2³² — no 64-bit sign-overflow under ANSI arithmetic). `dims` is

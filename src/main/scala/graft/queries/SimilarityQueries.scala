@@ -95,6 +95,50 @@ object SimilarityQueries {
        |FROM r WHERE rnk <= 5""".stripMargin
   }
 
+  /** ann_ivfpq_stored oracle: the ivfOracle probe/assignment CTEs
+    * composed with the ann_pq_adc encode/LUT CTEs, an ADC shortlist of
+    * 15, and an exact-cosine re-rank — the full IVFPQ+rerank serving
+    * semantics replayed relationally. */
+  private val ivfPqOracle: String =
+    s"""$normCte,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+       |asg0 AS (SELECT n.vec_id AS vid, n.v, n.nrm, c.cid,
+       |  list_reduce(list_prepend(0.0, list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])), (x, y) -> x + y) / (n.nrm * c.cn) AS ccos
+       |  FROM n CROSS JOIN c),
+       |asg AS (SELECT vid, v, nrm, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS crn FROM asg0) WHERE crn = 1),
+       |sub AS (SELECT vec_id, CAST(u.i AS BIGINT) AS m, v[(u.i*8+1):(u.i*8+8)] AS sv
+       |  FROM e, unnest(range(8)) AS u(i)),
+       |cb AS (SELECT m, vec_id AS code, sv AS cbv FROM sub WHERE vec_id < 8),
+       |enc0 AS (SELECT s.vec_id AS vid, s.m, c.code,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, 9), i -> (s.sv[i]-c.cbv[i])*(s.sv[i]-c.cbv[i]))), (x, y) -> x + y) AS l2
+       |  FROM sub s JOIN cb c USING (m)),
+       |enc AS (SELECT vid, m, code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid, m ORDER BY l2, code) AS rn FROM enc0) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+       |pr0 AS (SELECT q.qid, c.cid,
+       |  list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])), (x, y) -> x + y) / (q.qn * c.cn) AS qcos
+       |  FROM q CROSS JOIN c),
+       |pr AS (SELECT qid, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS qrn FROM pr0) WHERE qrn <= 2),
+       |lut AS (SELECT s.vec_id AS qid, s.m, c.code,
+       |    CAST(round(list_reduce(list_prepend(0.0, list_transform(range(1, 9), i -> s.sv[i]*c.cbv[i])), (x, y) -> x + y) * 1000000, 0) AS BIGINT) AS dm
+       |  FROM sub s JOIN cb c USING (m) WHERE s.vec_id % 50 = 0),
+       |adc AS (SELECT pr.qid, asg.vid, CAST(sum(l.dm) AS BIGINT) AS score_micros
+       |  FROM pr JOIN asg USING (cid)
+       |  JOIN enc ON enc.vid = asg.vid
+       |  JOIN lut l ON l.qid = pr.qid AND l.m = enc.m AND l.code = enc.code
+       |  WHERE asg.vid <> pr.qid GROUP BY 1, 2),
+       |sl AS (SELECT qid, vid, score_micros FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_micros DESC, vid) AS srn FROM adc) WHERE srn <= 15),
+       |ex AS (SELECT sl.qid, sl.vid, sl.score_micros,
+       |  list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * n.v[i])), (x, y) -> x + y) / (q.qn * n.nrm) AS cos
+       |  FROM sl JOIN q ON q.qid = sl.qid JOIN n ON n.vec_id = sl.vid),
+       |r AS (SELECT qid, vid, cos, score_micros,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk FROM ex)
+       |SELECT qid AS query_id, vid AS neighbor_id, rnk, round(cos, 6) AS cos, score_micros
+       |FROM r WHERE rnk <= 5""".stripMargin
+
   /** Word 3-shingle term stream for the tf-idf pair queries. */
   private def tfidfTerms(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.table(s, d, "documents").select(col("doc_id"),
@@ -182,6 +226,22 @@ object SimilarityQueries {
         Similarity.firstNCentroids(emb, col("embedding"), col("vec_id"), 8), tmp)
       Similarity.topKIvfStored(tmp, emb.filter(col("vec_id") % 50 === 0),
           col("embedding"), col("vec_id"), k = 5, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // the production billion-vector serving shape, STORED: IVF
+    // partition-pruned lists whose rows carry m-byte PQ codes next to
+    // the exact vectors (Similarity.writeIvfPqIndex/topKIvfPqStored —
+    // FAISS "IVF8,PQ8" with an exact re-rank tier). Queries probe 2
+    // lists, ADC-score the CODES via integer-micro LUTs (exact BIGINT
+    // sums), and only the 15-deep shortlist pays the full-dim cosine.
+    QueryDef("ann_ivfpq_stored", ivfPqOracle) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_idx"
+      Similarity.writeIvfPqIndex(emb, col("embedding"), col("vec_id"),
+        Similarity.firstNCentroids(emb, col("embedding"), col("vec_id"), 8),
+        tmp, m = 8, subDim = 8, nCodes = 8)
+      Similarity.topKIvfPqStored(tmp, emb.filter(col("vec_id") % 50 === 0),
+          col("embedding"), col("vec_id"), k = 5, nProbe = 2, shortlist = 15)
         .withColumnRenamed("rank", "rnk")
     },
     // IVF with a TRAINED coarse quantizer: 2 spherical-Lloyd
