@@ -431,6 +431,30 @@ object Graph {
     * a wedge must be counted at its center, not its minimum endpoint).
     * Degrees join in at node cardinality; arithmetic is all integer —
     * ppm by truncating division, bit-stable and oracle-replayable. */
+  /** Adamic–Adar link prediction (Adamic & Adar, 2003) over
+    * symmetrized edges: AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) —
+    * [[commonNeighbors]]' rare-neighbor-weighted refinement (a shared
+    * hub says little; a shared degree-2 node says a lot). Per-wedge
+    * terms are rounded to integer micros BEFORE the sum, so the
+    * aggregate is an exact order-free BIGINT (a float Σ would be
+    * fold-order-dependent); wedge centers have deg ≥ 2, so ln > 0.
+    * Same Σ deg² wedge-enumeration shape as commonNeighbors, with the
+    * degree joined at the CENTER before grouping. */
+  def adamicAdar(edges: DataFrame, minCommon: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("x")).agg(count(lit(1)).as("d"))
+    e.select(col("src").as("x"), col("dst").as("u"))
+      .join(e.select(col("src").as("x"), col("dst").as("v")), "x")
+      .where(col("u") < col("v"))
+      .join(deg, "x")
+      .select(col("u"), col("v"),
+        round(lit(1000000.0) / log(col("d").cast("double")), 0)
+          .cast("long").as("t"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common"), sum(col("t")).as("aa_micros"))
+      .filter(col("common") >= minCommon)
+  }
+
   def commonNeighbors(edges: DataFrame, minCommon: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))

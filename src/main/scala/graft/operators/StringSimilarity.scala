@@ -157,4 +157,49 @@ object StringSimilarity {
       .filter(col("dist") <= tau)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Fellegi–Sunter probabilistic record linkage (JASA 1969) over a
+    * blocked candidate-pair frame: each attribute comparison
+    * contributes log₂(m/u) micros on agreement and log₂((1−m)/(1−u))
+    * on disagreement (m = P(agree | match), u = P(agree | non-match) —
+    * caller-supplied, EM-estimated in production), the pair's match
+    * weight is the exact BIGINT sum, and the two thresholds cut
+    * match / possible (clerical review) / nonmatch — the decision
+    * model every ER system descends from.
+    *
+    * Determinism: the per-attribute weights are computed ONCE driver-
+    * side (`Math.log`) and planted as integer-micro literals, so the
+    * distributed plan does no float math at all — per row it is a
+    * predicate, a literal pick, and a BIGINT sum. Purely row-local:
+    * composes with any blocking (symmetric-delete, sorted
+    * neighborhood, equi-key) without changing its scale shape. */
+  def fellegiSunter(pairs: DataFrame,
+      attrs: Seq[(String, Column, Double, Double)],
+      upperMicros: Long, lowerMicros: Long): DataFrame = {
+    require(attrs.nonEmpty, "at least one attribute comparison")
+    attrs.foreach { case (nm, _, m, u) =>
+      require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+        s"attr $nm: need 0 < u < m < 1 (got m=$m u=$u)")
+    }
+    val terms = attrs.map { case (nm, pred, m, u) =>
+      val wa = math.round(math.log(m / u) / math.log(2.0) * 1e6)
+      val wd = math.round(math.log((1 - m) / (1 - u)) / math.log(2.0) * 1e6)
+      (when(pred, lit(wa)).otherwise(lit(wd)),
+        when(pred, lit(1)).otherwise(lit(0)).as(s"agree_$nm"))
+    }
+    val weight = terms.map(_._1).reduce(_ + _)
+    pairs
+      .select(pairs.columns.map(col) ++ terms.map(_._2)
+        :+ weight.as("weight_micros"): _*)
+      .withColumn("decision",
+        when(col("weight_micros") >= upperMicros, lit("match"))
+          .when(col("weight_micros") <= lowerMicros, lit("nonmatch"))
+          .otherwise(lit("possible")))
+  }
+
+  /** The [[fellegiSunter]] literal weights for an (m, u) pair —
+    * exposed so oracle SQL builders plant the IDENTICAL longs. */
+  def fsWeights(m: Double, u: Double): (Long, Long) =
+    (math.round(math.log(m / u) / math.log(2.0) * 1e6),
+      math.round(math.log((1 - m) / (1 - u)) / math.log(2.0) * 1e6))
 }

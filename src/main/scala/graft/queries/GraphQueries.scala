@@ -368,6 +368,34 @@ object GraphQueries {
       Graph.commonNeighbors(
         e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))), minCommon = 3)
     },
+    // Adamic-Adar on the same graph: common-neighbor evidence weighted
+    // by 1/ln(center degree) — shared rare neighbors count more than
+    // shared hubs. Per-wedge terms rounded to integer micros BEFORE
+    // summing, so the score aggregate is an exact order-free BIGINT.
+    QueryDef(
+      "graph_adamic_adar",
+      """WITH e0 AS (
+        |  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 10000000 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity >= 48),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS x, count(*) AS d FROM e GROUP BY src),
+        |w AS (SELECT a.dst AS u, b.dst AS v,
+        |    CAST(round(1000000 / ln(deg.d), 0) AS BIGINT) AS t
+        |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+        |  JOIN deg ON deg.x = a.src)
+        |SELECT u, v, CAST(count(*) AS BIGINT) AS common, CAST(sum(t) AS BIGINT) AS aa_micros
+        |FROM w GROUP BY u, v HAVING count(*) >= 3""".stripMargin) { (s, d) =>
+      val l = Tables.table(s, d, "lineitem")
+        .where(col("l_quantity") >= 48)
+        .select(col("l_suppkey"), col("l_orderkey"))
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val e0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), (col("o_custkey") + 10000000L).as("dst"))
+        .distinct()
+      Graph.adamicAdar(
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))), minCommon = 3)
+    },
     // Newman modularity of the LPA communities — the quality metric
     // for the partition, one exact-integer row (Graph.modularity)
     QueryDef("graph_lpa_modularity", lpaModularityOracle) { (s, d) =>

@@ -608,6 +608,55 @@ object SimilarityQueries {
         .select(col("c_custkey"),
           coalesce(col("rep"), col("c_custkey")).as("entity_rep"))
     },
+    // Fellegi-Sunter probabilistic record linkage over (nation,
+    // segment)-blocked candidate pairs: three attribute comparisons
+    // (name edit distance <= 2, balance within 50, key within 100 — an
+    // ingestion-batch proxy) contribute log2(m/u) / log2((1-m)/(1-u))
+    // integer-micro weights, summed exactly; thresholds at +-6e6 cut
+    // match / possible / nonmatch, and only the match + review queue
+    // is published. The weights are Scala-computed literals planted
+    // into BOTH plans — the distributed side does zero float math.
+    QueryDef(
+      "entity_fellegi_sunter", {
+        import graft.operators.StringSimilarity.fsWeights
+        val (naW, ndW) = fsWeights(0.9, 0.1)
+        val (baW, bdW) = fsWeights(0.8, 0.01)
+        val (kaW, kdW) = fsWeights(0.6, 0.02)
+        s"""WITH p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           |    CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 1 ELSE 0 END AS agree_name,
+           |    CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 50 THEN 1 ELSE 0 END AS agree_bal,
+           |    CASE WHEN abs(a.c_custkey - b.c_custkey) < 100 THEN 1 ELSE 0 END AS agree_key
+           |  FROM customer a JOIN customer b
+           |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+           |    AND a.c_custkey < b.c_custkey),
+           |w AS (SELECT id_a, id_b, agree_name, agree_bal, agree_key,
+           |    CAST((CASE WHEN agree_name = 1 THEN $naW ELSE $ndW END)
+           |       + (CASE WHEN agree_bal = 1 THEN $baW ELSE $bdW END)
+           |       + (CASE WHEN agree_key = 1 THEN $kaW ELSE $kdW END) AS BIGINT) AS weight_micros
+           |  FROM p)
+           |SELECT id_a, id_b, agree_name, agree_bal, agree_key, weight_micros,
+           |  CASE WHEN weight_micros >= 6000000 THEN 'match' ELSE 'possible' END AS decision
+           |FROM w WHERE NOT weight_micros <= -6000000""".stripMargin
+      }) { (s, d) =>
+      import graft.operators.StringSimilarity
+      val cust = Tables.table(s, d, "customer")
+      val pairs = cust.as("a").join(cust.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+            col("a.c_mktsegment") === col("b.c_mktsegment") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+          col("a.c_name").as("na"), col("b.c_name").as("nb"),
+          col("a.c_acctbal").as("ba"), col("b.c_acctbal").as("bb"))
+      StringSimilarity.fellegiSunter(pairs,
+          Seq(
+            ("name", levenshtein(col("na"), col("nb")) <= 2, 0.9, 0.1),
+            ("bal", abs(col("ba") - col("bb")) < 50, 0.8, 0.01),
+            ("key", abs(col("id_a") - col("id_b")) < 100, 0.6, 0.02)),
+          upperMicros = 6000000L, lowerMicros = -6000000L)
+        .filter(col("decision") =!= "nonmatch")
+        .select(col("id_a"), col("id_b"), col("agree_name"), col("agree_bal"),
+          col("agree_key"), col("weight_micros"), col("decision"))
+    },
     // sorted-neighborhood blocking (Hernández–Stolfo merge/purge): ER
     // candidates limited to a width-4 window over the global c_name
     // sort order, verified levenshtein ≤ 2 — the linear-candidate

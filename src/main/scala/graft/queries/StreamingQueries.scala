@@ -294,6 +294,38 @@ object StreamingQueries {
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""".stripMargin) { (s, d) =>
       Streaming.streamLshIngest(s, d)
     },
+    // streaming ANN ingest gate (stream_dedup_lsh's vector twin):
+    // delta embeddings arrive in 2 slices and probe the STORED IVF
+    // index (corpus two-thirds, first-8 centroids) per micro-batch for
+    // their top-3 stored neighbors via partition-pruned foreachBatch.
+    // Verdicts are slicing-independent, so the oracle is the batch IVF
+    // query over all delta vectors at once.
+    QueryDef(
+      "stream_ann_ingest",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |asg0 AS (SELECT n.vec_id AS vid, n.v, n.nrm, c.cid,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])), (x, y) -> x + y) / (n.nrm * c.cn) AS ccos
+        |  FROM n CROSS JOIN c WHERE n.vec_id % 3 <> 1),
+        |asg AS (SELECT vid, v, nrm, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS crn FROM asg0) WHERE crn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 3 = 1),
+        |pr0 AS (SELECT q.qid, q.qv, q.qn, c.cid,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])), (x, y) -> x + y) / (q.qn * c.cn) AS qcos
+        |  FROM q CROSS JOIN c),
+        |pr AS (SELECT qid, qv, qn, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS qrn FROM pr0) WHERE qrn <= 2),
+        |sc AS (SELECT pr.qid, asg.vid,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(pr.qv) + 1), i -> pr.qv[i] * asg.v[i])), (x, y) -> x + y) / (pr.qn * asg.nrm) AS cos
+        |  FROM pr JOIN asg USING (cid) WHERE asg.vid <> pr.qid),
+        |r AS (SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk FROM sc)
+        |SELECT qid AS query_id, vid AS neighbor_id, rnk, round(cos, 6) AS cos
+        |FROM r WHERE rnk <= 3""".stripMargin) { (s, d) =>
+      Streaming.streamAnnIngest(s, d).withColumnRenamed("rank", "rnk")
+    },
     // incremental view maintenance: the snapshot's grouped rollup
     // (per last-attr: live keys + exact-decimal total) maintained from
     // per-key deltas — per-batch work is O(changed keys), never a

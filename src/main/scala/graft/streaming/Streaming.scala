@@ -1088,6 +1088,95 @@ object Streaming {
     root.getPath
   }
 
+  /** Arrival fixture for the embedding stream: the delta third of the
+    * vectors (vec_id % 3 = 1) sliced into `nFiles` mtime-ordered files
+    * under a source-stamped key — [[documentsArrivalDir]]'s contract
+    * for the ANN ingest gate. */
+  def embeddingsArrivalDir(spark: SparkSession, sfDir: String,
+      nFiles: Int = 2): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|${srcStamp(s"$sfDir/embeddings.parquet")}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_emb_arrival_v1_${key}_$nFiles")
+    val done = new java.io.File(root, "_GRAFT_READY")
+    if (!done.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      root.mkdirs()
+      val delta = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") % 3 === 1)
+      val n = math.max(1L, delta.count())
+      val sliced = delta.withColumn("_slice",
+        least(lit(nFiles - 1), floor((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id")))
+          .cast("long") - 1) * nFiles / n)))
+      for (i <- 0 until nFiles) {
+        val part = new java.io.File(root, f"slice_$i%03d")
+        sliced.filter(col("_slice") === i).drop("_slice")
+          .coalesce(1).write.parquet(part.getPath)
+        part.listFiles().filter(_.getName.endsWith(".parquet"))
+          .foreach(_.setLastModified((i + 1) * 60000L))
+      }
+      require(done.createNewFile())
+    }
+    root.getPath
+  }
+
+  /** Streaming ANN ingest gate — [[streamLshIngest]]'s vector twin:
+    * arriving embedding batches probe a STORED IVF index
+    * ([[graft.operators.Similarity.writeIvfIndex]] over the corpus
+    * two-thirds, stamp-keyed fixture like the LSH index) for their
+    * top-k nearest stored vectors via partition-pruned foreachBatch —
+    * the "does this new vector near-duplicate anything we already
+    * hold" admission test of a deduplicating embedding store. Each
+    * micro-batch pays O(batch × probed lists) only; verdicts append
+    * to a parquet sink. Deterministic per (vector, corpus), so the
+    * sink is independent of batch slicing — the oracle is the batch
+    * IVF query over all delta vectors at once. */
+  def streamAnnIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Tables.scratchDir("graft_ann_ingest")
+    val outDir = s"$root/out"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idxKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|${srcStamp(s"$sfDir/embeddings.parquet")}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val idxRoot = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ann_idx_v1_$idxKey")
+    val idxDir = idxRoot.getPath
+    val idxDone = new java.io.File(idxRoot, "_GRAFT_READY")
+    if (!idxDone.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(idxRoot)
+      graft.operators.Similarity.writeIvfIndex(
+        emb.filter(col("vec_id") % 3 =!= 1), col("embedding"), col("vec_id"),
+        graft.operators.Similarity.firstNCentroids(
+          emb, col("embedding"), col("vec_id"), 8),
+        idxDir)
+      require(idxDone.createNewFile())
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(embeddingsArrivalDir(spark, sfDir))
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Similarity
+            .topKIvfStored(idxDir, batch, col("embedding"), col("vec_id"),
+              k = 3, nProbe = 2)
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming ingest near-dup gate: arriving delta documents are
     * checked against the STATIC corpus through the banded MinHash
     * index via foreachBatch — the "is this new doc a near-copy of
