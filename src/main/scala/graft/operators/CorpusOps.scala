@@ -266,6 +266,56 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty, SIGIR'01) — the language-modeling ranker that pairs
+    * with [[bm25TopK]] in every classic hybrid: score(d) = Σ_{t∈q}
+    * ln((tf_{t,d} + μ·p(t|C)) / (|d| + μ)). EVERY document scores
+    * every present query term (a zero tf still contributes the
+    * collection prior — that is the smoothing), so the grid is
+    * |docs| × |query| rows — linear, query terms broadcast. Query
+    * terms absent from the whole corpus drop out (p(t|C) = 0 would be
+    * ln 0; the standard OOV convention). Same float recipe as BM25:
+    * ln rounded to 6, decimal-summed per doc, one rounded double out. */
+  def qlDirichletTopK(docs: DataFrame, text: Column, id: Column,
+      query: Seq[String], k: Int, mu: Double = 2000.0): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val ctot = tok.agg(count(lit(1)).as("ctot"))
+    val cf = tok.filter(col("t").isin(query: _*))
+      .groupBy("t").agg(count(lit(1)).as("cf"))
+    val tf = tok.filter(col("t").isin(query: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    dl.crossJoin(broadcast(cf))
+      .join(tf, Seq("doc_id", "t"), "left_outer")
+      .na.fill(0L, Seq("tf"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("s", round(log(
+        (col("tf") + lit(mu) * (col("cf").cast("double") / col("ctot"))) /
+          (col("dl") + lit(mu))), 6))
+      .groupBy("doc_id")
+      .agg(round(sum(col("s").cast("decimal(28,12)")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    * fuse any ranked lists by Σ 1/(k₀ + rank) — the standard hybrid-
+    * retrieval combiner (lexical + dense, or any ranker ensemble)
+    * because it needs NO score calibration across rankers, only
+    * ranks. Per-list contributions round to integer micros before the
+    * sum, so the fused score is an exact order-free BIGINT and ties
+    * break totally on doc_id. Inputs carry (doc_id, rnk). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    rankings.map(_.select(col("doc_id"),
+        round(lit(1000000.0) / (lit(k0) + col("rnk")), 0).cast("long").as("c")))
+      .reduce(_.unionAll(_))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("rrf_micros"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Document-level co-occurrence PMI over the `vocab` most frequent
     * tokens — phrase/collocation detection. The pair space is bounded
     * by construction: the vocabulary is cut to `vocab` terms FIRST

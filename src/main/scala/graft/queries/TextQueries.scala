@@ -190,6 +190,56 @@ object TextQueries {
         Tables.table(s, d, "documents"), col("text"), col("doc_id"),
         query = Seq("join", "merge", "vector", "stream"), k = 10)
     },
+    // hybrid retrieval: BM25 top-20 and Dirichlet query-likelihood
+    // top-20 for the same query, fused by reciprocal-rank fusion
+    // (1e6/(60+rank) micros, exact BIGINT sums) — the calibration-free
+    // ranker ensemble every lexical+dense stack uses; here the two
+    // classic probabilistic rankers stand in as the ensemble arms.
+    QueryDef(
+      "search_hybrid_rrf",
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('join', 'merge', 'vector', 'stream') GROUP BY 1, 2),
+        |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |bsc AS (SELECT tf.doc_id,
+        |    round(round(ln((st.n - df + 0.5) / (df + 0.5) + 1), 6)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6) AS s
+        |  FROM tf JOIN dfreq USING (t) JOIN dl ON tf.doc_id = dl.doc_id, st),
+        |bms AS (SELECT doc_id, round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+        |  FROM bsc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bms),
+        |ctot AS (SELECT count(*) AS c FROM tok),
+        |cf AS (SELECT t, count(*) AS cf FROM tok
+        |  WHERE t IN ('join', 'merge', 'vector', 'stream') GROUP BY t),
+        |qsc AS (SELECT dl.doc_id,
+        |    round(ln((coalesce(tf.tf, 0) + CAST(2000 AS DOUBLE) * (CAST(cf.cf AS DOUBLE) / ctot.c))
+        |          / (dl.dl + CAST(2000 AS DOUBLE))), 6) AS s
+        |  FROM dl CROSS JOIN cf
+        |  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.t = cf.t
+        |  CROSS JOIN ctot),
+        |qls AS (SELECT doc_id, round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+        |  FROM qsc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        |qlr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM qls),
+        |u AS (SELECT doc_id, CAST(round(1000000 / (60 + rnk), 0) AS BIGINT) AS c FROM bmr
+        |  UNION ALL
+        |  SELECT doc_id, CAST(round(1000000 / (60 + rnk), 0) AS BIGINT) AS c FROM qlr)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micros, CAST(count(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY doc_id ORDER BY rrf_micros DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.table(s, d, "documents")
+      val terms = Seq("join", "merge", "vector", "stream")
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      // the ranked lists are ≤ 20 rows each — the global window is a
+      // deliberate tiny-frame rank, not a scale hazard
+      val bm = CorpusOps.bm25TopK(docs, col("text"), col("doc_id"), terms, k = 20)
+        .withColumn("rnk", row_number().over(w))
+      val ql = CorpusOps.qlDirichletTopK(docs, col("text"), col("doc_id"), terms, k = 20)
+        .withColumn("rnk", row_number().over(w))
+      CorpusOps.rrfFuse(Seq(bm, ql), k = 10)
+    },
     // PII-style scrubbing: redact digit runs and @-handles (the
     // pattern class a curation pipeline masks before training), with
     // per-doc redaction accounting. Patterns stay in the regex subset

@@ -408,6 +408,29 @@ class TextSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("rrfFuse: hand-computed fused scores, list-membership counts, tie-break") {
+    import spark.implicits._
+    // list A ranks docs 1,2,3; list B ranks 3,2,4 — doc 2 and 3 appear
+    // in both. RRF micros: 1e6/61=16393, 1e6/62=16129, 1e6/63=15873
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rnk")
+    val b = Seq((3L, 1), (2L, 2), (4L, 3)).toDF("doc_id", "rnk")
+    val got = CorpusOps.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = Seq(
+      (3L, 15873L + 16393L, 2L), // 32266
+      (2L, 16129L + 16129L, 2L), // 32258
+      (1L, 16393L, 1L),
+      (4L, 15873L, 1L))
+    assert(got.toSeq == exp, s"got ${got.toSeq}")
+    // exact tie on fused score breaks on doc_id: two singleton lists
+    // giving equal contributions
+    val t1 = Seq((9L, 1)).toDF("doc_id", "rnk")
+    val t2 = Seq((7L, 1)).toDF("doc_id", "rnk")
+    val tied = CorpusOps.rrfFuse(Seq(t1, t2), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(7L, 9L))
+  }
+
   test("winnowing equals the driver-replicated walk; rightmost ties; run guarantee") {
     import spark.implicits._
     val (k, w) = (3, 4)
