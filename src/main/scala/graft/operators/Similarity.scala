@@ -307,6 +307,32 @@ object Similarity {
         round(col("acos"), 6).as("approx_cos"))
   }
 
+  /** Matryoshka truncation evaluation (Kusupati et al., NeurIPS'22):
+    * recall@k of brute-force search over the FIRST `d` dimensions
+    * against full-dimension ground truth, per candidate prefix length
+    * — the measurement that decides how far MRL-style embeddings can
+    * be truncated for cheap first-stage retrieval before recall
+    * collapses. Exact integer ppm (Σ hits ·10⁶ div (k·|queries|));
+    * each arm is one [[topKBruteForce]] over sliced vectors, joined to
+    * the full-dim top-k on (query, neighbor). */
+  def matryoshkaRecall(emb: DataFrame, vec: Column, id: Column,
+      isQuery: Column, k: Int, dims: Seq[Int]): DataFrame = {
+    val full = topKBruteForce(emb, vec, id, isQuery, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nq = full.select(col("query_id")).distinct().count()
+    dims.map { d =>
+      val hits = topKBruteForce(
+          emb.withColumn("__tv", slice(Dedup.asDouble(vec), 1, d)),
+          col("__tv"), id, isQuery, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(full, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+      hits.select(lit(d).as("dims"),
+        expr(s"hits * 1000000 div ${k.toLong * nq}").as("recall_ppm"),
+        lit(nq).as("n_queries"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Hard-negative mining for embedding-model training: per query, the
     * top-k most similar corpus vectors with a DIFFERENT label — the
     * closest impostors, which contrastive training wants as negatives

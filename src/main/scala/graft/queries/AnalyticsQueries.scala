@@ -424,6 +424,31 @@ object AnalyticsQueries {
           round(aggregate(col("frame"), lit(0.0),
             (acc, x) => x + acc * lit(0.5)), 6).as("ewma"))
     },
+    // MATCH_RECOGNIZE-class sequence pattern matching, relationally:
+    // each user's event history collapses to an ordered initial string
+    // (c/e/p/s/v — all five types distinct on their first letter) and
+    // the funnel pattern "view, then click, then purchase, with no
+    // error anywhere between" is a regex counted non-overlapping
+    // leftmost-first — identical semantics in Java regex and RE2 for
+    // this subset (classes + star, no backrefs). Per-user work is one
+    // ordered aggregate + one regex pass; no joins, no window.
+    QueryDef(
+      "events_sequence_pattern",
+      """WITH s AS (SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, length(seq) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v[^e]*c[^e]*p')) AS INT) AS n_patterns
+        |FROM s""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ini")))).as("evs"))
+        .select(col("user_id"),
+          array_join(expr("transform(evs, e -> e.ini)"), "").as("seq"))
+        .select(col("user_id"), length(col("seq")).as("n_events"),
+          regexp_count(col("seq"), lit("v[^e]*c[^e]*p")).as("n_patterns"))
+    },
     // Holt's linear-trend double exponential smoothing (α = β = ½) of
     // the same per-type daily volumes — EWMA's trend-aware upgrade:
     //   l_t = αx_t + (1−α)(l_{t−1} + b_{t−1})

@@ -139,6 +139,38 @@ object SimilarityQueries {
        |SELECT qid AS query_id, vid AS neighbor_id, rnk, round(cos, 6) AS cos, score_micros
        |FROM r WHERE rnk <= 5""".stripMargin
 
+  /** ann_matryoshka oracle: per prefix length d, brute-force top-5
+    * over v[1:d] joined against full-dim ground truth; recall in exact
+    * integer ppm. One Scala builder per arm keeps the arms textually
+    * identical. */
+  private val matryoshkaOracle: String = {
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    val dims = Seq(16, 32, 64)
+    def arm(d: Int): String =
+      s"""m$d AS (SELECT vec_id, v[1:$d] AS vd,
+         |  sqrt(${fold(s"v[1:$d]", s"v[1:$d]")}) AS nr FROM e),
+         |q$d AS (SELECT vec_id AS qid, vd AS qv, nr AS qn FROM m$d WHERE vec_id % 50 = 0),
+         |p$d AS (SELECT q$d.qid, m$d.vec_id AS nid,
+         |  ${fold(s"q$d.qv", s"m$d.vd")} / (q$d.qn * m$d.nr) AS cos
+         |  FROM q$d JOIN m$d ON m$d.vec_id <> q$d.qid),
+         |r$d AS (SELECT qid, nid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM p$d) WHERE rnk <= 5),
+         |h$d AS (SELECT count(*) AS hits FROM r$d JOIN gt ON gt.qid = r$d.qid AND gt.nid = r$d.nid)""".stripMargin
+    def out(d: Int): String =
+      s"SELECT CAST($d AS INT) AS dims, CAST(hits * 1000000 // (5 * nq) AS BIGINT) AS recall_ppm, CAST(nq AS BIGINT) AS n_queries FROM h$d CROSS JOIN nqc"
+    s"""$normCte,
+       |qf AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+       |pf AS (SELECT qf.qid, n.vec_id AS nid,
+       |  ${fold("qf.qv", "n.v")} / (qf.qn * n.nrm) AS cos
+       |  FROM qf JOIN n ON n.vec_id <> qf.qid),
+       |gt AS (SELECT qid, nid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM pf) WHERE rnk <= 5),
+       |nqc AS (SELECT count(*) AS nq FROM qf),
+       |${dims.map(arm).mkString(",\n")}
+       |${dims.map(out).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Word 3-shingle term stream for the tf-idf pair queries. */
   private def tfidfTerms(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.table(s, d, "documents").select(col("doc_id"),
@@ -206,6 +238,15 @@ object SimilarityQueries {
         Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"),
         col("vec_id") % 50 === 0, k = 5)
         .withColumnRenamed("rank", "rnk")
+    },
+    // matryoshka truncation sweep: recall@5 of first-{16,32,64}-dim
+    // brute force vs full-dim ground truth, exact integer ppm — the
+    // measurement that sizes MRL-style truncated first-stage retrieval
+    // (the 64 arm is the identity sanity row at 1 000 000 ppm)
+    QueryDef("ann_matryoshka", matryoshkaOracle) { (s, d) =>
+      Similarity.matryoshkaRecall(
+        Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"),
+        col("vec_id") % 50 === 0, k = 5, dims = Seq(16, 32, 64))
     },
     QueryDef("ann_ivf", ivfOracle) { (s, d) =>
       Similarity.topKIvf(
