@@ -108,6 +108,42 @@ object DedupQueries {
       Dedup.canonicalSelection(docs, col("doc_id"), col("n_chars"),
         Dedup.ngramJaccard(docs, col("text"), col("doc_id")))
     },
+    // what dedup DOES to the corpus mix: per-source share before vs
+    // after canonical selection, exact integer ppm — duplication is
+    // never uniform across providers, so dedup silently reweights the
+    // mixture; this is the report that makes the shift visible before
+    // a training run bakes it in
+    QueryDef(
+      "dedup_composition_shift",
+      s"""WITH RECURSIVE $clusterCtes,
+         |cc AS (SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node),
+         |b AS (SELECT d.doc_id, coalesce(cc.cluster_rep, d.doc_id) AS cl, d.n_chars AS q
+         |  FROM documents d LEFT JOIN cc USING (doc_id)),
+         |k AS (SELECT cl, doc_id AS canonical_id FROM (
+         |  SELECT cl, doc_id, row_number() OVER (PARTITION BY cl ORDER BY q DESC, doc_id) AS rn
+         |  FROM b) WHERE rn = 1),
+         |kept AS (SELECT canonical_id AS doc_id FROM k),
+         |per AS (SELECT d.source, count(*) AS n_docs, count(kept.doc_id) AS n_kept
+         |  FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+         |  GROUP BY d.source),
+         |tot AS (SELECT sum(n_docs) AS nb, sum(n_kept) AS nk FROM per)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_kept AS BIGINT) AS n_kept,
+         |  CAST(n_docs * 1000000 // tot.nb AS BIGINT) AS share_before_ppm,
+         |  CAST(n_kept * 1000000 // tot.nk AS BIGINT) AS share_after_ppm
+         |FROM per CROSS JOIN tot""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val kept = Dedup.canonicalSelection(docs, col("doc_id"), col("n_chars"),
+          Dedup.ngramJaccard(docs, col("text"), col("doc_id")))
+        .filter(col("is_kept")).select(col("doc_id")).withColumn("__k", lit(1))
+      val per = docs.join(kept, Seq("doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("__k")).as("n_kept"))
+      per.crossJoin(broadcast(per.agg(
+          sum(col("n_docs")).as("nb"), sum(col("n_kept")).as("nk"))))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          expr("n_docs * 1000000 div nb").as("share_before_ppm"),
+          expr("n_kept * 1000000 div nk").as("share_after_ppm"))
+    },
     // composition view of the same pairs: per SOURCE, how much of the
     // corpus is near-duplicated (docs appearing in any qualifying pair,
     // in exact integer ppm) — the per-provider duplication report a
@@ -281,7 +317,7 @@ object DedupQueries {
         ready.createNewFile(): Unit
       }
       val idx = graft.sources.Tables.scratchDir("graft_idx_append")
-      org.apache.commons.io.FileUtils.copyDirectory(pristine, new java.io.File(idx))
+      graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
       val delta1 = docs.filter(col("doc_id") % 5 === 1)
       val g1 = Dedup.incrementalDedupStored(idx, delta1, col("text"), col("doc_id"))
         .select(lit(1L).as("stage"), col("new_doc"), col("dup_of"), col("jaccard"))

@@ -326,7 +326,7 @@ object SimilarityQueries {
         ready.createNewFile(): Unit
       }
       val idx = Tables.scratchDir("graft_ivf_append")
-      org.apache.commons.io.FileUtils.copyDirectory(pristine, new java.io.File(idx))
+      graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
       Similarity.appendToIvfIndex(idx, emb.filter(col("vec_id") % 3 === 1),
         col("embedding"), col("vec_id"))
       Similarity.topKIvfStored(idx, emb.filter(col("vec_id") % 50 === 0),

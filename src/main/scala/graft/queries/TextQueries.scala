@@ -68,6 +68,27 @@ object TextQueries {
         size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
         TextAnalysis.bpeishCount(col("text")).as("n_bpeish"))
     },
+    // tokenizer fertility by source: sub-word pieces per whitespace
+    // word (the tokenizer-eval report that flags sources a vocabulary
+    // serves badly — code/URL-heavy domains fragment), in exact
+    // integer ppm off the same two counts text_tokens verifies per-doc
+    QueryDef(
+      "text_fertility_by_source",
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_pieces,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_words,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) * 1000000
+        |    // sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS fertility_ppm
+        |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.bpeishCount(col("text"))).as("n_pieces"),
+          sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_words"))
+        .select(col("source"), col("n_docs"), col("n_pieces"), col("n_words"),
+          expr("n_pieces * 1000000 div n_words").as("fertility_ppm"))
+    },
     // quality scoring
     QueryDef(
       "text_quality",

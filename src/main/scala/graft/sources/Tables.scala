@@ -120,6 +120,33 @@ object Tables {
     s"${tmp.getPath}/${prefix}_p${pid}_${java.util.UUID.randomUUID().toString.take(8)}"
   }
 
+  /** Hardlink clone of a directory tree: directories are created,
+    * files are HARDLINKED (fallback to a real copy across devices).
+    * Safe for immutable-file layouts — parquet indexes only ever ADD
+    * files (append = new part files in existing partition dirs), so a
+    * linked clone can be appended to without disturbing the source.
+    * Exists for the verify harness's append-lifecycle queries, which
+    * must mutate a FRESH copy each run to stay idempotent; production
+    * appends to the live index and never clones (the reason this is
+    * harness plumbing, not an operator). A file copy of a corpus-sized
+    * index would be a driver-side corpus scan; a link walk is metadata
+    * only. */
+  def linkCopyDirectory(src: java.io.File, dst: java.io.File): Unit = {
+    import java.nio.file.{Files, Path}
+    val sp = src.toPath
+    Files.walk(sp).forEach { p: Path =>
+      val t = dst.toPath.resolve(sp.relativize(p))
+      if (Files.isDirectory(p)) { Files.createDirectories(t): Unit }
+      else {
+        Files.createDirectories(t.getParent)
+        try Files.createLink(t, p)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(p, t): Unit }
+        ()
+      }
+    }
+  }
+
   /** S6: temp-dir lifecycle (MergeJoin.java:91-95,253-256). */
   def deleteRecursive(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
