@@ -720,6 +720,25 @@ object Dedup {
         round(ratio, 6).as("overlap"))
   }
 
+  /** Soft dedup: keep EVERY copy but weight each document by
+    * 1/|its near-dup cluster| in exact ppm — the sampling-weight
+    * alternative to hard removal (total sampling mass per distinct
+    * content stays 1, so duplicated content is not over-represented,
+    * while no copy's unique context is lost). Singletons weigh 1.
+    * Composes with any pair source exactly like
+    * [[canonicalSelection]]; one size aggregate + one equi-join on the
+    * cluster key the aggregate already partitioned by. */
+  def softDedupWeights(docs: DataFrame, id: Column,
+      pairs: DataFrame): DataFrame = {
+    val base = docs.select(id.as("doc_id"))
+      .join(dedupClusters(pairs), Seq("doc_id"), "left_outer")
+      .withColumn("__cl", coalesce(col("cluster_rep"), col("doc_id")))
+    val sz = base.groupBy("__cl").agg(count(lit(1)).as("cluster_size"))
+    base.join(sz, Seq("__cl"))
+      .select(col("doc_id"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"))
+  }
+
   /** Canonical-copy selection: [[dedupClusters]] decides WHICH docs
     * are duplicates; this decides which copy to KEEP — the highest
     * `quality` member of each near-dup cluster (ties to the smallest

@@ -108,6 +108,24 @@ object DedupQueries {
       Dedup.canonicalSelection(docs, col("doc_id"), col("n_chars"),
         Dedup.ngramJaccard(docs, col("text"), col("doc_id")))
     },
+    // soft dedup: every copy kept, weighted 1/cluster-size in exact
+    // ppm — total sampling mass per distinct content stays 1 without
+    // discarding any copy's unique context (the training-weights
+    // alternative to hard removal)
+    QueryDef(
+      "dedup_soft_weights",
+      s"""WITH RECURSIVE $clusterCtes,
+         |cc AS (SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node),
+         |b AS (SELECT d.doc_id, coalesce(cc.cluster_rep, d.doc_id) AS cl
+         |  FROM documents d LEFT JOIN cc USING (doc_id)),
+         |clsz AS (SELECT cl, count(*) AS csz FROM b GROUP BY cl)
+         |SELECT b.doc_id, CAST(clsz.csz AS BIGINT) AS cluster_size,
+         |  CAST(1000000 // clsz.csz AS BIGINT) AS weight_ppm
+         |FROM b JOIN clsz USING (cl)""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      Dedup.softDedupWeights(docs, col("doc_id"),
+        Dedup.ngramJaccard(docs, col("text"), col("doc_id")))
+    },
     // what dedup DOES to the corpus mix: per-source share before vs
     // after canonical selection, exact integer ppm — duplication is
     // never uniform across providers, so dedup silently reweights the

@@ -124,6 +124,78 @@ object TextQueries {
       CorpusOps.classifierScore(Tables.table(s, d, "documents"), col("text"),
         col("doc_id"), CorpusOps.hashWeights(s, 65536L), 65536L)
     },
+    // inter-rater agreement between two INDEPENDENT quality raters —
+    // the Gopher rule battery (pass_all) and the hashed linear
+    // classifier (score >= 0): Cohen's kappa from the exact 2x2
+    // contingency counts, as a pure BIGINT rational in ppm with a
+    // sign-split truncating division (DuckDB // floors while Spark div
+    // truncates — they agree only on nonnegative operands, so the sign
+    // is factored out first; same discipline as the classifier score).
+    // The calibration report a curation stack runs before swapping one
+    // filter for another: kappa near 0 means the cheap rule battery
+    // and the trained filter are deciding on DIFFERENT signals.
+    QueryDef(
+      "quality_cohens_kappa",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |tf  AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+        |base AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(max(c) AS BIGINT) AS max_tok, CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(coalesce(sum(c) FILTER (WHERE lower(tk) IN ('the','a','of','and','to','is','in')), 0) AS BIGINT) AS n_stop,
+        |    CAST(sum(c * length(tk)) AS BIGINT) AS wc
+        |  FROM tf GROUP BY doc_id),
+        |ra AS (SELECT doc_id,
+        |  ((n_tokens >= 10 AND n_tokens <= 100000)
+        |    AND (wc >= 3 * n_tokens AND wc <= 10 * n_tokens)
+        |    AND (50 * n_stop >= 3 * n_tokens)
+        |    AND (5 * n_distinct >= n_tokens)
+        |    AND (5 * max_tok <= n_tokens)) AS a
+        |  FROM base),
+        |w AS (SELECT i AS bucket,
+        |    CAST((i * 2654435761) % 4294967296 % 1000001 - 500000 AS BIGINT) AS wm
+        |  FROM range(65536) t(i)),
+        |bk AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT % 65536 AS bucket FROM tok),
+        |rb AS (SELECT doc_id,
+        |  (CAST(CASE WHEN sum(wm) >= 0 THEN (2 * sum(wm) + count(*)) // (2 * count(*))
+        |       ELSE -((2 * (-sum(wm)) + count(*)) // (2 * count(*))) END AS DOUBLE) / 1000000.0) >= 0 AS b
+        |  FROM bk JOIN w USING (bucket) GROUP BY doc_id),
+        |j AS (SELECT ra.a, rb.b FROM ra JOIN rb USING (doc_id)),
+        |cts AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CASE WHEN a AND b THEN 1 END), 0) AS BIGINT) AS n11,
+        |  CAST(coalesce(sum(CASE WHEN a AND NOT b THEN 1 END), 0) AS BIGINT) AS n10,
+        |  CAST(coalesce(sum(CASE WHEN NOT a AND b THEN 1 END), 0) AS BIGINT) AS n01,
+        |  CAST(coalesce(sum(CASE WHEN NOT a AND NOT b THEN 1 END), 0) AS BIGINT) AS n00
+        |  FROM j)
+        |SELECT n, n11, n10, n01, n00,
+        |  CASE WHEN n * n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) = 0 THEN NULL
+        |    WHEN n * (n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) >= 0
+        |    THEN CAST((n * (n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))) * 1000000
+        |      // (n * n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))) AS BIGINT)
+        |    ELSE CAST(-((-(n * (n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))) * 1000000
+        |      // (n * n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))) AS BIGINT)
+        |  END AS kappa_ppm
+        |FROM cts""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val ra = CorpusOps.gopherRules(docs, col("text"), col("doc_id"))
+        .select(col("doc_id"), col("pass_all").as("a"))
+      val rb = CorpusOps.classifierScore(docs, col("text"), col("doc_id"),
+          CorpusOps.hashWeights(s, 65536L), 65536L)
+        .select(col("doc_id"), (col("score") >= 0).as("b"))
+      ra.join(rb, Seq("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("a") && col("b"), 1L)), lit(0L)).as("n11"),
+          coalesce(sum(when(col("a") && !col("b"), 1L)), lit(0L)).as("n10"),
+          coalesce(sum(when(!col("a") && col("b"), 1L)), lit(0L)).as("n01"),
+          coalesce(sum(when(!col("a") && !col("b"), 1L)), lit(0L)).as("n00"))
+        .withColumn("kappa_ppm", expr(
+          """CASE WHEN n * n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) = 0 THEN NULL
+            |  WHEN n * (n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) >= 0
+            |  THEN (n * (n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))) * 1000000
+            |    div (n * n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+            |  ELSE -((-(n * (n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))) * 1000000
+            |    div (n * n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))))
+            |END""".stripMargin))
+    },
     // heuristic language-ID with deterministic tie-break chain
     QueryDef(
       "text_langid",
