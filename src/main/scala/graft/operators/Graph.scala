@@ -170,6 +170,48 @@ object Graph {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** Per-node local clustering coefficient: lcc(n) = 2·t(n) /
+    * (d(n)·(d(n)−1)) with t(n) = triangles containing n — the
+    * node-level companion of the global coefficient (how clique-like
+    * each node's neighborhood is; the ego-density feature link
+    * prediction and spam detection consume). Triangles are enumerated
+    * ONCE via [[triangleCount]]'s degree orientation, then each
+    * triangle credits its three corners — an explode + count, never a
+    * per-node neighborhood join. Exact integer ppm (truncating, both
+    * operands nonnegative); degree-1 nodes have no defined coefficient
+    * and report NULL. Input contract: distinct undirected edges as
+    * (u, v) pairs. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val uLow = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uLow, col("u")).otherwise(col("v")).as("a"),
+      when(uLow, col("v")).otherwise(col("u")).as("b"),
+      when(uLow, col("dv")).otherwise(col("du")).as("db"))
+    val e1 = oriented.select(col("a"), col("b").as("b1"), col("db").as("db1"))
+    val e2 = oriented.select(col("a"), col("b").as("b2"), col("db").as("db2"))
+    val tri = e1.join(e2, "a")
+      .where(col("db1") < col("db2") ||
+        (col("db1") === col("db2") && col("b1") < col("b2")))
+      .join(oriented.select(col("a").as("b1"), col("b").as("b2")),
+        Seq("b1", "b2"), "left_semi")
+    val corners = tri
+      .select(explode(array(col("a"), col("b1"), col("b2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.join(corners, Seq("n"), "left_outer")
+      .na.fill(0L, Seq("t"))
+      .select(col("n").as("node"), col("d").as("degree"),
+        col("t").as("triangles"),
+        when(col("d") >= 2,
+          expr("t * 2000000 div (d * (d - 1))")).as("lcc_ppm"))
+  }
+
   /** Multi-source BFS: minimum hop distance from any seed, up to
     * `maxHops` rounds, over directed `edges(src, dst)`. Returns
     * (node, dist) for every reached node (seeds at 0). Frontier-

@@ -282,6 +282,38 @@ object GraphQueries {
         .select(col("u"), col("v"))
       Graph.triangleCount(edges)
     },
+    // per-node local clustering coefficient on the same co-purchase
+    // graph: triangles enumerated once (degree orientation), each
+    // crediting its three corners — exact-ppm ego density per node,
+    // NULL where degree < 2 leaves it undefined
+    QueryDef(
+      "graph_local_clustering",
+      """WITH e AS (
+        |  SELECT a.o_orderkey AS u, b.o_orderkey AS v
+        |  FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+        |    AND year(a.o_orderdate) = year(b.o_orderdate)
+        |    AND a.o_orderkey < b.o_orderkey),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |  SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |tri AS (SELECT e1.u AS c1, e1.v AS c2, e2.v AS c3
+        |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |corners AS (SELECT n, count(*) AS t FROM (
+        |  SELECT unnest([c1, c2, c3]) AS n FROM tri) GROUP BY n)
+        |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(coalesce(corners.t, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN deg.d >= 2
+        |    THEN CAST(coalesce(corners.t, 0) * 2000000 // (deg.d * (deg.d - 1)) AS BIGINT)
+        |  END AS lcc_ppm
+        |FROM deg LEFT JOIN corners ON deg.n = corners.n""".stripMargin) { (s, d) =>
+      val o = Tables.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("y"))
+      val a = o.select(col("o_orderkey").as("u"), col("o_custkey"), col("y"))
+      val b = o.select(col("o_orderkey").as("v"), col("o_custkey"), col("y"))
+      val edges = a.join(b, Seq("o_custkey", "y")).where(col("u") < col("v"))
+        .select(col("u"), col("v"))
+      Graph.localClustering(edges)
+    },
     // multi-source BFS over the sparse high-quantity supplier↔customer
     // graph: min hop distance from suppliers 1..5, 6 rounds
     QueryDef("graph_bfs", bfsOracle) { (s, d) =>
