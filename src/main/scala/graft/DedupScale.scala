@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   * of the cached index (no corpus shuffle: the delta side is broadcast,
   * ScaleSpec pins the plan). Self-check: exactly nDelta/10 verdicts.
   *
-  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32] [mode=spans|lsh|ingest|stored|segments|winnow]
+  * Usage: runMain graft.DedupScale <nDocs> [tokensPerDoc=60] [plantEvery=20] [cpus=32] [mode=spans|lsh|ingest|stored|segments|winnow|winnowhot]
   */
 object DedupScale {
   def main(args: Array[String]): Unit = {
@@ -70,17 +70,25 @@ object DedupScale {
         s"k -> concat('bp', pmod(id div $plantEvery, 50), '_', k)))")
     val pairEvery = 2001L
     val docsPlan =
-      if (mode == "lsh" || mode == "winnow") {
+      if (mode == "lsh" || mode == "winnow" || mode == "winnowhot") {
         // near-dup pairs: doc 2001m+1 copies doc 2001m's body with the
-        // last token replaced ('zz9' is outside the 'w<n>' vocabulary)
+        // last token replaced ('zz9' is outside the 'w<n>' vocabulary).
+        // winnowhot additionally prefixes EVERY doc with one shared
+        // 16-token boilerplate (the license-header pattern): its pure-
+        // prefix windows select identical fingerprints in all nDocs
+        // docs — the df² hot key the maxFpDf cut must neutralize.
         val srcSql =
           s"transform(sequence(0, $tpd - 1), " +
             s"j -> concat('w', pmod(xxhash64((CASE WHEN id % $pairEvery = 1 " +
             s"THEN id - 1 ELSE id END) * $tpd + j), 10000)))"
+        val bodySql = s"CASE WHEN id % $pairEvery = 1 " +
+          s"THEN concat(concat_ws(' ', slice($srcSql, 1, $tpd - 1)), ' zz9') " +
+          s"ELSE concat_ws(' ', $srcSql) END"
+        val withPrefix = if (mode == "winnowhot")
+          s"concat(concat_ws(' ', transform(sequence(0, 15), k -> concat('hot_', k))), ' ', $bodySql)"
+        else bodySql
         spark.range(nDocs).select(col("id").as("doc_id"),
-          expr(s"CASE WHEN id % $pairEvery = 1 " +
-            s"THEN concat(concat_ws(' ', slice($srcSql, 1, $tpd - 1)), ' zz9') " +
-            s"ELSE concat_ws(' ', $srcSql) END").as("text"))
+          expr(withPrefix).as("text"))
       } else spark.range(nDocs).select(col("id").as("doc_id"),
         when(col("id") % plantEvery === 0, concat_ws(" ", tmpl, body))
           .otherwise(body).as("text"))
@@ -193,6 +201,21 @@ object DedupScale {
         Dedup.winnowingOverlapJoin(docs, col("text"), col("doc_id")).count()
       }
       println(s"""{"op":"winnow_check","expected":$expPairs,"got":$pairs,"ok":${pairs == expPairs}}""")
+    } else if (mode == "winnowhot") {
+      // VERDICT r6 #1: every doc carries the same boilerplate prefix,
+      // whose pure-prefix fingerprints have df = nDocs — an uncapped
+      // self-join on them enumerates nDocs² pairs. With maxFpDf = 50
+      // the hot keys drop BEFORE the join and the planted pairs are
+      // still found exactly: each pair shares its whole 59-token body
+      // run (>> w+k−1), far more than minShared after the cut, while
+      // cross pairs share nothing non-hot. Linear-vs-nDocs timings in
+      // docs/EXPERIMENTS.md prove the cap closes the df² blowup.
+      val expPairs = if (nDocs < 2) 0L else (nDocs - 2) / pairEvery + 1
+      val pairs = timed("winnowing_overlap_join_hot_capped") {
+        Dedup.winnowingOverlapJoin(docs, col("text"), col("doc_id"),
+          maxFpDf = Some(50)).count()
+      }
+      println(s"""{"op":"winnowhot_check","expected":$expPairs,"got":$pairs,"ok":${pairs == expPairs}}""")
     } else if (mode == "segments") {
       // C4 segment dedup over the spans-mode corpus: the 16-token
       // boilerplate prefix tiles into exactly 4 pure 4-token segments,

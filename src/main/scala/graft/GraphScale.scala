@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * files, no driver-side materialization, same posture as the native
   * Zipf source runs).
   *
-  * Usage: runMain graft.GraphScale <nEdges> [nNodesDivisor=10] [cpus=32] [zipfSkew=0] [ops=all|pagerank,bfs,cc,lpa,kcore,sssp]
+  * Usage: runMain graft.GraphScale <nEdges> [nNodesDivisor=10] [cpus=32] [zipfSkew=0] [ops=all|pagerank,bfs,cc,inccc,lpa,kcore,sssp]
   * With zipfSkew > 0 the destination degrees follow Zipf(s) (the G3
   * quantile sweep) — node 0 is a hub receiving ~1/H(n,s) of ALL edges.
   * Prints one JSON line per operator with wall seconds and output rows.
@@ -82,6 +82,39 @@ object GraphScale {
       val n = labels.count()
       println(s"""{"op":"cc_rounds","rounds":$rounds}""")
       n
+    }
+    // incremental CC maintenance (VERDICT r6 #6): full labels over the
+    // corpus-sized graph once (untimed prior state), then a FIXED
+    // 2000-edge delta folded in — the contraction rounds see only the
+    // contracted delta graph, the standing table pays two hash joins,
+    // so across nEdges sweeps the per-delta cost must stay flat-ish
+    // (join passes over labels) while full recompute grows with rounds
+    // × edges. Self-check: incremental == full recompute on the union.
+    if (want("inccc")) {
+      val ccEdges = edges.select(col("src").as("a"), col("dst").as("b"))
+      val (labels, _, _) = graft.operators.Iterate.ckpt(
+        Dedup.connectedComponents(ccEdges))
+      val nDelta = 2000L
+      // delta: fresh nodes past the id range bridging random existing
+      // nodes — every edge merges or extends an existing component
+      val (delta, _, _) = graft.operators.Iterate.ckpt(
+        spark.range(nDelta).select(
+          (col("id") + nNodes).as("a"),
+          pmod(xxhash64(col("id") + 7L), lit(nNodes)).as("b")))
+      var inc: org.apache.spark.sql.DataFrame = null
+      timed("cc_incremental_delta2k") {
+        inc = Dedup.incrementalConnectedComponents(labels, delta)
+          .localCheckpoint(true)
+        inc.count()
+      }
+      var full: org.apache.spark.sql.DataFrame = null
+      timed("cc_full_recompute") {
+        full = Dedup.connectedComponents(ccEdges.union(delta))
+          .localCheckpoint(true)
+        full.count()
+      }
+      val diff = inc.except(full).limit(1).count() + full.except(inc).limit(1).count()
+      println(s"""{"op":"inccc_check","diff":$diff,"ok":${diff == 0}}""")
     }
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
     if (want("lpa")) timed("label_prop_4") {

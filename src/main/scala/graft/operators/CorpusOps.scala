@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -794,7 +794,16 @@ object CorpusOps {
             if (l == r) open = false // self-pair closes the batch
           }
         }
-        if (open && top.length == topM) stopN = top.last.getLong(2)
+        // stopN unset ⇔ the scan stopped for a reason other than an
+        // interacting pair (want reached, or a self-pair closed the
+        // batch). Unexamined rows can still interact with a pick and
+        // mint new pairs tying a kept pick's count, so the bound must
+        // come from the FIRST UNEXAMINED row when one exists; only a
+        // fully-consumed truncated list falls back to its last row.
+        if (stopN < 0L) {
+          if (it.hasNext) stopN = it.next().getLong(2)
+          else if (top.length == topM) stopN = top.last.getLong(2)
+        }
         // strictness: drop picks tied with the stop bound (except the
         // true argmax p1)
         val safe = picks.head +: picks.tail.takeWhile(_._3 > stopN)
@@ -810,6 +819,43 @@ object CorpusOps {
     }
     wordsRdd.unpersist(blocking = false): Unit
     (spark.createDataFrame(merges.toSeq).toDF("step", "lhs", "rhs", "n"), rounds)
+  }
+
+  /** Persist a [[bpeTrain]] merge table as a SERVING artifact — the
+    * tokenizer twin of [[Similarity.writeIvfIndex]] /
+    * [[Dedup.writeIncrementalIndex]]: train once on the corpus, store
+    * the model, apply it everywhere (every downstream pipeline stage,
+    * every later corpus ingest). One parquet file: a tokenizer
+    * vocabulary is a configuration-sized artifact (10k–100k ordered
+    * merges), not data. */
+  def writeBpeModel(merges: DataFrame, path: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** The ordered merge list from a stored [[writeBpeModel]] artifact.
+    * Driver-side collect is the right tool here: the model is bounded
+    * by the trained vocabulary size (configuration, not corpus), and
+    * the list is folded into the codegen'd encode expression —
+    * effectively a broadcast of the model to every task. */
+  def readBpeModel(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("step")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Canonical BPE encode of one word under an ordered merge list —
+    * the APPLY stage, expressed as the doubled-separator replace chain
+    * (each pattern consumes one boundary separator per side and the
+    * replacement restores it, so merges never span a symbol boundary
+    * and back-to-back runs fuse leftmost-first — exactly [[bpeTrain]]'s
+    * word representation). Returns the space-joined display pieces. */
+  def bpeEncodeWith(word: Column, merges: Seq[(String, String)]): Column = {
+    val SEP = "\u0001"
+    val SS = SEP + SEP
+    val seed = concat(lit(SS), array_join(split(word, ""), SS), lit(SS))
+    val chain = merges.foldLeft(seed) { case (acc, (l, r)) =>
+      call_function("replace",
+        acc, lit(SEP + l + SS + r + SEP), lit(SEP + l + r + SEP))
+    }
+    call_function("replace", trim(chain, SEP), lit(SS), lit(" "))
   }
 
   /** First-occurrence novelty — the crawl-order diversity signal: per

@@ -46,6 +46,54 @@ object Layout {
     n
   }
 
+  /** Compact a `partitionBy`-laid-out parquet table IN PLACE — the
+    * LSM maintenance verb for the stored index layouts
+    * ([[Dedup.writeIncrementalIndex]]'s bands/shingles,
+    * [[Similarity.writeIvfIndex]]'s cid lists): each append drops new
+    * small files into existing partition dirs, and an index that only
+    * ever appends degrades into a small-file storm. This rewrites ONLY
+    * the partitions holding more than `maxFilesPerPartition` data
+    * files (one filtered scan with partition pruning — cold partitions
+    * are never read), one output file per partition (the repartition
+    * on the partition keys puts each key in exactly one task), then
+    * swaps each compacted partition dir in with metadata-only renames
+    * (FileSystem.rename at cluster scale). Readers between swaps see
+    * either the old or the new file set of a partition — both hold the
+    * identical rows, so served results are unchanged (LayoutSpec +
+    * the dedup_index_append gate pin this). Driver-side dir listing is
+    * bounded by the layout's partition fan-out — configuration, not
+    * data. Returns the number of partitions rewritten. */
+  def compactPartitioned(spark: SparkSession, dir: String,
+      partCols: Seq[String], maxFilesPerPartition: Int = 1): Int = {
+    val root = new java.io.File(dir)
+    def leaves(f: java.io.File, depth: Int): Seq[java.io.File] =
+      if (depth == 0) Seq(f)
+      else Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(c => c.isDirectory && c.getName.contains("="))
+        .flatMap(leaves(_, depth - 1))
+    val hot = leaves(root, partCols.length).filter { l =>
+      Option(l.listFiles()).getOrElse(Array.empty).count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")) >
+        maxFilesPerPartition
+    }
+    if (hot.isEmpty) return 0
+    val tmp = dir + ".__compact"
+    graft.sources.Tables.deleteRecursive(tmp)
+    spark.read.option("basePath", dir).parquet(hot.map(_.getPath): _*)
+      .repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
+    val tmpRoot = new java.io.File(tmp)
+    for (leaf <- leaves(tmpRoot, partCols.length)) {
+      val target = new java.io.File(root,
+        tmpRoot.toPath.relativize(leaf.toPath).toString)
+      graft.sources.Tables.deleteRecursive(target.getPath)
+      if (!target.getParentFile.exists()) target.getParentFile.mkdirs(): Unit
+      require(leaf.renameTo(target), s"compact swap failed: $leaf -> $target")
+    }
+    graft.sources.Tables.deleteRecursive(tmp)
+    hot.size
+  }
+
   /** Range-clustered write: globally range-partition on `clusterCol`
     * and sort within partitions, so each output file covers a disjoint
     * value range and carries tight parquet min/max footer stats. A

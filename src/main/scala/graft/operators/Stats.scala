@@ -132,6 +132,16 @@ object Stats {
       censored: Column): DataFrame = {
     val spark = subjects.sparkSession
     val base = subjects.select(duration.as("t"), censored.as("cen"))
+    // The bucketing below does arithmetic on t cast to double. A
+    // non-numeric duration (e.g. DATE → NULL under a double cast)
+    // would silently produce an empty frame, so fail fast instead —
+    // callers with temporal durations should diff to a day count.
+    base.schema.head.dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+      case other => throw new IllegalArgumentException(
+        s"kaplanMeier duration must be numeric (got $other); " +
+          "cast temporal durations to a day/second count first")
+    }
     val dom = base.groupBy("t").agg(
       sum(when(col("cen"), 0L).otherwise(1L)).as("d"),
       count(lit(1)).as("tot"))

@@ -67,15 +67,42 @@ object DedupQueries {
       Dedup.dedupClusters(
         Dedup.ngramJaccard(Tables.table(s, d, "documents"), col("text"), col("doc_id")))
     },
+    // INCREMENTAL cluster maintenance (Dedup.dedupClustersIncremental):
+    // the standing cluster table (built over the base corpus, doc_id%5
+    // <> 0) is folded forward under the delta's near-dup pairs — the
+    // star-contraction rounds run over the CONTRACTED delta graph only
+    // (O(delta + touched components) edges), while corpus-sized state
+    // pays exactly two hash joins (endpoint projection, rep remap),
+    // never per-round iteration. Oracle = full-recompute clusters over
+    // the whole corpus: incremental maintenance must be undetectable
+    // in the output.
+    QueryDef("dedup_clusters_incremental", clusterOracle) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val pairs = Dedup.ngramJaccard(docs, col("text"), col("doc_id"))
+        .localCheckpoint(true) // one pair-gen pass feeds both phases
+      val isDelta = col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0
+      // prior state: clusters over base-only pairs (restricting the
+      // full pair set to base endpoints ≡ pairing the base corpus —
+      // Jaccard of a pair doesn't depend on other docs)
+      val stored = Dedup.dedupClusters(pairs.filter(!isDelta))
+      Dedup.dedupClustersIncremental(stored, pairs.filter(isDelta))
+    },
     // MOSS-style overlap join over winnowing fingerprints: pairs
     // sharing >= 2 distinct fingerprints at containment ratio >= 0.5
     // (shared / min fingerprint count). Winnowing's w+k-1 run
     // guarantee means real overlap can't be sampled away while the
     // joined index is ~2/(w+1) the full shingle index.
+    // maxFpDf = 50: fingerprints surviving window selection in > 50
+    // docs are boilerplate (license headers), dropped BEFORE the
+    // self-join — kills the df² pair blowup on hot keys; the cut is
+    // mirrored into the oracle (f2 CTE) so containment denominators
+    // shrink identically on both sides.
     QueryDef(
       "dedup_winnowing",
       s"""WITH ${TextQueries.winnowingCtes},
-         |f AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |f0 AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |f AS (SELECT * FROM f0 WHERE fp NOT IN (
+         |  SELECT fp FROM f0 GROUP BY fp HAVING count(*) > 50)),
          |sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
          |sj AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
          |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -84,7 +111,8 @@ object DedupQueries {
          |FROM sj JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          |WHERE shared >= 2 AND CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5""".stripMargin) { (s, d) =>
       Dedup.winnowingOverlapJoin(Tables.table(s, d, "documents"),
-        col("text"), col("doc_id"), k = 3, w = 4, minShared = 2, threshold = 0.5)
+        col("text"), col("doc_id"), k = 3, w = 4, minShared = 2, threshold = 0.5,
+        maxFpDf = Some(50))
     },
     // canonical-copy selection over the same clusters: keep each
     // cluster's HIGHEST-QUALITY member (n_chars here; a classifier
@@ -284,11 +312,14 @@ object DedupQueries {
     // full stored-index LIFECYCLE: build the corpus index (doc_id%5 ∈
     // {2,3,4}), gate delta1 (%5=1) against it, APPEND delta1's accepted
     // postings (Dedup.appendToIncrementalIndex — O(delta) parquet
-    // appends into the partitioned layout), then gate delta2 (%5=0)
-    // against the GROWN index: its verdicts must include dups vs the
-    // appended delta1 docs, which a build-once index would miss. The
-    // oracle replays both gates as batch joins with the matching
-    // corpus-membership predicates.
+    // appends into the partitioned layout), COMPACT the appended
+    // partitions back to one file each (Dedup.compactIncrementalIndex
+    // — the LSM maintenance verb), then gate delta2 (%5=0) against the
+    // GROWN, compacted index: its verdicts must include dups vs the
+    // appended delta1 docs, which a build-once index would miss, and
+    // must be unchanged by the compaction rewrite. The oracle replays
+    // both gates as batch joins with the matching corpus-membership
+    // predicates.
     QueryDef(
       "dedup_index_append",
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -334,15 +365,44 @@ object DedupQueries {
           col("text"), col("doc_id"), pristine.getPath)
         ready.createNewFile(): Unit
       }
+      // per-phase wall attribution (VERDICT r6: the bundled lifecycle
+      // was the slowest bench query with no phase split) — each phase
+      // below is EAGER (incrementalDedupStored localCheckpoints, the
+      // writers materialize), so nanoTime spans are honest; one JSON
+      // line lands in the Verify/Bench log per run
+      val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      def phase[T](name: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        phases += ((name, (System.nanoTime() - t0) / 1e9)); r
+      }
       val idx = graft.sources.Tables.scratchDir("graft_idx_append")
-      graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
+      phase("copy") {
+        graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
+      }
       val delta1 = docs.filter(col("doc_id") % 5 === 1)
-      val g1 = Dedup.incrementalDedupStored(idx, delta1, col("text"), col("doc_id"))
-        .select(lit(1L).as("stage"), col("new_doc"), col("dup_of"), col("jaccard"))
-      Dedup.appendToIncrementalIndex(idx, delta1, col("text"), col("doc_id"))
-      val g2 = Dedup.incrementalDedupStored(idx,
-          docs.filter(col("doc_id") % 5 === 0), col("text"), col("doc_id"))
-        .select(lit(2L).as("stage"), col("new_doc"), col("dup_of"), col("jaccard"))
+      val g1 = phase("gate1") {
+        Dedup.incrementalDedupStored(idx, delta1, col("text"), col("doc_id"))
+          .select(lit(1L).as("stage"), col("new_doc"), col("dup_of"), col("jaccard"))
+      }
+      phase("append") {
+        Dedup.appendToIncrementalIndex(idx, delta1, col("text"), col("doc_id"))
+      }
+      // the LSM lifecycle's final verb: fold the append's small delta
+      // files back into one file per touched partition; gate2 then
+      // serves from the COMPACTED index, so the oracle match below
+      // proves compaction preserves served verdicts
+      val rewritten = phase("compact") {
+        Dedup.compactIncrementalIndex(s, idx)
+      }
+      val g2 = phase("gate2") {
+        Dedup.incrementalDedupStored(idx,
+            docs.filter(col("doc_id") % 5 === 0), col("text"), col("doc_id"))
+          .select(lit(2L).as("stage"), col("new_doc"), col("dup_of"), col("jaccard"))
+      }
+      println(phases.map { case (n, sec) => f""""$n":$sec%.2f""" }
+        .mkString("""[bench-phase] {"q":"dedup_index_append",""",
+          ",", s""","compacted_parts":$rewritten}"""))
       g1.unionAll(g2)
     },
     QueryDef(

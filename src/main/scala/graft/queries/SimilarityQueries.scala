@@ -262,7 +262,10 @@ object SimilarityQueries {
     // to the in-memory form, so the oracle is shared.
     QueryDef("ann_ivf_stored", ivfOracle) { (s, d) =>
       val emb = Tables.table(s, d, "embeddings")
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_ivf_idx"
+      // per-process scratch, NOT a fixed shared path: concurrent JVMs
+      // (sf0.01 selfcheck beside an sf0.1 bench) would race
+      // writer-vs-reader on a shared dir, or silently mix SFs
+      val tmp = Tables.scratchDir("graft_ivf_idx")
       Similarity.writeIvfIndex(emb, col("embedding"), col("vec_id"),
         Similarity.firstNCentroids(emb, col("embedding"), col("vec_id"), 8), tmp)
       Similarity.topKIvfStored(tmp, emb.filter(col("vec_id") % 50 === 0),
@@ -277,7 +280,7 @@ object SimilarityQueries {
     // sums), and only the 15-deep shortlist pays the full-dim cosine.
     QueryDef("ann_ivfpq_stored", ivfPqOracle) { (s, d) =>
       val emb = Tables.table(s, d, "embeddings")
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_idx"
+      val tmp = Tables.scratchDir("graft_ivfpq_idx") // per-process, race-free
       Similarity.writeIvfPqIndex(emb, col("embedding"), col("vec_id"),
         Similarity.firstNCentroids(emb, col("embedding"), col("vec_id"), 8),
         tmp, m = 8, subDim = 8, nCodes = 8)
@@ -329,6 +332,10 @@ object SimilarityQueries {
       graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
       Similarity.appendToIvfIndex(idx, emb.filter(col("vec_id") % 3 === 1),
         col("embedding"), col("vec_id"))
+      // LSM lifecycle close-out: fold the append's delta files back to
+      // one file per touched cid list; the shared oracle then proves
+      // compaction preserved the served ranking
+      graft.operators.Layout.compactPartitioned(s, s"$idx/vectors", Seq("cid")): Unit
       Similarity.topKIvfStored(idx, emb.filter(col("vec_id") % 50 === 0),
           col("embedding"), col("vec_id"), k = 5, nProbe = 2)
         .withColumnRenamed("rank", "rnk")

@@ -134,7 +134,8 @@ object Tables {
   def linkCopyDirectory(src: java.io.File, dst: java.io.File): Unit = {
     import java.nio.file.{Files, Path}
     val sp = src.toPath
-    Files.walk(sp).forEach { p: Path =>
+    val walk = Files.walk(sp) // Files.walk holds directory fds open until closed
+    try walk.forEach { p: Path =>
       val t = dst.toPath.resolve(sp.relativize(p))
       if (Files.isDirectory(p)) { Files.createDirectories(t): Unit }
       else {
@@ -144,7 +145,7 @@ object Tables {
           Files.copy(p, t): Unit }
         ()
       }
-    }
+    } finally walk.close()
   }
 
   /** S6: temp-dir lifecycle (MergeJoin.java:91-95,253-256). */

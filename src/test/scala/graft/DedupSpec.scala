@@ -141,6 +141,37 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= bound, s"path-$n took $rounds rounds (bound $bound)")
   }
 
+  test("incremental connected components equal full recompute on random deltas") {
+    import spark.implicits._
+    // randomized equivalence: split a random edge set into base +
+    // delta, maintain incrementally, compare to CC over the union.
+    // Node ids are drawn so deltas exercise the hard cases: merging
+    // two existing components, a NEW node becoming the component
+    // minimum, brand-new components, and intra-component noise edges.
+    val rnd = new scala.util.Random(0x1cc7)
+    for (trial <- 0 until 4) {
+      val n = 50
+      val all = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val (base, delta) = all.splitAt(all.size * 2 / 3)
+      val labels = Dedup.connectedComponents(base.toDF("a", "b"))
+      val got = Dedup.incrementalConnectedComponents(
+        labels, delta.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Dedup.connectedComponents((base ++ delta).toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == full, s"trial $trial")
+    }
+    // directed hard case: delta node 0 bridges two components whose
+    // reps were 3 and 7 — every member must relabel to the NEW min 0
+    val labels = Dedup.connectedComponents(
+      Seq((3L, 5L), (7L, 9L)).toDF("a", "b"))
+    val got = Dedup.incrementalConnectedComponents(
+      labels, Seq((0L, 5L), (0L, 9L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 3L -> 0L, 5L -> 0L, 7L -> 0L, 9L -> 0L))
+  }
+
   test("connected components keep self-loop-only nodes as singletons") {
     import spark.implicits._
     // (5,5) is a singleton; (1,1) also has a real edge — exactly one

@@ -30,6 +30,45 @@ class LayoutSpec extends SparkSpec {
     Tables.deleteRecursive(in); Tables.deleteRecursive(out)
   }
 
+  test("compactPartitioned folds appended delta files; served verdicts unchanged") {
+    import graft.operators.Dedup
+    // build → append → (serve) → compact → (serve): the LSM lifecycle
+    // over the stored dedup index. Pins (a) the append actually leaves
+    // multi-file partitions, (b) compaction brings every partition
+    // back to one data file without touching cold partitions' content,
+    // (c) the served gate verdicts are IDENTICAL pre/post compaction.
+    val docs = Tables.table(spark, sf, "documents")
+    val idx = Tables.scratchDir("spec_idx_compact")
+    Dedup.writeIncrementalIndex(
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
+      col("text"), col("doc_id"), idx)
+    Dedup.appendToIncrementalIndex(idx,
+      docs.filter(col("doc_id") % 5 === 1), col("text"), col("doc_id"))
+    def filesPerPartition(sub: String): Map[String, Int] =
+      Layout.dataFiles(s"$idx/$sub").groupBy(_.getParentFile.getPath)
+        .map { case (d, fs) => d -> fs.size }
+    val before = filesPerPartition("bands") ++ filesPerPartition("shingles")
+    assert(before.values.exists(_ > 1),
+      "append should leave at least one multi-file partition")
+    val delta2 = docs.filter(col("doc_id") % 5 === 0)
+    val pre = Dedup.incrementalDedupStored(idx, delta2, col("text"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    val rewritten = Dedup.compactIncrementalIndex(spark, idx)
+    assert(rewritten == before.values.count(_ > 1),
+      "compaction must rewrite exactly the multi-file partitions")
+    val after = filesPerPartition("bands") ++ filesPerPartition("shingles")
+    assert(after.values.forall(_ == 1),
+      s"every partition should hold one data file post-compact: $after")
+    assert(after.keySet == before.keySet, "partition dirs must be preserved")
+    val post = Dedup.incrementalDedupStored(idx, delta2, col("text"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    assert(post == pre, "served verdicts changed across compaction")
+    assert(pre.nonEmpty, "gate should find planted near-dups")
+    // idempotence: a second compact is a no-op
+    assert(Dedup.compactIncrementalIndex(spark, idx) == 0)
+    Tables.deleteRecursive(idx)
+  }
+
   test("range-clustered files cover pairwise-disjoint key ranges") {
     val out = Tables.scratchDir("spec_range_cluster")
     Layout.rangeClusteredWrite(

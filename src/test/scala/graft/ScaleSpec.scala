@@ -736,4 +736,56 @@ class ScaleSpec extends SparkSpec {
     assert(!flat.map(_.nodeName).exists(n =>
       n.startsWith("CartesianProduct") || n.startsWith("BroadcastNestedLoopJoin")))
   }
+
+  test("dbscan radius join plan: grid-cell equi-join, never a point cross product") {
+    import graft.operators.Spatial
+    import spark.implicits._
+    // 400 deterministic points in [0,1)² — enough for real cell packing
+    val pts = (0L until 400L).map { i =>
+      (i, (i * 2654435761L % 4294967296L).toDouble / 4294967296L,
+        ((i + 7) * 2654435761L % 4294967296L).toDouble / 4294967296L)
+    }.toDF("pid", "x", "y")
+    val pairs = Spatial.radiusSelfJoin(pts, col("pid"), col("x"), col("y"), 0.05)
+    pairs.count()
+    val plan = pairs.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val nodes = flattenPlan(plan).map(_.nodeName)
+    // the 3×3 cell probe must land as an EQUI hash/merge join on the
+    // cell key — a cartesian or nested-loop pair product here is the
+    // all-pairs blowup the grid exists to prevent
+    assert(!nodes.exists(n =>
+      n.startsWith("CartesianProduct") || n.startsWith("BroadcastNestedLoopJoin")),
+      nodes.mkString(","))
+    assert(nodes.exists(n => n.contains("HashJoin") || n.startsWith("SortMergeJoin")),
+      nodes.mkString(","))
+  }
+
+  test("winnowing overlap join plan: df-capped fp equi-join, no window, no cross") {
+    import graft.operators.Dedup
+    val docs = Tables.table(spark, sf, "documents")
+    val df = Dedup.winnowingOverlapJoin(docs, col("text"), col("doc_id"),
+      maxFpDf = Some(50))
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val nodes = flattenPlan(plan).map(_.nodeName)
+    // fingerprint selection is an aggregate pipeline (min-hash window
+    // selection is positional arithmetic, not a WindowExec), the hot-fp
+    // cut an anti equi-join, the pair join an fp equi-join: nothing in
+    // the tree may window-sort the corpus or cross-product the pairs
+    assert(!nodes.exists(_.startsWith("Window")), nodes.mkString(","))
+    assert(!nodes.exists(n =>
+      n.startsWith("CartesianProduct") || n.startsWith("BroadcastNestedLoopJoin")),
+      nodes.mkString(","))
+    // the df cut itself must be present as a LeftAnti equi-join
+    val antis = flattenPlan(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antis.nonEmpty, s"expected the maxFpDf anti-join:\n$plan")
+  }
 }

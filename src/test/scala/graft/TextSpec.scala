@@ -309,6 +309,59 @@ class TextSpec extends SparkSpec {
     assert(table(16) == table(1), "batched merge table diverged from sequential")
   }
 
+  test("bpeTrain want-exit stop bound: minted pair can steal a tied pick (ADVICE r6)") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    // Crafted divergence corpus (needs merged symbol AB < C < B, so
+    // A=a, B=z, AB="az", C=b): with batch=2 the scan picks (a,z):10
+    // then (b,c):5 and exits on WANT with (z,y):5 unexamined. The
+    // sequential walk instead merges (a,z) first, which mints (az,y)
+    // at count 5 — tying (b,c) with the lex-smaller l "az" < "b" — so
+    // step 2 is (az,y), not (b,c). A stop bound that ignores
+    // unexamined rows keeps (b,c) in the batch and diverges; the fix
+    // takes stopN from the first unexamined row, deferring the tie.
+    val docs = (Seq.fill(5)("az") ++ Seq.fill(5)("azy") ++
+      Seq.fill(5)("bc")).toDF("text")
+    def table(batch: Int) =
+      CorpusOps.bpeTrain(docs, col("text"), nMerges = 3, batch = batch)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val seqTable = table(1)
+    assert(seqTable == Seq((1, "a", "z", 10L), (2, "az", "y", 5L),
+      (3, "b", "c", 5L)))
+    assert(table(2) == seqTable, "want-exit stop bound diverged")
+    assert(table(16) == seqTable)
+  }
+
+  test("bpe model store round-trip: trained table reads back ordered and intact") {
+    import graft.operators.CorpusOps
+    // the train→store leg of train→store→apply (the apply leg is the
+    // text_bpe_apply_stored oracle gate): persist a TRAINED table,
+    // read it back, and the ordered merge list must be identical
+    val docs = Tables.table(spark, sf, "documents").select(col("text"))
+    val trained = CorpusOps.bpeTrain(docs, col("text"), nMerges = 8)
+    val path = Tables.scratchDir("spec_bpe_model")
+    CorpusOps.writeBpeModel(trained, path)
+    val stored = CorpusOps.readBpeModel(spark, path)
+    val direct = trained.orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(stored == direct && stored.size == 8)
+    // and the stored model encodes identically to the in-code chain
+    import spark.implicits._
+    import graft.queries.TextQueries
+    val words = Seq("other", "and", "then").toDF("w")
+    val viaStored = {
+      val p = Tables.scratchDir("spec_bpe_demo")
+      CorpusOps.writeBpeModel(TextQueries.bpeDemoMerges.zipWithIndex
+        .map { case ((l, r), i) => (i + 1, l, r) }.toDF("step", "lhs", "rhs"), p)
+      words.select(CorpusOps.bpeEncodeWith(col("w"),
+        CorpusOps.readBpeModel(spark, p)).as("p")).collect().map(_.getString(0)).toSeq
+    }
+    val viaCode = words.select(expr(TextQueries.bpeEncodeSparkSql("w")).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaStored == viaCode)
+  }
+
   test("bpe encode chain is canonical leftmost-first BPE (no cross-symbol merges)") {
     import spark.implicits._
     import graft.queries.TextQueries
