@@ -935,4 +935,79 @@ object Similarity {
       .select(col("doc_id"), round(col("__mx"), 6).as("max_eval_cos"),
         when(col("__mx") < threshold, 1).otherwise(0).as("kept"))
   }
+
+  /** Maximal Marginal Relevance (MMR, Carbonell & Goldstein SIGIR'98)
+    * diversified top-k — the re-rank stage between retrieval and a
+    * context window: from each query's relevance `shortlist`, greedily
+    * pick k results maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s),
+    * so near-duplicate hits don't crowd out coverage. Pick 1 is the
+    * pure-relevance argmax (the standard convention; the empty-set
+    * diversity term is 0), ties break to the smallest neighbor id.
+    *
+    * All similarities are pinned to integer MICROS before any
+    * comparison, and λ is a ppm integer, so every greedy decision is
+    * BIGINT-exact — the scores themselves hash-match the oracle's
+    * unrolled replay, not just the final ranking.
+    *
+    * Scale shape: the only corpus-sized pass is the relevance scan
+    * (broadcast queries × corpus, the [[topKBruteForce]] shape — swap
+    * [[topKIvfStored]] probing in production, same downstream). After
+    * that everything is bounded by CONFIGURATION: shortlist rows and
+    * shortlist² pairwise sims per query, and the k greedy steps run as
+    * k tiny flat stages over checkpointed frames (never a lazy loop —
+    * the lineage would double per step). The greedy scan is inherently
+    * sequential in k; per-query work parallelizes freely. */
+  def mmrSelect(emb: DataFrame, vec: Column, id: Column, isQuery: Column,
+      k: Int, shortlist: Int, lambdaPpm: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(0L <= lambdaPpm && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1e6]: $lambdaPpm")
+    val e = withNorm(emb, vec, id)
+    val q = withNorm(emb.filter(isQuery), vec, id)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wSl = Window.partitionBy(col("qid")).orderBy(col("simq").desc, col("vid"))
+    val (sl, _, _) = Iterate.ckpt(e.join(broadcast(q), col("vid") =!= col("qid"))
+      .withColumn("simq",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6, 0).cast("long"))
+      .withColumn("srn", row_number().over(wSl))
+      .filter(col("srn") <= shortlist)
+      .select(col("qid"), col("vid"), col("v"), col("nrm"), col("simq")))
+    val (pr, _, _) = Iterate.ckpt(sl
+      .select(col("qid"), col("vid").as("av"), col("v").as("av_v"), col("nrm").as("an"))
+      .join(sl.select(col("qid"), col("vid").as("bv"), col("v").as("bv_v"),
+        col("nrm").as("bn")), Seq("qid"))
+      .filter(col("av") =!= col("bv"))
+      .select(col("qid"), col("av"), col("bv"),
+        round(dot(col("av_v"), col("bv_v")) / (col("an") * col("bn")) * 1e6, 0)
+          .cast("long").as("psim")))
+    val cand = sl.select(col("qid"), col("vid"), col("simq"))
+    val lam = lit(lambdaPpm)
+    val oneMinusLam = lit(1000000L - lambdaPpm)
+    def argmaxPick(c: DataFrame, pick: Int): DataFrame =
+      c.groupBy("qid")
+        .agg(max_by(struct(col("vid"), col("score")),
+          struct(col("score"), -col("vid"))).as("b"))
+        .select(col("qid"), col("b.vid").as("vid"), lit(pick).as("pick"),
+          col("b.score").as("mmr_micros"))
+    var selected = argmaxPick(cand.withColumn("score", lam * col("simq")), 1)
+    var liveSel: org.apache.spark.rdd.RDD[_] = null
+    for (p <- 2 to k) {
+      val (selDf, selRdd, _) = Iterate.ckpt(selected)
+      if (liveSel != null) liveSel.unpersist(blocking = false): Unit
+      liveSel = selRdd
+      val maxSel = pr
+        .join(selDf.select(col("qid"), col("vid").as("bv")), Seq("qid", "bv"))
+        .groupBy(col("qid"), col("av").as("vid"))
+        .agg(max(col("psim")).as("ms"))
+      val rem = cand
+        .join(selDf.select("qid", "vid"), Seq("qid", "vid"), "left_anti")
+        .join(maxSel, Seq("qid", "vid"), "left")
+        .withColumn("score",
+          lam * col("simq") - oneMinusLam * coalesce(col("ms"), lit(0L)))
+      selected = selDf.union(argmaxPick(rem, p))
+    }
+    selected.select(col("qid").as("query_id"), col("pick"),
+      col("vid").as("neighbor_id"), col("mmr_micros"))
+  }
 }

@@ -450,8 +450,44 @@ object CurationQueries {
           round(lap * 1000000, 0).cast("long").as("noise_micros"))
         .withColumn("noisy_micros",
           col("n") * 1000000L + col("noise_micros"))
+    },
+    // blocklist tagging (functions.DictionaryTagCounts): one
+    // Aho-Corasick pass counts every phrase of the dictionary —
+    // INCLUDING overlapping occurrences ("table table table" hits
+    // "table table" twice) — where the per-phrase regexp alternative
+    // is |dict| scans each missing overlaps. The oracle replays the
+    // definition per phrase as a per-position substring probe; the
+    // dictionary literal is shared from CurationQueries.demoBlocklist,
+    // one source of truth.
+    QueryDef(
+      "text_blocklist_tags",
+      s"""WITH c AS (SELECT doc_id,
+         |    list_transform([${CurationQueries.demoBlocklist.map("'" + _ + "'").mkString(", ")}],
+         |      q -> CAST(len(list_filter(range(1, len(text) - len(q) + 2), i -> substr(text, i, len(q)) = q)) AS BIGINT)) AS cnt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), cnt), (x, y) -> x + y) AS n_hits,
+         |  CAST(len(list_filter(cnt, x -> x > 0)) AS BIGINT) AS n_phrases,
+         |  md5(array_to_string(cnt, '|')) AS counts_md5
+         |FROM c""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), graft.functions.DictionaryTagCounts.tags(
+          col("text"), CurationQueries.demoBlocklist).as("cnt"))
+        .select(col("doc_id"),
+          aggregate(col("cnt"), lit(0L), (a, x) => a + x).as("n_hits"),
+          size(filter(col("cnt"), _ > 0L)).cast("long").as("n_phrases"),
+          md5(array_join(transform(col("cnt"), _.cast("string")), "|")
+            .cast("binary")).as("counts_md5"))
     }
   )
+
+  /** The demo blocklist the text_blocklist_tags query tags — phrases
+    * over the synthetic corpus vocabulary, chosen so self-overlapping
+    * runs ("table table", "scan scan") exercise the overlap semantics
+    * regexp-based counting gets wrong. A def, not a val: `all` above
+    * initializes first and would read null from a val defined below. */
+  private[queries] def demoBlocklist: Seq[String] =
+    Seq("slow scan", "table table", "big data", "scan scan", "fast merge")
 
   /** Where the hashed-DSIR query materializes its feature→bucket
     * mapping for the oracle (one subdir per scale factor, overwritten

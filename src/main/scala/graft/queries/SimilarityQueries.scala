@@ -728,6 +728,50 @@ object SimilarityQueries {
       graft.operators.StringSimilarity.sortedNeighborhoodJoin(
         Tables.table(s, d, "customer"), col("c_custkey"), col("c_name"),
         window = 4, tau = 2)
+    },
+    // MMR diversified retrieval (Similarity.mmrSelect): 16-deep
+    // relevance shortlists, 5 greedy picks, λ = 0.7 — every sim pinned
+    // to integer micros so the greedy argmax chain is BIGINT-exact and
+    // the oracle can replay it as unrolled CTE stages (one per pick,
+    // the Lloyd-unroll pattern). Scores themselves hash-match.
+    QueryDef("search_mmr", SimilarityQueries.mmrOracle(
+      k = 5, shortlist = 16, lambdaPpm = 700000L)) { (s, d) =>
+      Similarity.mmrSelect(
+        Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"),
+        col("vec_id") % 50 === 0, k = 5, shortlist = 16, lambdaPpm = 700000L)
     }
   )
+
+  /** Unrolled MMR greedy replay: pick 1 = relevance argmax; pick p's
+    * stage anti-joins the selected set, takes each survivor's max
+    * pairwise sim to it (correlated max over the shortlist² pair CTE),
+    * and re-runs the λ-blended argmax. Shares [[normCte]]'s fold, the
+    * same micros rounding, and the same (score DESC, vid) tie order as
+    * the engine's max_by. */
+  private def mmrOracle(k: Int, shortlist: Int, lambdaPpm: Long): String = {
+    val lam = lambdaPpm
+    val lam1 = 1000000L - lambdaPpm
+    def cosMicros(a: String, b: String, an: String, bn: String) =
+      s"CAST(round(list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y) / ($an * $bn) * 1000000, 0) AS BIGINT)"
+    val steps = (2 to k).map { p =>
+      s"""c$p AS (SELECT sl.qid, sl.vid,
+         |    CAST($lam AS BIGINT) * sl.simq - CAST($lam1 AS BIGINT) * coalesce((SELECT max(pr.psim) FROM pr JOIN sel${p - 1} s ON s.qid = pr.qid AND s.vid = pr.bv WHERE pr.qid = sl.qid AND pr.av = sl.vid), 0) AS score
+         |  FROM sl WHERE NOT EXISTS (SELECT 1 FROM sel${p - 1} s WHERE s.qid = sl.qid AND s.vid = sl.vid)),
+         |p$p AS (SELECT qid, vid, $p AS pick, score FROM (SELECT qid, vid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn FROM c$p) WHERE rn = 1),
+         |sel$p AS (SELECT * FROM sel${p - 1} UNION ALL SELECT * FROM p$p)""".stripMargin
+    }.mkString(",\n")
+    s"""$normCte,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+       |s0 AS (SELECT q.qid, n.vec_id AS vid, n.v, n.nrm,
+       |    ${cosMicros("q.qv", "n.v", "q.qn", "n.nrm")} AS simq
+       |  FROM q JOIN n ON n.vec_id <> q.qid),
+       |sl AS (SELECT qid, vid, v, nrm, simq FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY simq DESC, vid) AS rn FROM s0) WHERE rn <= $shortlist),
+       |pr AS (SELECT a.qid, a.vid AS av, b.vid AS bv,
+       |    ${cosMicros("a.v", "b.v", "a.nrm", "b.nrm")} AS psim
+       |  FROM sl a JOIN sl b ON a.qid = b.qid AND a.vid <> b.vid),
+       |sel1 AS (SELECT qid, vid, 1 AS pick, score
+       |  FROM (SELECT qid, vid, CAST($lam AS BIGINT) * simq AS score, row_number() OVER (PARTITION BY qid ORDER BY CAST($lam AS BIGINT) * simq DESC, vid) AS rn FROM sl) WHERE rn = 1),
+       |$steps
+       |SELECT qid AS query_id, pick, vid AS neighbor_id, score AS mmr_micros FROM sel$k""".stripMargin
+  }
 }

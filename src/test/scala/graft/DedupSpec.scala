@@ -488,4 +488,40 @@ class DedupSpec extends SparkSpec {
       1L -> (2L, false), 2L -> (2L, true), 3L -> (2L, false),
       4L -> (5L, false), 5L -> (5L, true), 10L -> (10L, true)))
   }
+
+  test("mmrSelect penalizes the near-duplicate: pick 2 trades relevance for coverage") {
+    import spark.implicits._
+    // q=(1,0,0); a is most relevant; b is a near-dup of a and the
+    // relevance runner-up; c is moderately relevant but diverse.
+    // λ=0.5: pick 1 = a, pick 2 = c (0.5·sim(q,c) − 0.5·sim(c,a) > 0 >
+    // 0.5·sim(q,b) − 0.5·sim(b,a)); pure relevance (λ=1) keeps b.
+    val e = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.1, 0.0)),
+      (2L, Seq(1.0, 0.12, 0.0)),
+      (3L, Seq(0.6, 0.0, 0.8))).toDF("vec_id", "v")
+    def picks(lamPpm: Long) = Similarity.mmrSelect(
+        e, col("v"), col("vec_id"), col("vec_id") === 0, k = 2,
+        shortlist = 3, lambdaPpm = lamPpm)
+      .orderBy("pick").collect().map(_.getLong(2)).toSeq
+    assert(picks(500000L) == Seq(1L, 3L))
+    assert(picks(1000000L) == Seq(1L, 2L))
+  }
+
+  test("mmrSelect at λ=1 with an exhaustive shortlist reproduces brute-force order") {
+    val isQ = col("vec_id") % 10 === 0
+    val n = emb.count().toInt
+    val got = Similarity.mmrSelect(emb, col("embedding"), col("vec_id"), isQ,
+        k = 5, shortlist = n, lambdaPpm = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val bf = Similarity.topKBruteForce(emb, col("embedding"), col("vec_id"), isQ, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(got == bf)
+    // k picks per query, each pick rank present exactly once
+    val byQ = got.keys.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, ks) =>
+      assert(ks.map(_._2).toSeq.sorted == (1 to 5), s"query $q picks $ks")
+    }
+  }
 }

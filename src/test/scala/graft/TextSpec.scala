@@ -532,4 +532,40 @@ class TextSpec extends SparkSpec {
     // short doc: exactly one selection (its single partial window)
     assert(got.count(_._1 == 4L) == 1)
   }
+
+  test("DictionaryTagCounts: overlapping occurrences, nested phrases, null text") {
+    import spark.implicits._
+    import graft.functions.DictionaryTagCounts
+    // "aba" self-overlaps in "ababa" (positions 1 and 3); "ab" nests
+    // inside "aba" (a shorter phrase ending mid-longer-match must
+    // still be credited via fail-link hits); "xyz" never occurs
+    val d = Seq((1L, Some("ababa")), (2L, Some("zababz ab")),
+      (3L, Some("")), (4L, Option.empty[String])).toDF("id", "t")
+    val got = d.select(col("id"),
+        DictionaryTagCounts.tags(col("t"), Seq("aba", "ab", "xyz")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(got(1L) == Seq(2L, 2L, 0L)) // aba@1, aba@3; ab@1, ab@3
+    assert(got(2L) == Seq(1L, 3L, 0L)) // aba@2; ab@2, ab@4, ab@8
+    assert(got(3L) == Seq(0L, 0L, 0L))
+    assert(got(4L) == null)
+  }
+
+  test("DictionaryTagCounts matches a brute-force substring scan on real docs") {
+    val phrases = Seq("table table", "scan", "fast merge", "a a")
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val got = docs.select(col("doc_id"),
+        graft.functions.DictionaryTagCounts.tags(col("text"), phrases).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def brute(t: String, p: String): Long =
+      (0 to t.length - p.length).count(i => t.startsWith(p, i)).toLong
+    texts.foreach { case (id, t) =>
+      val expect = phrases.map(brute(t, _))
+      assert(got(id) == expect, s"doc $id: ${got(id)} vs $expect")
+    }
+    // the planted runs actually occur somewhere in the corpus slice
+    assert(got.values.map(_.head).sum > 0 || got.values.map(_(1)).sum > 0)
+  }
 }
