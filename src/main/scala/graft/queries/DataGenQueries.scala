@@ -302,6 +302,26 @@ object DataGenQueries {
         |FROM range(100) t(i)""".stripMargin) { (s, _) =>
       s.range(1).select(
         round(lit(DataGen.maxZipfRepeats(100, 0.9, 10000)), 6).as("max_repeats"))
+    },
+    // KMV sketch STORE lifecycle (operators.SketchStore): build per-type
+    // sketches from half the events, persist, MERGE the other half into
+    // the store (bottom-k of the union — lossless by the KMV merge
+    // property), serve estimates from storage. The oracle is the SAME
+    // full-data replay sketch_kmv_distinct uses: append-then-serve must
+    // be bit-identical to a one-shot sketch of everything, which is the
+    // whole point of a mergeable-sketch store (daily sketch + merge ≡
+    // rescan, at |groups|·k cost instead of a data rescan).
+    QueryDef("sketch_kmv_stored", DataGenQueries.kmvDistinctOracle) { (s, d) =>
+      import graft.operators.SketchStore
+      val ev = graft.sources.Tables.table(s, d, "events")
+      val h = SketchStore.md5Hash48(col("user_id"))
+      val path = graft.sources.Tables.scratchDir("graft_kmv_store")
+      SketchStore.writeKmvSketches(
+        ev.filter(col("event_id") % 2 === 0), col("event_type"), h, 64, path)
+      SketchStore.appendToKmvSketches(path,
+        ev.filter(col("event_id") % 2 === 1), col("event_type"), h)
+      SketchStore.kmvEstimates(s.read.parquet(path))
+        .withColumnRenamed("g", "event_type")
     }
   )
 }

@@ -784,6 +784,69 @@ object TextQueries {
             .as("mean_score"),
           round(sum(when(col("pos"), 1).otherwise(0)).cast("double")
             / count(lit(1)), 6).as("pos_rate"))
+    },
+    // unigram-LM Viterbi segmentation (functions.UnigramViterbi): the
+    // third tokenizer family next to BPE (merge order) and WordPiece
+    // (maximal munch) — each word segmented to MAXIMIZE the sum of
+    // integer-micro piece log-probs (Kudo '18). The DP reports
+    // (best, count-of-optimal-segmentations) per word — tie-PROOF where
+    // any argmax path would need an unportable tie-break ("a|aa" vs
+    // "aa|a" tie exactly) — and the oracle reproduces both by full path
+    // enumeration over the edge DAG + a final argmax/count. [UNK]
+    // edges exist only at chars no single-char piece covers, which is
+    // what keeps that enumeration polynomial.
+    QueryDef(
+      "text_unigram_segment",
+      s"""WITH RECURSIVE vocab(p, sc) AS (VALUES ${TextQueries.unigramVocab
+            .map { case (p, sc) => s"('$p', CAST($sc AS BIGINT))" }.mkString(", ")}),
+         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |words AS (SELECT doc_id, u.wi AS wi, u.wd AS wd FROM
+         |  (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1), i -> {'wi': i, 'wd': w[i]})) AS u FROM t)),
+         |pos AS (SELECT doc_id, wi, wd, unnest(range(1, len(wd) + 1)) AS i FROM words),
+         |ve AS (SELECT pos.doc_id, pos.wi, i AS st, i + len(v.p) AS en, v.sc
+         |  FROM pos JOIN vocab v ON substr(pos.wd, pos.i, len(v.p)) = v.p),
+         |ue AS (SELECT doc_id, wi, i AS st, i + 1 AS en, CAST(${TextQueries.unigramUnkMicros} AS BIGINT) AS sc
+         |  FROM pos WHERE NOT EXISTS (SELECT 1 FROM vocab v WHERE len(v.p) = 1 AND v.p = substr(pos.wd, pos.i, 1))),
+         |edges AS (SELECT * FROM ve UNION ALL SELECT * FROM ue),
+         |paths(doc_id, wi, lim, pp, sc) AS (
+         |  SELECT doc_id, wi, len(wd) + 1, 1, CAST(0 AS BIGINT) FROM words
+         |  UNION ALL
+         |  SELECT p.doc_id, p.wi, p.lim, e.en, p.sc + e.sc
+         |  FROM paths p JOIN edges e ON e.doc_id = p.doc_id AND e.wi = p.wi AND e.st = p.pp
+         |  WHERE p.pp < p.lim),
+         |fin AS (SELECT doc_id, wi, sc FROM paths WHERE pp = lim),
+         |agg AS (SELECT doc_id, wi, max(sc) AS best FROM fin GROUP BY 1, 2),
+         |cnt AS (SELECT f.doc_id, f.wi, a.best, count(*) AS n
+         |  FROM fin f JOIN agg a ON a.doc_id = f.doc_id AND a.wi = f.wi AND f.sc = a.best
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(best) AS BIGINT) AS score_micros,
+         |  md5(string_agg(best || ':' || n, '|' ORDER BY wi)) AS dp_md5
+         |FROM cnt GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), graft.functions.UnigramViterbi.segment(
+          col("text"), TextQueries.unigramVocab, TextQueries.unigramUnkMicros).as("seg"))
+        .select(col("doc_id"),
+          size(col("seg")).cast("long").as("n_words"),
+          aggregate(transform(col("seg"),
+              x => element_at(split(x, ":"), 1).cast("long")),
+            lit(0L), (a, x) => a + x).as("score_micros"),
+          md5(array_join(col("seg"), "|").cast("binary")).as("dp_md5"))
     }
   )
+
+  /** Scored demo vocabulary for text_unigram_segment (micros = scaled
+    * log-probs; values only need to be FIXED, the DP is exact either
+    * way) — defs, not vals: `all` above initializes first. */
+  private[queries] def unigramVocab: Seq[(String, Long)] = Seq(
+    "a" -> -2800000L, "e" -> -2600000L, "t" -> -2500000L, "b" -> -3400000L,
+    "l" -> -3000000L, "s" -> -2700000L, "c" -> -3200000L, "n" -> -2900000L,
+    "r" -> -3100000L, "o" -> -3300000L,
+    "ta" -> -4100000L, "ble" -> -5200000L, "tab" -> -5600000L,
+    "le" -> -4300000L, "an" -> -4200000L, "sc" -> -4900000L,
+    "scan" -> -7100000L, "ab" -> -4600000L, "row" -> -6200000L,
+    "ort" -> -5900000L, "er" -> -4400000L, "in" -> -4500000L,
+    "st" -> -4700000L)
+
+  private[queries] def unigramUnkMicros: Long = -7777777L
 }

@@ -751,4 +751,33 @@ class MiscOpsSpec extends SparkSpec {
       assert(g2 == expect, s"parts=$parts")
     }
   }
+
+  test("KMV sketch store: append-merge is lossless (≡ one-shot), empty delta is identity") {
+    import spark.implicits._
+    import graft.operators.SketchStore
+    val ev = graft.sources.Tables.table(spark, sf, "events")
+    val h = SketchStore.md5Hash48(col("user_id"))
+    def sketchMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val full = sketchMap(
+      SketchStore.kmvSketches(ev, col("event_type"), h, 64).select("g", "mins"))
+    val path = graft.sources.Tables.scratchDir("graft_kmv_spec")
+    SketchStore.writeKmvSketches(
+      ev.filter(col("event_id") % 3 === 0), col("event_type"), h, 64, path)
+    SketchStore.appendToKmvSketches(path,
+      ev.filter(col("event_id") % 3 =!= 0), col("event_type"), h)
+    val merged = sketchMap(spark.read.parquet(path).select("g", "mins"))
+    assert(merged == full) // the arrays, not just the estimates
+    // empty delta: the store is unchanged
+    SketchStore.appendToKmvSketches(path,
+      ev.filter(lit(false)), col("event_type"), h)
+    assert(sketchMap(spark.read.parquet(path).select("g", "mins")) == full)
+    // a delta introducing a NEW group materializes it in the store
+    val extra = Seq(("brand_new_type", 42L)).toDF("event_type", "user_id")
+    SketchStore.appendToKmvSketches(path, extra, col("event_type"),
+      SketchStore.md5Hash48(col("user_id")))
+    val grown = sketchMap(spark.read.parquet(path).select("g", "mins"))
+    assert(grown.keySet == full.keySet + "brand_new_type")
+    assert(grown("brand_new_type").length == 1)
+  }
 }

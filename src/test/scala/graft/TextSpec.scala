@@ -568,4 +568,23 @@ class TextSpec extends SparkSpec {
     // the planted runs actually occur somewhere in the corpus slice
     assert(got.values.map(_.head).sum > 0 || got.values.map(_(1)).sum > 0)
   }
+
+  test("UnigramViterbi: optimal-count ties, beats maximal munch, UNK gating") {
+    import spark.implicits._
+    import graft.functions.UnigramViterbi
+    val vocab = Seq("a" -> -1000000L, "aa" -> -2000000L, "ab" -> -9000000L,
+      "bc" -> -2000000L, "b" -> -4000000L, "c" -> -1500000L)
+    val d = Seq(
+      (1L, "aaa"),    // a|a|a, a|aa, aa|a all score -3e6 -> count 3
+      (2L, "abc"),    // Viterbi a|bc = -3e6 beats greedy munch ab|c = -10.5e6
+      (3L, "axa"),    // x uncovered -> forced UNK edge: -1e6 -7777777 -1e6
+      (4L, "   ")).toDF("id", "t") // all-space text -> one empty word
+    val got = d.select(col("id"),
+        UnigramViterbi.segment(col("t"), vocab, -7777777L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("-3000000:3"))
+    assert(got(2L) == Seq("-3000000:1"))
+    assert(got(3L) == Seq("-9777777:1"))
+    assert(got(4L) == Seq("0:1"))
+  }
 }
