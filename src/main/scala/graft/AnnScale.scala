@@ -93,6 +93,29 @@ object AnnScale {
       }
       recall("ann_ivf", got)
     }
+    // MMR greedy diversification: the corpus-sized cost is the
+    // relevance shortlist scan (the ann_brute shape); the k greedy
+    // stages are shortlist-bounded per query. Self-check: pick 1 is
+    // the pure-relevance argmax, so it must be brute force's rank 1.
+    if (want("mmr")) {
+      var got: Map[Long, Long] = Map.empty
+      timed(s"mmr_k${k}_sl${4 * k}") {
+        val r = Similarity.mmrSelect(emb, col("embedding"), col("vec_id"),
+          isQ, k, shortlist = 4 * k, lambdaPpm = 700000L)
+        val rows = r.collect()
+        got = rows.filter(_.getInt(1) == 1)
+          .map(x => x.getLong(0) -> x.getLong(2)).toMap
+        rows.length.toLong
+      }
+      if (truth.nonEmpty) {
+        val top1 = Similarity.topKBruteForce(
+            emb, col("embedding"), col("vec_id"), isQ, 1)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val agree = got.count { case (q, v) => top1.get(q).contains(v) }
+        println(f"""{"op":"mmr_pick1_agreement","agree":$agree,"q":${got.size}}""")
+        require(agree == got.size, "MMR pick 1 must be the relevance argmax")
+      }
+    }
     spark.stop()
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Multi-pattern dictionary tagging (Aho–Corasick '75): per document,
@@ -19,13 +19,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * is |dict|× the scan cost. A single automaton pass is O(bytes +
   * matches) regardless of dictionary size.
   *
+  * Output is SPARSE — one `"idx:count"` string per MATCHED phrase
+  * (1-based index into the constructor's phrase order, ascending) — so
+  * the per-row cost stays O(bytes + matches) end to end. The first
+  * (dense-array) version of this operator emitted |dict| counts per
+  * row and measured LINEAR in dictionary size at 1 M docs (2.0 s at 64
+  * phrases → 20.6 s at 5 000) purely from output materialization; the
+  * sparse form is the shape that holds at a 100 k-phrase blocklist.
+  * The per-task count scratch is dense but REUSED across rows, with
+  * only touched slots reset — no O(|dict|) per-row work anywhere.
+  *
   * Matching is exact-byte (case-sensitive) over the UTF-8 encoding;
   * ASCII phrases can never false-positive inside multi-byte sequences
   * (UTF-8 continuation bytes have the high bit set), so byte counts
   * equal character-semantics counts for ASCII dictionaries — the
   * property the DuckDB oracle's per-position substring replay relies
-  * on. Output: array<long> of counts aligned with the constructor's
-  * phrase order. Null text → null.
+  * on. Null text → null.
   */
 case class DictionaryTagCounts(child: Expression, phrases: Seq[String])
   extends UnaryExpression with CodegenFallback {
@@ -38,7 +47,7 @@ case class DictionaryTagCounts(child: Expression, phrases: Seq[String])
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_dict_tag"
 
   // Aho–Corasick automaton, built once per task from the phrase bytes:
@@ -83,10 +92,19 @@ case class DictionaryTagCounts(child: Expression, phrases: Seq[String])
     (next.toArray, fail, hits.map(_.toArray).toArray)
   }
 
+  // per-THREAD scratch: dense counts + the touched-slot list that lets
+  // each row reset only what it wrote. ThreadLocal, not a plain field —
+  // generated code references the ONE expression instance from every
+  // concurrent task in the JVM, so instance fields would race.
+  @transient private lazy val scratchTL: ThreadLocal[(Array[Long], Array[Int])] =
+    ThreadLocal.withInitial(() =>
+      (new Array[Long](phrases.length), new Array[Int](phrases.length)))
+
   override def nullSafeEval(v: Any): Any = {
     val (next, fail, hits) = automaton
+    val (counts, touched) = scratchTL.get()
     val bytes = v.asInstanceOf[UTF8String].getBytes
-    val counts = new Array[Long](phrases.length)
+    var nTouched = 0
     var s = 0
     var i = 0
     while (i < bytes.length) {
@@ -96,10 +114,24 @@ case class DictionaryTagCounts(child: Expression, phrases: Seq[String])
       s = if (t != null) t else 0
       val h = hits(s)
       var j = 0
-      while (j < h.length) { counts(h(j)) += 1L; j += 1 }
+      while (j < h.length) {
+        val pi = h(j)
+        if (counts(pi) == 0L) { touched(nTouched) = pi; nTouched += 1 }
+        counts(pi) += 1L
+        j += 1
+      }
       i += 1
     }
-    new GenericArrayData(counts)
+    java.util.Arrays.sort(touched, 0, nTouched) // ascending phrase idx
+    val out = new Array[Any](nTouched)
+    var o = 0
+    while (o < nTouched) {
+      val pi = touched(o)
+      out(o) = UTF8String.fromString(s"${pi + 1}:${counts(pi)}")
+      counts(pi) = 0L
+      o += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): DictionaryTagCounts =
@@ -107,7 +139,7 @@ case class DictionaryTagCounts(child: Expression, phrases: Seq[String])
 }
 
 object DictionaryTagCounts {
-  /** Counts array aligned with `phrases` order. */
+  /** Sparse `"idx:count"` tags (1-based phrase index, ascending). */
   def tags(text: Column, phrases: Seq[String]): Column =
     Bridge.column(DictionaryTagCounts(Bridge.expression(text), phrases))
 }

@@ -772,6 +772,17 @@ object Dedup {
     * self-join is bounded by per-fingerprint document frequency, never
     * pairs × corpus; boilerplate-hot fingerprints are exactly the hot
     * shingles segmentDedup removes upstream. */
+  /** The df-cut stage of [[winnowingOverlapJoin]], split out so the
+    * ScaleSpec plan pin can assert the LeftAnti equi-join shape — the
+    * operator checkpoints this frame, which hides its plan from the
+    * final query's tree. */
+  private[graft] def winnowingCappedFingerprints(f0: DataFrame,
+      maxFpDf: Option[Int]): DataFrame =
+    maxFpDf.fold(f0) { cap =>
+      val hot = f0.groupBy("fp").count().filter(col("count") > cap).select("fp")
+      f0.join(hot, Seq("fp"), "left_anti")
+    }
+
   def winnowingOverlapJoin(docs: DataFrame, text: Column, id: Column,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
       threshold: Double = 0.5, maxFpDf: Option[Int] = None): DataFrame = {
@@ -785,10 +796,12 @@ object Dedup {
     // the self-join — MOSS itself discards them as non-evidentiary.
     // Containment denominators |fp_a| shrink with the same cut (sz is
     // computed after it), which the oracle mirrors identically.
-    val f = maxFpDf.fold(f0) { cap =>
-      val hot = f0.groupBy("fp").count().filter(col("count") > cap).select("fp")
-      f0.join(hot, Seq("fp"), "left_anti")
-    }
+    // materialize the (capped) fingerprint set ONCE: it feeds the size
+    // aggregate and BOTH self-join sides, and under the df cut each
+    // consumer would otherwise recompute the winnowing expression tree
+    // twice more (once for itself, once for `hot`) — measured 1.7 s →
+    // 5 s at sf0.1 before this checkpoint
+    val (f, _, _) = Iterate.ckpt(winnowingCappedFingerprints(f0, maxFpDf))
     val sz = f.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = f.as("a")
       .join(f.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -951,63 +951,93 @@ object Similarity {
     *
     * Scale shape: the only corpus-sized pass is the relevance scan
     * (broadcast queries × corpus, the [[topKBruteForce]] shape — swap
-    * [[topKIvfStored]] probing in production, same downstream). After
-    * that everything is bounded by CONFIGURATION: shortlist rows and
-    * shortlist² pairwise sims per query, and the k greedy steps run as
-    * k tiny flat stages over checkpointed frames (never a lazy loop —
-    * the lineage would double per step). The greedy scan is inherently
-    * sequential in k; per-query work parallelizes freely. */
+    * [[topKIvfStored]] probing in production, same downstream), and the
+    * window ranks SLIM (qid, vid, simq) rows — carrying the vectors
+    * through that shuffle measured 12× the scan cost at 200 k×100;
+    * survivors re-fetch v/nrm with one small join. The greedy selection
+    * itself is the documented per-group imperative case: per query it
+    * is an inherently sequential k-step scan over a CONFIG-bounded set
+    * (≤ shortlist² pairwise sims, computed in-memory per group), so it
+    * runs as ONE `flatMapGroups` over the shortlist rows — a first cut
+    * as k unrolled DataFrame stages spent 6× the scan cost on fixed
+    * stage overhead (35 s vs 5.5 s brute at 200 k, EXPERIMENTS.md).
+    * Every greedy comparison is BIGINT micros; the per-group rounding
+    * replicates Spark's `round(x, 0)` (BigDecimal HALF_UP) exactly, so
+    * the DataFrame and in-group arithmetic are bit-identical. */
   def mmrSelect(emb: DataFrame, vec: Column, id: Column, isQuery: Column,
       k: Int, shortlist: Int, lambdaPpm: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     require(0L <= lambdaPpm && lambdaPpm <= 1000000L,
       s"lambdaPpm must be in [0, 1e6]: $lambdaPpm")
+    val spark = emb.sparkSession
+    import spark.implicits._
     val e = withNorm(emb, vec, id)
     val q = withNorm(emb.filter(isQuery), vec, id)
       .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("simq").desc, col("vid"))
-    val (sl, _, _) = Iterate.ckpt(e.join(broadcast(q), col("vid") =!= col("qid"))
-      .withColumn("simq",
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6, 0).cast("long"))
+    val sl = e.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6, 0)
+          .cast("long").as("simq"))
       .withColumn("srn", row_number().over(wSl))
       .filter(col("srn") <= shortlist)
-      .select(col("qid"), col("vid"), col("v"), col("nrm"), col("simq")))
-    val (pr, _, _) = Iterate.ckpt(sl
-      .select(col("qid"), col("vid").as("av"), col("v").as("av_v"), col("nrm").as("an"))
-      .join(sl.select(col("qid"), col("vid").as("bv"), col("v").as("bv_v"),
-        col("nrm").as("bn")), Seq("qid"))
-      .filter(col("av") =!= col("bv"))
-      .select(col("qid"), col("av"), col("bv"),
-        round(dot(col("av_v"), col("bv_v")) / (col("an") * col("bn")) * 1e6, 0)
-          .cast("long").as("psim")))
-    val cand = sl.select(col("qid"), col("vid"), col("simq"))
-    val lam = lit(lambdaPpm)
-    val oneMinusLam = lit(1000000L - lambdaPpm)
-    def argmaxPick(c: DataFrame, pick: Int): DataFrame =
-      c.groupBy("qid")
-        .agg(max_by(struct(col("vid"), col("score")),
-          struct(col("score"), -col("vid"))).as("b"))
-        .select(col("qid"), col("b.vid").as("vid"), lit(pick).as("pick"),
-          col("b.score").as("mmr_micros"))
-    var selected = argmaxPick(cand.withColumn("score", lam * col("simq")), 1)
-    var liveSel: org.apache.spark.rdd.RDD[_] = null
-    for (p <- 2 to k) {
-      val (selDf, selRdd, _) = Iterate.ckpt(selected)
-      if (liveSel != null) liveSel.unpersist(blocking = false): Unit
-      liveSel = selRdd
-      val maxSel = pr
-        .join(selDf.select(col("qid"), col("vid").as("bv")), Seq("qid", "bv"))
-        .groupBy(col("qid"), col("av").as("vid"))
-        .agg(max(col("psim")).as("ms"))
-      val rem = cand
-        .join(selDf.select("qid", "vid"), Seq("qid", "vid"), "left_anti")
-        .join(maxSel, Seq("qid", "vid"), "left")
-        .withColumn("score",
-          lam * col("simq") - oneMinusLam * coalesce(col("ms"), lit(0L)))
-      selected = selDf.union(argmaxPick(rem, p))
-    }
-    selected.select(col("qid").as("query_id"), col("pick"),
-      col("vid").as("neighbor_id"), col("mmr_micros"))
+      .select(col("qid"), col("vid"), col("simq"))
+      .join(e, Seq("vid"))
+      .select(col("qid"), col("vid"), col("v"), col("nrm"), col("simq"))
+      .as[(Long, Long, Seq[Double], Double, Long)]
+    val lam = lambdaPpm
+    val lam1 = 1000000L - lambdaPpm
+    sl.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // vid-ascending candidate order + strict > in the argmax scans
+        // = the (score DESC, vid ASC) tie order of the oracle
+        val cands = it.toArray.sortBy(_._2)
+        val n = cands.length
+        val vecs = cands.map(_._3.toArray)
+        val nrms = cands.map(_._4)
+        def psim(i: Int, j: Int): Long = {
+          val a = vecs(i); val b = vecs(j)
+          var acc = 0.0
+          var d = 0
+          val len = math.min(a.length, b.length)
+          while (d < len) { acc += a(d) * b(d); d += 1 }
+          // exactly Spark round(x, 0) on DoubleType: BigDecimal HALF_UP
+          java.math.BigDecimal.valueOf(acc / (nrms(i) * nrms(j)) * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+        }
+        val selected = new Array[Int](math.min(k, n))
+        val maxSel = Array.fill(n)(0L) // max psim to the selected set
+        val isSel = new Array[Boolean](n)
+        val out = Vector.newBuilder[(Long, Int, Long, Long)]
+        var p = 0
+        while (p < selected.length) {
+          var bestIdx = -1
+          var bestScore = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!isSel(i)) {
+              val s = lam * cands(i)._5 -
+                (if (p == 0) 0L else lam1 * maxSel(i))
+              if (s > bestScore) { bestScore = s; bestIdx = i }
+            }
+            i += 1
+          }
+          selected(p) = bestIdx
+          isSel(bestIdx) = true
+          out += ((qid, p + 1, cands(bestIdx)._2, bestScore))
+          var j = 0
+          while (j < n) {
+            if (!isSel(j)) {
+              val ps = psim(j, bestIdx)
+              if (p == 0 || ps > maxSel(j)) maxSel(j) = ps
+            }
+            j += 1
+          }
+          p += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "pick", "neighbor_id", "mmr_micros")
   }
 }

@@ -455,29 +455,39 @@ object CurationQueries {
     // Aho-Corasick pass counts every phrase of the dictionary —
     // INCLUDING overlapping occurrences ("table table table" hits
     // "table table" twice) — where the per-phrase regexp alternative
-    // is |dict| scans each missing overlaps. The oracle replays the
-    // definition per phrase as a per-position substring probe; the
-    // dictionary literal is shared from CurationQueries.demoBlocklist,
-    // one source of truth.
+    // is |dict| scans each missing overlaps. Output is SPARSE
+    // "idx:count" tags so per-row cost is O(bytes + matches), flat in
+    // dictionary size (the dense form measured linear in |dict| at 1 M
+    // docs — see EXPERIMENTS.md). The oracle replays the definition per
+    // phrase as a per-position substring probe, then sparsifies the
+    // same way; the dictionary literal is shared from
+    // CurationQueries.demoBlocklist, one source of truth.
     QueryDef(
       "text_blocklist_tags",
-      s"""WITH c AS (SELECT doc_id,
-         |    list_transform([${CurationQueries.demoBlocklist.map("'" + _ + "'").mkString(", ")}],
-         |      q -> CAST(len(list_filter(range(1, len(text) - len(q) + 2), i -> substr(text, i, len(q)) = q)) AS BIGINT)) AS cnt
-         |  FROM documents)
+      s"""WITH c AS (SELECT doc_id, list_transform(range(1, len(ph) + 1),
+         |      i -> {'i': i, 'c': CAST(len(list_filter(range(1, len(text) - len(ph[i]) + 2),
+         |                                 p -> substr(text, p, len(ph[i])) = ph[i])) AS BIGINT)}) AS dc
+         |  FROM (SELECT doc_id, text,
+         |          [${CurationQueries.demoBlocklist.map("'" + _ + "'").mkString(", ")}] AS ph
+         |        FROM documents)),
+         |s AS (SELECT doc_id, dc,
+         |    list_transform(list_filter(dc, x -> x.c > 0), x -> x.i || ':' || x.c) AS sp
+         |  FROM c)
          |SELECT doc_id,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), cnt), (x, y) -> x + y) AS n_hits,
-         |  CAST(len(list_filter(cnt, x -> x > 0)) AS BIGINT) AS n_phrases,
-         |  md5(array_to_string(cnt, '|')) AS counts_md5
-         |FROM c""".stripMargin) { (s, d) =>
+         |  CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(dc, x -> x.c)), (a, b) -> a + b), 0) AS BIGINT) AS n_hits,
+         |  CAST(len(sp) AS BIGINT) AS n_phrases,
+         |  md5(coalesce(array_to_string(sp, '|'), '')) AS tags_md5
+         |FROM s""".stripMargin) { (s, d) =>
       Tables.table(s, d, "documents")
         .select(col("doc_id"), graft.functions.DictionaryTagCounts.tags(
-          col("text"), CurationQueries.demoBlocklist).as("cnt"))
+          col("text"), CurationQueries.demoBlocklist).as("tags"))
         .select(col("doc_id"),
-          aggregate(col("cnt"), lit(0L), (a, x) => a + x).as("n_hits"),
-          size(filter(col("cnt"), _ > 0L)).cast("long").as("n_phrases"),
-          md5(array_join(transform(col("cnt"), _.cast("string")), "|")
-            .cast("binary")).as("counts_md5"))
+          aggregate(transform(col("tags"),
+              x => element_at(split(x, ":"), 2).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_hits"),
+          size(col("tags")).cast("long").as("n_phrases"),
+          md5(array_join(col("tags"), "|").cast("binary")).as("tags_md5"))
     }
   )
 

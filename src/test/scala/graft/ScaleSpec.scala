@@ -781,11 +781,26 @@ class ScaleSpec extends SparkSpec {
     assert(!nodes.exists(n =>
       n.startsWith("CartesianProduct") || n.startsWith("BroadcastNestedLoopJoin")),
       nodes.mkString(","))
-    // the df cut itself must be present as a LeftAnti equi-join
-    val antis = flattenPlan(plan).collect {
+    // the df cut itself runs inside the operator's fingerprint
+    // checkpoint (its plan is a LogicalRDD leaf in the final tree), so
+    // assert the LeftAnti equi-join on the capped STAGE's own plan
+    val staged = Dedup.winnowingCappedFingerprints(
+      graft.operators.CorpusOps.winnowingFingerprints(
+        docs, col("text"), col("doc_id"), 3, 4)
+        .select(col("doc_id"), col("fp")).distinct(),
+      Some(50))
+    staged.count()
+    val stagePlan = staged.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val antis = flattenPlan(stagePlan).collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec
         if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
     }
-    assert(antis.nonEmpty, s"expected the maxFpDf anti-join:\n$plan")
+    assert(antis.nonEmpty, s"expected the maxFpDf anti-join:\n$stagePlan")
+    assert(!flattenPlan(stagePlan).map(_.nodeName).exists(n =>
+      n.startsWith("CartesianProduct") || n.startsWith("BroadcastNestedLoopJoin")),
+      "df-cut stage must stay an equi anti-join")
   }
 }
