@@ -316,6 +316,83 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** RM3-style pseudo-relevance-feedback query expansion (Lavrenko &
+    * Croft '01 relevance models, the RM3 interpolation): retrieve a
+    * feedback set with BM25, mine its term distribution for expansion
+    * terms, re-retrieve with the α-interpolated weighted query. The
+    * classic recall lever of a lexical retrieval stack — it finds the
+    * documents that never mention the query's exact words.
+    *
+    * Deterministic, calibration-free variant (every step integer or
+    * 6dp-pinned, so the oracle replays it exactly):
+    *  - feedback = BM25 top-`fbDocs` (score DESC, doc_id);
+    *  - relevance weight rm(w) = Σ_{d∈fb} (tf_{w,d}·10⁶ div |d|) div
+    *    rank(d) — term mass rank-discounted instead of softmax'd over
+    *    uncalibrated scores (the RRF posture), exact BIGINT;
+    *  - expansion = top-`fbTerms` by (rm DESC, w ASC), original terms
+    *    and rm = 0 excluded; collected driver-side (CONFIG-bounded,
+    *    like centroids);
+    *  - weights in micros: each original term α div |Q|; expansion
+    *    term w gets (10⁶−α)·rm(w) div Σrm;
+    *  - final score = Σ_t round(bm25_term_score₆dp(t, d) · weight_t)
+    *    — BIGINT micros, ties on doc_id.
+    *
+    * Scale shape: two BM25 passes (each one tokenize + grouped agg
+    * with broadcast term lists) plus one feedback-doc-bounded term
+    * aggregate — no stage touches more than the corpus token relation,
+    * nothing quadratic anywhere. */
+  def rm3Bm25TopK(docs: DataFrame, text: Column, id: Column,
+      query: Seq[String], k: Int, fbDocs: Int = 5, fbTerms: Int = 8,
+      alphaPpm: Long = 600000L): DataFrame = {
+    require(query.nonEmpty, "query must not be empty")
+    require(fbDocs >= 1 && fbTerms >= 0, "fbDocs >= 1, fbTerms >= 0")
+    require(0L <= alphaPpm && alphaPpm <= 1000000L, s"alphaPpm out of range: $alphaPpm")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val fb = bm25TopK(docs, text, id, query, fbDocs)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rnk"))
+    val rm = tok.join(broadcast(fb), Seq("doc_id"))
+      .groupBy("doc_id", "rnk", "t").agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id"))
+      .select(col("t"), expr("tf * 1000000 div dl div rnk").as("c"))
+      .groupBy("t").agg(sum(col("c")).as("rm"))
+      .filter(!col("t").isin(query: _*) && col("rm") > 0)
+      .orderBy(col("rm").desc, col("t")).limit(fbTerms)
+      .as[(String, Long)].collect()
+    val rmTotal = rm.map(_._2).sum
+    // a corpus with no expansion candidates degrades to plain weighted
+    // BM25 on the original terms (rmTotal guard: no 0-division)
+    val weights: Seq[(String, Long)] =
+      query.map(_ -> alphaPpm / query.length) ++
+        (if (rmTotal == 0L) Nil
+         else rm.map { case (w, m) => w -> (1000000L - alphaPpm) * m / rmTotal })
+    val allTerms = weights.map(_._1)
+    val wdf = broadcast(weights.toDF("t", "wt"))
+    val st = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok.filter(col("t").isin(allTerms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .join(wdf, Seq("t"))
+      .withColumn("s", round(
+        round(
+          round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+          6) * col("wt"), 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("s")).as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Document-level co-occurrence PMI over the `vocab` most frequent
     * tokens — phrase/collocation detection. The pair space is bounded
     * by construction: the vocabulary is cut to `vocab` terms FIRST

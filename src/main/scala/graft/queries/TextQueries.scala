@@ -297,6 +297,55 @@ object TextQueries {
         Tables.table(s, d, "documents"), col("text"), col("doc_id"),
         query = Seq("join", "merge", "vector", "stream"), k = 10)
     },
+    // RM3 pseudo-relevance-feedback expansion (CorpusOps.rm3Bm25TopK):
+    // BM25 top-5 feedback docs -> rank-discounted integer term mass ->
+    // top-8 expansion terms -> α=0.6-interpolated weighted re-retrieval.
+    // Every stage integer or 6dp-pinned; the oracle replays the full
+    // two-pass pipeline including the expansion-term selection the
+    // engine does driver-side (config-bounded collect, the centroid
+    // posture).
+    QueryDef(
+      "search_rm3_expansion",
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf0 AS (SELECT doc_id, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('join', 'merge', 'vector', 'stream') GROUP BY 1, 2),
+        |df0 AS (SELECT t, count(*) AS df FROM tf0 GROUP BY t),
+        |sc0 AS (SELECT tf0.doc_id,
+        |    round(round(ln((st.n - df + 0.5) / (df + 0.5) + 1), 6)
+        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS s
+        |  FROM tf0 JOIN df0 USING (t) JOIN dl ON tf0.doc_id = dl.doc_id, st),
+        |base AS (SELECT doc_id, round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+        |  FROM sc0 GROUP BY doc_id),
+        |fb AS (SELECT doc_id, rnk FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM base) WHERE rnk <= 5),
+        |fbtf AS (SELECT tok.doc_id, tok.t, count(*) AS tf, any_value(fb.rnk) AS rnk
+        |  FROM tok JOIN fb USING (doc_id) GROUP BY 1, 2),
+        |rm0 AS (SELECT t, sum((tf * 1000000 // dl.dl) // rnk) AS rm
+        |  FROM fbtf JOIN dl USING (doc_id)
+        |  WHERE t NOT IN ('join', 'merge', 'vector', 'stream') GROUP BY t),
+        |ex AS (SELECT t, rm FROM (
+        |  SELECT t, rm, row_number() OVER (ORDER BY rm DESC, t) AS er FROM rm0 WHERE rm > 0) WHERE er <= 8),
+        |rmtot AS (SELECT sum(rm) AS tot FROM ex),
+        |w AS (SELECT t, CAST(600000 // 4 AS BIGINT) AS wt
+        |    FROM (VALUES ('join'), ('merge'), ('vector'), ('stream')) qv(t)
+        |  UNION ALL SELECT ex.t, CAST((1000000 - 600000) * rm // tot AS BIGINT) FROM ex, rmtot),
+        |tf1 AS (SELECT doc_id, t, count(*) AS tf FROM tok
+        |  WHERE t IN (SELECT t FROM w) GROUP BY 1, 2),
+        |df1 AS (SELECT t, count(*) AS df FROM tf1 GROUP BY t),
+        |sc1 AS (SELECT tf1.doc_id,
+        |    CAST(round(round(round(ln((st.n - df + 0.5) / (df + 0.5) + 1), 6)
+        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) * w.wt, 0) AS BIGINT) AS s
+        |  FROM tf1 JOIN df1 USING (t) JOIN dl ON tf1.doc_id = dl.doc_id JOIN w USING (t), st)
+        |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micros
+        |FROM sc1 GROUP BY doc_id ORDER BY score_micros DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      CorpusOps.rm3Bm25TopK(
+        Tables.table(s, d, "documents"), col("text"), col("doc_id"),
+        query = Seq("join", "merge", "vector", "stream"), k = 10,
+        fbDocs = 5, fbTerms = 8, alphaPpm = 600000L)
+    },
     // hybrid retrieval: BM25 top-20 and Dirichlet query-likelihood
     // top-20 for the same query, fused by reciprocal-rank fusion
     // (1e6/(60+rank) micros, exact BIGINT sums) — the calibration-free

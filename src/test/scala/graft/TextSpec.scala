@@ -571,6 +571,34 @@ class TextSpec extends SparkSpec {
     assert(got.values.exists(_.nonEmpty))
   }
 
+  test("rm3Bm25TopK: expansion surfaces no-query-term docs, rank-discounts feedback mass") {
+    import spark.implicits._
+    // query = apple. fb = d1, d2 (tie -> doc_id order: d1 rank 1).
+    // banana (from rank-1 d1) gets 2x cherry's (rank-2 d2) relevance
+    // mass; d3 holds only cherry, d4 only banana — both invisible to
+    // plain BM25, both surfaced by expansion, d4 above d3 because of
+    // the rank discount (all other term stats symmetric by design).
+    val docs = Seq((1L, "apple banana"), (2L, "apple cherry"),
+      (3L, "cherry date"), (4L, "banana fig")).toDF("doc_id", "text")
+    val got = CorpusOps.rm3Bm25TopK(docs, col("text"), col("doc_id"),
+        query = Seq("apple"), k = 4, fbDocs = 2, fbTerms = 4,
+        alphaPpm = 600000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = got.toMap
+    assert(byDoc(3L) > 0L, s"cherry-only doc not surfaced: $byDoc")
+    assert(byDoc(4L) > 0L, s"banana-only doc not surfaced: $byDoc")
+    assert(byDoc(4L) > byDoc(3L), s"rank discount missing: $byDoc")
+    // α=1: expansion weights all 0 — positive-score docs rank as BM25
+    val pure = CorpusOps.rm3Bm25TopK(docs, col("text"), col("doc_id"),
+        query = Seq("apple"), k = 4, fbDocs = 2, fbTerms = 4,
+        alphaPpm = 1000000L)
+      .collect().filter(_.getLong(1) > 0).map(_.getLong(0)).toSeq
+    val bm25 = CorpusOps.bm25TopK(docs, col("text"), col("doc_id"),
+        query = Seq("apple"), k = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pure == bm25, s"α=1 must reduce to BM25 order: $pure vs $bm25")
+  }
+
   test("UnigramViterbi: optimal-count ties, beats maximal munch, UNK gating") {
     import spark.implicits._
     import graft.functions.UnigramViterbi
