@@ -87,6 +87,30 @@ object Explain {
     // aggregate out over the doc-score table (the feature_binning
     // pattern), and the LM underneath fans out its 1-row corpus total
     "quality_perplexity_bucket",
+    // round-14+ additions, adjudicated round 16 (the auditor had not
+    // been re-run since round 5 and the allowlist drifted):
+    // the stored/trained IVF family probes cross the CONFIG-bounded
+    // centroid table (and IVFPQ its m·nCodes codebook/LUT) under the
+    // query batch — the topKIvfStored shape already allowed for
+    // ann_ivf_stored above
+    "ann_ivf_append", "ann_ivf_kmeans", "ann_ivfpq_stored",
+    // matryoshka recall scores per-prefix BRUTE-FORCE ground truth by
+    // declaration (the recall denominator must be exact)
+    "ann_matryoshka",
+    // 1-row totals fanned under bounded tables (the unigramLogProb
+    // scalar pattern): composition-shift ppm shares, KN continuation
+    // totals, BM25/QL corpus stats in the RRF ensemble and the RM3
+    // second pass
+    "dedup_composition_shift", "text_kn_bigram", "search_hybrid_rrf",
+    "search_rm3_expansion",
+    // the eval side of semantic decontamination is a BOUNDED benchmark
+    // broadcast by design (operator doc declares the SRP-bucketed twin
+    // as the unbounded-eval path)
+    "pipeline_decontaminate_semantic",
+    // MMR's relevance scan broadcasts the query batch over the corpus —
+    // the declared topKBruteForce shape; production swaps topKIvfStored
+    // probing, the greedy tier is shortlist-bounded either way
+    "search_mmr",
     // events_funnel_windowed crosses its three 1-row stage-count
     // aggregates into the single report row — scalar broadcasts; the
     // clustering coefficient crosses the 1-row wedge total under the
