@@ -573,23 +573,37 @@ object CorpusOps {
     * AQE free to broadcast. */
   def knBigramLogProb(docs: DataFrame, text: Column, id: Column,
       discountMicros: Long = 750000L): DataFrame = {
-    require(discountMicros > 0 && discountMicros < 1000000L,
-      s"discount must be a fraction in micros, got $discountMicros")
-    val d = discountMicros / 1e6
-    val bg = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("w"))
+    val bg = docBigrams(docs, text, id)
+    bg.join(knProbsOf(bg, discountMicros), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (meanMicrosHalfAway("__s", "n_bigrams").cast("double") / 1000000.0)
+          .as("mean_logp"))
+  }
+
+  /** Per-doc adjacent-bigram relation (doc_id, w1, w2). */
+  private def docBigrams(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(
         expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** The (w1, w2, lpm) interpolated-KN table from a bigram relation —
+    * head totals AND distinct-successor counts from the SAME pass over
+    * the distinct-pair table; continuation counts likewise. */
+  private def knProbsOf(bg: DataFrame, discountMicros: Long): DataFrame = {
+    require(discountMicros > 0 && discountMicros < 1000000L,
+      s"discount must be a fraction in micros, got $discountMicros")
+    val d = discountMicros / 1e6
     val pairCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    // head totals AND distinct-successor counts from the SAME pass over
-    // the distinct-pair table; continuation counts likewise
     val headCounts = pairCounts.groupBy("w1")
       .agg(sum(col("cb")).as("ch"), count(lit(1)).as("n1w1"))
     val contCounts = pairCounts.groupBy("w2").agg(count(lit(1)).as("n1w2"))
     val n1Total = pairCounts.agg(count(lit(1)).as("n1tot"))
-    val probs = pairCounts
+    pairCounts
       .join(headCounts, Seq("w1"))
       .join(contCounts, Seq("w2"))
       .join(broadcast(n1Total), lit(true))
@@ -598,10 +612,39 @@ object CorpusOps {
           greatest(col("cb").cast("double") - d, lit(0.0)) / col("ch") +
             (lit(d) * col("n1w1") / col("ch")) * (col("n1w2").cast("double") / col("n1tot"))
         ) * 1000000, 0).cast("long").as("lpm"))
-    bg.join(probs, Seq("w1", "w2"))
+  }
+
+  /** Train an interpolated-KN bigram LM on `docs` and persist the
+    * (w1, w2, lpm) probability table as a SERVING artifact — the
+    * frozen-LM posture of a production perplexity filter (CCNet scores
+    * every crawl snapshot against a FIXED pretrained LM; retraining
+    * per batch would make scores incomparable across batches). The
+    * tokenizer twin is [[writeBpeModel]]; the index twins are the
+    * dedup/IVF stores. */
+  def writeKnModel(docs: DataFrame, text: Column, path: String,
+      discountMicros: Long = 750000L): Unit =
+    knProbsOf(docBigrams(docs, text, lit(0L)), discountMicros)
+      .write.mode("overwrite").parquet(path)
+
+  /** Score documents against a STORED [[writeKnModel]] artifact. A
+    * bigram absent from the frozen model scores the `oovLpm` floor
+    * (and is counted in `n_oov` — the drift signal a frozen-LM
+    * pipeline must surface: rising OOV rate means the model no longer
+    * matches the corpus and a retrain decision is due). Scale shape:
+    * the model is distinct-bigram-sized (may exceed broadcast at
+    * corpus scale), so the scoring join shuffles on (w1, w2) with AQE
+    * free to broadcast small models; one tokenize of the scored batch,
+    * one per-doc rollup. */
+  def scoreWithKnModel(spark: SparkSession, path: String, docs: DataFrame,
+      text: Column, id: Column, oovLpm: Long = -7000000L): DataFrame = {
+    val probs = spark.read.parquet(path)
+    docBigrams(docs, text, id)
+      .join(probs, Seq("w1", "w2"), "left_outer")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("__s"))
-      .select(col("doc_id"), col("n_bigrams"),
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("lpm").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("lpm"), lit(oovLpm))).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
         (meanMicrosHalfAway("__s", "n_bigrams").cast("double") / 1000000.0)
           .as("mean_logp"))
   }

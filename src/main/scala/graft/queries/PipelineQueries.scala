@@ -338,6 +338,48 @@ object PipelineQueries {
         |FROM bg JOIN pr USING (w1, w2) GROUP BY 1""".stripMargin) { (s, d) =>
       CorpusOps.knBigramLogProb(Tables.table(s, d, "documents"), col("text"), col("doc_id"))
     },
+    // FROZEN-LM scoring lifecycle (CorpusOps.writeKnModel /
+    // scoreWithKnModel): train the KN bigram LM on the corpus
+    // four-fifths, STORE the probability table, score the delta fifth
+    // against the stored artifact — the CCNet posture (every crawl
+    // batch scores against one fixed pretrained LM so scores stay
+    // comparable across batches). Unseen bigrams take the -7.0 log10
+    // floor and are counted (n_oov = the drift/retrain signal).
+    QueryDef(
+      "text_kn_stored",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]})) AS u
+        |  FROM t WHERE len(w) >= 2)),
+        |pc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |hc AS (SELECT w1, sum(cb) AS ch, count(*) AS n1w1 FROM pc GROUP BY 1),
+        |cc AS (SELECT w2, count(*) AS n1w2 FROM pc GROUP BY 1),
+        |nt AS (SELECT count(*) AS n1tot FROM pc),
+        |pr AS (SELECT w1, w2, CAST(round(log10(
+        |    greatest(CAST(cb AS DOUBLE) - 0.75, 0.0) / ch +
+        |    (0.75 * n1w1 / ch) * (CAST(n1w2 AS DOUBLE) / n1tot)
+        |  ) * 1000000, 0) AS BIGINT) AS lpm
+        |  FROM pc JOIN hc USING (w1) JOIN cc USING (w2), nt),
+        |dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |dbg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]})) AS u
+        |  FROM dt WHERE len(w) >= 2)),
+        |sc AS (SELECT dbg.doc_id, coalesce(pr.lpm, -7000000) AS lpm,
+        |    CASE WHEN pr.lpm IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM dbg LEFT JOIN pr USING (w1, w2))
+        |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST(CASE WHEN sum(lpm) >= 0 THEN (2 * sum(lpm) + count(*)) // (2 * count(*))
+        |       ELSE -((2 * (-sum(lpm)) + count(*)) // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS mean_logp
+        |FROM sc GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val path = graft.sources.Tables.scratchDir("graft_kn_model")
+      CorpusOps.writeKnModel(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"), path)
+      CorpusOps.scoreWithKnModel(s, path,
+        docs.filter(col("doc_id") % 5 === 0), col("text"), col("doc_id"))
+    },
     // deterministic epoch shuffle: reproducible global permutation via
     // multiplicative hashing + a distributed two-pass rank (no global
     // single-task window, no rand()) — the oracle computes the same

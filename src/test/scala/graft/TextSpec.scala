@@ -571,6 +571,23 @@ class TextSpec extends SparkSpec {
     assert(got.values.exists(_.nonEmpty))
   }
 
+  test("KN model store: frozen scoring matches the in-query LM on seen bigrams, floors OOV") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "b c")).toDF("doc_id", "text")
+    val path = graft.sources.Tables.scratchDir("graft_kn_spec")
+    CorpusOps.writeKnModel(corpus, col("text"), path)
+    val delta = Seq((10L, "a b"), (11L, "x y"), (12L, "a b x y")).toDF("doc_id", "text")
+    val got = CorpusOps.scoreWithKnModel(spark, path, delta, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1 of the corpus is the single bigram (a, b): its in-query KN
+    // mean IS lpm(a,b)/1e6 — the stored path must reproduce it exactly
+    val inQuery = CorpusOps.knBigramLogProb(corpus, col("text"), col("doc_id"))
+      .filter(col("doc_id") === 1L).head().getDouble(2)
+    assert(got(10L) == ((1L, 0L, inQuery)))
+    assert(got(11L) == ((1L, 1L, -7.0))) // fully OOV: the floor, counted
+    assert(got(12L)._1 == 3L && got(12L)._2 == 2L) // (b,x) and (x,y) OOV
+  }
+
   test("rm3Bm25TopK: expansion surfaces no-query-term docs, rank-discounts feedback mass") {
     import spark.implicits._
     // query = apple. fb = d1, d2 (tie -> doc_id order: d1 rank 1).
