@@ -571,6 +571,43 @@ class TextSpec extends SparkSpec {
     assert(got.values.exists(_.nonEmpty))
   }
 
+  test("UnigramViterbi matches exhaustive segmentation enumeration on random cases") {
+    import spark.implicits._
+    import graft.functions.UnigramViterbi
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "abc"
+    (1 to 60).foreach { caseNo =>
+      // random vocab: 3-7 distinct pieces of length 1-3 over {a,b},
+      // random negative scores; random word of length 0-8 over {a,b,c}
+      // (c is never a single-char piece -> exercises the UNK gate)
+      val pieces = rnd.shuffle(
+        (for (l <- 1 to 3; s <- Seq.fill(12)((1 to l).map(_ => "ab"(rnd.nextInt(2))).mkString)) yield s)
+          .distinct.toList).take(3 + rnd.nextInt(5))
+      val vocab = pieces.map(p => p -> -(500000L + rnd.nextInt(5000000).toLong))
+      val unk = -7777777L
+      val word = (0 until rnd.nextInt(9)).map(_ => alphabet(rnd.nextInt(3))).mkString
+      // exhaustive: enumerate every path through the edge DAG
+      val singles = vocab.collect { case (p, _) if p.length == 1 => p.head }.toSet
+      def walk(pos: Int): Seq[Long] =
+        if (pos == word.length) Seq(0L)
+        else {
+          val vocabEdges = vocab.collect {
+            case (p, sc) if word.startsWith(p, pos) => walk(pos + p.length).map(_ + sc)
+          }.flatten
+          val unkEdges = if (!singles(word.charAt(pos)))
+            walk(pos + 1).map(_ + unk) else Seq.empty
+          vocabEdges ++ unkEdges
+        }
+      val paths = walk(0)
+      val expect = s"${paths.max}:${paths.count(_ == paths.max)}"
+      val got = Seq(Tuple1(word)).toDF("t")
+        .select(UnigramViterbi.segment(col("t"), vocab, unk))
+        .head().getSeq[String](0)
+      val expected = if (word.isEmpty) Seq("0:1") else Seq(expect)
+      assert(got == expected, s"case $caseNo word='$word' vocab=$vocab: $got vs $expected")
+    }
+  }
+
   test("KN model store: frozen scoring matches the in-query LM on seen bigrams, floors OOV") {
     import spark.implicits._
     val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "b c")).toDF("doc_id", "text")
