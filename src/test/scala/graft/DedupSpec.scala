@@ -506,6 +506,12 @@ class DedupSpec extends SparkSpec {
       .orderBy("pick").collect().map(_.getLong(2)).toSeq
     assert(picks(500000L) == Seq(1L, 3L))
     assert(picks(1000000L) == Seq(1L, 2L))
+    // fewer candidates than k: emit what exists, picks stay 1..n
+    val tiny = Similarity.mmrSelect(
+        e.filter(col("vec_id") <= 1), col("v"), col("vec_id"),
+        col("vec_id") === 0, k = 2, shortlist = 2, lambdaPpm = 500000L)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(tiny == Seq((1, 1L)))
   }
 
   test("mmrSelect at λ=1 with an exhaustive shortlist reproduces brute-force order") {
