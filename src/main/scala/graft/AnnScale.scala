@@ -108,12 +108,25 @@ object AnnScale {
         rows.length.toLong
       }
       if (truth.nonEmpty) {
-        val top1 = Similarity.topKBruteForce(
-            emb, col("embedding"), col("vec_id"), isQ, 1)
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val agree = got.count { case (q, v) => top1.get(q).contains(v) }
+        // compare at MMR's precision: mmrSelect ranks by micros-rounded
+        // simq (ties to vid asc) while topKBruteForce ranks the raw
+        // double cosine — two near-top candidates within 5e-7 round to
+        // the same micros, so accept any pick whose micros score ties
+        // brute force's rank 1 (ADVICE r7)
+        val topN = Similarity.topKBruteForce(
+            emb, col("embedding"), col("vec_id"), isQ, 10)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(3) * 1e6)))
+          .groupBy(_._1)
+        val agree = got.count { case (q, v) =>
+          topN.get(q).exists { rows =>
+            val top1Micros = rows.map(_._3).max
+            rows.exists(r => r._2 == v && r._3 == top1Micros)
+          }
+        }
         println(f"""{"op":"mmr_pick1_agreement","agree":$agree,"q":${got.size}}""")
-        require(agree == got.size, "MMR pick 1 must be the relevance argmax")
+        require(agree == got.size,
+          "MMR pick 1 must tie the relevance argmax at micros precision")
       }
     }
     spark.stop()

@@ -46,7 +46,13 @@ object SketchStore {
       hashed: Column): Unit = {
     val spark = delta.sparkSession
     val stored = spark.read.parquet(path)
-    val k = stored.select(max(col("k"))).head().getInt(0)
+    val kRow = stored.select(max(col("k"))).head()
+    // an empty store (base build saw zero groups) has max(k) = NULL —
+    // fail with a clear message instead of an opaque NPE (ADVICE r7)
+    require(!kRow.isNullAt(0),
+      s"stored KMV sketch table at $path is empty — rebuild with " +
+        "writeKmvSketches before appending")
+    val k = kRow.getInt(0)
     val (merged, _, _) = Iterate.ckpt(
       stored.select(col("g"), explode(col("mins")).as("h"))
         .unionByName(delta.select(group.as("g"), hashed.as("h")))
