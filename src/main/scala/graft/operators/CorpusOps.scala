@@ -345,6 +345,10 @@ object CorpusOps {
       query: Seq[String], k: Int, fbDocs: Int = 5, fbTerms: Int = 8,
       alphaPpm: Long = 600000L): DataFrame = {
     require(query.nonEmpty, "query must not be empty")
+    // duplicate terms would land twice in the weights table and the
+    // join on t would double-count their scores (ADVICE r7)
+    require(query.distinct.length == query.length,
+      s"query terms must be distinct: $query")
     require(fbDocs >= 1 && fbTerms >= 0, "fbDocs >= 1, fbTerms >= 0")
     require(0L <= alphaPpm && alphaPpm <= 1000000L, s"alphaPpm out of range: $alphaPpm")
     val spark = docs.sparkSession
@@ -977,6 +981,94 @@ object CorpusOps {
     }
     call_function("replace", trim(chain, SEP), lit(SS), lit(" "))
   }
+
+  /** Unigram-LM tokenizer TRAINING — the Viterbi-EM variant of the
+    * SentencePiece trainer (Kudo '18), closing the third tokenizer
+    * family's train→store→apply loop the way [[bpeTrain]] /
+    * [[writeBpeModel]] close BPE's:
+    *
+    *  - E-step: per distinct word (the corpus collapses to its
+    *    VOCABULARY-SIZED word table first — one tokenize + groupBy,
+    *    never per-occurrence work), the expected piece counts over the
+    *    word's TIED-OPTIMAL segmentations under the current scores
+    *    ([[graft.functions.UnigramEmCounts]] — forward×backward
+    *    optimal-path counting, exact BIGINTs). Hard EM over the argmax
+    *    set rather than Kudo's full-lattice posterior — the documented
+    *    divergence that makes every expectation an integer a DuckDB
+    *    oracle replays by path enumeration (the full-lattice posterior
+    *    is a float surface no relational replay can pin). Per-word
+    *    expectations normalize to ppm by integer division
+    *    (`c · 10⁶ div n`), then weight by corpus word frequency.
+    *  - M-step: keep-set renormalization — score(p) =
+    *    round(log10(E_p / ΣE) · 10⁶) micros (the engine's 6-dp-portable
+    *    log recipe); pieces with zero expectation take `floorMicros`.
+    *  - PRUNE: the bottom `prunePpm` fraction (floor) of MULTI-char
+    *    pieces by (E asc, piece asc) drop each round — single-char
+    *    pieces never prune (character coverage is the invariant that
+    *    keeps the lattice total), matching SentencePiece's required-
+    *    character rule. [UNK] stays a fixed-score edge, never trained.
+    *
+    * Fixed `rounds` (the [[Similarity.kmeansCentroids]] posture), piece
+    * table collected driver-side per round — bounded by the SEED vocab
+    * size, configuration not data. Returns the final (p, score_micros)
+    * vocabulary, sorted by piece. */
+  def unigramEmTrain(docs: DataFrame, text: Column,
+      seed: Seq[(String, Long)], unkMicros: Long, rounds: Int,
+      prunePpm: Long = 200000L, floorMicros: Long = -20000000L)
+      : Seq[(String, Long)] = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(0L <= prunePpm && prunePpm < 1000000L, s"prunePpm out of range: $prunePpm")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(trim(text), "\\s+")).as("wd"))
+      .filter(length(col("wd")) > 0)
+      .groupBy("wd").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var vocab = seed
+      for (_ <- 1 to rounds) {
+        val eMap = words
+          .select(col("freq"),
+            graft.functions.UnigramEmCounts.of(col("wd"), vocab, unkMicros).as("s"))
+          .select(col("freq"), col("s.n").as("n"), explode(col("s.cnt")).as(Seq("p", "c")))
+          .select(col("p"), (col("freq") * expr("c * 1000000 div n")).as("contrib"))
+          .groupBy("p").agg(sum(col("contrib")).as("e"))
+          .as[(String, Long)].collect().toMap // ≤ |vocab| rows — config-bounded
+        val multis = vocab.map(_._1).filter(_.length > 1)
+        val nPrune = (multis.size.toLong * prunePpm / 1000000L).toInt
+        val pruned = multis.map(p => (eMap.getOrElse(p, 0L), p))
+          .sortBy(identity).take(nPrune).map(_._2).toSet
+        val kept = vocab.filterNot(v => pruned(v._1))
+        val total = kept.map(v => eMap.getOrElse(v._1, 0L)).sum
+        vocab = kept.map { case (p, _) =>
+          val ev = eMap.getOrElse(p, 0L)
+          val sc =
+            if (ev > 0L && total > 0L)
+              // exactly Spark/DuckDB round(x, 0): HALF_UP away from zero
+              java.math.BigDecimal.valueOf(math.log10(ev.toDouble / total) * 1e6)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+            else floorMicros
+          (p, sc)
+        }
+      }
+      vocab.sortBy(_._1)
+    } finally words.unpersist(): Unit
+  }
+
+  /** Persist a [[unigramEmTrain]] vocabulary — one parquet file of
+    * (p, score_micros), configuration-sized like [[writeBpeModel]]. */
+  def writeUnigramModel(spark: SparkSession, vocab: Seq[(String, Long)],
+      path: String): Unit =
+    spark.createDataFrame(vocab).toDF("p", "score_micros")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** The scored piece table from a stored [[writeUnigramModel]]
+    * artifact, piece-sorted — folded into the segmenting expression
+    * like [[readBpeModel]]'s merge list. */
+  def readUnigramModel(spark: SparkSession, path: String): Seq[(String, Long)] =
+    spark.read.parquet(path).orderBy("p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
   /** First-occurrence novelty — the crawl-order diversity signal: per
     * document, the ppm of its DISTINCT k-shingles never seen in any

@@ -881,6 +881,45 @@ object TextQueries {
               x => element_at(split(x, ":"), 1).cast("long")),
             lit(0L), (a, x) => a + x).as("score_micros"),
           md5(array_join(col("seg"), "|").cast("binary")).as("dp_md5"))
+    },
+    // unigram-LM tokenizer TRAINING (CorpusOps.unigramEmTrain —
+    // VERDICT r7 #2): 2 rounds of Viterbi-EM from the demo seed —
+    // E-step = exact-integer expected piece counts over each distinct
+    // word's tied-optimal segmentations, M-step = keep-set-renormalized
+    // round(log10·1e6) scores, bottom-20%-of-multis pruning per round.
+    // The oracle enumerates every segmentation path ONCE (the DAG is
+    // static — single-char pieces never prune), then replays both
+    // rounds by re-scoring the path table — so the TRAINER itself is
+    // oracle-verified, not just the apply stage.
+    QueryDef("text_unigram_train", TextQueries.unigramTrainOracle) { (s, d) =>
+      val vocab = CorpusOps.unigramEmTrain(
+        Tables.table(s, d, "documents"), col("text"),
+        TextQueries.unigramVocab, TextQueries.unigramUnkMicros, rounds = 2)
+      s.createDataFrame(vocab).toDF("p", "score_micros")
+    },
+    // the trained artifact APPLIED FROM STORAGE — train → store
+    // (CorpusOps.writeUnigramModel) → read → segment, completing the
+    // third tokenizer family's lifecycle exactly as text_bpe_apply_stored
+    // completes BPE's. The oracle composes the unrolled-EM vocabulary
+    // with the text_unigram_segment path-enumeration replay, so the
+    // end-to-end (trained scores → DP decode) chain is pinned.
+    QueryDef("text_unigram_apply_stored",
+        TextQueries.unigramApplyStoredOracle) { (s, d) =>
+      val vocab = CorpusOps.unigramEmTrain(
+        Tables.table(s, d, "documents"), col("text"),
+        TextQueries.unigramVocab, TextQueries.unigramUnkMicros, rounds = 2)
+      val path = Tables.scratchDir("graft_unigram_model")
+      CorpusOps.writeUnigramModel(s, vocab, path)
+      val stored = CorpusOps.readUnigramModel(s, path)
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), graft.functions.UnigramViterbi.segment(
+          col("text"), stored, TextQueries.unigramUnkMicros).as("seg"))
+        .select(col("doc_id"),
+          size(col("seg")).cast("long").as("n_words"),
+          aggregate(transform(col("seg"),
+              x => element_at(split(x, ":"), 1).cast("long")),
+            lit(0L), (a, x) => a + x).as("score_micros"),
+          md5(array_join(col("seg"), "|").cast("binary")).as("dp_md5"))
     }
   )
 
@@ -898,4 +937,111 @@ object TextQueries {
     "st" -> -4700000L)
 
   private[queries] def unigramUnkMicros: Long = -7777777L
+
+  /** The Viterbi-EM unroll shared by text_unigram_train and
+    * text_unigram_apply_stored: the CTE chain from `documents` to the
+    * final trained vocabulary `v2(p, sc)`.
+    *
+    * Paths are enumerated ONCE over the SEED edge DAG (vocab edges +
+    * [UNK] single-char edges where no single-char piece covers; the
+    * DAG can only SHRINK across rounds because single-char pieces
+    * never prune), each path identified by `pid` and carried as its
+    * in-order piece list. Per round r: re-score every path against the
+    * current vocabulary (a path using a pruned multi-char piece goes
+    * invalid — `bad > 0`), take per-word max + the tied-optimal set,
+    * count piece occurrences across that set (c) and its size (n),
+    * weight `c·10⁶ // n` by word frequency, prune the bottom 20 % of
+    * multi-char pieces by (E asc, p asc), renormalize over the keep
+    * set: sc = round(log10(E/ΣE)·10⁶), zero-expectation pieces at the
+    * −2·10⁷ floor — `CorpusOps.unigramEmTrain`'s arithmetic verbatim. */
+  private[queries] def unigramEmCtes: String = {
+    val seedVals = unigramVocab
+      .map { case (p, sc) => s"('$p', CAST($sc AS BIGINT))" }.mkString(", ")
+    def round(r: Int, vocab: String): String =
+      // every multiply-referenced CTE is MATERIALIZED: DuckDB otherwise
+      // INLINES each reference, and v1's four round-2 references times
+      // k/f/e's internal fan-out re-plans the whole upstream chain
+      // multiplicatively — measured minutes-and-fd-exhaustion on 59
+      // paths where the materialized form runs in 0.1 s
+      s"""ps$r AS MATERIALIZED (SELECT x.pid, x.wd,
+         |    sum(CASE WHEN v.p IS NOT NULL THEN v.sc
+         |             WHEN len(x.pc) = 1 THEN CAST($unigramUnkMicros AS BIGINT) END) AS sc,
+         |    count(*) FILTER (WHERE v.p IS NULL AND len(x.pc) > 1) AS bad
+         |  FROM px x LEFT JOIN $vocab v ON v.p = x.pc GROUP BY x.pid, x.wd),
+         |b$r AS MATERIALIZED (SELECT wd, max(sc) AS best FROM ps$r WHERE bad = 0 GROUP BY wd),
+         |opt$r AS MATERIALIZED (SELECT s.pid, s.wd FROM ps$r s
+         |  JOIN b$r b ON b.wd = s.wd AND s.bad = 0 AND s.sc = b.best),
+         |n$r AS MATERIALIZED (SELECT wd, count(*) AS n FROM opt$r GROUP BY wd),
+         |c$r AS MATERIALIZED (SELECT x.wd, x.pc, count(*) AS c
+         |  FROM px x JOIN opt$r o ON o.pid = x.pid JOIN $vocab v ON v.p = x.pc
+         |  GROUP BY x.wd, x.pc),
+         |e$r AS MATERIALIZED (SELECT c$r.pc AS p, sum(w.freq * ((c$r.c * 1000000) // n$r.n)) AS e
+         |  FROM c$r JOIN n$r ON n$r.wd = c$r.wd JOIN words w ON w.wd = c$r.wd
+         |  GROUP BY c$r.pc),
+         |f$r AS MATERIALIZED (SELECT s.p, coalesce(e$r.e, 0) AS e
+         |  FROM $vocab s LEFT JOIN e$r ON e$r.p = s.p),
+         |r$r AS MATERIALIZED (SELECT p, e, row_number() OVER (ORDER BY e, p) AS rk
+         |  FROM f$r WHERE len(p) > 1),
+         |d$r AS MATERIALIZED (SELECT p FROM r$r
+         |  WHERE rk <= ((SELECT count(*) FROM r$r) * 200000) // 1000000),
+         |k$r AS MATERIALIZED (SELECT p, e FROM f$r WHERE p NOT IN (SELECT p FROM d$r)),
+         |v$r AS MATERIALIZED (SELECT p, CASE WHEN e > 0 AND (SELECT sum(e) FROM k$r) > 0
+         |    THEN CAST(round(log10(CAST(e AS DOUBLE) / (SELECT sum(e) FROM k$r)) * 1000000, 0) AS BIGINT)
+         |    ELSE CAST(-20000000 AS BIGINT) END AS sc FROM k$r)""".stripMargin
+    s"""seed(p, sc) AS MATERIALIZED (VALUES $seedVals),
+       |t0 AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |w0 AS (SELECT unnest(w) AS wd FROM t0),
+       |words AS MATERIALIZED (SELECT wd, count(*) AS freq FROM w0 WHERE wd <> '' GROUP BY wd),
+       |pos AS (SELECT wd, unnest(range(1, len(wd) + 1)) AS i FROM words),
+       |vedge AS (SELECT pos.wd, pos.i AS st, pos.i + len(v.p) AS en, v.p AS pc
+       |  FROM pos JOIN seed v ON substr(pos.wd, pos.i, len(v.p)) = v.p),
+       |uedge AS (SELECT wd, i AS st, i + 1 AS en, substr(wd, i, 1) AS pc
+       |  FROM pos WHERE NOT EXISTS (SELECT 1 FROM seed v
+       |    WHERE len(v.p) = 1 AND v.p = substr(pos.wd, pos.i, 1))),
+       |edges AS (SELECT * FROM vedge UNION ALL SELECT * FROM uedge),
+       |paths(wd, lim, pp, pcs) AS (
+       |  SELECT wd, len(wd) + 1, 1, CAST([] AS VARCHAR[]) FROM words
+       |  UNION ALL
+       |  SELECT p.wd, p.lim, e.en, list_append(p.pcs, e.pc)
+       |  FROM paths p JOIN edges e ON e.wd = p.wd AND e.st = p.pp
+       |  WHERE p.pp < p.lim),
+       |fin AS MATERIALIZED (SELECT row_number() OVER () AS pid, wd, pcs
+       |  FROM paths WHERE pp = lim),
+       |px AS MATERIALIZED (SELECT pid, wd, unnest(pcs) AS pc FROM fin),
+       |${round(1, "seed")},
+       |${round(2, "v1")}""".stripMargin
+  }
+
+  private[queries] def unigramTrainOracle: String =
+    s"""WITH RECURSIVE $unigramEmCtes
+       |SELECT p, sc AS score_micros FROM v2""".stripMargin
+
+  /** Trained vocabulary composed with the text_unigram_segment
+    * path-enumeration replay (CTEs prefixed `s` to avoid collision). */
+  private[queries] def unigramApplyStoredOracle: String =
+    s"""WITH RECURSIVE $unigramEmCtes,
+       |st AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |swords AS (SELECT doc_id, u.wi AS wi, u.wd AS wd FROM
+       |  (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1), i -> {'wi': i, 'wd': w[i]})) AS u FROM st)),
+       |spos AS (SELECT doc_id, wi, wd, unnest(range(1, len(wd) + 1)) AS i FROM swords),
+       |sve AS (SELECT spos.doc_id, spos.wi, i AS st, i + len(v.p) AS en, v.sc
+       |  FROM spos JOIN v2 v ON substr(spos.wd, spos.i, len(v.p)) = v.p),
+       |sue AS (SELECT doc_id, wi, i AS st, i + 1 AS en, CAST($unigramUnkMicros AS BIGINT) AS sc
+       |  FROM spos WHERE NOT EXISTS (SELECT 1 FROM v2 v WHERE len(v.p) = 1 AND v.p = substr(spos.wd, spos.i, 1))),
+       |sedges AS (SELECT * FROM sve UNION ALL SELECT * FROM sue),
+       |spaths(doc_id, wi, lim, pp, sc) AS (
+       |  SELECT doc_id, wi, len(wd) + 1, 1, CAST(0 AS BIGINT) FROM swords
+       |  UNION ALL
+       |  SELECT p.doc_id, p.wi, p.lim, e.en, p.sc + e.sc
+       |  FROM spaths p JOIN sedges e ON e.doc_id = p.doc_id AND e.wi = p.wi AND e.st = p.pp
+       |  WHERE p.pp < p.lim),
+       |sfin AS (SELECT doc_id, wi, sc FROM spaths WHERE pp = lim),
+       |sagg AS (SELECT doc_id, wi, max(sc) AS best FROM sfin GROUP BY 1, 2),
+       |scnt AS (SELECT f.doc_id, f.wi, a.best, count(*) AS n
+       |  FROM sfin f JOIN sagg a ON a.doc_id = f.doc_id AND a.wi = f.wi AND f.sc = a.best
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(best) AS BIGINT) AS score_micros,
+       |  md5(string_agg(best || ':' || n, '|' ORDER BY wi)) AS dp_md5
+       |FROM scnt GROUP BY doc_id""".stripMargin
 }
