@@ -759,6 +759,17 @@ object Dedup {
       deltaPairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
 
+  /** The df-cut stage of [[winnowingOverlapJoin]], split out so the
+    * ScaleSpec plan pin can assert the LeftAnti equi-join shape — the
+    * operator checkpoints this frame, which hides its plan from the
+    * final query's tree. */
+  private[graft] def winnowingCappedFingerprints(f0: DataFrame,
+      maxFpDf: Option[Int]): DataFrame =
+    maxFpDf.fold(f0) { cap =>
+      val hot = f0.groupBy("fp").count().filter(col("count") > cap).select("fp")
+      f0.join(hot, Seq("fp"), "left_anti")
+    }
+
   /** MOSS-style overlap detection over
     * [[CorpusOps.winnowingFingerprints]]: candidate pairs share at
     * least `minShared` distinct fingerprints, scored by containment
@@ -772,35 +783,33 @@ object Dedup {
     * self-join is bounded by per-fingerprint document frequency, never
     * pairs × corpus; boilerplate-hot fingerprints are exactly the hot
     * shingles segmentDedup removes upstream. */
-  /** The df-cut stage of [[winnowingOverlapJoin]], split out so the
-    * ScaleSpec plan pin can assert the LeftAnti equi-join shape — the
-    * operator checkpoints this frame, which hides its plan from the
-    * final query's tree. */
-  private[graft] def winnowingCappedFingerprints(f0: DataFrame,
-      maxFpDf: Option[Int]): DataFrame =
-    maxFpDf.fold(f0) { cap =>
-      val hot = f0.groupBy("fp").count().filter(col("count") > cap).select("fp")
-      f0.join(hot, Seq("fp"), "left_anti")
-    }
-
   def winnowingOverlapJoin(docs: DataFrame, text: Column, id: Column,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
       threshold: Double = 0.5, maxFpDf: Option[Int] = None): DataFrame = {
     val f0 = CorpusOps.winnowingFingerprints(docs, text, id, k, w)
       .select(col("doc_id"), col("fp")).distinct()
-    // df-cut on the join key, the same guard every other pair
-    // enumerator here carries ([[shingles]]' maxShingleDf, tf-idf's
-    // Σdf² switch): a boilerplate k-gram surviving window selection in
-    // D docs (license headers — exactly the MOSS use case) makes its
-    // pair count D², so over-common fingerprints are dropped BEFORE
-    // the self-join — MOSS itself discards them as non-evidentiary.
-    // Containment denominators |fp_a| shrink with the same cut (sz is
-    // computed after it), which the oracle mirrors identically.
-    // materialize the (capped) fingerprint set ONCE: it feeds the size
-    // aggregate and BOTH self-join sides, and under the df cut each
-    // consumer would otherwise recompute the winnowing expression tree
-    // twice more (once for itself, once for `hot`) — measured 1.7 s →
-    // 5 s at sf0.1 before this checkpoint
+    winnowingOverlapFrom(f0, minShared, threshold, maxFpDf)
+  }
+
+  /** The overlap tail shared by the in-memory form and the stored
+    * index: df-cut → size aggregate → fingerprint self-join →
+    * containment filter.
+    *
+    * The df-cut on the join key is the same guard every other pair
+    * enumerator here carries ([[shingles]]' maxShingleDf, tf-idf's
+    * Σdf² switch): a boilerplate k-gram surviving window selection in
+    * D docs (license headers — exactly the MOSS use case) makes its
+    * pair count D², so over-common fingerprints are dropped BEFORE
+    * the self-join — MOSS itself discards them as non-evidentiary.
+    * Containment denominators |fp_a| shrink with the same cut (sz is
+    * computed after it), which the oracle mirrors identically.
+    * The (capped) fingerprint set is materialized ONCE: it feeds the
+    * size aggregate and BOTH self-join sides, and under the df cut
+    * each consumer would otherwise recompute the upstream expression
+    * tree twice more (once for itself, once for `hot`) — measured
+    * 1.7 s → 5 s at sf0.1 before this checkpoint. */
+  private def winnowingOverlapFrom(f0: DataFrame, minShared: Int,
+      threshold: Double, maxFpDf: Option[Int]): DataFrame = {
     val (f, _, _) = Iterate.ckpt(winnowingCappedFingerprints(f0, maxFpDf))
     val sz = f.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = f.as("a")
@@ -816,6 +825,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"),
         round(ratio, 6).as("overlap"))
   }
+
+  /** Storage layout for the winnowing fingerprint index (VERDICT r7
+    * #8): the 0.39×-of-shingles fingerprint table (doc_id, fp)
+    * materialized once and maintained incrementally instead of
+    * re-winnowed per overlap query —
+    *
+    *  - `fps/` — distinct (doc_id, fp), dir-partitioned by
+    *    `fb = pmod(fp, fpBuckets)` (fp is already a 64-bit hash):
+    *    a delta ingest gate probing new docs against the corpus
+    *    touches only its own fingerprints' buckets;
+    *  - `meta/` — (k, w, fp_buckets), so appends can never drift from
+    *    the stored shingling contract.
+    *
+    * Bucket count auto-sizes from the corpus (≤ 0 → nDocs/2000
+    * clamped to [1, 256]), the [[writeIncrementalIndex]] rule. */
+  def writeWinnowIndex(docs: DataFrame, text: Column, id: Column, path: String,
+      k: Int = 3, w: Int = 4, fpBuckets0: Int = 0): Unit = {
+    val spark = docs.sparkSession
+    val nDocs = if (fpBuckets0 > 0) 0L else docs.count()
+    val fpBuckets = if (fpBuckets0 > 0) fpBuckets0
+      else math.max(1L, math.min(256L, nDocs / 2000L)).toInt
+    CorpusOps.winnowingFingerprints(docs, text, id, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .withColumn("fb", pmod(col("fp"), lit(fpBuckets.toLong)))
+      .repartition(col("fb"))
+      .write.mode("overwrite").partitionBy("fb").parquet(s"$path/fps")
+    spark.range(1).select(
+        lit(k).as("k"), lit(w).as("w"), lit(fpBuckets).as("fp_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Fold a delta batch into a [[writeWinnowIndex]] layout — O(delta):
+    * the delta winnows under the STORED (k, w) contract and its
+    * fingerprint rows append into their `fb` partitions; no stored
+    * file is read or rewritten. Compaction is
+    * [[Layout.compactPartitioned]] on `fps/` (fb), as for every
+    * LSM-shaped index here. */
+  def appendToWinnowIndex(path: String, delta: DataFrame, text: Column,
+      id: Column): Unit = {
+    val spark = delta.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (k, w) = (m.getAs[Int]("k"), m.getAs[Int]("w"))
+    val fpBuckets = m.getAs[Int]("fp_buckets")
+    CorpusOps.winnowingFingerprints(delta, text, id, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .withColumn("fb", pmod(col("fp"), lit(fpBuckets.toLong)))
+      .repartition(col("fb"))
+      .write.mode("append").partitionBy("fb").parquet(s"$path/fps")
+  }
+
+  /** [[winnowingOverlapJoin]] served from a [[writeWinnowIndex]]
+    * layout: the corpus never re-winnows — the stored fingerprint
+    * table feeds the identical df-cut + self-join tail, so served
+    * pairs are value-identical to the in-memory form (the
+    * dedup_winnowing_stored oracle is shared with dedup_winnowing). */
+  def winnowingOverlapStored(spark: SparkSession, path: String,
+      minShared: Int = 2, threshold: Double = 0.5,
+      maxFpDf: Option[Int] = None): DataFrame =
+    winnowingOverlapFrom(
+      spark.read.parquet(s"$path/fps").select(col("doc_id"), col("fp")),
+      minShared, threshold, maxFpDf)
 
   /** Soft dedup: keep EVERY copy but weight each document by
     * 1/|its near-dup cluster| in exact ppm — the sampling-weight

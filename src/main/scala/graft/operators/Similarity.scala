@@ -503,38 +503,66 @@ object Similarity {
     * prefixes. */
   private val PrefixSlack = 5e-3
 
-  /** The tf-idf unit-vector index `(doc_id, t, idf, u)`, persisted.
-    *
-    * The posting-list table feeds FOUR downstream consumers (corpus
-    * size n, document frequencies, weights, and — through the unit
-    * vectors — both sides of the pair join); uncached, the corpus
-    * tokenize+groupBy would execute once per consumer (measured ~2.5×
-    * on the whole query at sf0.1). Materializing the index once is
-    * also the 100 TB shape: posting lists are the artifact a sparse-
-    * similarity pipeline builds and reuses, not a throwaway subtree. */
-  private def tfidfIndex(terms: DataFrame, maxDfPpm: Long): DataFrame = {
-    val tok = terms.select(col("doc_id"), col("t"))
+  /** Raw per-(doc, term) frequencies — the append-only base relation
+    * every tf-idf derivative (df, idf, norms, unit vectors) is a pure
+    * function of. Split out so the stored-index lifecycle can persist
+    * THIS (and re-derive statistics without ever re-tokenizing). */
+  private def tfTable(terms: DataFrame): DataFrame =
+    terms.select(col("doc_id"), col("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (idf table `(t, idf)`, unit-vector postings `(doc_id, t, idf, u)`)
+    * from a persisted raw-tf relation: corpus size n → document
+    * frequencies under the `maxDfPpm` vocabulary cap → idf → the
+    * shared [[unitVectors]] tail. */
+  private def derivedFromTf(tok: DataFrame, maxDfPpm: Long): (DataFrame, DataFrame) = {
     val n = tok.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
     val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
       .join(broadcast(n), lit(true))
       .filter(col("df") * 1000000L <= col("n") * maxDfPpm)
       .select(col("t"), round(log10(col("n").cast("double") / col("df")), 6).as("idf"))
-    val w = tok.join(broadcast(df), Seq("t"))
+    (df, unitVectors(tok, df))
+  }
+
+  /** Unit vectors `(doc_id, t, idf, u)` from raw tf under a GIVEN
+    * `(t, idf)` table — the weight → norm → normalize tail shared by
+    * the full build/refresh (fresh idf) and the frozen-idf delta
+    * append (stored idf). Terms outside the idf vocabulary drop out in
+    * the inner join; a doc with no in-vocabulary term vanishes
+    * entirely (it can contribute to no pair). Returned persisted: the
+    * postings feed the prefix index, the probe side and both verify
+    * sides — uncached, the upstream joins would re-run per consumer
+    * (measured ~2.5× on the whole query at sf0.1).
+    *
+    * `broadcastSide`: the build/refresh path broadcasts the derived
+    * idf under corpus-sized tok (avoids shuffling the corpus); the
+    * APPEND path broadcasts TOK instead — there tok is delta-sized
+    * while the vocabulary is corpus-scale in the worst case
+    * (random-shingle probe: ~29 M distinct terms at 500 k docs;
+    * force-broadcasting it was measured at 4× the whole append, and
+    * leaving the join unhinted planned a 10 s SMJ on a tiny delta —
+    * TfidfScale / bench-phase, docs/EXPERIMENTS.md round 17). */
+  private def unitVectors(tok: DataFrame, idf: DataFrame,
+      broadcastSide: String = "idf"): DataFrame = {
+    val w = (if (broadcastSide == "tok") broadcast(tok) else tok)
+      .join(if (broadcastSide == "idf") broadcast(idf) else idf, Seq("t"))
       .select(col("doc_id"), col("t"), col("idf"),
         round(col("tf") * col("idf"), 6).as("w"))
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(expr("CAST(round(w * w, 6) AS DECIMAL(28,12))")).cast("double"))
         .as("nrm"))
-    // unit vectors (idf retained for the global prefix order) are read
-    // three times — prefix index, probe side, and both verify sides;
-    // persisted, those probes hit columnar blocks instead of re-running
-    // the weight+norm joins
     w.join(norms, Seq("doc_id"))
       .select(col("doc_id"), col("t"), col("idf"),
         round(col("w") / col("nrm"), 6).as("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The tf-idf unit-vector index `(doc_id, t, idf, u)`, persisted
+    * ([[tfTable]] → [[derivedFromTf]]). */
+  private def tfidfIndex(terms: DataFrame, maxDfPpm: Long): DataFrame = {
+    val tok = tfTable(terms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    derivedFromTf(tok, maxDfPpm)._2
   }
 
   /** rem_j = Σ_{i ≥ j} u_i² in the global (idf desc, t) order: the
@@ -610,28 +638,140 @@ object Similarity {
     * fixed large counts make small corpora pay a metadata storm. */
   def writeTfidfIndex(terms: DataFrame, path: String, maxDfPpm: Long = 500000L,
       termBuckets0: Int = 0, docBuckets0: Int = 0): Unit = {
-    val u = tfidfIndex(terms, maxDfPpm)
+    val tok = tfTable(terms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (idf, u) = derivedFromTf(tok, maxDfPpm)
     try {
       val nDocs = if (termBuckets0 > 0 && docBuckets0 > 0) 0L
-        else u.select(col("doc_id")).distinct().count()
+        else tok.select(col("doc_id")).distinct().count()
       val termBuckets = if (termBuckets0 > 0) termBuckets0
         else math.max(1L, math.min(256L, nDocs / 2000L)).toInt
       val docBuckets = if (docBuckets0 > 0) docBuckets0
         else math.max(1L, math.min(512L, nDocs / 2000L)).toInt
-      withRem(u)
+      // the raw-tf base relation (ALL terms — the maxDfPpm cut is a
+      // statistic, not data, so refresh can revisit it as df drifts)
+      tok
         .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
         .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-      docVectors(u.select(col("doc_id"), col("t"), col("u")))
-        .withColumn("db", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)))
-        .repartition(col("db"))
-        .write.mode("overwrite").partitionBy("db").parquet(s"$path/vectors")
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/tf")
+      writeTfidfDerived(u, idf, path, termBuckets, docBuckets)
       terms.sparkSession.range(1).select(
           lit(maxDfPpm).as("max_df_ppm"), lit(termBuckets).as("term_buckets"),
           lit(docBuckets).as("doc_buckets"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    } finally u.unpersist(): Unit
+    } finally { u.unpersist(); tok.unpersist(): Unit }
   }
+
+  /** The derived serving tier of a [[writeTfidfIndex]] layout:
+    * rem-carrying postings, sparse doc vectors, and the `(t, idf)`
+    * statistics table serving/append freeze against. */
+  private def writeTfidfDerived(u: DataFrame, idf: DataFrame, path: String,
+      termBuckets: Int, docBuckets: Int): Unit = {
+    withRem(u)
+      .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    docVectors(u.select(col("doc_id"), col("t"), col("u")))
+      .withColumn("db", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)))
+      .repartition(col("db"))
+      .write.mode("overwrite").partitionBy("db").parquet(s"$path/vectors")
+    idf
+      .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/idf")
+  }
+
+  /** Fold a delta batch of term streams into a [[writeTfidfIndex]]
+    * layout in O(delta) — the ingest verb the other serving indexes
+    * already have ([[Dedup.appendToIncrementalIndex]],
+    * [[appendToIvfIndex]]). Raw tf rows append into their `tb`
+    * partitions; the delta's unit vectors and suffix masses are
+    * computed under the STORED `(t, idf)` table — collection
+    * statistics FROZEN at the last build/refresh, the standard serving
+    * posture (search engines score against stale collection stats
+    * between refreshes; a per-append global idf rewrite would touch
+    * every stored posting, O(corpus) by definition). Consequences the
+    * frozen contract makes explicit, both mirrored by the
+    * `join_tfidf_append_frozen` oracle and bounded by construction:
+    *  - delta terms outside the frozen vocabulary are not indexed
+    *    (they can only match other post-freeze docs);
+    *  - idf drift after appending d docs to n is ≤ log10((n+d)/n)
+    *    per term — a 10% corpus growth moves any idf by < 0.0414.
+    * [[refreshTfidfIndex]] is the bounded-staleness repair: it
+    * re-derives exact statistics from the stored raw tf without
+    * re-tokenizing. rem stays valid across batches — it is a per-doc
+    * suffix mass in the (idf DESC, t) order, and every doc (old or
+    * new) is weighted under the same frozen idf table. */
+  def appendToTfidfIndex(path: String, delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val termBuckets = m.getAs[Int]("term_buckets")
+    val docBuckets = m.getAs[Int]("doc_buckets")
+    val tok = tfTable(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // partition-prune the frozen-idf lookup to the delta's touched
+    // term buckets (≤ termBuckets DISTINCT values however large the
+    // delta — the incrementalDedupStored collect pattern), and join
+    // WITHOUT a broadcast hint: the vocabulary can be corpus-scale in
+    // the worst case (see unitVectors' doc) while tok is delta-sized
+    val tbs = tok
+      .select(pmod(xxhash64(col("t")), lit(termBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val idf = spark.read.parquet(s"$path/idf")
+      .filter(col("tb").cast("long").isin(tbs: _*))
+      .select(col("t"), col("idf"))
+    val u = unitVectors(tok, idf, broadcastSide = "tok")
+    try {
+      tok
+        .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
+        .repartition(col("tb"))
+        .write.mode("append").partitionBy("tb").parquet(s"$path/tf")
+      withRem(u)
+        .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
+        .repartition(col("tb"))
+        .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+      docVectors(u.select(col("doc_id"), col("t"), col("u")))
+        .withColumn("db", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)))
+        .repartition(col("db"))
+        .write.mode("append").partitionBy("db").parquet(s"$path/vectors")
+    } finally { u.unpersist(); tok.unpersist(): Unit }
+  }
+
+  /** Re-derive the serving tier from the stored raw tf — the
+    * statistics-repair verb closing the frozen-idf drift
+    * [[appendToTfidfIndex]] accrues: fresh n/df/idf over the FULL
+    * stored corpus (the maxDfPpm vocabulary cut re-evaluated, so terms
+    * that crossed the cap in either direction come and go exactly as a
+    * from-scratch build would have them), then postings/vectors/idf
+    * overwritten. After a refresh the served pairs are value-identical
+    * to a full rebuild on the grown corpus (the join_tfidf_append
+    * oracle pins this) — but the corpus re-TOKENIZE, the dominant cost
+    * of a rebuild, never happens: the input is the compact raw-tf
+    * relation. Amortized maintenance, like compaction — run it on a
+    * drift budget, not per delta. */
+  def refreshTfidfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val maxDfPpm = m.getAs[Long]("max_df_ppm")
+    val termBuckets = m.getAs[Int]("term_buckets")
+    val docBuckets = m.getAs[Int]("doc_buckets")
+    val tok = spark.read.parquet(s"$path/tf")
+      .select(col("doc_id"), col("t"), col("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (idf, u) = derivedFromTf(tok, maxDfPpm)
+    try writeTfidfDerived(u, idf, path, termBuckets, docBuckets)
+    finally { u.unpersist(); tok.unpersist(): Unit }
+  }
+
+  /** LSM compaction for a [[writeTfidfIndex]] layout after appends —
+    * [[Layout.compactPartitioned]] over the three partitioned stores
+    * (`idf/` is overwrite-only and never fragments). Returns the
+    * number of partitions rewritten. */
+  def compactTfidfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerPartition: Int = 1): Int =
+    Layout.compactPartitioned(spark, s"$path/tf", Seq("tb"), maxFilesPerPartition) +
+      Layout.compactPartitioned(spark, s"$path/postings", Seq("tb"), maxFilesPerPartition) +
+      Layout.compactPartitioned(spark, s"$path/vectors", Seq("db"), maxFilesPerPartition)
 
   /** [[tfidfCosinePairs]] served from a [[writeTfidfIndex]] layout:
     * the SAME auto strategy (direct under the Σ df² budget, prefix +
@@ -904,6 +1044,161 @@ object Similarity {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("src"), col("dst"), col("label"), col("rnk"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** (vid, cid) nearest-centroid assignments under the deterministic
+    * first-N quantizer — the region key the graph-ANN entry tier
+    * derives its per-region entry points from. */
+  def ivfAssignments(emb: DataFrame, vec: Column, id: Column,
+      nCentroids: Int): DataFrame =
+    assignNearest(withNorm(emb, vec, id),
+      firstNCentroids(emb, vec, id, nCentroids), Seq.empty)
+      .select(col("vid"), col("cid"))
+
+  /** Exact GLOBAL top-k neighbor graph — the adjacency-construction
+    * baseline (one all-pairs scoring pass, the [[topKBruteForce]]
+    * shape applied corpus×corpus). Declared demo/ground-truth tier:
+    * at corpus scale the same (src, dst) edge list comes from
+    * [[knnGraphBlocked]] over quantizer blocks or any approximate
+    * builder (NN-descent et al.) — [[writeKnnGraphIndex]] stores
+    * whatever edge list it is given, and the beam SERVING tier is
+    * construction-agnostic. (On structureless random vectors — this
+    * testdata, graph ANN's published worst case — blocked/descent
+    * construction measures near-chance recall, so the demo pins the
+    * serving tier against the exact graph instead.) */
+  def knnGraphExact(emb: DataFrame, vec: Column, id: Column, k: Int): DataFrame = {
+    val e = withNorm(emb, vec, id)
+    val a = e.select(col("vid").as("src"), col("v").as("av"), col("nrm").as("an"))
+    val b = e.select(col("vid").as("dst"), col("v").as("bv"), col("nrm").as("bn"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    a.join(b, col("src") =!= col("dst"))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Storage layout for GRAPH-based ANN serving — the stored-adjacency
+    * small-world tier (the HNSW/DiskANN-class serving shape) beside
+    * the quantization tiers ([[writeIvfIndex]], [[writeIvfPqIndex]]):
+    *
+    *  - `adj/` — a (src, dst) neighbor-graph edge list (from
+    *    [[knnGraphExact]], [[knnGraphBlocked]], or any external
+    *    builder), dir-partitioned by `sb = pmod(xxhash64(src),
+    *    srcBuckets)`: a beam expansion reads ONLY its frontier's
+    *    buckets (partition pruning — the expansion is
+    *    frontier-bounded, never a graph scan);
+    *  - `vectors/` — (vid, v, nrm) partitioned by `db` for
+    *    candidate-bounded exact scoring;
+    *  - `entry/` — the given entry-point ids with their vectors
+    *    (typically one per quantizer region via [[ivfAssignments]]:
+    *    the SPANN/IVF-HNSW hybrid posture — probe the best regions'
+    *    entries, then WALK);
+    *  - `meta/` — bucket counts.
+    *
+    * Bucket counts auto-size from the corpus like every stored index
+    * here (≤ 0 → n/100 clamped to [1, 64]). */
+  def writeKnnGraphIndex(adjacency: DataFrame, emb: DataFrame, vec: Column,
+      id: Column, entryIds: DataFrame, path: String,
+      srcBuckets0: Int = 0, docBuckets0: Int = 0): Unit = {
+    val spark = emb.sparkSession
+    val n = if (srcBuckets0 > 0 && docBuckets0 > 0) 0L else emb.count()
+    val srcBuckets = if (srcBuckets0 > 0) srcBuckets0
+      else math.max(1L, math.min(64L, n / 100L)).toInt
+    val docBuckets = if (docBuckets0 > 0) docBuckets0
+      else math.max(1L, math.min(64L, n / 100L)).toInt
+    adjacency.select(col("src"), col("dst"))
+      .withColumn("sb", pmod(xxhash64(col("src")), lit(srcBuckets.toLong)))
+      .repartition(col("sb"))
+      .write.mode("overwrite").partitionBy("sb").parquet(s"$path/adj")
+    val e = withNorm(emb, vec, id)
+    e.withColumn("db", pmod(xxhash64(col("vid")), lit(docBuckets.toLong)))
+      .repartition(col("db"))
+      .write.mode("overwrite").partitionBy("db").parquet(s"$path/vectors")
+    entryIds.select(col("vid"))
+      .join(e, Seq("vid"))
+      .select(col("vid"), col("v"), col("nrm"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
+    spark.range(1).select(
+        lit(srcBuckets).as("src_buckets"), lit(docBuckets).as("doc_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Best-first BEAM SEARCH over a [[writeKnnGraphIndex]] layout — the
+    * query-time walk of graph ANN: seed each query's beam with its
+    * `nProbe` best entry points, then `rounds` rounds of expand
+    * (frontier ⋈ stored adjacency), exact-score the NEW candidates
+    * (integer micros — round(cos·10⁶), the MMR recipe, so every beam
+    * decision is BIGINT-exact and the oracle replays the walk verbatim
+    * as unrolled rounds), keep the best `beamWidth` per query. Fixed
+    * round count, monotone beam (scored nodes never re-score: a
+    * left-anti join drops already-beamed candidates before the vector
+    * fetch).
+    *
+    * Scale shape: per round the adjacency scan partition-prunes to the
+    * frontier's src buckets and the vector fetch to the candidates'
+    * doc buckets — both driver-side bucket-id collects bounded by the
+    * CONFIGURED bucket counts (the [[Dedup.incrementalDedupStored]]
+    * pattern), so a round touches O(|queries|·beam·kGraph) rows of a
+    * billion-vector index. The beam state itself is
+    * queries × beamWidth rows, localCheckpoint-ed per round
+    * ([[Iterate.ckpt]]) to keep lineage O(1). */
+  def beamSearchKnnStored(path: String, queries: DataFrame, vec: Column,
+      id: Column, k: Int, nProbe: Int, beamWidth: Int,
+      rounds: Int): DataFrame = {
+    require(beamWidth >= k, s"beamWidth ($beamWidth) must be >= k ($k)")
+    require(nProbe >= 1 && rounds >= 1, "nProbe and rounds must be >= 1")
+    val spark = queries.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val srcBuckets = m.getAs[Int]("src_buckets")
+    val docBuckets = m.getAs[Int]("doc_buckets")
+    val q = withNorm(queries, vec, id)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val micros = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6, 0)
+      .cast("long")
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(col("sm").desc, col("vid"))
+    val entries = spark.read.parquet(s"$path/entry")
+    var (frontier, _, _) = Iterate.ckpt(
+      q.join(broadcast(entries), col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"), micros.as("sm"))
+        .withColumn("r", row_number().over(wBeam)).filter(col("r") <= nProbe)
+        .select(col("qid"), col("vid"), col("sm")))
+    for (_ <- 1 to rounds) {
+      // frontier's adjacency buckets — ≤ srcBuckets DISTINCT values
+      // however wide the beam, so the collect is config-bounded
+      val sbs = frontier
+        .select(pmod(xxhash64(col("vid")), lit(srcBuckets.toLong)).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val adj = spark.read.parquet(s"$path/adj")
+        .filter(col("sb").cast("long").isin(sbs: _*))
+      val cand = frontier.join(adj, col("vid") === col("src"))
+        .select(col("qid"), col("dst").as("vid"))
+        .filter(col("vid") =!= col("qid"))
+        .distinct()
+        .join(frontier.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_anti")
+      val dbs = cand
+        .select(pmod(xxhash64(col("vid")), lit(docBuckets.toLong)).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val scored =
+        if (dbs.isEmpty) spark.emptyDataFrame
+        else cand
+          .join(spark.read.parquet(s"$path/vectors")
+            .filter(col("db").cast("long").isin(dbs: _*))
+            .select(col("vid"), col("v"), col("nrm")), Seq("vid"))
+          .join(broadcast(q), Seq("qid"))
+          .select(col("qid"), col("vid"), micros.as("sm"))
+      val merged =
+        if (dbs.isEmpty) frontier else frontier.unionByName(scored)
+      val (next, _, _) = Iterate.ckpt(
+        merged.withColumn("r", row_number().over(wBeam))
+          .filter(col("r") <= beamWidth)
+          .select(col("qid"), col("vid"), col("sm")))
+      frontier = next
+    }
+    frontier.withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rnk"), col("sm").as("score_micros"))
   }
 
   /** SEMANTIC benchmark decontamination — the embedding-space

@@ -59,6 +59,22 @@ object DedupQueries {
     s"""WITH RECURSIVE $clusterCtes
        |SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node""".stripMargin
 
+  /** Shared oracle for dedup_winnowing and dedup_winnowing_stored —
+    * the two serving paths are value-identical by contract (df cap 50
+    * mirrored in the f2 cut, denominators computed after it). */
+  private def winnowingOverlapOracle: String =
+    s"""WITH ${TextQueries.winnowingCtes},
+       |f0 AS (SELECT DISTINCT doc_id, fp FROM fps),
+       |f AS (SELECT * FROM f0 WHERE fp NOT IN (
+       |  SELECT fp FROM f0 GROUP BY fp HAVING count(*) > 50)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+       |sj AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared,
+       |  round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+       |FROM sj JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE shared >= 2 AND CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     // near-dup CLUSTER formation: pairs -> connected components ->
     // keep-the-min-id decision per component (the step that makes
@@ -97,21 +113,36 @@ object DedupQueries {
     // self-join — kills the df² pair blowup on hot keys; the cut is
     // mirrored into the oracle (f2 CTE) so containment denominators
     // shrink identically on both sides.
-    QueryDef(
-      "dedup_winnowing",
-      s"""WITH ${TextQueries.winnowingCtes},
-         |f0 AS (SELECT DISTINCT doc_id, fp FROM fps),
-         |f AS (SELECT * FROM f0 WHERE fp NOT IN (
-         |  SELECT fp FROM f0 GROUP BY fp HAVING count(*) > 50)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
-         |sj AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, shared,
-         |  round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
-         |FROM sj JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-         |WHERE shared >= 2 AND CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5""".stripMargin) { (s, d) =>
+    QueryDef("dedup_winnowing", winnowingOverlapOracle) { (s, d) =>
       Dedup.winnowingOverlapJoin(Tables.table(s, d, "documents"),
         col("text"), col("doc_id"), k = 3, w = 4, minShared = 2, threshold = 0.5,
+        maxFpDf = Some(50))
+    },
+    // the same contract SERVED FROM a stored fingerprint index
+    // (Dedup.writeWinnowIndex / winnowingOverlapStored — VERDICT r7
+    // #8): the 0.39×-of-shingles fingerprint table is built once on
+    // the base corpus (doc_id % 5 <> 4), the remaining fifth appends
+    // in O(delta) under the stored (k, w) contract, compaction folds
+    // the delta files, and the overlap join runs from storage with no
+    // re-winnowing. Served pairs are value-identical to the in-memory
+    // form, so the oracle is shared with dedup_winnowing.
+    QueryDef("dedup_winnowing_stored", winnowingOverlapOracle) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val phase = new Phases("dedup_winnowing_stored")
+      val idx = graft.sources.Tables.scratchDir("graft_winnow_idx")
+      phase("build") {
+        Dedup.writeWinnowIndex(docs.filter(col("doc_id") % 5 =!= 4),
+          col("text"), col("doc_id"), idx)
+      }
+      phase("append") {
+        Dedup.appendToWinnowIndex(idx, docs.filter(col("doc_id") % 5 === 4),
+          col("text"), col("doc_id"))
+      }
+      val rewritten = phase("compact") {
+        graft.operators.Layout.compactPartitioned(s, s"$idx/fps", Seq("fb"))
+      }
+      phase.emit(s""","compacted_parts":$rewritten""")
+      Dedup.winnowingOverlapStored(s, idx, minShared = 2, threshold = 0.5,
         maxFpDf = Some(50))
     },
     // canonical-copy selection over the same clusters: keep each
@@ -370,12 +401,7 @@ object DedupQueries {
       // below is EAGER (incrementalDedupStored localCheckpoints, the
       // writers materialize), so nanoTime spans are honest; one JSON
       // line lands in the Verify/Bench log per run
-      val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-      def phase[T](name: String)(body: => T): T = {
-        val t0 = System.nanoTime()
-        val r = body
-        phases += ((name, (System.nanoTime() - t0) / 1e9)); r
-      }
+      val phase = new Phases("dedup_index_append")
       val idx = graft.sources.Tables.scratchDir("graft_idx_append")
       phase("copy") {
         graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
@@ -400,9 +426,7 @@ object DedupQueries {
             docs.filter(col("doc_id") % 5 === 0), col("text"), col("doc_id"))
           .select(lit(2L).as("stage"), col("new_doc"), col("dup_of"), col("jaccard"))
       }
-      println(phases.map { case (n, sec) => f""""$n":$sec%.2f""" }
-        .mkString("""[bench-phase] {"q":"dedup_index_append",""",
-          ",", s""","compacted_parts":$rewritten}"""))
+      phase.emit(s""","compacted_parts":$rewritten""")
       g1.unionAll(g2)
     },
     QueryDef(

@@ -171,6 +171,56 @@ object SimilarityQueries {
        |${dims.map(out).mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Unrolled beam-walk replay for ann_graph_beam: exact global top-8
+    * adjacency, per-quantizer-region min-id entry points, 4-entry seed
+    * beam, 4 expand rounds at width 16 — integer-micro scores end to
+    * end, so each round's keep-set is exact. Round CTEs are
+    * MATERIALIZED (the unigram-EM lesson: multiply-referenced CTEs
+    * otherwise re-inline the whole upstream chain multiplicatively). */
+  private def graphBeamOracle: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def sm(qv: String, qn: String, v: String, nrm: String) =
+      s"CAST(round(${fold(qv, v)} / ($qn * $nrm) * 1000000, 0) AS BIGINT)"
+    def round(r: Int): String =
+      s"""cand$r AS (SELECT DISTINCT f.qid, a.dst AS vid
+         |  FROM f${r - 1} f JOIN adj a ON a.src = f.vid
+         |  WHERE a.dst <> f.qid
+         |    AND NOT EXISTS (SELECT 1 FROM f${r - 1} x WHERE x.qid = f.qid AND x.vid = a.dst)),
+         |sc$r AS (SELECT c.qid, c.vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm
+         |  FROM cand$r c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vid),
+         |f$r AS MATERIALIZED (SELECT qid, vid, sm FROM (
+         |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+         |  FROM (SELECT * FROM f${r - 1} UNION ALL SELECT * FROM sc$r)) WHERE rk <= 16)""".stripMargin
+    s"""$normCte,
+       |ap AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |  ${fold("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       |adj AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM ap) WHERE rk <= 8),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+       |asg0 AS (SELECT d.vec_id, c.cid,
+       |  ${fold("d.v", "c.cv")} / (d.nrm * c.cn) AS ccos
+       |  FROM n d CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |  FROM asg0) WHERE crn = 1),
+       |ent AS (SELECT min(vec_id) AS vid FROM asg GROUP BY cid),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+       |f0 AS MATERIALIZED (SELECT qid, vid, sm FROM (
+       |  SELECT q.qid, n.vec_id AS vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY ${sm("q.qv", "q.qn", "n.v", "n.nrm")} DESC, n.vec_id) AS rk
+       |  FROM q JOIN ent ON TRUE JOIN n ON n.vec_id = ent.vid
+       |  WHERE n.vec_id <> q.qid) WHERE rk <= 4),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)}
+       |SELECT qid AS query_id, vid AS neighbor_id, rk AS rnk, sm AS score_micros FROM (
+       |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+       |  FROM f4) WHERE rk <= 5""".stripMargin
+  }
+
   /** Word 3-shingle term stream for the tf-idf pair queries. */
   private def tfidfTerms(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.table(s, d, "documents").select(col("doc_id"),
@@ -201,27 +251,74 @@ object SimilarityQueries {
       |FROM p GROUP BY doc_a, doc_b
       |HAVING round(CAST(sum(p) AS DOUBLE), 6) >= 0.3""".stripMargin
 
+  /** The frozen-statistics variant of [[tfidfOracle]] replayed for
+    * join_tfidf_append_frozen: n, df and the maxDfPpm vocabulary cut
+    * come from the BASE corpus only (doc_id % 5 <> 4 — the build
+    * input), while every document (base + appended fifth) is embedded
+    * in that frozen vocabulary — exactly what serving a stale-stats
+    * index returns. */
+  private val tfidfFrozenOracle: String =
+    """WITH t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |tok0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t
+      |  FROM t0 WHERE len(w) >= 3),
+      |tok AS (SELECT doc_id, t, count(*) AS tf FROM tok0 GROUP BY doc_id, t),
+      |base AS (SELECT * FROM tok WHERE doc_id % 5 <> 4),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM base),
+      |df AS (SELECT t, round(log10(CAST(n.n AS DOUBLE) / count(*)), 6) AS idf
+      |  FROM base, n GROUP BY t, n.n HAVING count(*) * 1000000 <= n.n * 500000),
+      |w AS (SELECT tok.doc_id, tok.t, round(tf * idf, 6) AS w
+      |  FROM tok JOIN df ON tok.t = df.t),
+      |nrm AS (SELECT doc_id,
+      |    sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+      |  FROM w GROUP BY doc_id),
+      |u AS (SELECT w.doc_id, w.t, round(w.w / nrm.nrm, 6) AS u
+      |  FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(round(a.u * b.u, 6) AS DECIMAL(28,12)) AS p
+      |  FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, round(CAST(sum(p) AS DOUBLE), 6) AS cos
+      |FROM p GROUP BY doc_a, doc_b
+      |HAVING round(CAST(sum(p) AS DOUBLE), 6) >= 0.3""".stripMargin
+
   /** Idempotent stamp-keyed stored tf-idf index under java.io.tmpdir —
     * built once per (sfDir, documents.parquet bytes); the srcStamp key
     * (the Streaming arrival-fixture scheme) means driver testdata
     * regeneration auto-invalidates a stale index instead of silently
-    * serving old postings. */
-  private def storedTfidfIndex(s: org.apache.spark.sql.SparkSession,
-      d: String): String = {
+    * serving old postings. `filter` restricts the indexed corpus (the
+    * append-lifecycle queries build on the base four-fifths); the v2
+    * dir prefix invalidates r7 layouts that predate the raw-tf/idf
+    * stores. */
+  private def stampedTfidfIndex(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String,
+      filter: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : java.io.File = {
     val src = new java.io.File(s"$d/documents.parquet")
     require(src.exists(), s"stored-tfidf source does not exist: $src")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_tfidf_idx_$key")
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_$tag$key")
     val ready = new java.io.File(root, "_GRAFT_READY")
     if (!ready.exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(root)
-      Similarity.writeTfidfIndex(tfidfTerms(s, d), root.getPath)
+      Similarity.writeTfidfIndex(
+        tfidfTerms(s, d).filter(filter(col("doc_id"))), root.getPath)
       ready.createNewFile(): Unit
     }
-    root.getPath
+    root
   }
+
+  private def storedTfidfIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stampedTfidfIndex(s, d, "tfidf_idx2_", _ => lit(true)).getPath
+
+  /** The pristine base-corpus (doc_id % 5 <> 4) index the append
+    * lifecycle queries copy-then-mutate — built once per testdata
+    * stamp, never touched in place. */
+  private def pristineTfidfBase(s: org.apache.spark.sql.SparkSession,
+      d: String): java.io.File =
+    stampedTfidfIndex(s, d, "tfidf_base2_", _ % 5 =!= 4)
 
   val all: Seq[QueryDef] = Seq(
     QueryDef(
@@ -328,14 +425,27 @@ object SimilarityQueries {
           pristine.getPath)
         ready.createNewFile(): Unit
       }
+      // per-phase wall attribution (VERDICT r7 #5: the compact+gate
+      // phases added in r7 made this the one >30% bench mover with no
+      // phase split — the dedup_index_append treatment)
+      val phase = new Phases("ann_ivf_append")
       val idx = Tables.scratchDir("graft_ivf_append")
-      graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
-      Similarity.appendToIvfIndex(idx, emb.filter(col("vec_id") % 3 === 1),
-        col("embedding"), col("vec_id"))
+      phase("copy") {
+        graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
+      }
+      phase("append") {
+        Similarity.appendToIvfIndex(idx, emb.filter(col("vec_id") % 3 === 1),
+          col("embedding"), col("vec_id"))
+      }
       // LSM lifecycle close-out: fold the append's delta files back to
       // one file per touched cid list; the shared oracle then proves
       // compaction preserved the served ranking
-      graft.operators.Layout.compactPartitioned(s, s"$idx/vectors", Seq("cid")): Unit
+      val rewritten = phase("compact") {
+        graft.operators.Layout.compactPartitioned(s, s"$idx/vectors", Seq("cid"))
+      }
+      phase.emit(s""","compacted_parts":$rewritten""")
+      // the serve tier stays lazy (it IS the returned plan) — its cost
+      // is the query's remainder after the attributed phases
       Similarity.topKIvfStored(idx, emb.filter(col("vec_id") % 50 === 0),
           col("embedding"), col("vec_id"), k = 5, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
@@ -480,6 +590,45 @@ object SimilarityQueries {
         Tables.table(s, d, "embeddings"), col("embedding"), col("vec_id"),
         col("label"), k = 3)
     },
+    // graph-based ANN serving (Similarity.writeKnnGraphIndex /
+    // beamSearchKnnStored — VERDICT r7 #3): the stored-adjacency
+    // small-world tier. The top-8 neighbor graph (exact construction —
+    // the declared baseline tier; knnGraphBlocked/NN-descent builders
+    // feed the same layout at corpus scale) is stored partitioned by
+    // src bucket; entry points are one per first-8-quantizer region
+    // (ivfAssignments min-id — the SPANN posture). Per query: seed the
+    // beam with the 4 best entries, walk 4 rounds of frontier-expand
+    // (adjacency equi-join, partition-pruned) keeping the 16 best
+    // integer-micro scores, return top-5. Every beam decision is
+    // BIGINT-exact, so the oracle replays the whole walk as unrolled
+    // rounds (the graph_bfs pattern). Recall@5 vs brute force = 0.78
+    // on this data (BeamSearchSpec pins the floor).
+    QueryDef("ann_graph_beam", graphBeamOracle) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      // the index is immutable here (serve-only) — stamp-cached like
+      // the stored tf-idf/dedup fixtures, built once per testdata
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      require(src.exists(), s"beam-index source does not exist: $src")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val idx = new java.io.File(sys.props("java.io.tmpdir"), s"graft_knng_$key")
+      val ready = new java.io.File(idx, "_GRAFT_READY")
+      if (!ready.exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(idx)
+        Similarity.writeKnnGraphIndex(
+          Similarity.knnGraphExact(emb, col("embedding"), col("vec_id"), 8),
+          emb, col("embedding"), col("vec_id"),
+          Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"), 8)
+            .groupBy("cid").agg(min(col("vid")).as("vid")),
+          idx.getPath)
+        ready.createNewFile(): Unit
+      }
+      Similarity.beamSearchKnnStored(idx.getPath,
+        emb.filter(col("vec_id") % 50 === 0),
+        col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+        rounds = 4)
+    },
     // sparse tf-idf cosine similarity join over word 3-shingle terms:
     // exact cosine through the inverted-index equi-join (no verify pass
     // — non-shared terms contribute 0), idf-weighted, hot terms over
@@ -496,6 +645,48 @@ object SimilarityQueries {
     // Output value-identical to join_tfidf_cosine; the oracle is shared.
     QueryDef("join_tfidf_stored", tfidfOracle) { (s, d) =>
       Similarity.tfidfCosinePairsStored(s, storedTfidfIndex(s, d), threshold = 0.3)
+    },
+    // stored tf-idf index APPEND under FROZEN collection statistics
+    // (Similarity.appendToTfidfIndex — VERDICT r7 #1): the index is
+    // built on the base corpus (doc_id % 5 <> 4), the remaining fifth
+    // appends in O(delta) with unit vectors weighted by the STORED
+    // (t, idf) table — the stale-statistics serving posture every
+    // search engine runs between stat refreshes. The oracle replays
+    // the frozen contract exactly: n/df/idf over base docs only, all
+    // docs embedded in the base vocabulary.
+    QueryDef("join_tfidf_append_frozen", tfidfFrozenOracle) { (s, d) =>
+      // copy the stamp-cached pristine base (shared with
+      // join_tfidf_append) instead of rebuilding it per run — the run
+      // MUTATES its copy, so the copy itself cannot be cached
+      val idx = Tables.scratchDir("graft_tfidf_appf")
+      graft.sources.Tables.linkCopyDirectory(
+        pristineTfidfBase(s, d), new java.io.File(idx))
+      Similarity.appendToTfidfIndex(idx,
+        tfidfTerms(s, d).filter(col("doc_id") % 5 === 4))
+      Similarity.tfidfCosinePairsStored(s, idx, threshold = 0.3)
+    },
+    // the FULL tf-idf index lifecycle (VERDICT r7 #1): build base →
+    // O(delta) append → LSM compact → statistics REFRESH (fresh
+    // n/df/idf re-derived from the stored raw-tf relation — no corpus
+    // re-tokenize) → serve. Post-refresh service is value-identical to
+    // a from-scratch build on the grown corpus, so the oracle is the
+    // shared full-corpus one; per-verb wall cost is attributed by the
+    // [bench-phase] line (serve is the lazy remainder).
+    QueryDef("join_tfidf_append", tfidfOracle) { (s, d) =>
+      val pristine = pristineTfidfBase(s, d)
+      val phase = new Phases("join_tfidf_append")
+      val idx = Tables.scratchDir("graft_tfidf_append")
+      phase("copy") {
+        graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
+      }
+      phase("append") {
+        Similarity.appendToTfidfIndex(idx,
+          tfidfTerms(s, d).filter(col("doc_id") % 5 === 4))
+      }
+      val rewritten = phase("compact") { Similarity.compactTfidfIndex(s, idx) }
+      phase("refresh") { Similarity.refreshTfidfIndex(s, idx) }
+      phase.emit(s""","compacted_parts":$rewritten""")
+      Similarity.tfidfCosinePairsStored(s, idx, threshold = 0.3)
     },
     // multimodal: binary payload + typed metadata + partition-batched
     // stub decode (see operators.Multimodal — only the codec is fake)

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Layout, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Stored tf-idf index lifecycle contracts (build → append → compact →
+  * refresh → serve) that the CORRECTNESS oracles cannot see:
+  *  - the append is O(delta) ON DISK — no pre-existing index file is
+  *    rewritten or removed;
+  *  - refresh restores exact full-rebuild statistics (serving equals
+  *    the in-memory operator on the grown corpus);
+  *  - compaction changes the file layout, never the served pairs.
+  * Value correctness of both serving contracts is the
+  * join_tfidf_append / join_tfidf_append_frozen oracle gate.
+  */
+class TfidfLifecycleSpec extends SparkSpec {
+
+  private def terms = Tables.table(spark, sf, "documents")
+    .select(col("doc_id"),
+      graft.functions.ShingleGenerator.shingles(col("text"), 3).as("t"))
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("append is O(delta) on disk; refresh restores full-rebuild parity") {
+    val idx = Tables.scratchDir("spec_tfidf_lifecycle")
+    Similarity.writeTfidfIndex(terms.filter(col("doc_id") % 5 =!= 4), idx)
+    // identity of every data file before the append: (path, length)
+    def snapshot(): Set[(String, Long)] =
+      Seq("tf", "postings", "vectors").flatMap(s =>
+        Layout.dataFiles(s"$idx/$s").map(f => (f.getPath, f.length()))).toSet
+    val before = snapshot()
+    Similarity.appendToTfidfIndex(idx, terms.filter(col("doc_id") % 5 === 4))
+    val after = snapshot()
+    assert(before.subsetOf(after),
+      "append must only ADD files — a rewritten/removed base file means the append is O(corpus)")
+    assert(after.size > before.size, "append must land new delta files")
+
+    // compaction folds multi-file partitions; served pairs unchanged
+    val preCompact = pairSet(Similarity.tfidfCosinePairsStored(spark, idx, 0.3))
+    val rewritten = Similarity.compactTfidfIndex(spark, idx)
+    assert(rewritten > 0, "the append should leave at least one multi-file partition")
+    assert(pairSet(Similarity.tfidfCosinePairsStored(spark, idx, 0.3)) == preCompact,
+      "compaction must not change served pairs")
+
+    // refresh: statistics re-derived from stored raw tf — serving now
+    // equals the in-memory operator on the grown corpus, under BOTH
+    // strategies (direct posting-join and prefix+verify)
+    Similarity.refreshTfidfIndex(spark, idx)
+    val full = pairSet(Similarity.tfidfCosinePairs(terms, 0.3))
+    assert(pairSet(Similarity.tfidfCosinePairsStored(spark, idx, 0.3,
+      strategy = "direct")) == full)
+    assert(pairSet(Similarity.tfidfCosinePairsStored(spark, idx, 0.3,
+      strategy = "prefix")) == full)
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(idx)
+  }
+
+  test("frozen-idf append embeds delta docs in the base vocabulary only") {
+    val idx = Tables.scratchDir("spec_tfidf_frozen")
+    val base = terms.filter(col("doc_id") % 5 =!= 4)
+    Similarity.writeTfidfIndex(base, idx)
+    val baseVocab = spark.read.parquet(s"$idx/idf")
+      .select("t").distinct().collect().map(_.getString(0)).toSet
+    Similarity.appendToTfidfIndex(idx, terms.filter(col("doc_id") % 5 === 4))
+    val deltaPostings = spark.read.parquet(s"$idx/postings")
+      .filter(col("doc_id") % 5 === 4)
+    val deltaTerms = deltaPostings.select("t").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(deltaTerms.subsetOf(baseVocab),
+      "frozen append must never index a term outside the stored vocabulary")
+    // the appended postings carry the FROZEN idf values verbatim
+    val storedIdf = spark.read.parquet(s"$idx/idf")
+      .collect().map(r => r.getAs[String]("t") -> r.getAs[Double]("idf")).toMap
+    val drifted = deltaPostings.select("t", "idf").distinct().collect()
+      .filter(r => storedIdf(r.getString(0)) != r.getDouble(1))
+    assert(drifted.isEmpty, s"appended idf drifted from the frozen table: ${drifted.take(3).mkString(",")}")
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(idx)
+  }
+}
