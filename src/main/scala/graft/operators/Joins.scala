@@ -267,6 +267,58 @@ object Joins {
           .otherwise("repartition").as("advice"))
   }
 
+  /** [[adviseStrategy]] extended to a MULTI-WAY star (thesis §5.4/§7
+    * future work: the reference only ever measures binary joins): one
+    * fact joined to n dimension tables. The cascade decision is a
+    * GREEDY KNAPSACK over the shared executor-memory budget — dims
+    * admitted to broadcast in (bytes ASC, name) order while the
+    * RUNNING TOTAL fits (broadcasts are resident simultaneously in a
+    * cascade, so the budget is cumulative, not per-relation the way
+    * `autoBroadcastJoinThreshold` meters it):
+    *
+    *  - every dim admitted  → `broadcast-cascade` (one fact scan,
+    *    zero shuffles — the multiway sweep measures this fastest
+    *    whenever it is feasible);
+    *  - no dim admitted     → `shuffle-cascade` (each join exchanges
+    *    the surviving fact side on its key);
+    *  - otherwise           → `mixed-cascade` (broadcast the admitted
+    *    dims FIRST — each is free fact-side reduction — then shuffle
+    *    the rest).
+    *
+    * All arithmetic integer (rows × bytes), the running total a window
+    * sum over the n-row dim relation — any engine computes identical
+    * advice. Returns one row PER DIM with its admission flag plus the
+    * overall advice. */
+  def adviseMultiway(name: String, fact: DataFrame,
+      dims: Seq[(String, DataFrame)], rowBytes: Long,
+      broadcastBudgetBytes: Long): DataFrame = {
+    require(dims.nonEmpty, "adviseMultiway needs at least one dim")
+    val factRows = fact.agg(count(lit(1)).as("fact_rows"))
+    val dimCounts = dims.map { case (dn, df) =>
+      df.agg(lit(dn).as("dim_name"), count(lit(1)).as("dim_rows"))
+    }.reduce(_ unionByName _)
+    // n-row relation: the global window is over the dim COUNT, never data
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dim_bytes"), col("dim_name"))
+    val flagged = dimCounts
+      .withColumn("dim_bytes", col("dim_rows") * rowBytes)
+      .withColumn("cum", sum(col("dim_bytes")).over(w))
+      .withColumn("dim_broadcast",
+        (col("cum") <= broadcastBudgetBytes).cast("int"))
+    val overall = flagged.agg(
+      min(col("dim_broadcast")).as("__all"), max(col("dim_broadcast")).as("__any"))
+    flagged
+      .join(broadcast(factRows), lit(true))
+      .join(broadcast(overall), lit(true))
+      .select(
+        lit(name).as("join_name"),
+        col("dim_name"), col("dim_rows"), col("dim_bytes"),
+        col("fact_rows"), col("dim_broadcast"),
+        when(col("__all") === 1, "broadcast-cascade")
+          .when(col("__any") === 0, "shuffle-cascade")
+          .otherwise("mixed-cascade").as("advice"))
+  }
+
   /** Reference output shape: `key, "l1,l2,..", "r1,r2,.."` — the text
     * sink then renders `key TAB l,r` (RepartitionJoin.java:80). Columns
     * are stringified with comma separators exactly like the reference's

@@ -39,6 +39,14 @@ object DataGenQueries {
       |d AS (SELECT k, coalesce(lag(cumcnt) OVER (ORDER BY k), 0) AS off,
       |  cumcnt - coalesce(lag(cumcnt) OVER (ORDER BY k), 0) AS cnt FROM b)""".stripMargin
 
+  /** Shared by datagen_heavy_hitters (batch MG + recount) and
+    * stream_heavy_hitters (state-carried MG across micro-batches +
+    * recount): both serve EXACTLY {key | freq·16 > 10000}, computed
+    * here from the closed-form Zipf histogram. */
+  private[queries] def heavyHittersOracle: String =
+    s"""$zipfCdfCte
+       |SELECT k AS key, cnt AS freq FROM d WHERE cnt * 16 > 10000""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     // G1: the deterministic attribute pool itself
     QueryDef(
@@ -136,10 +144,7 @@ object DataGenQueries {
     // thesis §6.4) without ever shuffling the full key cardinality.
     // The guarantee makes the output EXACTLY {key | freq*16 > rows},
     // which the oracle computes from the closed-form histogram.
-    QueryDef(
-      "datagen_heavy_hitters",
-      s"""$zipfCdfCte
-         |SELECT k AS key, cnt AS freq FROM d WHERE cnt * 16 > 10000""".stripMargin) { (s, _) =>
+    QueryDef("datagen_heavy_hitters", heavyHittersOracle) { (s, _) =>
       graft.operators.HeavyHitters.heavyHitters(
         DataGen.zipfTable(s, 10000, 100, 0.9), col("key"), k = 16)
     },

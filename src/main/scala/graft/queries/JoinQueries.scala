@@ -320,6 +320,37 @@ object JoinQueries {
             rowBytes = 200L, broadcastBudgetBytes = 1048576L, reducers = 32)
         }.reduce(_ unionByName _)
     },
+    // multi-way star advice (Joins.adviseMultiway — VERDICT r7 #4,
+    // thesis §5.4/§7 future work): the lineitem star against
+    // supplier/part/orders under a 1 MiB cumulative broadcast budget —
+    // greedy-knapsack admission in (bytes ASC, name) order, so the
+    // advice varies with SF (sf0.001 fits every dim → broadcast-cascade;
+    // sf0.01's orders blows the running total → mixed-cascade). The
+    // multiway sim sweep (sim.Simulation --multiway) measures the same
+    // three cascades; JoinsSpec pins each advice branch.
+    QueryDef(
+      "join_multiway_advice",
+      """WITH dims(dim_name, dim_rows) AS (
+        |  SELECT 'part', count(*) FROM part
+        |  UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |  UNION ALL SELECT 'orders', count(*) FROM orders),
+        |f AS (SELECT count(*) AS fact_rows FROM lineitem),
+        |b AS (SELECT dim_name, dim_rows, dim_rows * 200 AS dim_bytes,
+        |  sum(dim_rows * 200) OVER (ORDER BY dim_rows * 200, dim_name) AS cum FROM dims),
+        |g AS (SELECT dim_name, dim_rows, dim_bytes,
+        |  CAST(cum <= 1048576 AS INT) AS dim_broadcast FROM b),
+        |a AS (SELECT CASE WHEN min(dim_broadcast) = 1 THEN 'broadcast-cascade'
+        |                  WHEN max(dim_broadcast) = 0 THEN 'shuffle-cascade'
+        |                  ELSE 'mixed-cascade' END AS advice FROM g)
+        |SELECT 'lineitem-star' AS join_name, dim_name, dim_rows, dim_bytes,
+        |  fact_rows, dim_broadcast, advice
+        |FROM g, f, a""".stripMargin) { (s, d) =>
+      Joins.adviseMultiway("lineitem-star", Tables.table(s, d, "lineitem"),
+        Seq("part" -> Tables.table(s, d, "part"),
+          "supplier" -> Tables.table(s, d, "supplier"),
+          "orders" -> Tables.table(s, d, "orders")),
+        rowBytes = 200L, broadcastBudgetBytes = 1048576L)
+    },
     // sketch-based join-size estimation (functions.CmsInnerProduct):
     // |views ⋈ clicks on user| estimated from two count-min sketches —
     // the pre-shuffle cardinality statistic a cost-based planner feeds

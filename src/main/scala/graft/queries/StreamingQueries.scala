@@ -244,6 +244,14 @@ object StreamingQueries {
     QueryDef("stream_kmv_distinct", DataGenQueries.kmvDistinctOracle) { (s, d) =>
       Streaming.streamKmvDistinct(s, d)
     },
+    // streaming Misra–Gries heavy hitters (Streaming.streamHeavyHitters
+    // — VERDICT r7 #6): the MG sketch folded forward in
+    // transformWithState state across a 4-slice arrival, final
+    // candidates recounted exactly — streamed ≡ batch
+    // (datagen_heavy_hitters), one shared closed-form oracle.
+    QueryDef("stream_heavy_hitters", DataGenQueries.heavyHittersOracle) { (s, _) =>
+      Streaming.streamHeavyHitters(s)
+    },
     // Spark 4 transformWithState (arbitrary-state V2, RocksDB-backed):
     // per-user (count, Σ integer cents, max event id) in one typed
     // ValueState — order-free accumulators, batch-replayable oracle

@@ -39,6 +39,7 @@ object Simulation {
       nativeGen: Boolean = false, // Zipf via the native ZipfSource plan
       advise: Boolean = false, // print Joins.adviseStrategy per step
       adviseBudgetMb: Long = 512, // broadcast budget the advisor assumes
+      multiwayDims: Int = 0, // > 0 → multi-way star sweep instead of binary
       out: String = "results.csv",
       workDir: String = s"${sys.props("java.io.tmpdir")}/graft_sim")
 
@@ -58,6 +59,7 @@ object Simulation {
       case "--native-gen" :: t           => loop(a.copy(nativeGen = true), t)
       case "--advise" :: t               => loop(a.copy(advise = true), t)
       case "--advise-budget-mb" :: v :: t => loop(a.copy(adviseBudgetMb = v.toLong), t)
+      case "--multiway" :: v :: t        => loop(a.copy(multiwayDims = v.toInt), t)
       case "--out" :: v :: t             => loop(a.copy(out = v), t)
       case "--work-dir" :: v :: t        => loop(a.copy(workDir = v), t)
       case Nil                           => a
@@ -174,8 +176,90 @@ object Simulation {
     s"$rows,$unique,${a.reducers},${a.zipfSkew.getOrElse(0.0)},$fileSize,$j1,$j2,$j3"
   }
 
+  /** Multi-way star sweep (--multiway N, VERDICT r7 #4 / thesis
+    * §5.4+§7 future work): one fact of `rows` rows carrying N foreign
+    * keys against N dims of sizes unique, unique/10, unique/100, … —
+    * the three cascade strategies the advisor chooses between, each
+    * measured end-to-end:
+    *
+    *  - broadcast-cascade: every dim broadcast-hinted — one fact scan,
+    *    zero exchanges;
+    *  - shuffle-cascade: broadcast disabled + AQE off — each join
+    *    exchanges the surviving fact on its key;
+    *  - aqe-auto: planner defaults — what Spark picks unassisted.
+    *
+    * CSV: rows,dims,strategy,wall_ms,shuffle_records. The advisor's
+    * recommendation for the same star prints as an [advise-multiway]
+    * line so the sweep carries its own decision next to the timings. */
+  def multiwayStep(spark: SparkSession, a: Args, rows: Long): Seq[String] = {
+    val unique = if (a.uniqueValues > 0) a.uniqueValues else math.max(1L, rows / 10)
+    val nd = a.multiwayDims
+    val wd = s"${a.workDir}/mw$rows"
+    val dimSizes = (0 until nd).map(i =>
+      math.max(1L, unique / math.round(math.pow(10d, i.toDouble))))
+    // fact: rid + one uniform key per dim (xxhash64-scattered), a ~200 B
+    // attr payload like the binary harness's rows
+    val fact0 = spark.range(rows).select(
+      (col("id") +: dimSizes.zipWithIndex.map { case (sz, i) =>
+        pmod(xxhash64(col("id") * 31 + i), lit(sz)).as(s"k$i")
+      }) :+ DataGen.poolAttr(col("id"), 100).as("attr"): _*)
+    Tables.writeStage(fact0, s"$wd/fact")
+    val dims = dimSizes.zipWithIndex.map { case (sz, i) =>
+      val d0 = spark.range(sz).select(col("id").as(s"dk$i"),
+        DataGen.poolAttr(col("id") + i, 100).as(s"dattr$i"))
+      Tables.writeStage(d0, s"$wd/dim$i")
+      (s"dim$i", Tables.readStage(spark, s"$wd/dim$i"))
+    }
+    val fact = Tables.readStage(spark, s"$wd/fact")
+
+    val fileBytes = graft.operators.Layout.dataBytes(s"$wd/fact")
+    val adv = Joins.adviseMultiway(s"mw_r$rows", fact, dims,
+      rowBytes = math.max(1L, fileBytes / rows),
+      broadcastBudgetBytes = a.adviseBudgetMb * 1000000L)
+      .collect()
+    adv.foreach(r => println(s"[advise-multiway] rows=$rows dim=${r.getString(1)} " +
+      s"dim_bytes=${r.getLong(3)} broadcast=${r.getInt(5)} advice=${r.getString(6)}"))
+
+    def cascade(hint: String => DataFrame => DataFrame): Long = {
+      dims.zipWithIndex.foldLeft(fact) { case (acc, ((dn, d), i)) =>
+        acc.join(hint(dn)(d), col(s"k$i") === col(s"dk$i"))
+      }.count()
+    }
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevB = spark.conf.get(bcastKey)
+    val strategies = Seq[(String, () => Long)](
+      "broadcast-cascade" -> (() => cascade(_ => d => broadcast(d))),
+      "shuffle-cascade" -> { () =>
+        spark.conf.set(bcastKey, "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try cascade(_ => identity)
+        finally {
+          spark.conf.set(bcastKey, prevB)
+          spark.conf.set("spark.sql.adaptive.enabled", a.aqe.toString)
+        }
+      },
+      "aqe-auto" -> (() => cascade(_ => identity)))
+    val lines = strategies.map { case (name, body) =>
+      val (n, st) = Measure.measured(spark)(body())
+      val ms = st.wallClockSec * 1000
+      println(f"[multiway] rows=$rows dims=$nd strategy=$name wall_ms=$ms%.0f joined=$n")
+      f"$rows,$nd,$name,$ms%.0f,${st.shuffleRecordsWritten}"
+    }
+    Tables.deleteRecursive(wd)
+    lines
+  }
+
   def run(spark: SparkSession, a: Args): Seq[String] = {
     val rowsSeq = (0 until a.steps).map(i => a.rows + i * a.increment)
+    if (a.multiwayDims > 0) {
+      val lines = rowsSeq.flatMap(r => multiwayStep(spark, a, r))
+      val out = new java.io.PrintWriter(new java.io.FileOutputStream(a.out))
+      try {
+        if (!a.noHeader) out.println("rows,dims,strategy,wall_ms,shuffle_records")
+        lines.foreach(out.println)
+      } finally out.close()
+      return lines
+    }
     val lines = rowsSeq.map(r => step(spark, a, r))
     val out = new java.io.PrintWriter(new java.io.FileOutputStream(a.out))
     try {

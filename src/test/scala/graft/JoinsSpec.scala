@@ -156,6 +156,36 @@ class JoinsSpec extends SparkSpec {
       r.getLong(4) == 1000L)
   }
 
+  test("adviseMultiway admits dims greedily against the cumulative budget") {
+    import spark.implicits._
+    val fact = (1L to 100L).toDF("f")
+    val d1 = (1L to 2L).toDF("k")  // 200 B at 100 B/row
+    val d2 = (1L to 5L).toDF("k")  // 500 B
+    val d3 = (1L to 30L).toDF("k") // 3000 B
+    def advise(budget: Long): Map[String, (Int, String)] =
+      Joins.adviseMultiway("t", fact,
+          Seq("d1" -> d1, "d2" -> d2, "d3" -> d3),
+          rowBytes = 100L, broadcastBudgetBytes = budget)
+        .collect()
+        .map(r => r.getString(1) -> ((r.getInt(5), r.getString(6)))).toMap
+    // all three fit the running total (200+500+3000 ≤ 3700)
+    val all = advise(3700L)
+    assert(all.values.forall(_._2 == "broadcast-cascade"))
+    assert(all.values.forall(_._1 == 1))
+    // nothing fits (budget below the smallest dim)
+    val none = advise(199L)
+    assert(none.values.forall(_._2 == "shuffle-cascade"))
+    assert(none.values.forall(_._1 == 0))
+    // mixed: d1 (cum 200) and d2 (cum 700) admit, d3 (cum 3700) shuffles
+    val mixed = advise(700L)
+    assert(mixed.values.forall(_._2 == "mixed-cascade"))
+    assert(mixed("d1")._1 == 1 && mixed("d2")._1 == 1 && mixed("d3")._1 == 0)
+    // the budget is CUMULATIVE: d2 alone would fit 500, but after d1's
+    // 200 the running total 700 exceeds a 600 budget — d2 must shuffle
+    val cum = advise(600L)
+    assert(cum("d1")._1 == 1 && cum("d2")._1 == 0 && cum("d3")._1 == 0)
+  }
+
   test("bloomSemiJoin equals the plain semi join and prunes at the fact scan") {
     val fact = Tables.table(spark, sf, "lineitem")
     val dim = Tables.table(spark, sf, "orders")
