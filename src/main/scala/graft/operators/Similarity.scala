@@ -737,6 +737,47 @@ object Similarity {
     } finally { u.unpersist(); tok.unpersist(): Unit }
   }
 
+  /** Delta INGEST-GATE probe against a [[writeTfidfIndex]] layout —
+    * the tf-idf-space twin of [[Dedup.incrementalDedupStored]]: score
+    * an arriving batch's documents against the STORED corpus without
+    * appending them, returning (new_doc, dup_of, cos ≥ threshold)
+    * cross pairs. The delta embeds under the FROZEN stored idf
+    * (exactly [[appendToTfidfIndex]]'s weighting, so gate-then-append
+    * is consistent), and the probe reads ONLY the delta's touched term
+    * buckets from both the idf and postings stores — partition
+    * pruning makes the gate O(delta terms' bucket rows), never a
+    * corpus posting scan, and the join is delta×corpus restricted to
+    * shared terms (the direct-strategy accumulation, exact DECIMAL). */
+  def tfidfDeltaProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: DataFrame, threshold: Double): DataFrame = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val termBuckets = m.getAs[Int]("term_buckets")
+    val tok = tfTable(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tbs = tok
+        .select(pmod(xxhash64(col("t")), lit(termBuckets.toLong)).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val idf = spark.read.parquet(s"$path/idf")
+        .filter(col("tb").cast("long").isin(tbs: _*))
+        .select(col("t"), col("idf"))
+      val u = unitVectors(tok, idf, broadcastSide = "tok")
+      try {
+        val posts = spark.read.parquet(s"$path/postings")
+          .filter(col("tb").cast("long").isin(tbs: _*))
+          .select(col("doc_id").as("dup_of"), col("t"), col("u").as("bu"))
+        u.select(col("doc_id").as("new_doc"), col("t"), col("u").as("au"))
+          .join(posts, Seq("t"))
+          .select(col("new_doc"), col("dup_of"),
+            expr("CAST(round(au * bu, 6) AS DECIMAL(28,12))").as("p"))
+          .groupBy("new_doc", "dup_of")
+          .agg(round(sum(col("p")).cast("double"), 6).as("cos"))
+          .filter(col("cos") >= threshold)
+          .localCheckpoint(true)
+      } finally u.unpersist(): Unit
+    } finally tok.unpersist(): Unit
+  }
+
   /** Re-derive the serving tier from the stored raw tf — the
     * statistics-repair verb closing the frozen-idf drift
     * [[appendToTfidfIndex]] accrues: fresh n/df/idf over the FULL

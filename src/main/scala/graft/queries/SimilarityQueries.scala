@@ -281,6 +281,35 @@ object SimilarityQueries {
       |FROM p GROUP BY doc_a, doc_b
       |HAVING round(CAST(sum(p) AS DOUBLE), 6) >= 0.3""".stripMargin
 
+  /** The frozen contract restricted to delta × base cross pairs —
+    * join_tfidf_delta_probe's replay: statistics over the base
+    * four-fifths, delta docs embedded in that vocabulary, pairs =
+    * (delta doc, base doc) only. */
+  private def tfidfDeltaProbeOracle: String =
+    """WITH t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |tok0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t
+      |  FROM t0 WHERE len(w) >= 3),
+      |tok AS (SELECT doc_id, t, count(*) AS tf FROM tok0 GROUP BY doc_id, t),
+      |base AS (SELECT * FROM tok WHERE doc_id % 5 <> 4),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM base),
+      |df AS (SELECT t, round(log10(CAST(n.n AS DOUBLE) / count(*)), 6) AS idf
+      |  FROM base, n GROUP BY t, n.n HAVING count(*) * 1000000 <= n.n * 500000),
+      |w AS (SELECT tok.doc_id, tok.t, round(tf * idf, 6) AS w
+      |  FROM tok JOIN df ON tok.t = df.t),
+      |nrm AS (SELECT doc_id,
+      |    sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+      |  FROM w GROUP BY doc_id),
+      |u AS (SELECT w.doc_id, w.t, round(w.w / nrm.nrm, 6) AS u
+      |  FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+      |p AS (SELECT a.doc_id AS new_doc, b.doc_id AS dup_of,
+      |    CAST(round(a.u * b.u, 6) AS DECIMAL(28,12)) AS p
+      |  FROM u a JOIN u b ON a.t = b.t
+      |  WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4)
+      |SELECT new_doc, dup_of, round(CAST(sum(p) AS DOUBLE), 6) AS cos
+      |FROM p GROUP BY new_doc, dup_of
+      |HAVING round(CAST(sum(p) AS DOUBLE), 6) >= 0.3""".stripMargin
+
   /** Idempotent stamp-keyed stored tf-idf index under java.io.tmpdir —
     * built once per (sfDir, documents.parquet bytes); the srcStamp key
     * (the Streaming arrival-fixture scheme) means driver testdata
@@ -664,6 +693,17 @@ object SimilarityQueries {
       Similarity.appendToTfidfIndex(idx,
         tfidfTerms(s, d).filter(col("doc_id") % 5 === 4))
       Similarity.tfidfCosinePairsStored(s, idx, threshold = 0.3)
+    },
+    // the ingest-gate PROBE against the stored index
+    // (Similarity.tfidfDeltaProbe): the delta fifth scored for cosine
+    // near-dups against the pristine base corpus WITHOUT appending —
+    // the tf-idf-space decontamination/dedup gate, reading only the
+    // delta's touched term buckets from the idf and postings stores.
+    // The oracle replays the frozen contract restricted to
+    // delta × base cross pairs.
+    QueryDef("join_tfidf_delta_probe", tfidfDeltaProbeOracle) { (s, d) =>
+      Similarity.tfidfDeltaProbe(s, pristineTfidfBase(s, d).getPath,
+        tfidfTerms(s, d).filter(col("doc_id") % 5 === 4), threshold = 0.3)
     },
     // the FULL tf-idf index lifecycle (VERDICT r7 #1): build base →
     // O(delta) append → LSM compact → statistics REFRESH (fresh

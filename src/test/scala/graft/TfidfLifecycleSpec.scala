@@ -57,6 +57,30 @@ class TfidfLifecycleSpec extends SparkSpec {
     Tables.deleteRecursive(idx)
   }
 
+  test("delta probe equals frozen-append-then-serve restricted to cross pairs") {
+    // the gate-then-append consistency triangle: probing a batch
+    // against the pristine index must return EXACTLY the delta×base
+    // pairs that appending the batch and serving would report — a gate
+    // verdict can never be contradicted by the post-ingest index
+    val idx = Tables.scratchDir("spec_tfidf_probe")
+    Similarity.writeTfidfIndex(terms.filter(col("doc_id") % 5 =!= 4), idx)
+    val delta = terms.filter(col("doc_id") % 5 === 4)
+    val probed = Similarity.tfidfDeltaProbe(spark, idx, delta, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Similarity.appendToTfidfIndex(idx, delta)
+    val served = pairSet(Similarity.tfidfCosinePairsStored(spark, idx, 0.3))
+      .collect {
+        // served pairs are (min, max)-ordered; a cross pair has exactly
+        // one member in the delta fifth
+        case (a, b, cos) if (a % 5 == 4) != (b % 5 == 4) =>
+          (if (a % 5 == 4) (a, b, cos) else (b, a, cos))
+      }
+    assert(probed == served,
+      s"probe/append divergence: probe-only=${(probed -- served).take(3)} served-only=${(served -- probed).take(3)}")
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(idx)
+  }
+
   test("frozen-idf append embeds delta docs in the base vocabulary only") {
     val idx = Tables.scratchDir("spec_tfidf_frozen")
     val base = terms.filter(col("doc_id") % 5 =!= 4)
