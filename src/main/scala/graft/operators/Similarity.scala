@@ -1164,6 +1164,55 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Batch INSERT into a [[writeKnnGraphIndex]] layout — the HNSW-class
+    * incremental-graph maintenance verb: every delta vector
+    * beam-searches the PRISTINE stored graph for its `kGraph` nearest
+    * reachable neighbors (batch semantics — no delta node sees
+    * another, so insertion is order-free and the oracle replays each
+    * walk independently), then
+    *
+    *  - forward edges (delta → found) land in the delta nodes' `sb`
+    *    partitions,
+    *  - REVERSE edges (found → delta) land in the found nodes'
+    *    partitions — what makes the inserted vectors REACHABLE by
+    *    later queries (HNSW's bidirectional link step),
+    *  - the delta's (vid, v, nrm) rows append into `vectors/`.
+    *
+    * All writes are parquet appends into existing partition dirs —
+    * O(delta·kGraph) rows, no stored file rewritten (the
+    * GraphIndexSpec snapshot pin). Per batch a corpus node gains at
+    * most one reverse edge per inserted neighbor, so degree drift is
+    * bounded by the ingest volume; re-truncating to the degree bound
+    * is the refresh-tier verb (HNSW's neighbor-selection prune),
+    * orthogonal exactly as statistics refresh is to the tf-idf
+    * append. Returns the number of inserted vectors. */
+  def appendToKnnGraphIndex(path: String, delta: DataFrame, vec: Column,
+      id: Column, kGraph: Int, nProbe: Int, beamWidth: Int,
+      rounds: Int): Long = {
+    require(beamWidth >= kGraph, s"beamWidth ($beamWidth) must be >= kGraph ($kGraph)")
+    val spark = delta.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val srcBuckets = m.getAs[Int]("src_buckets")
+    val docBuckets = m.getAs[Int]("doc_buckets")
+    // materialize the insertion walks BEFORE any write: the beam reads
+    // the same stores the appends below mutate
+    val (edges, _, nEdges) = Iterate.ckpt(
+      beamSearchKnnStored(path, delta, vec, id, k = kGraph, nProbe,
+          beamWidth, rounds)
+        .select(col("query_id").as("d"), col("neighbor_id").as("nb")))
+    require(nEdges > 0L, "insertion beam found no neighbors — empty index?")
+    edges.select(col("d").as("src"), col("nb").as("dst"))
+      .unionByName(edges.select(col("nb").as("src"), col("d").as("dst")))
+      .withColumn("sb", pmod(xxhash64(col("src")), lit(srcBuckets.toLong)))
+      .repartition(col("sb"))
+      .write.mode("append").partitionBy("sb").parquet(s"$path/adj")
+    val e = withNorm(delta, vec, id)
+    e.withColumn("db", pmod(xxhash64(col("vid")), lit(docBuckets.toLong)))
+      .repartition(col("db"))
+      .write.mode("append").partitionBy("db").parquet(s"$path/vectors")
+    e.select(count(lit(1))).head().getLong(0)
+  }
+
   /** Best-first BEAM SEARCH over a [[writeKnnGraphIndex]] layout — the
     * query-time walk of graph ANN: seed each query's beam with its
     * `nProbe` best entry points, then `rounds` rounds of expand

@@ -221,6 +221,74 @@ object SimilarityQueries {
        |  FROM f4) WHERE rk <= 5""".stripMargin
   }
 
+  /** Unrolled replay for ann_graph_append — two chained beam tiers:
+    * (1) every delta node's INSERTION walk over the pristine base
+    * graph (top-8 of the final beam = its forward edges), (2) the
+    * serve walk over the GROWN graph (base ∪ forward ∪ reverse
+    * edges). Same integer-micros arithmetic as graphBeamOracle; every
+    * multiply-referenced CTE MATERIALIZED. */
+  private def graphAppendOracle: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def sm(qv: String, qn: String, v: String, nrm: String) =
+      s"CAST(round(${fold(qv, v)} / ($qn * $nrm) * 1000000, 0) AS BIGINT)"
+    // one beam round: expand pfx-f(r-1) through adjRel, score new
+    // candidates for qRel's queries against the full vector table n,
+    // keep the best 16
+    def round(pfx: String, r: Int, adjRel: String, qRel: String): String =
+      s"""${pfx}cand$r AS (SELECT DISTINCT f.qid, a.dst AS vid
+         |  FROM ${pfx}f${r - 1} f JOIN $adjRel a ON a.src = f.vid
+         |  WHERE a.dst <> f.qid
+         |    AND NOT EXISTS (SELECT 1 FROM ${pfx}f${r - 1} x WHERE x.qid = f.qid AND x.vid = a.dst)),
+         |${pfx}sc$r AS (SELECT c.qid, c.vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm
+         |  FROM ${pfx}cand$r c JOIN $qRel q ON q.qid = c.qid JOIN n ON n.vec_id = c.vid),
+         |${pfx}f$r AS MATERIALIZED (SELECT qid, vid, sm FROM (
+         |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+         |  FROM (SELECT * FROM ${pfx}f${r - 1} UNION ALL SELECT * FROM ${pfx}sc$r)) WHERE rk <= 16)""".stripMargin
+    def seed(pfx: String, qRel: String): String =
+      s"""${pfx}f0 AS MATERIALIZED (SELECT qid, vid, sm FROM (
+         |  SELECT q.qid, n.vec_id AS vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY ${sm("q.qv", "q.qn", "n.v", "n.nrm")} DESC, n.vec_id) AS rk
+         |  FROM $qRel q JOIN ent ON TRUE JOIN n ON n.vec_id = ent.vid
+         |  WHERE n.vec_id <> q.qid) WHERE rk <= 4)""".stripMargin
+    s"""$normCte,
+       |bn AS (SELECT * FROM n WHERE vec_id % 3 <> 1),
+       |bap AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |  ${fold("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM bn a JOIN bn b ON a.vec_id <> b.vec_id),
+       |badj AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM bap) WHERE rk <= 8),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM bn WHERE vec_id < 8),
+       |asg0 AS (SELECT d.vec_id, c.cid,
+       |  ${fold("d.v", "c.cv")} / (d.nrm * c.cn) AS ccos
+       |  FROM bn d CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |  FROM asg0) WHERE crn = 1),
+       |ent AS MATERIALIZED (SELECT min(vec_id) AS vid FROM asg GROUP BY cid),
+       |dq AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 3 = 1),
+       |${seed("i", "dq")},
+       |${round("i", 1, "badj", "dq")},
+       |${round("i", 2, "badj", "dq")},
+       |${round("i", 3, "badj", "dq")},
+       |${round("i", 4, "badj", "dq")},
+       |ins AS MATERIALIZED (SELECT qid, vid FROM (
+       |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+       |  FROM if4) WHERE rk <= 8),
+       |adj AS MATERIALIZED (SELECT src, dst FROM badj
+       |  UNION ALL SELECT qid AS src, vid AS dst FROM ins
+       |  UNION ALL SELECT vid AS src, qid AS dst FROM ins),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+       |${seed("s", "q")},
+       |${round("s", 1, "adj", "q")},
+       |${round("s", 2, "adj", "q")},
+       |${round("s", 3, "adj", "q")},
+       |${round("s", 4, "adj", "q")}
+       |SELECT qid AS query_id, vid AS neighbor_id, rk AS rnk, sm AS score_micros FROM (
+       |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+       |  FROM sf4) WHERE rk <= 5""".stripMargin
+  }
+
   /** Word 3-shingle term stream for the tf-idf pair queries. */
   private def tfidfTerms(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.table(s, d, "documents").select(col("doc_id"),
@@ -655,6 +723,50 @@ object SimilarityQueries {
       }
       Similarity.beamSearchKnnStored(idx.getPath,
         emb.filter(col("vec_id") % 50 === 0),
+        col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+        rounds = 4)
+    },
+    // graph-index INSERT lifecycle (Similarity.appendToKnnGraphIndex —
+    // the HNSW-class incremental maintenance verb): the pristine index
+    // holds the vec_id % 3 <> 1 two-thirds; the run copies it, batch-
+    // inserts the remaining third (each delta vector beam-searches the
+    // pristine graph for its top-8 neighbors; forward AND reverse
+    // edges append, making the inserts reachable), then serves queries
+    // from the GROWN graph. The oracle replays both tiers — every
+    // insertion walk, the edge union, and the serve walk — unrolled.
+    QueryDef("ann_graph_append", graphAppendOracle) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") % 3 =!= 1)
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      require(src.exists(), s"graph-append source does not exist: $src")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val pristine = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_knngb_$key")
+      val ready = new java.io.File(pristine, "_GRAFT_READY")
+      if (!ready.exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(pristine)
+        Similarity.writeKnnGraphIndex(
+          Similarity.knnGraphExact(base, col("embedding"), col("vec_id"), 8),
+          base, col("embedding"), col("vec_id"),
+          Similarity.ivfAssignments(base, col("embedding"), col("vec_id"), 8)
+            .groupBy("cid").agg(min(col("vid")).as("vid")),
+          pristine.getPath)
+        ready.createNewFile(): Unit
+      }
+      val phase = new Phases("ann_graph_append")
+      val idx = Tables.scratchDir("graft_knng_append")
+      phase("copy") {
+        graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
+      }
+      val inserted = phase("insert") {
+        Similarity.appendToKnnGraphIndex(idx, emb.filter(col("vec_id") % 3 === 1),
+          col("embedding"), col("vec_id"), kGraph = 8, nProbe = 4,
+          beamWidth = 16, rounds = 4)
+      }
+      phase.emit(s""","inserted":$inserted""")
+      Similarity.beamSearchKnnStored(idx, emb.filter(col("vec_id") % 50 === 0),
         col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
         rounds = 4)
     },
