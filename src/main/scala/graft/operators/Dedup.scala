@@ -309,9 +309,17 @@ object Dedup {
     * the banded join's probe stream stays inside whole-stage codegen —
     * nothing quadratic is ever shuffled. */
   def simhashDedup(docs: DataFrame, text: Column, id: Column,
+      maxHamming: Int = 15, threshold: Double = 0.8, words: Int = 1): DataFrame =
+    simhashDedupFromShingles(shingles(docs, text, id), maxHamming, threshold, words)
+
+  /** [[simhashDedup]] over a CALLER-SUPPLIED distinct shingle stream
+    * `(doc_id, s)` — the banding/refine/verify pipeline is
+    * feature-agnostic, so any deterministic per-record feature set
+    * (word shingles here, payload byte k-grams in
+    * [[Multimodal.mediaNearDup]]) drops into the same machinery. */
+  def simhashDedupFromShingles(sh: DataFrame,
       maxHamming: Int = 15, threshold: Double = 0.8, words: Int = 1): DataFrame = {
     require(maxHamming < 16 * words, s"banding guarantees hamming <= ${16 * words - 1}")
-    val sh = shingles(docs, text, id)
     val features = sh.select(col("doc_id"),
       array((0 until words).map(w => xxhash64(lit(w), col("s"))): _*).as("hs"),
       lit(1L).as("w"))
@@ -874,6 +882,17 @@ object Dedup {
       .repartition(col("fb"))
       .write.mode("append").partitionBy("fb").parquet(s"$path/fps")
   }
+
+  /** Replayed-append RECOVERY for a [[writeWinnowIndex]] layout
+    * (ADVICE r8): a blind retry of [[appendToWinnowIndex]] lands the
+    * same `(doc_id, fp)` rows twice, which would inflate shared-count
+    * overlaps in [[winnowingOverlapStored]]. The stored row set is
+    * distinct by construction (each batch writes `.distinct()`), so a
+    * distinct-rewrite restores the exact single-applied state. Full
+    * rewrite — rare recovery path; routine small-file maintenance is
+    * [[Layout.compactPartitioned]]. */
+  def repairWinnowIndex(spark: SparkSession, path: String): Unit =
+    Layout.distinctRewrite(spark, s"$path/fps", "fb")
 
   /** [[winnowingOverlapJoin]] served from a [[writeWinnowIndex]]
     * layout: the corpus never re-winnows — the stored fingerprint

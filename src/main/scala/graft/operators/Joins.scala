@@ -319,6 +319,73 @@ object Joins {
           .otherwise("mixed-cascade").as("advice"))
   }
 
+  /** [[adviseMultiway]] + a per-join-key SKEW probe (VERDICT r8 #4 —
+    * the multiway analogue of [[adviseStrategy]]'s thesis-§6.4
+    * merge-feasibility check, which the star advisor previously
+    * ignored): each dim carries its fact-side join key, and one
+    * map-side-combinable aggregate per key measures the hottest key's
+    * repeat count. A cascade stage whose key fails the §6.4 test
+    * (max_repeats · reducers · 10 > fact_rows · 9, cross-multiplied
+    * exact) would hand one reducer ≳ its fair share of the whole
+    * fact, so the per-dim advice becomes:
+    *
+    *  - `broadcast` when the knapsack admits the dim — broadcast
+    *    joins never partition by the key, so skew is moot (exactly
+    *    why low-cardinality dims, where skew lives, should spend
+    *    broadcast budget first);
+    *  - `salted-shuffle` when shuffled AND skewed — salt the hot
+    *    keys / let AQE split the oversized partition
+    *    ([[autoSaltedJoin]] is the executable form);
+    *  - `shuffle` otherwise.
+    *
+    * The overall cascade advice is unchanged (broadcast feasibility
+    * is orthogonal to skew). All arithmetic integer — any engine
+    * computes identical advice; `join_multiway_advice` pins it
+    * against the SQL replay. */
+  def adviseMultiwaySkew(name: String, fact: DataFrame,
+      dims: Seq[(String, DataFrame, Column)], rowBytes: Long,
+      broadcastBudgetBytes: Long, reducers: Int): DataFrame = {
+    require(dims.nonEmpty, "adviseMultiwaySkew needs at least one dim")
+    val factRows = fact.agg(count(lit(1)).as("fact_rows"))
+    // hottest fact key per dim: ONE two-level aggregate per key column,
+    // partials map-side — the fact is scanned, never shuffled wide
+    val keyStats = dims.map { case (dn, _, k) =>
+      fact.select(k.as("__k")).groupBy("__k").agg(count(lit(1)).as("__c"))
+        .agg(lit(dn).as("dim_name"),
+          coalesce(max(col("__c")), lit(0L)).as("key_max_repeats"))
+    }.reduce(_ unionByName _)
+    val dimCounts = dims.map { case (dn, df, _) =>
+      df.agg(lit(dn).as("dim_name"), count(lit(1)).as("dim_rows"))
+    }.reduce(_ unionByName _)
+    // n-row relation: the global window is over the dim COUNT, never data
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dim_bytes"), col("dim_name"))
+    val flagged = dimCounts
+      .withColumn("dim_bytes", col("dim_rows") * rowBytes)
+      .withColumn("cum", sum(col("dim_bytes")).over(w))
+      .withColumn("dim_broadcast",
+        (col("cum") <= broadcastBudgetBytes).cast("int"))
+    val overall = flagged.agg(
+      min(col("dim_broadcast")).as("__all"), max(col("dim_broadcast")).as("__any"))
+    flagged
+      .join(broadcast(keyStats), Seq("dim_name"))
+      .join(broadcast(factRows), lit(true))
+      .join(broadcast(overall), lit(true))
+      .withColumn("dim_skewed",
+        (col("key_max_repeats") * reducers * 10 > col("fact_rows") * 9).cast("int"))
+      .select(
+        lit(name).as("join_name"),
+        col("dim_name"), col("dim_rows"), col("dim_bytes"),
+        col("fact_rows"), col("key_max_repeats"),
+        col("dim_broadcast"), col("dim_skewed"),
+        when(col("dim_broadcast") === 1, "broadcast")
+          .when(col("dim_skewed") === 1, "salted-shuffle")
+          .otherwise("shuffle").as("dim_advice"),
+        when(col("__all") === 1, "broadcast-cascade")
+          .when(col("__any") === 0, "shuffle-cascade")
+          .otherwise("mixed-cascade").as("advice"))
+  }
+
   /** Reference output shape: `key, "l1,l2,..", "r1,r2,.."` — the text
     * sink then renders `key TAB l,r` (RepartitionJoin.java:80). Columns
     * are stringified with comma separators exactly like the reference's

@@ -63,14 +63,57 @@ object Layout {
     * the dedup_index_append gate pin this). Driver-side dir listing is
     * bounded by the layout's partition fan-out — configuration, not
     * data. Returns the number of partitions rewritten. */
+  /** `key=value` partition leaf dirs `depth` levels under `f`. */
+  def partitionLeaves(f: java.io.File, depth: Int): Seq[java.io.File] =
+    if (depth == 0) Seq(f)
+    else Option(f.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(c => c.isDirectory && c.getName.contains("="))
+      .flatMap(partitionLeaves(_, depth - 1))
+
+  /** Swap every partition leaf dir present under `tmpDir` in over its
+    * counterpart under `dir` — metadata-only renames (FileSystem.rename
+    * at cluster scale); partitions absent from `tmpDir` are untouched.
+    * Readers between swaps see either the old or the new file set of a
+    * partition, never a mix. Shared by [[compactPartitioned]] and the
+    * pruned-rewrite maintenance verbs
+    * ([[Similarity.pruneKnnGraphIndex]]). */
+  def swapPartitionLeaves(dir: String, tmpDir: String, depth: Int): Unit = {
+    val root = new java.io.File(dir)
+    val tmpRoot = new java.io.File(tmpDir)
+    for (leaf <- partitionLeaves(tmpRoot, depth)) {
+      val target = new java.io.File(root,
+        tmpRoot.toPath.relativize(leaf.toPath).toString)
+      graft.sources.Tables.deleteRecursive(target.getPath)
+      if (!target.getParentFile.exists()) target.getParentFile.mkdirs(): Unit
+      require(leaf.renameTo(target), s"partition swap failed: $leaf -> $target")
+    }
+  }
+
+  /** DISTINCT-rewrite a partitionBy-laid-out store in place — the
+    * shared REPAIR verb for replayed index appends (ADVICE r8): a
+    * blind retry of an append whose completion signal was lost lands
+    * the same rows twice, and every stored-index row set here is
+    * duplicate-free by construction, so `distinct` restores the exact
+    * single-applied state. Full rewrite by design — this is the
+    * rare-path recovery verb, not maintenance (that is
+    * [[compactPartitioned]]). */
+  def distinctRewrite(spark: SparkSession, dir: String,
+      partCol: String): Unit = {
+    val tmp = dir + ".__repair"
+    graft.sources.Tables.deleteRecursive(tmp)
+    spark.read.parquet(dir).distinct()
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    graft.sources.Tables.deleteRecursive(dir)
+    require(new java.io.File(tmp).renameTo(new java.io.File(dir)),
+      s"repair swap failed: $tmp -> $dir")
+  }
+
   def compactPartitioned(spark: SparkSession, dir: String,
       partCols: Seq[String], maxFilesPerPartition: Int = 1): Int = {
     val root = new java.io.File(dir)
     def leaves(f: java.io.File, depth: Int): Seq[java.io.File] =
-      if (depth == 0) Seq(f)
-      else Option(f.listFiles()).getOrElse(Array.empty).toSeq
-        .filter(c => c.isDirectory && c.getName.contains("="))
-        .flatMap(leaves(_, depth - 1))
+      partitionLeaves(f, depth)
     val hot = leaves(root, partCols.length).filter { l =>
       Option(l.listFiles()).getOrElse(Array.empty).count(f =>
         f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")) >
@@ -82,14 +125,7 @@ object Layout {
     spark.read.option("basePath", dir).parquet(hot.map(_.getPath): _*)
       .repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
-    val tmpRoot = new java.io.File(tmp)
-    for (leaf <- leaves(tmpRoot, partCols.length)) {
-      val target = new java.io.File(root,
-        tmpRoot.toPath.relativize(leaf.toPath).toString)
-      graft.sources.Tables.deleteRecursive(target.getPath)
-      if (!target.getParentFile.exists()) target.getParentFile.mkdirs(): Unit
-      require(leaf.renameTo(target), s"compact swap failed: $leaf -> $target")
-    }
+    swapPartitionLeaves(dir, tmp, partCols.length)
     graft.sources.Tables.deleteRecursive(tmp)
     hot.size
   }

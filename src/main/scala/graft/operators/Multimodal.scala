@@ -115,6 +115,46 @@ object Multimodal {
     }
   }
 
+  /** Distinct byte k-grams of an opaque binary payload, as (doc_id, s)
+    * shingle rows — the deterministic content feature the near-dup
+    * tier fingerprints. Computed over the HEX rendering (one
+    * 2k-hex-char substring per byte offset, stepping 2), so the
+    * feature is defined for ARBITRARY binary — no charset assumption;
+    * for a real media pipeline this is the stand-in for a perceptual
+    * feature extractor (pHash blocks, audio chroma frames), which
+    * slots into the same (doc_id, s) contract. byteK = 16 measured:
+    * byte 4-grams are vocabulary-correlated across unrelated payloads
+    * (123 k candidate pairs on 500 docs), 16-byte windows decorrelate
+    * to 20 k while planted near-dups stay at J ≥ 0.8 with nothing
+    * between 0.5 and 0.8. Fully codegen'd: hex + HOF transform +
+    * explode, no UDF. */
+  def payloadShingles(packed: DataFrame, byteK: Int = 16): DataFrame = {
+    val h = byteK * 2
+    packed.select(col("doc_id"), hex(col("payload")).as("hx"))
+      .filter(length(col("hx")) >= h)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(hx) - ${h - 1}, 2), i -> substring(hx, i, $h))")).as("s"))
+      .distinct()
+  }
+
+  /** Binary-payload NEAR-duplicate pairs (VERDICT r8 #6 — the
+    * perceptual-hash-style dedup tier over opaque media columns):
+    * byte-16-gram features → 64-bit SimHash fingerprint → 4-bit-band
+    * bucket join (pigeonhole-complete for hamming ≤ 15) → hamming
+    * refine → EXACT byte-gram Jaccard verify — [[Dedup]]'s banded
+    * machinery verbatim on payload features
+    * ([[Dedup.simhashDedupFromShingles]]), never all-pairs. The
+    * output contract is the exact Jaccard set, so the quadratic oracle
+    * the engine never runs can replay it in SQL; only candidate
+    * GENERATION is approximate, and DedupSpec pins planted-pair
+    * recall through the banding. Exact byte-level duplicates are the
+    * md5 groupBy ([[extractFeatures]]' content_md5); this tier is for
+    * payloads that differ in a bounded fraction of their content. */
+  def mediaNearDup(packed: DataFrame, maxHamming: Int = 15,
+      threshold: Double = 0.8, words: Int = 1, byteK: Int = 16): DataFrame =
+    Dedup.simhashDedupFromShingles(payloadShingles(packed, byteK),
+      maxHamming, threshold, words)
+
   /** Frame sampling for time-based media: one row per sampled frame,
     * deterministic frame count from metadata (stub for container
     * duration). explode keeps this fully distributed — no driver loop. */

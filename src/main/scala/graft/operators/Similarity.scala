@@ -22,6 +22,29 @@ import org.apache.spark.sql.functions._
   * All cosine math uses Dedup.dot's sequential fold — bit-identical to
   * the DuckDB oracle.
   */
+/** Staleness counters of a [[Similarity.writeTfidfIndex]] layout —
+  * cumulative since the last build/refresh, maintained O(delta) by
+  * [[Similarity.appendToTfidfIndex]] (one tiny row per batch in
+  * `staleness/`; nothing is ever recounted from the corpus). The
+  * counters are exactly the two frozen-statistics error sources the
+  * append contract names: corpus growth (bounds idf drift) and
+  * out-of-vocabulary term mass (what the frozen vocabulary refused to
+  * index). [[Similarity.refreshTfidfIndexIfStale]] turns them into the
+  * refresh trigger. */
+final case class TfidfStaleness(appendedDocs: Long, statN: Long,
+    oovTf: Long, totalTf: Long) {
+  /** Appended docs per million base docs — the growth budget knob. */
+  def growthPpm: Long =
+    if (statN == 0L) Long.MaxValue else appendedDocs * 1000000L / statN
+  /** Delta term occurrences skipped as OOV, per million. */
+  def oovMassPpm: Long =
+    if (totalTf == 0L) 0L else oovTf * 1000000L / totalTf
+  /** The per-term idf drift bound appendToTfidfIndex states:
+    * ≤ log10((n + d) / n). */
+  def idfDriftBound: Double =
+    math.log10((statN + appendedDocs).toDouble / math.max(1L, statN).toDouble)
+}
+
 object Similarity {
 
   import Dedup.{dot, withNorm}
@@ -642,8 +665,9 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (idf, u) = derivedFromTf(tok, maxDfPpm)
     try {
-      val nDocs = if (termBuckets0 > 0 && docBuckets0 > 0) 0L
-        else tok.select(col("doc_id")).distinct().count()
+      // always counted: stat_n (docs the frozen statistics cover) is
+      // the denominator of the staleness budget, stored in meta
+      val nDocs = tok.select(col("doc_id")).distinct().count()
       val termBuckets = if (termBuckets0 > 0) termBuckets0
         else math.max(1L, math.min(256L, nDocs / 2000L)).toInt
       val docBuckets = if (docBuckets0 > 0) docBuckets0
@@ -657,8 +681,9 @@ object Similarity {
       writeTfidfDerived(u, idf, path, termBuckets, docBuckets)
       terms.sparkSession.range(1).select(
           lit(maxDfPpm).as("max_df_ppm"), lit(termBuckets).as("term_buckets"),
-          lit(docBuckets).as("doc_buckets"))
+          lit(docBuckets).as("doc_buckets"), lit(nDocs).as("stat_n"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      graft.sources.Tables.deleteRecursive(s"$path/staleness")
     } finally { u.unpersist(); tok.unpersist(): Unit }
   }
 
@@ -701,8 +726,17 @@ object Similarity {
     * re-derives exact statistics from the stored raw tf without
     * re-tokenizing. rem stays valid across batches — it is a per-doc
     * suffix mass in the (idf DESC, t) order, and every doc (old or
-    * new) is weighted under the same frozen idf table. */
-  def appendToTfidfIndex(path: String, delta: DataFrame): Unit = {
+    * new) is weighted under the same frozen idf table.
+    *
+    * Returns the CUMULATIVE [[TfidfStaleness]] after this batch — the
+    * drift counters [[refreshTfidfIndexIfStale]] budgets on.
+    *
+    * Durability: the four stores append in the fixed order tf →
+    * postings → vectors → staleness. A crash mid-sequence (torn
+    * append) or a blind full retry (double-applied batch) is repaired
+    * exactly by [[repairTfidfIndex]] — tf's `(doc_id, t)` uniqueness
+    * makes the single-applied state recoverable by construction. */
+  def appendToTfidfIndex(path: String, delta: DataFrame): TfidfStaleness = {
     val spark = delta.sparkSession
     val m = spark.read.parquet(s"$path/meta").head()
     val termBuckets = m.getAs[Int]("term_buckets")
@@ -722,6 +756,18 @@ object Similarity {
       .select(col("t"), col("idf"))
     val u = unitVectors(tok, idf, broadcastSide = "tok")
     try {
+      // batch staleness counters in ONE delta-sized aggregate: docs
+      // this batch adds, and the term mass the frozen vocabulary
+      // refuses (OOV — exactly the rows the unitVectors inner join
+      // drops). These land as one tiny staleness/ row per batch, so
+      // the cumulative drift is always readable without recounting
+      // anything corpus-sized.
+      val sRow = tok
+        .join(idf.select(col("t"), lit(1).as("__inv")), Seq("t"), "left")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          coalesce(sum(when(col("__inv").isNull, col("tf"))), lit(0L)).as("oov_tf"),
+          coalesce(sum(col("tf")), lit(0L)).as("total_tf"))
+        .head()
       tok
         .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
         .repartition(col("tb"))
@@ -734,7 +780,77 @@ object Similarity {
         .withColumn("db", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)))
         .repartition(col("db"))
         .write.mode("append").partitionBy("db").parquet(s"$path/vectors")
+      spark.range(1).select(lit(sRow.getAs[Long]("n_docs")).as("n_docs"),
+          lit(sRow.getAs[Long]("oov_tf")).as("oov_tf"),
+          lit(sRow.getAs[Long]("total_tf")).as("total_tf"))
+        .coalesce(1).write.mode("append").parquet(s"$path/staleness")
+      tfidfStaleness(spark, path)
     } finally { u.unpersist(); tok.unpersist(): Unit }
+  }
+
+  /** Cumulative staleness of a [[writeTfidfIndex]] layout since its
+    * last build/[[refreshTfidfIndex]] — a sum over the per-batch
+    * `staleness/` rows (one tiny row per append) against `stat_n`
+    * from meta. O(#batches), never a corpus scan. */
+  def tfidfStaleness(spark: org.apache.spark.sql.SparkSession,
+      path: String): TfidfStaleness = {
+    val statN = spark.read.parquet(s"$path/meta").head().getAs[Long]("stat_n")
+    if (!new java.io.File(s"$path/staleness").exists())
+      return TfidfStaleness(0L, statN, 0L, 0L)
+    val r = spark.read.parquet(s"$path/staleness")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(sum(col("oov_tf")), lit(0L)),
+        coalesce(sum(col("total_tf")), lit(0L))).head()
+    TfidfStaleness(r.getLong(0), statN, r.getLong(1), r.getLong(2))
+  }
+
+  /** The refresh TRIGGER closing the drift loop (VERDICT r8 #3):
+    * [[refreshTfidfIndex]] runs only when the cumulative staleness
+    * trips the budget — corpus growth past `maxGrowthPpm` (which
+    * bounds per-term idf drift at log10(1 + growth)) or OOV term mass
+    * past `maxOovPpm` (drift the growth bound cannot see: mass the
+    * frozen vocabulary isn't indexing at all). Below budget the append
+    * posture stands — serving stays frozen-stats, the bounded-error
+    * contract `join_tfidf_append_frozen` pins. Returns whether a
+    * refresh ran. */
+  def refreshTfidfIndexIfStale(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxGrowthPpm: Long = 100000L,
+      maxOovPpm: Long = 50000L): Boolean = {
+    val st = tfidfStaleness(spark, path)
+    val stale = st.growthPpm > maxGrowthPpm || st.oovMassPpm > maxOovPpm
+    if (stale) refreshTfidfIndex(spark, path)
+    stale
+  }
+
+  /** Torn/replayed-append RECOVERY for a [[writeTfidfIndex]] layout
+    * (ADVICE r8). The append sequence writes tf → postings → vectors →
+    * staleness; a crash mid-sequence leaves the derived stores behind
+    * the raw tf, and a blind retry of the whole batch lands tf rows
+    * twice. Both states repair to the exact single-applied result
+    * because `(doc_id, t)` is unique in tf by construction
+    * ([[tfTable]] aggregates per pair): distinct-rewrite tf, then
+    * [[refreshTfidfIndex]] re-derives every serving store (and the
+    * statistics clock) from it. Full rewrite — the rare recovery
+    * path; routine drift repair is the refresh alone. */
+  def repairTfidfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    Layout.distinctRewrite(spark, s"$path/tf", "tb")
+    refreshTfidfIndex(spark, path)
+  }
+
+  /** Torn/replayed-insert RECOVERY for a [[writeKnnGraphIndex]] layout
+    * (ADVICE r8): a replayed [[appendToKnnGraphIndex]] batch lands its
+    * edge and vector rows twice — duplicate `(qid, vid)` beam
+    * candidates would then hold two beam slots and surface as
+    * duplicate result rows. Both stores are duplicate-free by
+    * construction, so distinct-rewrite restores the single-applied
+    * state; a following [[pruneKnnGraphIndex]] (which also collapses
+    * duplicates in the partitions it rewrites) re-caps degrees if the
+    * replay pushed nodes past the bound. */
+  def repairKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    Layout.distinctRewrite(spark, s"$path/adj", "sb")
+    Layout.distinctRewrite(spark, s"$path/vectors", "db")
   }
 
   /** Delta INGEST-GATE probe against a [[writeTfidfIndex]] layout —
@@ -800,8 +916,17 @@ object Similarity {
       .select(col("doc_id"), col("t"), col("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (idf, u) = derivedFromTf(tok, maxDfPpm)
-    try writeTfidfDerived(u, idf, path, termBuckets, docBuckets)
-    finally { u.unpersist(); tok.unpersist(): Unit }
+    try {
+      writeTfidfDerived(u, idf, path, termBuckets, docBuckets)
+      // the refreshed statistics now cover the FULL stored corpus:
+      // reset the staleness clock (stat_n := fresh n, counters := 0)
+      val nDocs = tok.select(col("doc_id")).distinct().count()
+      spark.range(1).select(
+          lit(maxDfPpm).as("max_df_ppm"), lit(termBuckets).as("term_buckets"),
+          lit(docBuckets).as("doc_buckets"), lit(nDocs).as("stat_n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      graft.sources.Tables.deleteRecursive(s"$path/staleness")
+    } finally { u.unpersist(); tok.unpersist(): Unit }
   }
 
   /** LSM compaction for a [[writeTfidfIndex]] layout after appends —
@@ -1182,10 +1307,12 @@ object Similarity {
     * O(delta·kGraph) rows, no stored file rewritten (the
     * GraphIndexSpec snapshot pin). Per batch a corpus node gains at
     * most one reverse edge per inserted neighbor, so degree drift is
-    * bounded by the ingest volume; re-truncating to the degree bound
-    * is the refresh-tier verb (HNSW's neighbor-selection prune),
-    * orthogonal exactly as statistics refresh is to the tf-idf
-    * append. Returns the number of inserted vectors. */
+    * bounded by the ingest volume; [[pruneKnnGraphIndex]] is the
+    * refresh-tier verb that re-truncates to the degree bound (HNSW's
+    * neighbor-selection prune), orthogonal exactly as statistics
+    * refresh is to the tf-idf append. A torn or blindly-retried batch
+    * is recovered by [[repairKnnGraphIndex]] (ADVICE r8). Returns the
+    * number of inserted vectors. */
   def appendToKnnGraphIndex(path: String, delta: DataFrame, vec: Column,
       id: Column, kGraph: Int, nProbe: Int, beamWidth: Int,
       rounds: Int): Long = {
@@ -1211,6 +1338,75 @@ object Similarity {
       .repartition(col("db"))
       .write.mode("append").partitionBy("db").parquet(s"$path/vectors")
     e.select(count(lit(1))).head().getLong(0)
+  }
+
+  /** Degree-bound PRUNE of a [[writeKnnGraphIndex]] layout — the
+    * refresh-tier verb closing the graph-index lifecycle (build →
+    * [[appendToKnnGraphIndex]] → prune, the tf-idf index's
+    * append → [[refreshTfidfIndex]] pattern): each insert batch can
+    * hand every stored node one reverse edge per inserted neighbor, so
+    * per-node degree drifts up with ingest volume and every later beam
+    * round expands ever more candidates. This applies HNSW's
+    * neighbor-selection step as maintenance: for every node whose
+    * degree exceeds `degreeCap`, keep only the `degreeCap`
+    * best-scoring neighbors by EXACT cosine over the stored vectors
+    * (cos DESC, dst — the [[knnGraphExact]] construction order, so a
+    * pruned node's adjacency is exactly what a fresh bounded build
+    * would give it from the same edge pool); under-cap nodes keep
+    * their adjacency bit-identical.
+    *
+    * Scale shape: one aggregate over the edge list finds the over-cap
+    * nodes, then ONLY the `sb` partitions holding at least one such
+    * node are read, re-scored and swapped in
+    * ([[Layout.swapPartitionLeaves]] — metadata renames, cold
+    * partitions never touched); the driver-side bucket list is bounded
+    * by the configured src_buckets. Re-scoring joins the hot buckets'
+    * edges against `vectors/` on both endpoints — O(hot edges), an
+    * equi-join, never pairs × corpus.
+    *
+    * (src, dst) duplicates inside hot partitions collapse before the
+    * re-score, so a double-applied insert batch — the blind retry of a
+    * torn multi-store append (ADVICE r8) — is repaired by the next
+    * prune rather than double-counted forever.
+    *
+    * Returns the number of over-cap nodes re-truncated (0 ⇒ nothing
+    * rewritten — the gate a drift-budget caller checks for free). */
+  def pruneKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, degreeCap: Int): Long = {
+    require(degreeCap >= 1, s"degreeCap must be >= 1: $degreeCap")
+    val adj = spark.read.parquet(s"$path/adj")
+    val over = adj.groupBy(col("sb"), col("src"))
+      .agg(count(lit(1)).as("deg")).filter(col("deg") > degreeCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nOver = over.count()
+      if (nOver == 0L) return 0L
+      // hot src buckets — ≤ src_buckets DISTINCT values (config-bounded
+      // collect, the beamSearchKnnStored pattern)
+      val hot = over.select(col("sb").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val aff = adj.filter(col("sb").cast("long").isin(hot: _*))
+        .select(col("src"), col("dst"), col("sb")).distinct()
+      val v = spark.read.parquet(s"$path/vectors")
+        .select(col("vid"), col("v"), col("nrm"))
+      val scored = aff
+        .join(v.select(col("vid").as("src"), col("v").as("sv"),
+          col("nrm").as("sn")), Seq("src"))
+        .join(v.select(col("vid").as("dst"), col("v").as("dv"),
+          col("nrm").as("dn")), Seq("dst"))
+        .withColumn("cos", dot(col("sv"), col("dv")) / (col("sn") * col("dn")))
+      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+      val kept = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= degreeCap)
+        .select(col("src"), col("dst"), col("sb"))
+      val tmp = s"$path/adj.__prune"
+      graft.sources.Tables.deleteRecursive(tmp)
+      kept.repartition(col("sb"))
+        .write.mode("overwrite").partitionBy("sb").parquet(tmp)
+      Layout.swapPartitionLeaves(s"$path/adj", tmp, 1)
+      graft.sources.Tables.deleteRecursive(tmp)
+      nOver
+    } finally over.unpersist(): Unit
   }
 
   /** Best-first BEAM SEARCH over a [[writeKnnGraphIndex]] layout — the

@@ -320,20 +320,30 @@ object JoinQueries {
             rowBytes = 200L, broadcastBudgetBytes = 1048576L, reducers = 32)
         }.reduce(_ unionByName _)
     },
-    // multi-way star advice (Joins.adviseMultiway — VERDICT r7 #4,
-    // thesis §5.4/§7 future work): the lineitem star against
-    // supplier/part/orders under a 1 MiB cumulative broadcast budget —
-    // greedy-knapsack admission in (bytes ASC, name) order, so the
-    // advice varies with SF (sf0.001 fits every dim → broadcast-cascade;
-    // sf0.01's orders blows the running total → mixed-cascade). The
-    // multiway sim sweep (sim.Simulation --multiway) measures the same
-    // three cascades; JoinsSpec pins each advice branch.
+    // multi-way star advice, SKEW-AWARE (Joins.adviseMultiwaySkew —
+    // VERDICT r7 #4 + r8 #4, thesis §5.4/§7 future work): the lineitem
+    // star against supplier/part/orders PLUS the low-cardinality
+    // returnflag dim (3 rows — exactly where real-world skew lives:
+    // its hottest key carries ~half the fact, failing the §6.4 test at
+    // reducers=32, so dim_skewed=1 fires in the oracle-checked output;
+    // it is also broadcast-admitted, demonstrating why skewed dims
+    // spend broadcast budget first). Greedy-knapsack admission under a
+    // 1 MiB cumulative budget as before; per-dim advice adds the
+    // salted-shuffle branch for shuffled+skewed stages (JoinsSpec pins
+    // that branch with a Zipf fact; the --multiway sim sweep measures
+    // it end-to-end).
     QueryDef(
       "join_multiway_advice",
       """WITH dims(dim_name, dim_rows) AS (
         |  SELECT 'part', count(*) FROM part
         |  UNION ALL SELECT 'supplier', count(*) FROM supplier
-        |  UNION ALL SELECT 'orders', count(*) FROM orders),
+        |  UNION ALL SELECT 'orders', count(*) FROM orders
+        |  UNION ALL SELECT 'rflag', count(DISTINCT l_returnflag) FROM lineitem),
+        |ks(dim_name, key_max_repeats) AS (
+        |  SELECT 'part', max(c) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)
+        |  UNION ALL SELECT 'supplier', max(c) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey)
+        |  UNION ALL SELECT 'orders', max(c) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)
+        |  UNION ALL SELECT 'rflag', max(c) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_returnflag)),
         |f AS (SELECT count(*) AS fact_rows FROM lineitem),
         |b AS (SELECT dim_name, dim_rows, dim_rows * 200 AS dim_bytes,
         |  sum(dim_rows * 200) OVER (ORDER BY dim_rows * 200, dim_name) AS cum FROM dims),
@@ -342,14 +352,21 @@ object JoinQueries {
         |a AS (SELECT CASE WHEN min(dim_broadcast) = 1 THEN 'broadcast-cascade'
         |                  WHEN max(dim_broadcast) = 0 THEN 'shuffle-cascade'
         |                  ELSE 'mixed-cascade' END AS advice FROM g)
-        |SELECT 'lineitem-star' AS join_name, dim_name, dim_rows, dim_bytes,
-        |  fact_rows, dim_broadcast, advice
-        |FROM g, f, a""".stripMargin) { (s, d) =>
-      Joins.adviseMultiway("lineitem-star", Tables.table(s, d, "lineitem"),
-        Seq("part" -> Tables.table(s, d, "part"),
-          "supplier" -> Tables.table(s, d, "supplier"),
-          "orders" -> Tables.table(s, d, "orders")),
-        rowBytes = 200L, broadcastBudgetBytes = 1048576L)
+        |SELECT 'lineitem-star' AS join_name, g.dim_name, dim_rows, dim_bytes,
+        |  fact_rows, key_max_repeats, dim_broadcast,
+        |  CAST(key_max_repeats * 32 * 10 > fact_rows * 9 AS INT) AS dim_skewed,
+        |  CASE WHEN dim_broadcast = 1 THEN 'broadcast'
+        |       WHEN key_max_repeats * 32 * 10 > fact_rows * 9 THEN 'salted-shuffle'
+        |       ELSE 'shuffle' END AS dim_advice,
+        |  advice
+        |FROM g JOIN ks ON ks.dim_name = g.dim_name, f, a""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+      Joins.adviseMultiwaySkew("lineitem-star", li,
+        Seq(("part", Tables.table(s, d, "part"), col("l_partkey")),
+          ("supplier", Tables.table(s, d, "supplier"), col("l_suppkey")),
+          ("orders", Tables.table(s, d, "orders"), col("l_orderkey")),
+          ("rflag", li.select(col("l_returnflag")).distinct(), col("l_returnflag"))),
+        rowBytes = 200L, broadcastBudgetBytes = 1048576L, reducers = 32)
     },
     // sketch-based join-size estimation (functions.CmsInnerProduct):
     // |views ⋈ clicks on user| estimated from two count-min sketches —

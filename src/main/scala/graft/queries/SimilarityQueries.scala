@@ -221,13 +221,22 @@ object SimilarityQueries {
        |  FROM f4) WHERE rk <= 5""".stripMargin
   }
 
-  /** Unrolled replay for ann_graph_append — two chained beam tiers:
-    * (1) every delta node's INSERTION walk over the pristine base
-    * graph (top-8 of the final beam = its forward edges), (2) the
-    * serve walk over the GROWN graph (base ∪ forward ∪ reverse
-    * edges). Same integer-micros arithmetic as graphBeamOracle; every
-    * multiply-referenced CTE MATERIALIZED. */
-  private def graphAppendOracle: String = {
+  /** Unrolled replay for ann_graph_append / ann_graph_prune — two
+    * chained beam tiers: (1) every delta node's INSERTION walk over
+    * the pristine base graph (top-8 of the final beam = its forward
+    * edges), (2) the serve walk over the GROWN graph (base ∪ forward ∪
+    * reverse edges). With `prune` the grown adjacency is first
+    * degree-bounded: per src, keep the 8 best edges by exact raw
+    * cosine (cos DESC, dst — Similarity.pruneKnnGraphIndex's order;
+    * under-cap nodes keep everything, so the universal top-8 here
+    * equals the engine's hot-bucket-only rewrite), and the serve walk
+    * runs over the pruned graph. Same integer-micros arithmetic as
+    * graphBeamOracle; every multiply-referenced CTE MATERIALIZED. */
+  private def graphAppendOracle: String = graphGrownOracle(prune = false)
+
+  private def graphPruneOracle: String = graphGrownOracle(prune = true)
+
+  private def graphGrownOracle(prune: Boolean): String = {
     def fold(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
     def sm(qv: String, qn: String, v: String, nrm: String) =
@@ -278,12 +287,20 @@ object SimilarityQueries {
        |adj AS MATERIALIZED (SELECT src, dst FROM badj
        |  UNION ALL SELECT qid AS src, vid AS dst FROM ins
        |  UNION ALL SELECT vid AS src, qid AS dst FROM ins),
+       |${if (prune)
+           s"""padj0 AS (SELECT a.src, a.dst,
+              |  ${fold("s.v", "t.v")} / (s.nrm * t.nrm) AS cos
+              |  FROM adj a JOIN n s ON s.vec_id = a.src JOIN n t ON t.vec_id = a.dst),
+              |padj AS MATERIALIZED (SELECT src, dst FROM (
+              |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+              |  FROM padj0) WHERE rk <= 8),""".stripMargin
+         else ""}
        |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
        |${seed("s", "q")},
-       |${round("s", 1, "adj", "q")},
-       |${round("s", 2, "adj", "q")},
-       |${round("s", 3, "adj", "q")},
-       |${round("s", 4, "adj", "q")}
+       |${round("s", 1, if (prune) "padj" else "adj", "q")},
+       |${round("s", 2, if (prune) "padj" else "adj", "q")},
+       |${round("s", 3, if (prune) "padj" else "adj", "q")},
+       |${round("s", 4, if (prune) "padj" else "adj", "q")}
        |SELECT qid AS query_id, vid AS neighbor_id, rk AS rnk, sm AS score_micros FROM (
        |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
        |  FROM sf4) WHERE rk <= 5""".stripMargin
@@ -408,14 +425,42 @@ object SimilarityQueries {
 
   private def storedTfidfIndex(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stampedTfidfIndex(s, d, "tfidf_idx2_", _ => lit(true)).getPath
+    stampedTfidfIndex(s, d, "tfidf_idx3_", _ => lit(true)).getPath
 
   /** The pristine base-corpus (doc_id % 5 <> 4) index the append
     * lifecycle queries copy-then-mutate — built once per testdata
     * stamp, never touched in place. */
   private def pristineTfidfBase(s: org.apache.spark.sql.SparkSession,
       d: String): java.io.File =
-    stampedTfidfIndex(s, d, "tfidf_base2_", _ % 5 =!= 4)
+    stampedTfidfIndex(s, d, "tfidf_base3_", _ % 5 =!= 4)
+
+  /** The pristine two-thirds (vec_id % 3 <> 1) graph-ANN index the
+    * insert/prune lifecycle queries copy-then-mutate — stamp-cached
+    * per testdata like [[pristineTfidfBase]]. */
+  private def pristineGraphBase(s: org.apache.spark.sql.SparkSession,
+      d: String): java.io.File = {
+    val emb = Tables.table(s, d, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 1)
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    require(src.exists(), s"graph-base source does not exist: $src")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val pristine = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_knngb_$key")
+    val ready = new java.io.File(pristine, "_GRAFT_READY")
+    if (!ready.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(pristine)
+      Similarity.writeKnnGraphIndex(
+        Similarity.knnGraphExact(base, col("embedding"), col("vec_id"), 8),
+        base, col("embedding"), col("vec_id"),
+        Similarity.ivfAssignments(base, col("embedding"), col("vec_id"), 8)
+          .groupBy("cid").agg(min(col("vid")).as("vid")),
+        pristine.getPath)
+      ready.createNewFile(): Unit
+    }
+    pristine
+  }
 
   val all: Seq[QueryDef] = Seq(
     QueryDef(
@@ -736,25 +781,7 @@ object SimilarityQueries {
     // insertion walk, the edge union, and the serve walk — unrolled.
     QueryDef("ann_graph_append", graphAppendOracle) { (s, d) =>
       val emb = Tables.table(s, d, "embeddings")
-      val base = emb.filter(col("vec_id") % 3 =!= 1)
-      val src = new java.io.File(s"$d/embeddings.parquet")
-      require(src.exists(), s"graph-append source does not exist: $src")
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
-      val pristine = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_knngb_$key")
-      val ready = new java.io.File(pristine, "_GRAFT_READY")
-      if (!ready.exists()) {
-        org.apache.commons.io.FileUtils.deleteQuietly(pristine)
-        Similarity.writeKnnGraphIndex(
-          Similarity.knnGraphExact(base, col("embedding"), col("vec_id"), 8),
-          base, col("embedding"), col("vec_id"),
-          Similarity.ivfAssignments(base, col("embedding"), col("vec_id"), 8)
-            .groupBy("cid").agg(min(col("vid")).as("vid")),
-          pristine.getPath)
-        ready.createNewFile(): Unit
-      }
+      val pristine = pristineGraphBase(s, d)
       val phase = new Phases("ann_graph_append")
       val idx = Tables.scratchDir("graft_knng_append")
       phase("copy") {
@@ -766,6 +793,37 @@ object SimilarityQueries {
           beamWidth = 16, rounds = 4)
       }
       phase.emit(s""","inserted":$inserted""")
+      Similarity.beamSearchKnnStored(idx, emb.filter(col("vec_id") % 50 === 0),
+        col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+        rounds = 4)
+    },
+    // graph-index degree-bound PRUNE (Similarity.pruneKnnGraphIndex —
+    // VERDICT r8 #1, the refresh-tier verb closing the last open index
+    // lifecycle): copy the pristine two-thirds, batch-insert the
+    // remaining third (reverse edges push base-node degree past the
+    // build-time 8), then re-truncate every over-cap node to its 8
+    // best neighbors by exact cosine and serve from the PRUNED graph.
+    // Only hot src buckets are rewritten (Layout.swapPartitionLeaves).
+    // The oracle replays insertion walks, edge union, the universal
+    // top-8 prune (≡ hot-bucket rewrite: under-cap nodes keep all
+    // edges), and the serve walk — all unrolled, integer-micros beam.
+    QueryDef("ann_graph_prune", graphPruneOracle) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val pristine = pristineGraphBase(s, d)
+      val phase = new Phases("ann_graph_prune")
+      val idx = Tables.scratchDir("graft_knng_prune")
+      phase("copy") {
+        graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
+      }
+      phase("insert") {
+        Similarity.appendToKnnGraphIndex(idx, emb.filter(col("vec_id") % 3 === 1),
+          col("embedding"), col("vec_id"), kGraph = 8, nProbe = 4,
+          beamWidth = 16, rounds = 4)
+      }
+      val pruned = phase("prune") {
+        Similarity.pruneKnnGraphIndex(s, idx, degreeCap = 8)
+      }
+      phase.emit(s""","pruned_nodes":$pruned""")
       Similarity.beamSearchKnnStored(idx, emb.filter(col("vec_id") % 50 === 0),
         col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
         rounds = 4)
@@ -817,13 +875,18 @@ object SimilarityQueries {
       Similarity.tfidfDeltaProbe(s, pristineTfidfBase(s, d).getPath,
         tfidfTerms(s, d).filter(col("doc_id") % 5 === 4), threshold = 0.3)
     },
-    // the FULL tf-idf index lifecycle (VERDICT r7 #1): build base →
-    // O(delta) append → LSM compact → statistics REFRESH (fresh
-    // n/df/idf re-derived from the stored raw-tf relation — no corpus
-    // re-tokenize) → serve. Post-refresh service is value-identical to
-    // a from-scratch build on the grown corpus, so the oracle is the
-    // shared full-corpus one; per-verb wall cost is attributed by the
-    // [bench-phase] line (serve is the lazy remainder).
+    // the FULL tf-idf index lifecycle (VERDICT r7 #1, r8 #3): build
+    // base → O(delta) append (returns the cumulative staleness
+    // counters) → LSM compact → statistics refresh ON THE DRIFT
+    // BUDGET (Similarity.refreshTfidfIndexIfStale: the appended fifth
+    // is 25% growth against the 10% budget, so the trigger trips
+    // deterministically and re-derives fresh n/df/idf from the stored
+    // raw-tf relation — no corpus re-tokenize; a below-budget append
+    // would keep serving frozen, the branch TfidfLifecycleSpec pins)
+    // → serve. Post-refresh service is value-identical to a
+    // from-scratch build on the grown corpus, so the oracle is the
+    // shared full-corpus one; per-verb wall cost and the staleness
+    // counters are attributed by the [bench-phase] line.
     QueryDef("join_tfidf_append", tfidfOracle) { (s, d) =>
       val pristine = pristineTfidfBase(s, d)
       val phase = new Phases("join_tfidf_append")
@@ -831,13 +894,18 @@ object SimilarityQueries {
       phase("copy") {
         graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
       }
-      phase("append") {
+      val st = phase("append") {
         Similarity.appendToTfidfIndex(idx,
           tfidfTerms(s, d).filter(col("doc_id") % 5 === 4))
       }
       val rewritten = phase("compact") { Similarity.compactTfidfIndex(s, idx) }
-      phase("refresh") { Similarity.refreshTfidfIndex(s, idx) }
-      phase.emit(s""","compacted_parts":$rewritten""")
+      val refreshed = phase("refresh") {
+        Similarity.refreshTfidfIndexIfStale(s, idx, maxGrowthPpm = 100000L)
+      }
+      require(refreshed, "25% corpus growth must trip the 10% drift budget")
+      phase.emit(s""","compacted_parts":$rewritten""" +
+        s""","appended_docs":${st.appendedDocs},"stat_n":${st.statN}""" +
+        s""","growth_ppm":${st.growthPpm},"oov_mass_ppm":${st.oovMassPpm}""")
       Similarity.tfidfCosinePairsStored(s, idx, threshold = 0.3)
     },
     // multimodal: binary payload + typed metadata + partition-batched
@@ -870,6 +938,33 @@ object SimilarityQueries {
       """SELECT doc_id, unnest(range(0, n_chars % 10 + 1)) AS frame_idx
         |FROM documents""".stripMargin) { (s, d) =>
       Multimodal.sampleFrames(Tables.table(s, d, "documents"))
+    },
+    // binary-payload near-dup (Multimodal.mediaNearDup — VERDICT r8
+    // #6): byte-16-gram features over the opaque payload (computed on
+    // the hex rendering, so no charset assumption) → SimHash banding →
+    // hamming refine → exact byte-gram Jaccard verify, Dedup's banded
+    // machinery verbatim. The oracle is the quadratic all-pairs
+    // Jaccard the engine never runs (payload = encode(text), so DuckDB
+    // reconstructs identical bytes); the engine output matches it
+    // exactly because verification is exact and the testdata's planted
+    // pairs sit far inside the banding radius (DedupSpec pins recall).
+    QueryDef(
+      "media_neardup",
+      """WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        |  WHERE length(hex(encode(text))) >= 32),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, length(hx) - 30, 2),
+        |                          i -> substring(hx, i, 32))) AS s
+        |  FROM p),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""".stripMargin) { (s, d) =>
+      Multimodal.mediaNearDup(
+        Multimodal.packBinary(Tables.table(s, d, "documents")), threshold = 0.8)
     },
     // spatial radius self-join (operators.Spatial): grid-bucketed
     // candidate generation + exact distance verify — the engine runs

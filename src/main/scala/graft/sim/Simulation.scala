@@ -40,6 +40,7 @@ object Simulation {
       advise: Boolean = false, // print Joins.adviseStrategy per step
       adviseBudgetMb: Long = 512, // broadcast budget the advisor assumes
       multiwayDims: Int = 0, // > 0 → multi-way star sweep instead of binary
+      topology: String = "star", // --multiway shape: star | chain
       out: String = "results.csv",
       workDir: String = s"${sys.props("java.io.tmpdir")}/graft_sim")
 
@@ -60,6 +61,7 @@ object Simulation {
       case "--advise" :: t               => loop(a.copy(advise = true), t)
       case "--advise-budget-mb" :: v :: t => loop(a.copy(adviseBudgetMb = v.toLong), t)
       case "--multiway" :: v :: t        => loop(a.copy(multiwayDims = v.toInt), t)
+      case "--topology" :: v :: t        => loop(a.copy(topology = v), t)
       case "--out" :: v :: t             => loop(a.copy(out = v), t)
       case "--work-dir" :: v :: t        => loop(a.copy(workDir = v), t)
       case Nil                           => a
@@ -195,14 +197,25 @@ object Simulation {
     val unique = if (a.uniqueValues > 0) a.uniqueValues else math.max(1L, rows / 10)
     val nd = a.multiwayDims
     val wd = s"${a.workDir}/mw$rows"
+    val skew = a.zipfSkew.getOrElse(0.0)
     val dimSizes = (0 until nd).map(i =>
       math.max(1L, unique / math.round(math.pow(10d, i.toDouble))))
     // fact: rid + one uniform key per dim (xxhash64-scattered), a ~200 B
-    // attr payload like the binary harness's rows
-    val fact0 = spark.range(rows).select(
-      (col("id") +: dimSizes.zipWithIndex.map { case (sz, i) =>
-        pmod(xxhash64(col("id") * 31 + i), lit(sz)).as(s"k$i")
-      }) :+ DataGen.poolAttr(col("id"), 100).as("attr"): _*)
+    // attr payload like the binary harness's rows. With --zipf-skew the
+    // FIRST key draws from the Zipf generator instead (pmod-folded into
+    // dim0's domain) — the skewed-fact arm of the sweep (VERDICT r8 #4)
+    val fact0 =
+      if (a.zipfSkew.isDefined)
+        DataGen.zipfTable(spark, rows, dimSizes(0), skew).select(
+          (col("rid").as("id") +:
+            pmod(col("key"), lit(dimSizes(0))).as("k0") +:
+            dimSizes.zipWithIndex.drop(1).map { case (sz, i) =>
+              pmod(xxhash64(col("rid") * 31 + i), lit(sz)).as(s"k$i")
+            }) :+ DataGen.poolAttr(col("rid"), 100).as("attr"): _*)
+      else spark.range(rows).select(
+        (col("id") +: dimSizes.zipWithIndex.map { case (sz, i) =>
+          pmod(xxhash64(col("id") * 31 + i), lit(sz)).as(s"k$i")
+        }) :+ DataGen.poolAttr(col("id"), 100).as("attr"): _*)
     Tables.writeStage(fact0, s"$wd/fact")
     val dims = dimSizes.zipWithIndex.map { case (sz, i) =>
       val d0 = spark.range(sz).select(col("id").as(s"dk$i"),
@@ -213,12 +226,17 @@ object Simulation {
     val fact = Tables.readStage(spark, s"$wd/fact")
 
     val fileBytes = graft.operators.Layout.dataBytes(s"$wd/fact")
-    val adv = Joins.adviseMultiway(s"mw_r$rows", fact, dims,
+    // skew-aware advice: per-dim hot-key probe + salted-shuffle branch
+    val adv = Joins.adviseMultiwaySkew(s"mw_r$rows", fact,
+      dims.zipWithIndex.map { case ((dn, d), i) => (dn, d, col(s"k$i")) },
       rowBytes = math.max(1L, fileBytes / rows),
-      broadcastBudgetBytes = a.adviseBudgetMb * 1000000L)
+      broadcastBudgetBytes = a.adviseBudgetMb * 1000000L,
+      reducers = a.reducers)
       .collect()
     adv.foreach(r => println(s"[advise-multiway] rows=$rows dim=${r.getString(1)} " +
-      s"dim_bytes=${r.getLong(3)} broadcast=${r.getInt(5)} advice=${r.getString(6)}"))
+      s"dim_bytes=${r.getLong(3)} max_repeats=${r.getLong(5)} " +
+      s"broadcast=${r.getInt(6)} skewed=${r.getInt(7)} " +
+      s"dim_advice=${r.getString(8)} advice=${r.getString(9)}"))
 
     def cascade(hint: String => DataFrame => DataFrame): Long = {
       dims.zipWithIndex.foldLeft(fact) { case (acc, ((dn, d), i)) =>
@@ -227,23 +245,97 @@ object Simulation {
     }
     val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
     val prevB = spark.conf.get(bcastKey)
+    def noBroadcast(body: () => Long): Long = {
+      spark.conf.set(bcastKey, "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try body()
+      finally {
+        spark.conf.set(bcastKey, prevB)
+        spark.conf.set("spark.sql.adaptive.enabled", a.aqe.toString)
+      }
+    }
     val strategies = Seq[(String, () => Long)](
       "broadcast-cascade" -> (() => cascade(_ => d => broadcast(d))),
-      "shuffle-cascade" -> { () =>
-        spark.conf.set(bcastKey, "-1")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try cascade(_ => identity)
-        finally {
-          spark.conf.set(bcastKey, prevB)
-          spark.conf.set("spark.sql.adaptive.enabled", a.aqe.toString)
-        }
-      },
+      "shuffle-cascade" -> (() => noBroadcast(() => cascade(_ => identity))),
       "aqe-auto" -> (() => cascade(_ => identity)))
     val lines = strategies.map { case (name, body) =>
       val (n, st) = Measure.measured(spark)(body())
       val ms = st.wallClockSec * 1000
-      println(f"[multiway] rows=$rows dims=$nd strategy=$name wall_ms=$ms%.0f joined=$n")
-      f"$rows,$nd,$name,$ms%.0f,${st.shuffleRecordsWritten}"
+      println(f"[multiway] rows=$rows dims=$nd topology=star skew=$skew " +
+        f"strategy=$name wall_ms=$ms%.0f joined=$n")
+      f"$rows,$nd,star,$skew,$name,$ms%.0f,${st.shuffleRecordsWritten}"
+    }
+    Tables.deleteRecursive(wd)
+    lines
+  }
+
+  /** Chain-topology multiway sweep (--topology chain, VERDICT r8 #5):
+    * fact(k0) → A(dk0, ak) → B(dk1), where B joins A's OUTPUT key —
+    * unlike the star, join ORDER matters here: fact-first joins the
+    * full fact twice, dims-first pre-joins A⋈B into one enriched dim
+    * so the fact is probed once. Five measured arms: both orders ×
+    * {broadcast, shuffle} plus Catalyst's unassisted pick (aqe-auto,
+    * fact-first order as written — what the optimizer does with the
+    * plan a naive user declares). */
+  def chainStep(spark: SparkSession, a: Args, rows: Long): Seq[String] = {
+    val unique = if (a.uniqueValues > 0) a.uniqueValues else math.max(1L, rows / 10)
+    val wd = s"${a.workDir}/mwc$rows"
+    val skew = a.zipfSkew.getOrElse(0.0)
+    val sizeA = unique
+    val sizeB = math.max(1L, unique / 10L)
+    val fact0 =
+      if (a.zipfSkew.isDefined)
+        DataGen.zipfTable(spark, rows, sizeA, skew).select(
+          col("rid").as("id"), pmod(col("key"), lit(sizeA)).as("k0"),
+          DataGen.poolAttr(col("rid"), 100).as("attr"))
+      else spark.range(rows).select(col("id"),
+        pmod(xxhash64(col("id") * 31), lit(sizeA)).as("k0"),
+        DataGen.poolAttr(col("id"), 100).as("attr"))
+    Tables.writeStage(fact0, s"$wd/fact")
+    // A carries the chain's second hop: ak is A's foreign key into B
+    Tables.writeStage(spark.range(sizeA).select(col("id").as("dk0"),
+      pmod(xxhash64(col("id") * 17), lit(sizeB)).as("ak"),
+      DataGen.poolAttr(col("id"), 100).as("dattr_a")), s"$wd/dima")
+    Tables.writeStage(spark.range(sizeB).select(col("id").as("dk1"),
+      DataGen.poolAttr(col("id") + 1, 100).as("dattr_b")), s"$wd/dimb")
+    val fact = Tables.readStage(spark, s"$wd/fact")
+    val dimA = Tables.readStage(spark, s"$wd/dima")
+    val dimB = Tables.readStage(spark, s"$wd/dimb")
+
+    def chain(bcast: Boolean, dimsFirst: Boolean): Long = {
+      def h(df: DataFrame) = if (bcast) broadcast(df) else df
+      val joined =
+        if (dimsFirst)
+          fact.join(h(dimA.join(h(dimB), col("ak") === col("dk1"))),
+            col("k0") === col("dk0"))
+        else
+          fact.join(h(dimA), col("k0") === col("dk0"))
+            .join(h(dimB), col("ak") === col("dk1"))
+      joined.count()
+    }
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevB = spark.conf.get(bcastKey)
+    def noBroadcast(body: () => Long): Long = {
+      spark.conf.set(bcastKey, "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try body()
+      finally {
+        spark.conf.set(bcastKey, prevB)
+        spark.conf.set("spark.sql.adaptive.enabled", a.aqe.toString)
+      }
+    }
+    val strategies = Seq[(String, () => Long)](
+      "fact-first-bc" -> (() => chain(bcast = true, dimsFirst = false)),
+      "dims-first-bc" -> (() => chain(bcast = true, dimsFirst = true)),
+      "fact-first-shuffle" -> (() => noBroadcast(() => chain(bcast = false, dimsFirst = false))),
+      "dims-first-shuffle" -> (() => noBroadcast(() => chain(bcast = false, dimsFirst = true))),
+      "aqe-auto" -> (() => chain(bcast = false, dimsFirst = false)))
+    val lines = strategies.map { case (name, body) =>
+      val (n, st) = Measure.measured(spark)(body())
+      val ms = st.wallClockSec * 1000
+      println(f"[multiway] rows=$rows dims=2 topology=chain skew=$skew " +
+        f"strategy=$name wall_ms=$ms%.0f joined=$n")
+      f"$rows,2,chain,$skew,$name,$ms%.0f,${st.shuffleRecordsWritten}"
     }
     Tables.deleteRecursive(wd)
     lines
@@ -251,11 +343,14 @@ object Simulation {
 
   def run(spark: SparkSession, a: Args): Seq[String] = {
     val rowsSeq = (0 until a.steps).map(i => a.rows + i * a.increment)
-    if (a.multiwayDims > 0) {
-      val lines = rowsSeq.flatMap(r => multiwayStep(spark, a, r))
+    if (a.multiwayDims > 0 || a.topology == "chain") {
+      val lines = rowsSeq.flatMap(r =>
+        if (a.topology == "chain") chainStep(spark, a, r)
+        else multiwayStep(spark, a, r))
       val out = new java.io.PrintWriter(new java.io.FileOutputStream(a.out))
       try {
-        if (!a.noHeader) out.println("rows,dims,strategy,wall_ms,shuffle_records")
+        if (!a.noHeader)
+          out.println("rows,dims,topology,skew,strategy,wall_ms,shuffle_records")
         lines.foreach(out.println)
       } finally out.close()
       return lines

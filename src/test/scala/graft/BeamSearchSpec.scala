@@ -94,4 +94,53 @@ class BeamSearchSpec extends SparkSpec {
     spark.catalog.clearCache()
     Tables.deleteRecursive(idx)
   }
+
+  test("degree-bound prune: repeated inserts densify, prune re-caps, recall holds") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val cap = 8
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val idx = Tables.scratchDir("spec_knn_prune")
+    Similarity.writeKnnGraphIndex(
+      Similarity.knnGraphExact(base, col("embedding"), col("vec_id"), cap),
+      base, col("embedding"), col("vec_id"),
+      Similarity.ivfAssignments(base, col("embedding"), col("vec_id"), 8)
+        .groupBy("cid").agg(min(col("vid")).as("vid")),
+      idx)
+    def maxDegree(): Long = spark.read.parquet(s"$idx/adj")
+      .groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    assert(maxDegree() == cap, "fresh build must be exactly degree-capped")
+    // three insert batches — each hands stored nodes fresh reverse
+    // edges, so degree drifts up with ingest volume (the documented
+    // open lifecycle this verb closes)
+    for (b <- Seq(1L, 3L, 5L))
+      Similarity.appendToKnnGraphIndex(idx,
+        emb.filter(col("vec_id") % 6 === b), col("embedding"), col("vec_id"),
+        kGraph = cap, nProbe = 4, beamWidth = 16, rounds = 4)
+    val grown = maxDegree()
+    info(s"max degree after 3 insert batches = $grown (cap $cap)")
+    assert(grown > cap, "inserts were expected to push some node past the cap")
+    val pruned = Similarity.pruneKnnGraphIndex(spark, idx, cap)
+    info(s"pruned nodes = $pruned")
+    assert(pruned > 0L)
+    assert(maxDegree() <= cap, "prune must leave every node at <= cap edges")
+    // idempotent: a second prune finds nothing over cap, rewrites nothing
+    assert(Similarity.pruneKnnGraphIndex(spark, idx, cap) == 0L)
+    // the pruned graph still serves: recall over the full corpus holds
+    // the grown-graph floor (pruning keeps each node's BEST cap edges,
+    // so navigability is preserved, not degraded)
+    val isQ = col("vec_id") % 50 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.topKBruteForce(emb, col("embedding"),
+      col("vec_id"), isQ, k = 5).select("query_id", "neighbor_id"))
+    val served = pairs(Similarity.beamSearchKnnStored(idx, emb.filter(isQ),
+      col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+      rounds = 4).select("query_id", "neighbor_id"))
+    val recall = (truth intersect served).size.toDouble / truth.size
+    info(f"pruned-graph recall@5 = $recall%.3f")
+    assert(recall >= 0.5, f"pruned-graph recall collapsed: $recall%.3f < 0.5")
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(idx)
+  }
 }

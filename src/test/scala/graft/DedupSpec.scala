@@ -57,6 +57,20 @@ class DedupSpec extends SparkSpec {
     assert(s128 == truth, s"128-bit missed ${truth -- s128}")
   }
 
+  test("media near-dup: banded byte-gram pipeline matches the exact pair set") {
+    val packed = Multimodal.packBinary(docs)
+    // the quadratic contract the engine never runs at scale: exact
+    // byte-16-gram Jaccard via the inverted index (J > 0 needs a
+    // shared gram, so candidates=None is exhaustive)
+    val truth = Dedup.jaccardVerify(Multimodal.payloadShingles(packed), 0.8)
+      .collect().map(_.toSeq).toSet
+    val banded = Multimodal.mediaNearDup(packed)
+      .collect().map(_.toSeq).toSet
+    assert(truth.nonEmpty, "testdata must carry planted payload near-dups")
+    assert(banded == truth,
+      s"banding missed ${truth -- banded} / fabricated ${banded -- truth}")
+  }
+
   test("wide simhash aggregate at words=1 equals the scalar aggregate") {
     val tf = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))

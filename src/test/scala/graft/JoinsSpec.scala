@@ -186,6 +186,39 @@ class JoinsSpec extends SparkSpec {
     assert(cum("d1")._1 == 1 && cum("d2")._1 == 0 && cum("d3")._1 == 0)
   }
 
+  test("adviseMultiwaySkew: skewed shuffled dims get salted-shuffle, broadcast is skew-immune") {
+    import spark.implicits._
+    // a Zipf-hot fact: key 1 carries half the rows (50 of 100) — at
+    // reducers = 8, 50·8·10 > 100·9 fails the §6.4 test; the uniform
+    // key never repeats, so it passes at any reducer count
+    val fact = (1L to 50L).map(i => (1L, i))
+      .++((51L to 100L).map(i => (i, i)))
+      .toDF("hot_k", "uni_k")
+    val dHot = (1L to 60L).toDF("k")  // 6000 B at 100 B/row
+    val dUni = (1L to 70L).toDF("k")  // 7000 B
+    def advise(budget: Long): Map[String, (Int, Int, String)] =
+      Joins.adviseMultiwaySkew("t", fact,
+          Seq(("dhot", dHot, col("hot_k")), ("duni", dUni, col("uni_k"))),
+          rowBytes = 100L, broadcastBudgetBytes = budget, reducers = 8)
+        .collect()
+        .map(r => r.getString(1) ->
+          ((r.getInt(6), r.getInt(7), r.getString(8)))).toMap
+    // both shuffled: the skewed stage salts, the uniform one doesn't
+    val none = advise(0L)
+    assert(none("dhot") == ((0, 1, "salted-shuffle")), s"got ${none("dhot")}")
+    assert(none("duni") == ((0, 0, "shuffle")), s"got ${none("duni")}")
+    // both admitted: broadcast never partitions by the key, so the
+    // skew flag stays informational and the advice is broadcast
+    val all = advise(13000L)
+    assert(all("dhot") == ((1, 1, "broadcast")), s"got ${all("dhot")}")
+    assert(all("duni") == ((1, 0, "broadcast")), s"got ${all("duni")}")
+    // max_repeats is the hottest key's count, exact
+    val reps = Joins.adviseMultiwaySkew("t", fact,
+        Seq(("dhot", dHot, col("hot_k"))), 100L, 0L, 8)
+      .head().getAs[Long]("key_max_repeats")
+    assert(reps == 50L)
+  }
+
   test("bloomSemiJoin equals the plain semi join and prunes at the fact scan") {
     val fact = Tables.table(spark, sf, "lineitem")
     val dim = Tables.table(spark, sf, "orders")

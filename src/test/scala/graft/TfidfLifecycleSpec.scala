@@ -81,6 +81,91 @@ class TfidfLifecycleSpec extends SparkSpec {
     Tables.deleteRecursive(idx)
   }
 
+  test("staleness counters budget the refresh: below skips, above trips, refresh resets") {
+    val idx = Tables.scratchDir("spec_tfidf_stale")
+    Similarity.writeTfidfIndex(terms.filter(col("doc_id") % 5 =!= 4), idx)
+    val st0 = Similarity.tfidfStaleness(spark, idx)
+    assert(st0.appendedDocs == 0L && st0.statN > 0L,
+      s"fresh build must start with a zeroed staleness clock: $st0")
+    // batch 1: a twentieth of the base (docs ≡ 4 mod 25) — 5% growth,
+    // under the 10% budget: the GROWTH trigger must not refresh (OOV
+    // budget disabled to isolate the branch), and the clock keeps running
+    val st1 = Similarity.appendToTfidfIndex(idx,
+      terms.filter(col("doc_id") % 25 === 4))
+    assert(st1.appendedDocs > 0L && st1.statN == st0.statN)
+    assert(st1.growthPpm < 100000L,
+      s"test premise: batch 1 must sit under the 10% budget, got ${st1.growthPpm} ppm")
+    assert(!Similarity.refreshTfidfIndexIfStale(spark, idx,
+        maxGrowthPpm = 100000L, maxOovPpm = Long.MaxValue),
+      "below-budget append must not trigger a refresh")
+    assert(Similarity.tfidfStaleness(spark, idx).appendedDocs == st1.appendedDocs,
+      "a skipped refresh must leave the staleness clock running")
+    // the OOV trigger fires INDEPENDENTLY of growth: word 3-shingle
+    // vocabularies are heavy-tailed, so even this small batch skips
+    // well over 5% of its term mass as out-of-vocabulary
+    assert(st1.oovMassPpm > 50000L,
+      s"test premise: shingle OOV mass should dwarf 5%, got ${st1.oovMassPpm} ppm")
+    assert(Similarity.refreshTfidfIndexIfStale(spark, idx,
+        maxGrowthPpm = Long.MaxValue, maxOovPpm = 50000L),
+      "above-OOV-budget append must trigger the refresh")
+    val st1r = Similarity.tfidfStaleness(spark, idx)
+    assert(st1r.appendedDocs == 0L && st1r.statN > st0.statN,
+      s"refresh must reset the clock onto the grown corpus: $st1r vs base $st0")
+    // batch 2: the rest of the fifth — ~19% growth against the
+    // refreshed base trips the growth budget on its own
+    val st2 = Similarity.appendToTfidfIndex(idx,
+      terms.filter(col("doc_id") % 5 === 4 && col("doc_id") % 25 =!= 4))
+    assert(st2.growthPpm > 100000L)
+    assert(Similarity.refreshTfidfIndexIfStale(spark, idx,
+        maxGrowthPpm = 100000L, maxOovPpm = Long.MaxValue),
+      "above-growth-budget append must trigger the refresh")
+    val st3 = Similarity.tfidfStaleness(spark, idx)
+    assert(st3.appendedDocs == 0L && st3.statN > st1r.statN,
+      s"refresh must reset the clock onto the grown corpus: $st3 vs $st1r")
+    // and the refreshed index serves full-rebuild parity
+    assert(pairSet(Similarity.tfidfCosinePairsStored(spark, idx, 0.3)) ==
+      pairSet(Similarity.tfidfCosinePairs(terms, 0.3)))
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(idx)
+  }
+
+  test("a blindly replayed append batch is repaired to the single-applied state") {
+    val idx = Tables.scratchDir("spec_tfidf_repair")
+    Similarity.writeTfidfIndex(terms.filter(col("doc_id") % 5 =!= 4), idx)
+    val delta = terms.filter(col("doc_id") % 5 === 4)
+    Similarity.appendToTfidfIndex(idx, delta)
+    Similarity.appendToTfidfIndex(idx, delta) // the blind retry (ADVICE r8)
+    val tfRows = spark.read.parquet(s"$idx/tf").count()
+    Similarity.repairTfidfIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/tf").count() < tfRows,
+      "repair must collapse the double-applied tf rows")
+    // repair = dedupe + refresh: serving equals a from-scratch build
+    // on the (single-applied) grown corpus
+    assert(pairSet(Similarity.tfidfCosinePairsStored(spark, idx, 0.3)) ==
+      pairSet(Similarity.tfidfCosinePairs(terms, 0.3)))
+    Tables.deleteRecursive(idx)
+
+    // same contract for the single-store winnow index
+    val docs = Tables.table(spark, sf, "documents")
+    val widx = Tables.scratchDir("spec_winnow_repair")
+    graft.operators.Dedup.writeWinnowIndex(
+      docs.filter(col("doc_id") % 5 =!= 4), col("text"), col("doc_id"), widx)
+    graft.operators.Dedup.appendToWinnowIndex(widx,
+      docs.filter(col("doc_id") % 5 === 4), col("text"), col("doc_id"))
+    graft.operators.Dedup.appendToWinnowIndex(widx,
+      docs.filter(col("doc_id") % 5 === 4), col("text"), col("doc_id"))
+    graft.operators.Dedup.repairWinnowIndex(spark, widx)
+    val served = graft.operators.Dedup.winnowingOverlapStored(spark, widx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = graft.operators.Dedup.winnowingOverlapJoin(
+      docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == mem,
+      "repaired winnow index must serve the in-memory overlap pairs exactly")
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(widx)
+  }
+
   test("frozen-idf append embeds delta docs in the base vocabulary only") {
     val idx = Tables.scratchDir("spec_tfidf_frozen")
     val base = terms.filter(col("doc_id") % 5 =!= 4)

@@ -38,11 +38,18 @@ def load_queries(blob):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # positional args = everything that is neither a flag nor a flag's
+    # value (the token after --drift is consumed by the flag, ADVICE r8)
     drift = 1.5
-    for i, a in enumerate(sys.argv):
-        if a == "--drift":
-            drift = float(sys.argv[i + 1])
+    args, skip = [], False
+    for a in sys.argv[1:]:
+        if skip:
+            drift = float(a)
+            skip = False
+        elif a == "--drift":
+            skip = True
+        elif not a.startswith("--"):
+            args.append(a)
     if not args:
         print(__doc__)
         return 2
