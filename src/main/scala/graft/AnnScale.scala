@@ -139,14 +139,16 @@ object AnnScale {
       }
       degree("pruned")
       var got: Set[(Long, Long)] = Set.empty
-      timed("graph_beam_serve") {
-        val r = Similarity.beamSearchKnnStored(idx, emb.filter(isQ),
-          col("embedding"), col("vec_id"), k = k, nProbe = 8,
-          beamWidth = 32, rounds = 3)
-        got = pairs(r)
-        got.size.toLong
+      for ((bw, rounds) <- Seq((32, 3), (64, 5))) {
+        timed(s"graph_beam_serve_w${bw}_r$rounds") {
+          val r = Similarity.beamSearchKnnStored(idx, emb.filter(isQ),
+            col("embedding"), col("vec_id"), k = k, nProbe = 8,
+            beamWidth = bw, rounds = rounds)
+          got = pairs(r)
+          got.size.toLong
+        }
+        recall(s"graph_beam_w${bw}_r$rounds", got)
       }
-      recall("graph_beam", got)
       graft.sources.Tables.deleteRecursive(idx)
     }
     // MMR greedy diversification: the corpus-sized cost is the

@@ -73,10 +73,16 @@ object TfidfScale {
       Similarity.writeTfidfIndex(termsOf(docs), idx)
       spark.catalog.clearCache(); 0L
     }
+    var stale: graft.operators.TfidfStaleness = null
     timed("append_delta") {
-      Similarity.appendToTfidfIndex(idx, termsOf(delta))
+      stale = Similarity.appendToTfidfIndex(idx, termsOf(delta))
       spark.catalog.clearCache(); 0L
     }
+    // the drift counters the refresh trigger budgets on — O(#batches)
+    // to read, never recounted from the corpus
+    println(s"""{"op":"staleness","appended_docs":${stale.appendedDocs},""" +
+      s""""stat_n":${stale.statN},"growth_ppm":${stale.growthPpm},""" +
+      s""""oov_mass_ppm":${stale.oovMassPpm}}""")
     val deltaPostings = spark.read.parquet(s"$idx/postings")
       .filter(col("doc_id") >= nDocs).count()
     // the frozen contract indexes exactly the delta's IN-VOCABULARY

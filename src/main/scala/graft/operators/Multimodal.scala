@@ -116,26 +116,33 @@ object Multimodal {
   }
 
   /** Distinct byte k-grams of an opaque binary payload, as (doc_id, s)
-    * shingle rows — the deterministic content feature the near-dup
-    * tier fingerprints. Computed over the HEX rendering (one
-    * 2k-hex-char substring per byte offset, stepping 2), so the
-    * feature is defined for ARBITRARY binary — no charset assumption;
-    * for a real media pipeline this is the stand-in for a perceptual
-    * feature extractor (pHash blocks, audio chroma frames), which
-    * slots into the same (doc_id, s) contract. byteK = 16 measured:
-    * byte 4-grams are vocabulary-correlated across unrelated payloads
-    * (123 k candidate pairs on 500 docs), 16-byte windows decorrelate
-    * to 20 k while planted near-dups stay at J ≥ 0.8 with nothing
-    * between 0.5 and 0.8. Fully codegen'd: hex + HOF transform +
-    * explode, no UDF. */
-  def payloadShingles(packed: DataFrame, byteK: Int = 16): DataFrame = {
-    val h = byteK * 2
-    packed.select(col("doc_id"), hex(col("payload")).as("hx"))
-      .filter(length(col("hx")) >= h)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, length(hx) - ${h - 1}, 2), i -> substring(hx, i, $h))")).as("s"))
+    * shingle rows with `s` BINARY — the deterministic content feature
+    * the near-dup tier fingerprints, defined for ARBITRARY binary with
+    * no charset assumption; for a real media pipeline this is the
+    * stand-in for a perceptual feature extractor (pHash blocks, audio
+    * chroma frames), which slots into the same (doc_id, s) contract.
+    *
+    * byteK = 16 measured: byte 4-grams are vocabulary-correlated
+    * across unrelated payloads (123 k candidate pairs on 500 docs),
+    * 16-byte windows decorrelate to 20 k while planted near-dups stay
+    * at J ≥ 0.8 with nothing between 0.5 and 0.8.
+    *
+    * Shape: explode(sequence) + a TOP-LEVEL binary substring — all
+    * codegen'd. The natural HOF spelling (transform over a hex
+    * rendering) runs the lambda interpreted and carries 2× strings,
+    * measured 10.4 s vs 1.6 s here for the same 1.4 M grams at sf0.1;
+    * gram REPRESENTATION is engine-internal (the output contract is
+    * the pair set), so the oracle's hex-substring grams and these
+    * binary grams induce identical pairs (the round-18 probe pinned
+    * the two gram multisets equal before the hex form was dropped;
+    * docs/EXPERIMENTS.md). */
+  def payloadShingles(packed: DataFrame, byteK: Int = 16): DataFrame =
+    packed.select(col("doc_id"), col("payload"))
+      .filter(length(col("payload")) >= byteK)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(1), length(col("payload")) - (byteK - 1))).as("i"))
+      .select(col("doc_id"), expr(s"substring(payload, i, $byteK)").as("s"))
       .distinct()
-  }
 
   /** Binary-payload NEAR-duplicate pairs (VERDICT r8 #6 — the
     * perceptual-hash-style dedup tier over opaque media columns):
@@ -151,9 +158,13 @@ object Multimodal {
     * md5 groupBy ([[extractFeatures]]' content_md5); this tier is for
     * payloads that differ in a bounded fraction of their content. */
   def mediaNearDup(packed: DataFrame, maxHamming: Int = 15,
-      threshold: Double = 0.8, words: Int = 1, byteK: Int = 16): DataFrame =
-    Dedup.simhashDedupFromShingles(payloadShingles(packed, byteK),
-      maxHamming, threshold, words)
+      threshold: Double = 0.8, words: Int = 1, byteK: Int = 16): DataFrame = {
+    // the gram stream feeds the fingerprint aggregate AND all four
+    // verify-stage consumers — checkpoint it once (measured: the
+    // recomputed form spent ~half the query re-generating grams)
+    val (sh, _, _) = Iterate.ckpt(payloadShingles(packed, byteK))
+    Dedup.simhashDedupFromShingles(sh, maxHamming, threshold, words)
+  }
 
   /** Frame sampling for time-based media: one row per sampled frame,
     * deterministic frame count from metadata (stub for container

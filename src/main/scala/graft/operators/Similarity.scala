@@ -1416,9 +1416,11 @@ object Similarity {
     * (integer micros — round(cos·10⁶), the MMR recipe, so every beam
     * decision is BIGINT-exact and the oracle replays the walk verbatim
     * as unrolled rounds), keep the best `beamWidth` per query. Fixed
-    * round count, monotone beam (scored nodes never re-score: a
-    * left-anti join drops already-beamed candidates before the vector
-    * fetch).
+    * round count with an early convergence exit — an empty expansion
+    * leaves every later round a no-op, in the oracle's unrolled replay
+    * too, so skipping them is value-identical. Monotone beam (scored
+    * nodes never re-score: a left-anti join drops already-beamed
+    * candidates before the vector fetch).
     *
     * Scale shape: per round the adjacency scan partition-prunes to the
     * frontier's src buckets and the vector fetch to the candidates'
@@ -1449,7 +1451,10 @@ object Similarity {
         .select(col("qid"), col("vid"), micros.as("sm"))
         .withColumn("r", row_number().over(wBeam)).filter(col("r") <= nProbe)
         .select(col("qid"), col("vid"), col("sm")))
-    for (_ <- 1 to rounds) {
+    var roundNo = 0
+    var converged = false
+    while (roundNo < rounds && !converged) {
+      roundNo += 1
       // frontier's adjacency buckets — ≤ srcBuckets DISTINCT values
       // however wide the beam, so the collect is config-bounded
       val sbs = frontier
@@ -1457,29 +1462,36 @@ object Similarity {
         .distinct().collect().map(_.getLong(0)).toSeq
       val adj = spark.read.parquet(s"$path/adj")
         .filter(col("sb").cast("long").isin(sbs: _*))
-      val cand = frontier.join(adj, col("vid") === col("src"))
-        .select(col("qid"), col("dst").as("vid"))
-        .filter(col("vid") =!= col("qid"))
-        .distinct()
-        .join(frontier.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_anti")
-      val dbs = cand
-        .select(pmod(xxhash64(col("vid")), lit(docBuckets.toLong)).as("b"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val scored =
-        if (dbs.isEmpty) spark.emptyDataFrame
-        else cand
+      // the expansion join is the round's expensive stage — checkpoint
+      // it ONCE so the dbs bucket collect and the vector-fetch join
+      // both read the materialized candidates instead of re-running
+      // the adjacency join (it was computed twice per round before;
+      // VERDICT r8 #7). The returned count doubles as the convergence
+      // gate: an empty expansion can never change any later round.
+      val (cand, _, nCand) = Iterate.ckpt(
+        frontier.join(adj, col("vid") === col("src"))
+          .select(col("qid"), col("dst").as("vid"))
+          .filter(col("vid") =!= col("qid"))
+          .distinct()
+          .join(frontier.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_anti"))
+      if (nCand == 0L) converged = true
+      else {
+        val dbs = cand
+          .select(pmod(xxhash64(col("vid")), lit(docBuckets.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val scored = cand
           .join(spark.read.parquet(s"$path/vectors")
             .filter(col("db").cast("long").isin(dbs: _*))
             .select(col("vid"), col("v"), col("nrm")), Seq("vid"))
           .join(broadcast(q), Seq("qid"))
           .select(col("qid"), col("vid"), micros.as("sm"))
-      val merged =
-        if (dbs.isEmpty) frontier else frontier.unionByName(scored)
-      val (next, _, _) = Iterate.ckpt(
-        merged.withColumn("r", row_number().over(wBeam))
-          .filter(col("r") <= beamWidth)
-          .select(col("qid"), col("vid"), col("sm")))
-      frontier = next
+        val (next, _, _) = Iterate.ckpt(
+          frontier.unionByName(scored)
+            .withColumn("r", row_number().over(wBeam))
+            .filter(col("r") <= beamWidth)
+            .select(col("qid"), col("vid"), col("sm")))
+        frontier = next
+      }
     }
     frontier.withColumn("rnk", row_number().over(wBeam))
       .filter(col("rnk") <= k)

@@ -143,4 +143,57 @@ class BeamSearchSpec extends SparkSpec {
     spark.catalog.clearCache()
     Tables.deleteRecursive(idx)
   }
+
+  test("a blindly replayed insert batch is repaired to the single-applied state") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 1)
+    val delta = emb.filter(col("vec_id") % 3 === 1)
+    def build(path: String): Unit =
+      Similarity.writeKnnGraphIndex(
+        Similarity.knnGraphExact(base, col("embedding"), col("vec_id"), 8),
+        base, col("embedding"), col("vec_id"),
+        Similarity.ivfAssignments(base, col("embedding"), col("vec_id"), 8)
+          .groupBy("cid").agg(min(col("vid")).as("vid")),
+        path)
+    def serve(path: String): Set[(Long, Long, Long)] =
+      Similarity.beamSearchKnnStored(path, emb.filter(col("vec_id") % 50 === 0),
+        col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+        rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // reference: single-applied insert, then prune
+    val ref = Tables.scratchDir("spec_knn_replay_ref")
+    build(ref)
+    Similarity.appendToKnnGraphIndex(ref, delta, col("embedding"),
+      col("vec_id"), kGraph = 8, nProbe = 4, beamWidth = 16, rounds = 4)
+    Similarity.pruneKnnGraphIndex(spark, ref, 8)
+    // replayed: the same batch lands twice (ADVICE r8's blind retry),
+    // then repair (distinct rewrite) + the same prune
+    val rep = Tables.scratchDir("spec_knn_replay_dup")
+    build(rep)
+    Similarity.appendToKnnGraphIndex(rep, delta, col("embedding"),
+      col("vec_id"), kGraph = 8, nProbe = 4, beamWidth = 16, rounds = 4)
+    val adjRows = spark.read.parquet(s"$rep/adj").count()
+    // replay the WRITES verbatim — the write-phase retry whose
+    // completion signal was lost (a recomputed append would walk the
+    // already-mutated graph; the failure mode repair targets is the
+    // storage layer landing the same rows twice)
+    for ((store, pc) <- Seq("adj" -> "sb", "vectors" -> "db")) {
+      val snap = spark.read.parquet(s"$rep/$store").localCheckpoint(true)
+      snap.write.mode("append").partitionBy(pc).parquet(s"$rep/$store")
+    }
+    assert(spark.read.parquet(s"$rep/adj").count() == 2 * adjRows,
+      "test premise: the replay must have landed duplicate rows")
+    Similarity.repairKnnGraphIndex(spark, rep)
+    assert(spark.read.parquet(s"$rep/adj").count() == adjRows,
+      "repair must collapse the replayed edge rows exactly")
+    assert(spark.read.parquet(s"$rep/vectors").count() ==
+      spark.read.parquet(s"$ref/vectors").count(),
+      "repair must collapse the replayed vector rows exactly")
+    Similarity.pruneKnnGraphIndex(spark, rep, 8)
+    assert(serve(rep) == serve(ref),
+      "repaired index must serve the single-applied walks verbatim")
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(ref)
+    Tables.deleteRecursive(rep)
+  }
 }
