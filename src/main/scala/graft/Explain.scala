@@ -45,8 +45,11 @@ object Explain {
     // join_strategy_advice and join_size_estimate cross 1-row
     // statistics/sketch aggregates (scalar broadcast, not a pair scan);
     // join_multiway_advice crosses its 1-row fact-count and
-    // admission-summary aggregates under the n-dim table (n = 3)
+    // admission-summary aggregates under the n-dim table (n = 3);
+    // join_chain_advice crosses THREE 1-row count aggregates (fact/A/B)
+    // into its single advice row — scalar broadcasts end to end
     "join_strategy_advice", "join_size_estimate", "join_multiway_advice",
+    "join_chain_advice",
     // same scalar fan-out: chi-square's grand total, the histogram's
     // min/max bounds, and the basket lift's order count are 1-row
     // broadcast aggregates under bounded-size tables

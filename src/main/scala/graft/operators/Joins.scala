@@ -386,6 +386,51 @@ object Joins {
           .otherwise("mixed-cascade").as("advice"))
   }
 
+  /** Join-ORDER advice for a CHAIN topology (fact → A on a fact key,
+    * then B on A's OUTPUT key) — the planning rule distilled from the
+    * measured `--topology chain` sweep (docs/EXPERIMENTS.md round 18),
+    * where order is a real degree of freedom the star advisor never
+    * faces:
+    *
+    *  - both dims fit the CUMULATIVE budget → `pipelined-bhj`: join in
+    *    declared order with both broadcast — Catalyst pipelines two
+    *    BroadcastHashJoins inside one whole-stage-codegen'd fact scan,
+    *    measured faster than EITHER forced materialization order;
+    *  - else B fits → `dims-first-enrich`: broadcast B into A (the
+    *    A-sized pre-join), so the fact is exchanged ONCE against the
+    *    enriched dim — the measured 1.5–1.7× over fact-first;
+    *  - else A fits → `mixed-chain`: broadcast A in declared order,
+    *    shuffle the fact once for B;
+    *  - neither fits → `dims-first-shuffle`: still pre-join A⋈B — the
+    *    dim-side exchange is |A|+|B| rows while each fact-side
+    *    exchange is |fact|, so joining dims first exchanges the fact
+    *    once instead of twice.
+    *
+    * When both fit individually but not cumulatively, B wins the
+    * broadcast slot (deterministic: enriching through the deeper hop
+    * removes a whole join from the fact's path). Integer row×bytes
+    * arithmetic throughout — any engine replays identical advice
+    * (`join_chain_advice`). */
+  def adviseChain(name: String, fact: DataFrame, dimA: DataFrame,
+      dimB: DataFrame, rowBytes: Long,
+      broadcastBudgetBytes: Long): DataFrame = {
+    val f = fact.agg(count(lit(1)).as("fact_rows"))
+    val a = dimA.agg(count(lit(1)).as("a_rows"))
+    val b = dimB.agg(count(lit(1)).as("b_rows"))
+    f.join(broadcast(a), lit(true)).join(broadcast(b), lit(true))
+      .withColumn("a_bytes", col("a_rows") * rowBytes)
+      .withColumn("b_bytes", col("b_rows") * rowBytes)
+      .select(
+        lit(name).as("join_name"),
+        col("fact_rows"), col("a_rows"), col("b_rows"),
+        col("a_bytes"), col("b_bytes"),
+        when(col("a_bytes") + col("b_bytes") <= broadcastBudgetBytes,
+            "pipelined-bhj")
+          .when(col("b_bytes") <= broadcastBudgetBytes, "dims-first-enrich")
+          .when(col("a_bytes") <= broadcastBudgetBytes, "mixed-chain")
+          .otherwise("dims-first-shuffle").as("advice"))
+  }
+
   /** Reference output shape: `key, "l1,l2,..", "r1,r2,.."` — the text
     * sink then renders `key TAB l,r` (RepartitionJoin.java:80). Columns
     * are stringified with comma separators exactly like the reference's

@@ -1267,7 +1267,9 @@ object Similarity {
       id: Column, entryIds: DataFrame, path: String,
       srcBuckets0: Int = 0, docBuckets0: Int = 0): Unit = {
     val spark = emb.sparkSession
-    val n = if (srcBuckets0 > 0 && docBuckets0 > 0) 0L else emb.count()
+    // always counted: base_nodes denominates the insert-volume
+    // staleness budget ([[knnGraphStaleness]]), stored in meta
+    val n = emb.count()
     val srcBuckets = if (srcBuckets0 > 0) srcBuckets0
       else math.max(1L, math.min(64L, n / 100L)).toInt
     val docBuckets = if (docBuckets0 > 0) docBuckets0
@@ -1285,8 +1287,10 @@ object Similarity {
       .select(col("vid"), col("v"), col("nrm"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
     spark.range(1).select(
-        lit(srcBuckets).as("src_buckets"), lit(docBuckets).as("doc_buckets"))
+        lit(srcBuckets).as("src_buckets"), lit(docBuckets).as("doc_buckets"),
+        lit(n).as("base_nodes"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.sources.Tables.deleteRecursive(s"$path/staleness")
   }
 
   /** Batch INSERT into a [[writeKnnGraphIndex]] layout — the HNSW-class
@@ -1337,7 +1341,57 @@ object Similarity {
     e.withColumn("db", pmod(xxhash64(col("vid")), lit(docBuckets.toLong)))
       .repartition(col("db"))
       .write.mode("append").partitionBy("db").parquet(s"$path/vectors")
-    e.select(count(lit(1))).head().getLong(0)
+    val inserted = e.select(count(lit(1))).head().getLong(0)
+    // one tiny staleness row per batch — the insert-volume counter the
+    // prune trigger budgets on (degree drift is bounded by ingest
+    // volume, the contract above), O(#batches) to read back
+    spark.range(1).select(lit(inserted).as("n_inserted"))
+      .coalesce(1).write.mode("append").parquet(s"$path/staleness")
+    inserted
+  }
+
+  /** Cumulative insert volume of a [[writeKnnGraphIndex]] layout since
+    * its last build/[[pruneKnnGraphIndex]] — (insertedNodes, baseNodes,
+    * insertedPpm). A sum over the per-batch `staleness/` rows against
+    * `base_nodes` from meta; never an edge scan (per-node degree drift
+    * is BOUNDED by this volume — each inserted neighbor hands a stored
+    * node at most one reverse edge — so the O(1) counter is the honest
+    * budget proxy, and the prune itself re-checks actual degrees for
+    * free before rewriting anything). */
+  def knnGraphStaleness(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long, Long) = {
+    val base = spark.read.parquet(s"$path/meta").head().getAs[Long]("base_nodes")
+    val ins =
+      if (!new java.io.File(s"$path/staleness").exists()) 0L
+      else spark.read.parquet(s"$path/staleness")
+        .agg(coalesce(sum(col("n_inserted")), lit(0L))).head().getLong(0)
+    val ppm = if (base == 0L) Long.MaxValue else ins * 1000000L / base
+    (ins, base, ppm)
+  }
+
+  /** The prune TRIGGER closing the graph index's drift loop — the
+    * [[refreshTfidfIndexIfStale]] of this family: run
+    * [[pruneKnnGraphIndex]] only when cumulative insert volume since
+    * the last prune exceeds `maxInsertedPpm` of the base. On a prune
+    * the staleness clock resets and `base_nodes` advances to the grown
+    * node count (the pruned graph IS the new base the next budget
+    * measures against). Returns whether a prune ran. */
+  def pruneKnnGraphIndexIfStale(spark: org.apache.spark.sql.SparkSession,
+      path: String, degreeCap: Int,
+      maxInsertedPpm: Long = 100000L): Boolean = {
+    val (ins, base, ppm) = knnGraphStaleness(spark, path)
+    val stale = ppm > maxInsertedPpm
+    if (stale) {
+      pruneKnnGraphIndex(spark, path, degreeCap)
+      val m = spark.read.parquet(s"$path/meta").head()
+      spark.range(1).select(
+          lit(m.getAs[Int]("src_buckets")).as("src_buckets"),
+          lit(m.getAs[Int]("doc_buckets")).as("doc_buckets"),
+          lit(base + ins).as("base_nodes"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      graft.sources.Tables.deleteRecursive(s"$path/staleness")
+    }
+    stale
   }
 
   /** Degree-bound PRUNE of a [[writeKnnGraphIndex]] layout — the

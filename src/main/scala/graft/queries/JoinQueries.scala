@@ -368,6 +368,32 @@ object JoinQueries {
           ("rflag", li.select(col("l_returnflag")).distinct(), col("l_returnflag"))),
         rowBytes = 200L, broadcastBudgetBytes = 1048576L, reducers = 32)
     },
+    // chain-topology join-order advice (Joins.adviseChain — VERDICT r8
+    // #5's planning half, distilled from the measured --topology chain
+    // sweep): lineitem → orders (l_orderkey) → customer (o_custkey),
+    // where customer joins ORDERS' output key, so join order is a real
+    // choice. Under the 1 MiB budget the advice flips with SF exactly
+    // as the SQL replays it (sf0.01: customer fits, orders doesn't →
+    // dims-first-enrich; larger SFs push both past the budget →
+    // dims-first-shuffle). JoinsSpec pins all four branches.
+    QueryDef(
+      "join_chain_advice",
+      """WITH f AS (SELECT count(*) AS fact_rows FROM lineitem),
+        |a AS (SELECT count(*) AS a_rows FROM orders),
+        |b AS (SELECT count(*) AS b_rows FROM customer)
+        |SELECT 'lineitem-orders-customer' AS join_name,
+        |  fact_rows, a_rows, b_rows,
+        |  a_rows * 200 AS a_bytes, b_rows * 200 AS b_bytes,
+        |  CASE WHEN a_rows * 200 + b_rows * 200 <= 1048576 THEN 'pipelined-bhj'
+        |       WHEN b_rows * 200 <= 1048576 THEN 'dims-first-enrich'
+        |       WHEN a_rows * 200 <= 1048576 THEN 'mixed-chain'
+        |       ELSE 'dims-first-shuffle' END AS advice
+        |FROM f, a, b""".stripMargin) { (s, d) =>
+      Joins.adviseChain("lineitem-orders-customer",
+        Tables.table(s, d, "lineitem"), Tables.table(s, d, "orders"),
+        Tables.table(s, d, "customer"),
+        rowBytes = 200L, broadcastBudgetBytes = 1048576L)
+    },
     // sketch-based join-size estimation (functions.CmsInnerProduct):
     // |views ⋈ clicks on user| estimated from two count-min sketches —
     // the pre-shuffle cardinality statistic a cost-based planner feeds

@@ -447,7 +447,7 @@ object SimilarityQueries {
       .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val pristine = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_knngb_$key")
+      sys.props("java.io.tmpdir"), s"graft_knngb2_$key")
     val ready = new java.io.File(pristine, "_GRAFT_READY")
     if (!ready.exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(pristine)
@@ -754,7 +754,7 @@ object SimilarityQueries {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
-      val idx = new java.io.File(sys.props("java.io.tmpdir"), s"graft_knng_$key")
+      val idx = new java.io.File(sys.props("java.io.tmpdir"), s"graft_knng2_$key")
       val ready = new java.io.File(idx, "_GRAFT_READY")
       if (!ready.exists()) {
         org.apache.commons.io.FileUtils.deleteQuietly(idx)
@@ -820,10 +820,17 @@ object SimilarityQueries {
           col("embedding"), col("vec_id"), kGraph = 8, nProbe = 4,
           beamWidth = 16, rounds = 4)
       }
+      // the budgeted trigger (r8 #3's pattern applied to this family):
+      // the inserted third is 50% volume against the 10% budget, so the
+      // prune fires deterministically; a below-budget batch would keep
+      // serving the denser graph (BeamSearchSpec pins that branch)
+      val (ins, base, ppm) = Similarity.knnGraphStaleness(s, idx)
       val pruned = phase("prune") {
-        Similarity.pruneKnnGraphIndex(s, idx, degreeCap = 8)
+        Similarity.pruneKnnGraphIndexIfStale(s, idx, degreeCap = 8,
+          maxInsertedPpm = 100000L)
       }
-      phase.emit(s""","pruned_nodes":$pruned""")
+      require(pruned, "50% insert volume must trip the 10% prune budget")
+      phase.emit(s""","inserted":$ins,"base_nodes":$base,"inserted_ppm":$ppm""")
       Similarity.beamSearchKnnStored(idx, emb.filter(col("vec_id") % 50 === 0),
         col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
         rounds = 4)

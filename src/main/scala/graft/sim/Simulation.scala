@@ -302,6 +302,14 @@ object Simulation {
     val dimA = Tables.readStage(spark, s"$wd/dima")
     val dimB = Tables.readStage(spark, s"$wd/dimb")
 
+    // order advice next to the timings it predicts
+    val fileBytes = graft.operators.Layout.dataBytes(s"$wd/fact")
+    val adv = Joins.adviseChain(s"mwc_r$rows", fact, dimA, dimB,
+      rowBytes = math.max(1L, fileBytes / rows),
+      broadcastBudgetBytes = a.adviseBudgetMb * 1000000L).head()
+    println(s"[advise-chain] rows=$rows a_bytes=${adv.getLong(4)} " +
+      s"b_bytes=${adv.getLong(5)} advice=${adv.getString(6)}")
+
     def chain(bcast: Boolean, dimsFirst: Boolean): Long = {
       def h(df: DataFrame) = if (bcast) broadcast(df) else df
       val joined =

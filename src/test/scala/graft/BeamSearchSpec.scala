@@ -110,20 +110,41 @@ class BeamSearchSpec extends SparkSpec {
       .groupBy("src").agg(count(lit(1)).as("d"))
       .agg(max(col("d"))).head().getLong(0)
     assert(maxDegree() == cap, "fresh build must be exactly degree-capped")
-    // three insert batches — each hands stored nodes fresh reverse
+    assert(Similarity.knnGraphStaleness(spark, idx)._1 == 0L,
+      "fresh build must start with a zeroed insert-volume clock")
+    // tiny first batch (1/36 of the corpus ≈ 5.6% of the half-corpus
+    // base) — under the 10% insert-volume budget: the TRIGGER must
+    // skip the prune and leave the clock running
+    Similarity.appendToKnnGraphIndex(idx,
+      emb.filter(col("vec_id") % 36 === 1), col("embedding"), col("vec_id"),
+      kGraph = cap, nProbe = 4, beamWidth = 16, rounds = 4)
+    val (ins1, base1, ppm1) = Similarity.knnGraphStaleness(spark, idx)
+    assert(ins1 > 0L && ppm1 < 100000L,
+      s"test premise: the tiny batch must sit under the 10% budget, got $ppm1 ppm")
+    assert(!Similarity.pruneKnnGraphIndexIfStale(spark, idx, cap, 100000L),
+      "below-budget insert volume must not trigger a prune")
+    assert(Similarity.knnGraphStaleness(spark, idx)._1 == ins1,
+      "a skipped prune must leave the staleness clock running")
+    // three more batches — each hands stored nodes fresh reverse
     // edges, so degree drifts up with ingest volume (the documented
-    // open lifecycle this verb closes)
+    // open lifecycle this verb closes) and the budget trips
     for (b <- Seq(1L, 3L, 5L))
       Similarity.appendToKnnGraphIndex(idx,
-        emb.filter(col("vec_id") % 6 === b), col("embedding"), col("vec_id"),
+        emb.filter(col("vec_id") % 6 === b && col("vec_id") % 36 =!= 1),
+        col("embedding"), col("vec_id"),
         kGraph = cap, nProbe = 4, beamWidth = 16, rounds = 4)
     val grown = maxDegree()
-    info(s"max degree after 3 insert batches = $grown (cap $cap)")
+    info(s"max degree after 4 insert batches = $grown (cap $cap)")
     assert(grown > cap, "inserts were expected to push some node past the cap")
-    val pruned = Similarity.pruneKnnGraphIndex(spark, idx, cap)
-    info(s"pruned nodes = $pruned")
-    assert(pruned > 0L)
+    assert(Similarity.pruneKnnGraphIndexIfStale(spark, idx, cap, 100000L),
+      "above-budget insert volume must trigger the prune")
     assert(maxDegree() <= cap, "prune must leave every node at <= cap edges")
+    // the clock reset onto the grown base (everything odd was inserted
+    // across the four batches: %36==1 first, then the rest of %6 ∈ {1,3,5})
+    val (ins2, base2, _) = Similarity.knnGraphStaleness(spark, idx)
+    val totalIns = emb.filter(col("vec_id") % 2 === 1).count()
+    assert(ins2 == 0L && base2 == base1 + totalIns,
+      s"prune must reset the clock onto the grown node count: ins=$ins2 base=$base2 expected=${base1 + totalIns}")
     // idempotent: a second prune finds nothing over cap, rewrites nothing
     assert(Similarity.pruneKnnGraphIndex(spark, idx, cap) == 0L)
     // the pruned graph still serves: recall over the full corpus holds

@@ -219,6 +219,24 @@ class JoinsSpec extends SparkSpec {
     assert(reps == 50L)
   }
 
+  test("adviseChain picks the measured order rule per budget band") {
+    import spark.implicits._
+    val fact = (1L to 100L).toDF("f")
+    val a = (1L to 30L).toDF("k")  // 3000 B at 100 B/row
+    val b = (1L to 10L).toDF("k")  // 1000 B
+    def advice(budget: Long): String =
+      Joins.adviseChain("t", fact, a, b, rowBytes = 100L,
+        broadcastBudgetBytes = budget).head().getAs[String]("advice")
+    assert(advice(4000L) == "pipelined-bhj")      // both fit cumulatively
+    assert(advice(3500L) == "dims-first-enrich")  // only B's 1000 fits... cum 4000 > 3500
+    assert(advice(1000L) == "dims-first-enrich")  // B fits alone
+    assert(advice(999L) == "dims-first-shuffle")  // neither fits
+    // A fits but B does not: broadcast A in declared order
+    val bBig = (1L to 50L).toDF("k") // 5000 B
+    assert(Joins.adviseChain("t", fact, a, bBig, 100L, 3000L)
+      .head().getAs[String]("advice") == "mixed-chain")
+  }
+
   test("bloomSemiJoin equals the plain semi join and prunes at the fact scan") {
     val fact = Tables.table(spark, sf, "lineitem")
     val dim = Tables.table(spark, sf, "orders")
