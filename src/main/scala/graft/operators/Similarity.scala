@@ -1553,6 +1553,94 @@ object Similarity {
         col("rnk"), col("sm").as("score_micros"))
   }
 
+  /** FILTERED beam search over a [[writeKnnGraphIndex]] layout — the
+    * filtered-ANN serving posture (HNSW filtered search / predicate
+    * push-into-walk): return each query's top-k among the nodes
+    * satisfying `keep` (a predicate over the node id / metadata
+    * column `vid`), WITHOUT restricting the walk itself. Post-filtering
+    * the final beam is the naive alternative and collapses recall at
+    * selective filters (a width-16 beam holds ~8 matching nodes under
+    * a 50% filter — fewer than k before ranking starts); restricting
+    * the WALK to matching nodes breaks navigability (the graph's
+    * edges route through non-matching neighbors). The standard answer,
+    * implemented here: the beam navigates UNFILTERED — identical
+    * rounds, scores, and frontier to [[beamSearchKnnStored]] — while a
+    * RESULTS accumulator keeps every scored node that passes `keep`
+    * (entry scores included, de-duplicated: an evicted node can be
+    * re-scored in a later round). The output contract is exact and
+    * replayable: top-k by (micros DESC, vid) over ALL matching nodes
+    * the walk ever scored — the oracle unions its per-round scored
+    * sets, filters, and ranks (ann_graph_filtered).
+    *
+    * Scale shape unchanged: the accumulator adds one filtered union +
+    * checkpoint per round over candidate-bounded rows; partition
+    * pruning and the config-bounded collects are the shared walk's. */
+  def beamSearchKnnStoredFiltered(path: String, queries: DataFrame,
+      vec: Column, id: Column, keep: Column, k: Int, nProbe: Int,
+      beamWidth: Int, rounds: Int): DataFrame = {
+    require(beamWidth >= k, s"beamWidth ($beamWidth) must be >= k ($k)")
+    require(nProbe >= 1 && rounds >= 1, "nProbe and rounds must be >= 1")
+    val spark = queries.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val srcBuckets = m.getAs[Int]("src_buckets")
+    val docBuckets = m.getAs[Int]("doc_buckets")
+    val q = withNorm(queries, vec, id)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val micros = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6, 0)
+      .cast("long")
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(col("sm").desc, col("vid"))
+    val entries = spark.read.parquet(s"$path/entry")
+    val entScored = q.join(broadcast(entries), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), micros.as("sm"))
+    var (frontier, _, _) = Iterate.ckpt(
+      entScored.withColumn("r", row_number().over(wBeam))
+        .filter(col("r") <= nProbe)
+        .select(col("qid"), col("vid"), col("sm")))
+    var (results, _, _) = Iterate.ckpt(entScored.filter(keep))
+    var roundNo = 0
+    var converged = false
+    while (roundNo < rounds && !converged) {
+      roundNo += 1
+      val sbs = frontier
+        .select(pmod(xxhash64(col("vid")), lit(srcBuckets.toLong)).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val adj = spark.read.parquet(s"$path/adj")
+        .filter(col("sb").cast("long").isin(sbs: _*))
+      val (cand, _, nCand) = Iterate.ckpt(
+        frontier.join(adj, col("vid") === col("src"))
+          .select(col("qid"), col("dst").as("vid"))
+          .filter(col("vid") =!= col("qid"))
+          .distinct()
+          .join(frontier.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_anti"))
+      if (nCand == 0L) converged = true
+      else {
+        val dbs = cand
+          .select(pmod(xxhash64(col("vid")), lit(docBuckets.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val (scored, _, _) = Iterate.ckpt(cand
+          .join(spark.read.parquet(s"$path/vectors")
+            .filter(col("db").cast("long").isin(dbs: _*))
+            .select(col("vid"), col("v"), col("nrm")), Seq("vid"))
+          .join(broadcast(q), Seq("qid"))
+          .select(col("qid"), col("vid"), micros.as("sm")))
+        val (nextResults, _, _) = Iterate.ckpt(
+          results.unionByName(scored.filter(keep)).distinct())
+        results = nextResults
+        val (next, _, _) = Iterate.ckpt(
+          frontier.unionByName(scored)
+            .withColumn("r", row_number().over(wBeam))
+            .filter(col("r") <= beamWidth)
+            .select(col("qid"), col("vid"), col("sm")))
+        frontier = next
+      }
+    }
+    results.withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rnk"), col("sm").as("score_micros"))
+  }
+
   /** SEMANTIC benchmark decontamination — the embedding-space
     * complement of [[Curation.decontaminate]]'s exact-shingle overlap:
     * a corpus document is contaminated when its embedding's cosine to

@@ -221,6 +221,63 @@ object SimilarityQueries {
        |  FROM f4) WHERE rk <= 5""".stripMargin
   }
 
+  /** Unrolled replay for ann_graph_filtered: the SAME walk as
+    * graphBeamOracle (navigation is unfiltered), but the answer is the
+    * top-5 by (micros DESC, vid) over the UNION of every scored set —
+    * the all-entry seed scores plus each round's newly-scored
+    * candidates — restricted to even ids. UNION de-duplicates exactly
+    * like the engine's accumulator distinct (a beam-evicted node can
+    * be re-scored in a later round). */
+  private def graphFilteredOracle: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def sm(qv: String, qn: String, v: String, nrm: String) =
+      s"CAST(round(${fold(qv, v)} / ($qn * $nrm) * 1000000, 0) AS BIGINT)"
+    def round(r: Int): String =
+      s"""cand$r AS (SELECT DISTINCT f.qid, a.dst AS vid
+         |  FROM f${r - 1} f JOIN adj a ON a.src = f.vid
+         |  WHERE a.dst <> f.qid
+         |    AND NOT EXISTS (SELECT 1 FROM f${r - 1} x WHERE x.qid = f.qid AND x.vid = a.dst)),
+         |sc$r AS MATERIALIZED (SELECT c.qid, c.vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm
+         |  FROM cand$r c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vid),
+         |f$r AS MATERIALIZED (SELECT qid, vid, sm FROM (
+         |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+         |  FROM (SELECT * FROM f${r - 1} UNION ALL SELECT * FROM sc$r)) WHERE rk <= 16)""".stripMargin
+    s"""$normCte,
+       |ap AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |  ${fold("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       |adj AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM ap) WHERE rk <= 8),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+       |asg0 AS (SELECT d.vec_id, c.cid,
+       |  ${fold("d.v", "c.cv")} / (d.nrm * c.cn) AS ccos
+       |  FROM n d CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |  FROM asg0) WHERE crn = 1),
+       |ent AS (SELECT min(vec_id) AS vid FROM asg GROUP BY cid),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+       |e0s AS MATERIALIZED (SELECT q.qid, n.vec_id AS vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm
+       |  FROM q JOIN ent ON TRUE JOIN n ON n.vec_id = ent.vid
+       |  WHERE n.vec_id <> q.qid),
+       |f0 AS MATERIALIZED (SELECT qid, vid, sm FROM (
+       |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+       |  FROM e0s) WHERE rk <= 4),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)},
+       |allsc AS (SELECT qid, vid, sm FROM e0s
+       |  UNION SELECT qid, vid, sm FROM sc1
+       |  UNION SELECT qid, vid, sm FROM sc2
+       |  UNION SELECT qid, vid, sm FROM sc3
+       |  UNION SELECT qid, vid, sm FROM sc4)
+       |SELECT qid AS query_id, vid AS neighbor_id, rk AS rnk, sm AS score_micros FROM (
+       |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+       |  FROM allsc WHERE vid % 2 = 0) WHERE rk <= 5""".stripMargin
+  }
+
   /** Unrolled replay for ann_graph_append / ann_graph_prune — two
     * chained beam tiers: (1) every delta node's INSERTION walk over
     * the pristine base graph (top-8 of the final beam = its forward
@@ -433,6 +490,31 @@ object SimilarityQueries {
   private def pristineTfidfBase(s: org.apache.spark.sql.SparkSession,
       d: String): java.io.File =
     stampedTfidfIndex(s, d, "tfidf_base3_", _ % 5 =!= 4)
+
+  /** Full-corpus serve-only graph index shared by ann_graph_beam and
+    * ann_graph_filtered — immutable, stamp-cached per testdata. */
+  private def servedGraphIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val emb = Tables.table(s, d, "embeddings")
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    require(src.exists(), s"beam-index source does not exist: $src")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val idx = new java.io.File(sys.props("java.io.tmpdir"), s"graft_knng2_$key")
+    val ready = new java.io.File(idx, "_GRAFT_READY")
+    if (!ready.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(idx)
+      Similarity.writeKnnGraphIndex(
+        Similarity.knnGraphExact(emb, col("embedding"), col("vec_id"), 8),
+        emb, col("embedding"), col("vec_id"),
+        Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"), 8)
+          .groupBy("cid").agg(min(col("vid")).as("vid")),
+        idx.getPath)
+      ready.createNewFile(): Unit
+    }
+    idx.getPath
+  }
 
   /** The pristine two-thirds (vec_id % 3 <> 1) graph-ANN index the
     * insert/prune lifecycle queries copy-then-mutate — stamp-cached
@@ -747,29 +829,24 @@ object SimilarityQueries {
     // on this data (BeamSearchSpec pins the floor).
     QueryDef("ann_graph_beam", graphBeamOracle) { (s, d) =>
       val emb = Tables.table(s, d, "embeddings")
-      // the index is immutable here (serve-only) — stamp-cached like
-      // the stored tf-idf/dedup fixtures, built once per testdata
-      val src = new java.io.File(s"$d/embeddings.parquet")
-      require(src.exists(), s"beam-index source does not exist: $src")
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
-      val idx = new java.io.File(sys.props("java.io.tmpdir"), s"graft_knng2_$key")
-      val ready = new java.io.File(idx, "_GRAFT_READY")
-      if (!ready.exists()) {
-        org.apache.commons.io.FileUtils.deleteQuietly(idx)
-        Similarity.writeKnnGraphIndex(
-          Similarity.knnGraphExact(emb, col("embedding"), col("vec_id"), 8),
-          emb, col("embedding"), col("vec_id"),
-          Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"), 8)
-            .groupBy("cid").agg(min(col("vid")).as("vid")),
-          idx.getPath)
-        ready.createNewFile(): Unit
-      }
-      Similarity.beamSearchKnnStored(idx.getPath,
+      Similarity.beamSearchKnnStored(servedGraphIndex(s, d),
         emb.filter(col("vec_id") % 50 === 0),
         col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
         rounds = 4)
+    },
+    // FILTERED graph serving (Similarity.beamSearchKnnStoredFiltered —
+    // the filtered-ANN posture): top-5 among EVEN-id neighbors only,
+    // with the walk navigating the full graph (restricting the walk
+    // breaks navigability; post-filtering a width-16 beam collapses
+    // recall under a 50% filter). Output contract: top-k by (micros
+    // DESC, vid) over every matching node the walk ever scored — the
+    // oracle unions its per-round scored sets, filters parity, ranks.
+    QueryDef("ann_graph_filtered", graphFilteredOracle) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.beamSearchKnnStoredFiltered(servedGraphIndex(s, d),
+        emb.filter(col("vec_id") % 50 === 0),
+        col("embedding"), col("vec_id"), keep = col("vid") % 2 === 0,
+        k = 5, nProbe = 4, beamWidth = 16, rounds = 4)
     },
     // graph-index INSERT lifecycle (Similarity.appendToKnnGraphIndex —
     // the HNSW-class incremental maintenance verb): the pristine index

@@ -51,6 +51,53 @@ class BeamSearchSpec extends SparkSpec {
     Tables.deleteRecursive(idx)
   }
 
+  test("filtered beam: only matching ids; accumulator beats post-filtering under a selective filter") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val isQ = col("vec_id") % 50 === 0
+    val idx = Tables.scratchDir("spec_knn_filtered")
+    Similarity.writeKnnGraphIndex(
+      Similarity.knnGraphExact(emb, col("embedding"), col("vec_id"), 8),
+      emb, col("embedding"), col("vec_id"),
+      Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"), 8)
+        .groupBy("cid").agg(min(col("vid")).as("vid")),
+      idx)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = pairs(Similarity.beamSearchKnnStoredFiltered(idx,
+      emb.filter(isQ), col("embedding"), col("vec_id"),
+      keep = col("vid") % 5 === 0, k = 5, nProbe = 4, beamWidth = 16,
+      rounds = 4).select("query_id", "neighbor_id"))
+    assert(filtered.forall(_._2 % 5 == 0),
+      "filtered serving must never surface a non-matching neighbor")
+    // truth: brute force restricted to the matching fifth (queries are
+    // % 50 == 0, hence themselves % 5 == 0 — the filter keeps them)
+    val truth = pairs(Similarity.topKBruteForce(
+      emb.filter(col("vec_id") % 5 === 0), col("embedding"),
+      col("vec_id"), isQ, k = 5)
+      .select("query_id", "neighbor_id"))
+    val recall = (truth intersect filtered).size.toDouble / truth.size
+    info(f"filtered recall@5 = $recall%.3f over ${truth.size} truth pairs")
+    assert(recall >= 0.4, f"filtered recall collapsed: $recall%.3f")
+    // the naive alternative: post-filter the UNFILTERED walk's beam —
+    // under a 20% filter a width-16 beam yields ~3 matching nodes — fewer
+    // than k — and loses every matching node it evicted mid-walk
+    val post = Similarity.beamSearchKnnStored(idx, emb.filter(isQ),
+      col("embedding"), col("vec_id"), k = 16, nProbe = 4, beamWidth = 16,
+      rounds = 4)
+      .filter(col("neighbor_id") % 5 === 0)
+    val postTop = pairs(post
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score_micros").desc, col("neighbor_id"))))
+      .filter(col("rk") <= 5).select("query_id", "neighbor_id"))
+    val postRecall = (truth intersect postTop).size.toDouble / truth.size
+    info(f"post-filter recall@5 = $postRecall%.3f")
+    assert(recall >= postRecall,
+      f"the scored-set accumulator ($recall%.3f) must not lose to post-filtering ($postRecall%.3f)")
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(idx)
+  }
+
   test("graph insert is O(delta) on disk; inserted vectors become findable") {
     val emb = Tables.table(spark, sf, "embeddings")
     val base = emb.filter(col("vec_id") % 3 =!= 1)
