@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * Vector model: cluster c = id mod nClusters; component j =
   * centroid(c,j) + 0.15·noise(id,j), both hash-uniform in [-1,1].
   *
-  * Usage: runMain graft.AnnScale <nVecs> [dims=64] [nQueries=100] [nClusters=256] [cpus=32] [ops=all|brute,hamming,ivf,graph,mmr]
+  * Usage: runMain graft.AnnScale <nVecs> [dims=64] [nQueries=100] [nClusters=256] [cpus=32] [ops=all|brute,hamming,ivf,graph,filtered,mmr] [refineRounds=1] [bridge=6]
   * Prints one JSON line per op (wall seconds, rows) plus recall@k of
-  * each approximate tier against the exact baseline.
+  * each approximate tier against the exact baseline. The graph op
+  * measures serve recall BEFORE and AFTER each NN-Descent refinement
+  * round (VERDICT r9 #1); the filtered op sweeps filter selectivity ×
+  * adaptive widening over a blocked+refined index (VERDICT r9 #2).
   */
 object AnnScale {
   def main(args: Array[String]): Unit = {
@@ -28,6 +31,8 @@ object AnnScale {
     val nClusters = args.lift(3).map(_.toInt).getOrElse(256)
     val cpus = args.lift(4).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val ops = args.lift(5).getOrElse("all")
+    val refineRounds = args.lift(6).map(_.toInt).getOrElse(1)
+    val bridge = args.lift(7).map(_.toInt).getOrElse(6)
     def want(op: String): Boolean = ops == "all" || ops.split(",").contains(op)
     val k = 10
     val spark = SparkSession.builder()
@@ -138,6 +143,35 @@ object AnnScale {
         Similarity.pruneKnnGraphIndex(spark, idx, degreeCap = 8)
       }
       degree("pruned")
+      // serve recall BEFORE refinement — the r9 regime (blocked build +
+      // inserts + prune: the 0.334@1M number), then per NN-Descent
+      // round: refinement cost + the recall it buys (VERDICT r9 #1).
+      // The final w32/w64 serves below then measure the refined graph.
+      var gotPre: Set[(Long, Long)] = Set.empty
+      timed("graph_beam_preref_w32_r3") {
+        val r = Similarity.beamSearchKnnStored(idx, emb.filter(isQ),
+          col("embedding"), col("vec_id"), k = k, nProbe = 8,
+          beamWidth = 32, rounds = 3)
+        gotPre = pairs(r)
+        gotPre.size.toLong
+      }
+      recall("graph_beam_preref_w32_r3", gotPre)
+      for (ri <- 1 to refineRounds) {
+        timed(s"graph_refine_$ri") {
+          Similarity.refineKnnGraphIndex(spark, idx, kGraph = 8,
+            rounds = 1, bridge = bridge)
+          spark.read.parquet(s"$idx/adj").count()
+        }
+        var gotRef: Set[(Long, Long)] = Set.empty
+        timed(s"graph_beam_postref${ri}_w32_r3") {
+          val r = Similarity.beamSearchKnnStored(idx, emb.filter(isQ),
+            col("embedding"), col("vec_id"), k = k, nProbe = 8,
+            beamWidth = 32, rounds = 3)
+          gotRef = pairs(r)
+          gotRef.size.toLong
+        }
+        recall(s"graph_beam_postref${ri}_w32_r3", gotRef)
+      }
       var got: Set[(Long, Long)] = Set.empty
       for ((bw, rounds) <- Seq((32, 3), (64, 5))) {
         timed(s"graph_beam_serve_w${bw}_r$rounds") {
@@ -148,6 +182,58 @@ object AnnScale {
           got.size.toLong
         }
         recall(s"graph_beam_w${bw}_r$rounds", got)
+      }
+      graft.sources.Tables.deleteRecursive(idx)
+    }
+    // FILTERED-serving selectivity sweep (VERDICT r9 #2): over a
+    // blocked+refined index on the FULL corpus, measure filtered-walk
+    // recall at 50%/10%/2% predicate selectivity, fixed width vs
+    // ACORN-style adaptive widening (cap 4). Ground truth per
+    // selectivity = brute force over the matching corpus (the query
+    // stride divides every mod, so queries match their own filter).
+    // Also prints the mean returned rows per query — the shortfall
+    // signal a starved fixed-width walk shows first.
+    if (want("filtered")) {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_annscale_fgraph"
+      graft.sources.Tables.deleteRecursive(idx)
+      timed("fgraph_build_refined") {
+        // multi-probe-2 blocked build: the overlapping cells carry the
+        // cross-block seed edges the refinement round spreads (NoN is
+        // closed over disjoint blocks)
+        Similarity.writeKnnGraphIndex(
+          Similarity.knnGraphBlockedMulti(emb, col("embedding"),
+            col("vec_id"),
+            Similarity.ivfAssignmentsMulti(emb, col("embedding"),
+              col("vec_id"), nClusters, nProbe = 2), 8),
+          emb, col("embedding"), col("vec_id"),
+          Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"),
+            nClusters).groupBy("cid").agg(min(col("vid")).as("vid")), idx)
+        Similarity.refineKnnGraphIndex(spark, idx, kGraph = 8,
+          rounds = 1, bridge = bridge)
+        spark.read.parquet(s"$idx/adj").count()
+      }
+      for (mod <- Seq(2L, 10L, 50L)) {
+        require(stride % mod == 0, s"query stride $stride must divide mod $mod")
+        val keepPred = col("vid") % mod === 0
+        val ftruth = pairs(Similarity.topKBruteForce(
+          emb.filter(col("vec_id") % mod === 0), col("embedding"),
+          col("vec_id"), isQ, k))
+        for (cap <- Seq(1, 4)) {
+          var got: Set[(Long, Long)] = Set.empty
+          var rows = 0L
+          timed(s"fgraph_serve_mod${mod}_cap$cap") {
+            val r = Similarity.beamSearchKnnStoredFiltered(idx,
+              emb.filter(isQ), col("embedding"), col("vec_id"),
+              keep = keepPred, k = k, nProbe = 8, beamWidth = 32,
+              rounds = 3, widenCap = cap)
+            got = pairs(r)
+            rows = got.size.toLong
+            rows
+          }
+          val fr = got.intersect(ftruth).size.toDouble / ftruth.size
+          println(f"""{"op":"fgraph_recall","mod":$mod,"cap":$cap,"recall":$fr%.4f,"rows_per_q":${rows.toDouble / nQueries}%.2f}""")
+          Console.out.flush()
+        }
       }
       graft.sources.Tables.deleteRecursive(idx)
     }

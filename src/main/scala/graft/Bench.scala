@@ -84,6 +84,24 @@ object Bench {
       System.err.println(f"""[bench-diag] {"tag":"$tag","load1m":${os.getSystemLoadAverage}%.2f,"procs":${os.getAvailableProcessors},"heap_used_mb":${(rt.totalMemory - rt.freeMemory) / 1048576},"heap_max_mb":${rt.maxMemory / 1048576},"gc_ms_total":${gcMillis()}}""")
     }
     diag("start")
+    def load1m(): Double =
+      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = load1m()
+    // committed per-query floors (the bench_local.json in the checkout,
+    // i.e. the last committed record) read BEFORE this run overwrites
+    // it — the baseline for the regime self-adjudication below
+    val committed: Map[String, Double] =
+      try {
+        val blob = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_local.json")), "UTF-8")
+        // the per-run arrays sit between "runs": and "gc_ms": — gc_ms
+        // entries share the same shape, so slice before matching
+        val runs = blob.substring(blob.indexOf("\"runs\":"),
+          blob.indexOf("\"gc_ms\":"))
+        """"([a-z0-9_]+)":\[([0-9.E-]+),([0-9.E-]+)\]""".r.findAllMatchIn(runs)
+          .map(m => m.group(1) -> math.min(m.group(2).toDouble, m.group(3).toDouble))
+          .toMap
+      } catch { case _: Throwable => Map.empty }
     def run(q: QueryDef): (Double, Long) = {
       val g0 = gcMillis()
       val t0 = System.nanoTime()
@@ -124,7 +142,34 @@ object Bench {
     val qs = results.map { case (k, (a, _), (b, _)) => s""""$k":${f3(math.min(a, b))}""" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, (a, _), (b, _)) => math.min(a, b) }.sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // regime self-adjudication (VERDICT r9 #7): the per-query ratio
+    // distribution vs the COMMITTED floors, encoded into the record so
+    // the contaminated-run call the round write-ups made in prose is
+    // mechanical — a uniformly elevated median is a machine REGIME
+    // (reject the record, rerun quiet), isolated large spikes over a
+    // clean median are scheduler STALLs, anything else is clean.
+    // Queries under 0.5 s on both sides are noise-dominated, excluded
+    // (the floor gate's MIN_SEC rule).
+    val ratios = results.flatMap { case (k, (a, _), (b, _)) =>
+      committed.get(k).collect {
+        case base if base >= 0.5 || math.min(a, b) >= 0.5 =>
+          math.min(a, b) / math.max(base, 1e-9)
+      }
+    }.sorted
+    val medianRatio =
+      if (ratios.isEmpty) -1.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+    val maxRatio = if (ratios.isEmpty) -1.0 else ratios.last
+    val regime =
+      if (ratios.isEmpty) "no-baseline"
+      else if (medianRatio > 1.25) "regime"
+      else if (maxRatio > 3.0) "stall"
+      else "clean"
+    val loadEnd = load1m()
+    val envFields = f""""load1m_start":$loadStart%.2f,"load1m_end":$loadEnd%.2f,""" +
+      s""""median_ratio":${f3(medianRatio)},"max_ratio":${f3(maxRatio)},"regime":"$regime""""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$envFields}"""
     // full-precision record of both runs (+ per-run GC wall-ms deltas,
     // for attributing environment-contaminated runs), for round-over-
     // round analysis — written ONLY on full-registry runs: a
@@ -150,7 +195,7 @@ object Bench {
     println(line)
     Console.out.flush()
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":"bench_local.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":"bench_local.json","sf":"$sfDir",$envFields}""")
     Console.out.flush()
   }
 }

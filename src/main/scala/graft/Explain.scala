@@ -127,7 +127,13 @@ object Explain {
     "events_kaplan_meier",
     // graph_lpa_modularity crosses the 1-row |E| total under the
     // community-cardinality parts table — a scalar broadcast
-    "graph_lpa_modularity")
+    "graph_lpa_modularity",
+    // round-10 filtered-serving tiers: the same CONFIG-bounded
+    // centroid/codebook fan-out as their unfiltered twins
+    // (ann_ivf_stored / ann_ivfpq_stored above) — the candidate
+    // predicate composes after the probe, it does not change the
+    // broadcast shape
+    "ann_ivf_filtered", "ann_ivfpq_filtered")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -29,4 +29,18 @@ object Iterate {
     val n = rdd.count()
     (Bridge.internalDf(df.sparkSession, rdd, df.schema), rdd, n)
   }
+
+  /** Mark `df` for local checkpointing WITHOUT materializing it: the
+    * FIRST action over the returned frame caches the rows AND
+    * truncates the plan to a LogicalRDD leaf, so a caller can fold the
+    * materialization into a job it runs anyway (a bounded
+    * distinct-collect, say) instead of paying [[ckpt]]'s separate
+    * count job — the plan-truncation benefit at zero extra jobs
+    * (VERDICT r9 #5: persist() alone caches COMPUTATION but leaves the
+    * logical plan growing ~3× per beam round, and driver-side plan
+    * walks went superlinear). */
+  def ckptLazy(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    (Bridge.internalDf(df.sparkSession, rdd, df.schema), rdd)
+  }
 }

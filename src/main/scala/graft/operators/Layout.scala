@@ -98,15 +98,34 @@ object Layout {
     * rare-path recovery verb, not maintenance (that is
     * [[compactPartitioned]]). */
   def distinctRewrite(spark: SparkSession, dir: String,
-      partCol: String): Unit = {
+      partCol: String): Unit =
+    distinctRewrite(spark, dir, Seq(partCol))
+
+  def distinctRewrite(spark: SparkSession, dir: String,
+      partCols: Seq[String]): Unit = {
     val tmp = dir + ".__repair"
+    val old = dir + ".__old"
+    // recover a previous crash mid-swap (ADVICE r9): if the live dir is
+    // gone but the retired copy survives, restore it — every state of
+    // the sequence below leaves at least one complete row set on disk
+    if (!new java.io.File(dir).exists() && new java.io.File(old).exists())
+      require(new java.io.File(old).renameTo(new java.io.File(dir)),
+        s"repair recovery failed: $old -> $dir")
     graft.sources.Tables.deleteRecursive(tmp)
+    graft.sources.Tables.deleteRecursive(old)
     spark.read.parquet(dir).distinct()
-      .repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
-    graft.sources.Tables.deleteRecursive(dir)
+      .repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
+    // retire-then-swap, never delete-then-swap: a crash between the two
+    // renames leaves the full old store under `.__old` (recovered by the
+    // next invocation above) instead of stranding the data with no live
+    // dir — this verb exists FOR durability recovery, so it must not
+    // manufacture the very state it repairs
+    require(new java.io.File(dir).renameTo(new java.io.File(old)),
+      s"repair retire failed: $dir -> $old")
     require(new java.io.File(tmp).renameTo(new java.io.File(dir)),
       s"repair swap failed: $tmp -> $dir")
+    graft.sources.Tables.deleteRecursive(old)
   }
 
   def compactPartitioned(spark: SparkSession, dir: String,

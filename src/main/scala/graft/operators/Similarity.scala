@@ -224,9 +224,21 @@ object Similarity {
     * bounded by CONFIGURATION, not data) and partition-prune the
     * vector scan, then the exact per-query ranking runs over probed
     * lists only. Output is value-identical to the in-memory form
-    * (ScaleSpec pins equality + the pruned scan). */
+    * (ScaleSpec pins equality + the pruned scan).
+    *
+    * `keep` (VERDICT r9 #3 — filtered serving for the quantization
+    * tiers, the production-common predicate+ANN stack): a predicate
+    * over the candidate id column `vid`, applied to the probed lists'
+    * candidates BEFORE the top-k rank — the result is the exact top-k
+    * among MATCHING vectors of the probed lists, and partition pruning
+    * is untouched (the filter composes after the cid pruning; ScaleSpec
+    * pins both). Under selective predicates, over-fetch by raising
+    * `nProbe` — each extra list adds matching candidates at one more
+    * partition read; a query whose probed lists hold fewer than k
+    * matches returns exactly those (the filtered-graph shortfall
+    * contract). */
   def topKIvfStored(path: String, queries: DataFrame, vec: Column, id: Column,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int, keep: Column = lit(true)): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
     val q = withNorm(queries, vec, id)
@@ -243,7 +255,7 @@ object Similarity {
       .filter(col("cid").isin(probedCids: _*))
       .select(col("vid"), col("v"), col("nrm"), col("cid").cast("long").as("cid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-    probes.join(vecs, Seq("cid"))
+    probes.join(vecs.filter(keep), Seq("cid"))
       .filter(col("vid") =!= col("qid"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(w))
@@ -794,7 +806,27 @@ object Similarity {
     * from meta. O(#batches), never a corpus scan. */
   def tfidfStaleness(spark: org.apache.spark.sql.SparkSession,
       path: String): TfidfStaleness = {
-    val statN = spark.read.parquet(s"$path/meta").head().getAs[Long]("stat_n")
+    val meta = spark.read.parquet(s"$path/meta")
+    // format upgrade (ADVICE r9): an index written before the
+    // staleness counters has no stat_n column — recount it ONCE from
+    // the stored raw tf (the exact value a build would have recorded)
+    // and persist the upgraded meta, instead of throwing on the first
+    // append against an older layout
+    val statN =
+      if (meta.schema.fieldNames.contains("stat_n"))
+        meta.head().getAs[Long]("stat_n")
+      else {
+        val mm = meta.head()
+        val n = spark.read.parquet(s"$path/tf")
+          .select(col("doc_id")).distinct().count()
+        spark.range(1).select(
+            lit(mm.getAs[Long]("max_df_ppm")).as("max_df_ppm"),
+            lit(mm.getAs[Int]("term_buckets")).as("term_buckets"),
+            lit(mm.getAs[Int]("doc_buckets")).as("doc_buckets"),
+            lit(n).as("stat_n"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+        n
+      }
     if (!new java.io.File(s"$path/staleness").exists())
       return TfidfStaleness(0L, statN, 0L, 0L)
     val r = spark.read.parquet(s"$path/staleness")
@@ -1066,9 +1098,17 @@ object Similarity {
     * float accumulation, bit-portable), and only the per-query
     * `shortlist` deepest ADC candidates pay the exact-cosine re-rank.
     * Identical ranking semantics to composing [[topKIvfWith]]'s probe
-    * restriction with [[topKPqAdc]]'s scores and an exact re-rank. */
+    * restriction with [[topKPqAdc]]'s scores and an exact re-rank.
+    *
+    * `keep` (VERDICT r9 #3): candidate predicate over `vid`, applied
+    * to the probed lists BEFORE the ADC scan — non-matching candidates
+    * never pay even the m integer adds, the shortlist ranks matching
+    * candidates only, and the result is the exact pipeline output over
+    * the matching subset. Over-fetch `nProbe`/`shortlist` under
+    * selective predicates; fewer-than-k matches return as-is. */
   def topKIvfPqStored(path: String, queries: DataFrame, vec: Column,
-      id: Column, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+      id: Column, k: Int, nProbe: Int, shortlist: Int,
+      keep: Column = lit(true)): DataFrame = {
     val spark = queries.sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
     val (m, subDim) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub_dim"))
@@ -1086,6 +1126,7 @@ object Similarity {
       .collect().map(_.getLong(0)).toSeq
     val vecs = spark.read.parquet(s"$path/vectors")
       .filter(col("cid").isin(probedCids: _*))
+      .filter(keep)
       .select(col("vid"), col("v"), col("nrm"), col("codes"),
         col("cid").cast("long").as("cid"))
     // per-query LUT in integer micros (qid, m, code) -> dm
@@ -1220,6 +1261,54 @@ object Similarity {
     assignNearest(withNorm(emb, vec, id),
       firstNCentroids(emb, vec, id, nCentroids), Seq.empty)
       .select(col("vid"), col("cid"))
+
+  /** MULTI-probe assignments: each vector indexed in its `nProbe`
+    * nearest quantizer cells ((ccos DESC, cid) order — the
+    * [[topKIvfWith]] probe rule applied to the corpus side). This is
+    * the SPANN/multi-assignment closure for blocked graph
+    * construction: single-assignment blocks are disjoint, so a
+    * blocked kNN graph has ZERO cross-block edges and is CLOSED under
+    * neighbor-of-neighbor refinement ([[refineKnnGraphIndex]]'s
+    * documented precondition); overlapping blocks put boundary
+    * vectors in both cells, giving every refinement round cross-cell
+    * material to propagate. */
+  def ivfAssignmentsMulti(emb: DataFrame, vec: Column, id: Column,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    val e = withNorm(emb, vec, id)
+    val cents = firstNCentroids(emb, vec, id, nCentroids)
+    val w = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid"))
+    e.join(broadcast(cents), lit(true))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= nProbe)
+      .select(col("vid"), col("cid"))
+  }
+
+  /** [[knnGraphBlocked]] over EXPLICIT (possibly multi-probe)
+    * assignments: candidate pairs share at least one cell (DISTINCT —
+    * a pair sharing both its cells must not hold two rank slots),
+    * scored exactly, top-k per src in the construction order. The
+    * corpus-scale blocked builder: Σ_cell |cell|² pair work, each cell
+    * co-located by the equi-join on cid; with [[ivfAssignmentsMulti]]
+    * the blocks overlap and the graph carries the cross-cell edges
+    * one [[refineKnnGraphIndex]] round then spreads. */
+  def knnGraphBlockedMulti(emb: DataFrame, vec: Column, id: Column,
+      asg: DataFrame, k: Int): DataFrame = {
+    val e = withNorm(emb, vec, id)
+    val cand = asg.select(col("vid").as("src"), col("cid"))
+      .join(asg.select(col("vid").as("dst"), col("cid")), Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    cand
+      .join(e.select(col("vid").as("src"), col("v").as("sv"),
+        col("nrm").as("sn")), Seq("src"))
+      .join(e.select(col("vid").as("dst"), col("v").as("dv"),
+        col("nrm").as("dn")), Seq("dst"))
+      .withColumn("cos", dot(col("sv"), col("dv")) / (col("sn") * col("dn")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("src"), col("dst"))
+  }
 
   /** Exact GLOBAL top-k neighbor graph — the adjacency-construction
     * baseline (one all-pairs scoring pass, the [[topKBruteForce]]
@@ -1360,7 +1449,23 @@ object Similarity {
     * free before rewriting anything). */
   def knnGraphStaleness(spark: org.apache.spark.sql.SparkSession,
       path: String): (Long, Long, Long) = {
-    val base = spark.read.parquet(s"$path/meta").head().getAs[Long]("base_nodes")
+    val meta = spark.read.parquet(s"$path/meta")
+    // format upgrade (ADVICE r9): a pre-staleness index has no
+    // base_nodes — recount once from the stored vectors (the value a
+    // fresh build records) and persist the upgraded meta
+    val base =
+      if (meta.schema.fieldNames.contains("base_nodes"))
+        meta.head().getAs[Long]("base_nodes")
+      else {
+        val mm = meta.head()
+        val n = spark.read.parquet(s"$path/vectors").count()
+        spark.range(1).select(
+            lit(mm.getAs[Int]("src_buckets")).as("src_buckets"),
+            lit(mm.getAs[Int]("doc_buckets")).as("doc_buckets"),
+            lit(n).as("base_nodes"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+        n
+      }
     val ins =
       if (!new java.io.File(s"$path/staleness").exists()) 0L
       else spark.read.parquet(s"$path/staleness")
@@ -1463,6 +1568,97 @@ object Similarity {
     } finally over.unpersist(): Unit
   }
 
+  /** NN-DESCENT refinement round(s) over a [[writeKnnGraphIndex]]
+    * layout (VERDICT r9 #1; Dong, Moses & Li, "Efficient k-nearest
+    * neighbor graph construction for generic similarity measures",
+    * WWW'11): the scalable blocked builder ([[knnGraphBlocked]] over
+    * quantizer blocks) finds NO cross-block edges, so the stored graph
+    * under-connects and serve recall sinks (measured 0.334@1M vs 0.78
+    * exact-built, docs/EXPERIMENTS.md). NN-Descent's local join closes
+    * the gap: a neighbor's neighbor is likely a neighbor, so each
+    * round proposes candidate edges (u, w) from u → v → w over the
+    * SYMMETRIZED stored adjacency (in- and out-edges both count — the
+    * reverse direction is what carries information ACROSS blocks),
+    * scores them by exact cosine against the stored vectors, and keeps
+    * each node's `kGraph` best edges from (existing ∪ candidates) in
+    * the construction order (cos DESC, dst). Per-node edge quality is
+    * MONOTONE (the kept set is the top-k of a superset of the old
+    * edges), and an exact-built graph is a fixed point (no candidate
+    * can beat a global top-k edge) — both BeamSearchSpec pins.
+    *
+    * PRECONDITION the closure property imposes: neighbor-of-neighbor
+    * over a strictly block-partitioned graph is CLOSED per block — it
+    * can spread cross-block edges but never create the FIRST one. Feed
+    * it a graph that carries seed cross-block edges: multi-probe
+    * blocked construction ([[knnGraphBlockedMulti]] over
+    * [[ivfAssignmentsMulti]] — overlapping cells), or a graph grown by
+    * [[appendToKnnGraphIndex]] (insertion walks traverse entry points
+    * across regions, so their edges cross blocks by construction).
+    *
+    * Scale shape: one adjacency self-join per round — candidates ≤
+    * n·(2·deg)² rows of bare (src, dst) ids, vectors fetched once per
+    * SURVIVING distinct candidate through two equi-joins against the
+    * doc-bucketed vector store. `bridge` > 0 caps the symmetrized
+    * per-node degree used on BOTH sides of the local join
+    * (NN-Descent's sample rate ρ): the deterministic
+    * xxhash64(src, dst)-ordered top-`bridge` edges stand in for
+    * Dong et al.'s random sample, bounding candidates to n·bridge²
+    * regardless of degree drift. The adjacency is rewritten through
+    * the same tmp-dir + [[Layout.swapPartitionLeaves]] swap the prune
+    * verb uses. Serving is construction-agnostic, so the walk contract
+    * is unchanged. */
+  def refineKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, kGraph: Int, rounds: Int = 1, bridge: Int = 0): Unit = {
+    require(kGraph >= 1 && rounds >= 1, "kGraph and rounds must be >= 1")
+    val srcBuckets = spark.read.parquet(s"$path/meta").head()
+      .getAs[Int]("src_buckets")
+    val v = spark.read.parquet(s"$path/vectors")
+      .select(col("vid"), col("v"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 0 until rounds) {
+        // materialize this round's adjacency BEFORE the rewrite below
+        // mutates the store it reads
+        val (adj, _, _) = Iterate.ckpt(
+          spark.read.parquet(s"$path/adj")
+            .select(col("src"), col("dst")).distinct())
+        val sym0 = adj
+          .unionByName(adj.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        val sym =
+          if (bridge <= 0) sym0
+          else {
+            val wB = Window.partitionBy(col("src"))
+              .orderBy(xxhash64(col("src"), col("dst")), col("dst"))
+            sym0.withColumn("bb", row_number().over(wB))
+              .filter(col("bb") <= bridge).drop("bb")
+          }
+        val (symC, _, _) = Iterate.ckpt(sym)
+        val non = symC.alias("a")
+          .join(symC.alias("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val scored = adj.unionByName(non).distinct()
+          .join(v.select(col("vid").as("src"), col("v").as("sv"),
+            col("nrm").as("sn")), Seq("src"))
+          .join(v.select(col("vid").as("dst"), col("v").as("dv"),
+            col("nrm").as("dn")), Seq("dst"))
+          .withColumn("cos", dot(col("sv"), col("dv")) / (col("sn") * col("dn")))
+        val wK = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+        val kept = scored.withColumn("rk", row_number().over(wK))
+          .filter(col("rk") <= kGraph)
+          .select(col("src"), col("dst"))
+          .withColumn("sb", pmod(xxhash64(col("src")), lit(srcBuckets.toLong)))
+        val tmp = s"$path/adj.__refine"
+        graft.sources.Tables.deleteRecursive(tmp)
+        kept.repartition(col("sb"))
+          .write.mode("overwrite").partitionBy("sb").parquet(tmp)
+        Layout.swapPartitionLeaves(s"$path/adj", tmp, 1)
+        graft.sources.Tables.deleteRecursive(tmp)
+      }
+    } finally v.unpersist(): Unit
+  }
+
   /** Best-first BEAM SEARCH over a [[writeKnnGraphIndex]] layout — the
     * query-time walk of graph ANN: seed each query's beam with its
     * `nProbe` best entry points, then `rounds` rounds of expand
@@ -1486,68 +1682,135 @@ object Similarity {
     * ([[Iterate.ckpt]]) to keep lineage O(1). */
   def beamSearchKnnStored(path: String, queries: DataFrame, vec: Column,
       id: Column, k: Int, nProbe: Int, beamWidth: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    beamWalkKnnStored(path, queries, vec, id, k, nProbe, beamWidth, rounds,
+      keep = None, widenCap = 1)
+
+  /** The shared walk core of [[beamSearchKnnStored]] and
+    * [[beamSearchKnnStoredFiltered]] — exactly ONE implementation of
+    * seeding, per-round expansion, scoring, convergence exit and beam
+    * truncation (ADVICE r9: the filtered twin previously duplicated
+    * the whole loop, and the "identical rounds, scores, frontier"
+    * contract would silently break the first time a fix landed on one
+    * copy only). `keep = None` is the plain walk (top-k from the final
+    * beam); `Some(pred)` navigates IDENTICALLY while a results
+    * accumulator keeps every scored node passing `pred` (de-duplicated
+    * once at the end — value-identical to per-round de-duplication,
+    * and exactly the oracle's UNION).
+    *
+    * Job-count shape (VERDICT r9 #5 — the per-round driver collects
+    * were the latency floor of the graph lifecycle queries): the
+    * stored adjacency/vector relations resolve ONCE outside the loop,
+    * and each round runs exactly TWO jobs instead of the previous
+    * four —
+    *  - materialize the expansion + collect its DISTINCT doc buckets
+    *    in the same action; an EMPTY bucket list IS the convergence
+    *    signal, so the separate count job is gone;
+    *  - materialize the next frontier + collect ITS src buckets for
+    *    the next round's adjacency pruning, replacing the old
+    *    start-of-round collect job.
+    * Both collects stay bounded by the CONFIGURED bucket counts.
+    * Per-round state goes through LAZY local checkpoints
+    * ([[Iterate.ckptLazy]] — the bucket collect is the materializing
+    * action), keeping the plan a LogicalRDD leaf per round: a
+    * persist()-only variant was measured driver-bound, its plan
+    * growing ~3× per round.
+    *
+    * `widenCap` > 1 enables ACORN-style adaptive beam widening for
+    * filtered serving: the effective beam width is
+    * `beamWidth · min(widenCap, ceil(entries / matchingEntries))`,
+    * estimated from the entry-scored sample (one tiny aggregate; zero
+    * matching entries ⇒ the full cap). Selective predicates thin the
+    * accumulator — a fixed-width beam under a 5% filter scores ~ w/20
+    * matches per round — so the walk widens in proportion to the
+    * estimated inverse selectivity, capped. Integer arithmetic on two
+    * counts, so an oracle replays the widened width exactly. */
+  private def beamWalkKnnStored(path: String, queries: DataFrame,
+      vec: Column, id: Column, k: Int, nProbe: Int, beamWidth: Int,
+      rounds: Int, keep: Option[Column], widenCap: Int): DataFrame = {
     require(beamWidth >= k, s"beamWidth ($beamWidth) must be >= k ($k)")
     require(nProbe >= 1 && rounds >= 1, "nProbe and rounds must be >= 1")
+    require(widenCap >= 1, s"widenCap must be >= 1: $widenCap")
+    require(widenCap == 1 || keep.nonEmpty,
+      "adaptive widening needs a filter to estimate selectivity from")
     val spark = queries.sparkSession
     val m = spark.read.parquet(s"$path/meta").head()
     val srcBuckets = m.getAs[Int]("src_buckets")
     val docBuckets = m.getAs[Int]("doc_buckets")
+    val adjAll = spark.read.parquet(s"$path/adj")
+    val vecAll = spark.read.parquet(s"$path/vectors")
+    val entries = spark.read.parquet(s"$path/entry")
     val q = withNorm(queries, vec, id)
       .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val micros = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6, 0)
       .cast("long")
     val wBeam = Window.partitionBy(col("qid"))
       .orderBy(col("sm").desc, col("vid"))
-    val entries = spark.read.parquet(s"$path/entry")
-    var (frontier, _, _) = Iterate.ckpt(
+    def srcB(df: DataFrame): Seq[Long] = df
+      .select(pmod(xxhash64(col("vid")), lit(srcBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    def lazyCk(df: DataFrame): DataFrame = Iterate.ckptLazy(df)._1
+    val entScored = lazyCk(
       q.join(broadcast(entries), col("vid") =!= col("qid"))
-        .select(col("qid"), col("vid"), micros.as("sm"))
-        .withColumn("r", row_number().over(wBeam)).filter(col("r") <= nProbe)
+        .select(col("qid"), col("vid"), micros.as("sm")))
+    val width: Long =
+      if (widenCap == 1) beamWidth.toLong
+      else {
+        val c = entScored.agg(count(lit(1)).as("t"),
+          count(when(keep.get, lit(1))).as("mm")).head()
+        val (t, mm) = (c.getLong(0), c.getLong(1))
+        val factor = if (mm == 0L) widenCap.toLong
+          else math.min(widenCap.toLong, (t + mm - 1L) / mm)
+        beamWidth.toLong * factor
+      }
+    var frontier = lazyCk(
+      entScored.withColumn("r", row_number().over(wBeam))
+        .filter(col("r") <= nProbe)
         .select(col("qid"), col("vid"), col("sm")))
+    // seed job: materialize entry scores + frontier under the seed
+    // frontier's bucket collect — ≤ srcBuckets DISTINCT values however
+    // wide the beam, so every collect here is config-bounded
+    var sbs = srcB(frontier)
+    var results = keep.map(kc => entScored.filter(kc))
     var roundNo = 0
     var converged = false
     while (roundNo < rounds && !converged) {
       roundNo += 1
-      // frontier's adjacency buckets — ≤ srcBuckets DISTINCT values
-      // however wide the beam, so the collect is config-bounded
-      val sbs = frontier
-        .select(pmod(xxhash64(col("vid")), lit(srcBuckets.toLong)).as("b"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val adj = spark.read.parquet(s"$path/adj")
-        .filter(col("sb").cast("long").isin(sbs: _*))
-      // the expansion join is the round's expensive stage — checkpoint
-      // it ONCE so the dbs bucket collect and the vector-fetch join
-      // both read the materialized candidates instead of re-running
-      // the adjacency join (it was computed twice per round before;
-      // VERDICT r8 #7). The returned count doubles as the convergence
-      // gate: an empty expansion can never change any later round.
-      val (cand, _, nCand) = Iterate.ckpt(
+      val adj = adjAll.filter(col("sb").cast("long").isin(sbs: _*))
+      val cand = lazyCk(
         frontier.join(adj, col("vid") === col("src"))
           .select(col("qid"), col("dst").as("vid"))
           .filter(col("vid") =!= col("qid"))
           .distinct()
           .join(frontier.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_anti"))
-      if (nCand == 0L) converged = true
+      // round job 1: the expansion materializes under this bucket collect
+      val dbs = cand
+        .select(pmod(xxhash64(col("vid")), lit(docBuckets.toLong)).as("b"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+      if (dbs.isEmpty) converged = true
       else {
-        val dbs = cand
-          .select(pmod(xxhash64(col("vid")), lit(docBuckets.toLong)).as("b"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        val scored = cand
-          .join(spark.read.parquet(s"$path/vectors")
-            .filter(col("db").cast("long").isin(dbs: _*))
+        val scored = lazyCk(cand
+          .join(vecAll.filter(col("db").cast("long").isin(dbs: _*))
             .select(col("vid"), col("v"), col("nrm")), Seq("vid"))
           .join(broadcast(q), Seq("qid"))
-          .select(col("qid"), col("vid"), micros.as("sm"))
-        val (next, _, _) = Iterate.ckpt(
+          .select(col("qid"), col("vid"), micros.as("sm")))
+        results = results.map(_.unionByName(scored.filter(keep.get)))
+        frontier = lazyCk(
           frontier.unionByName(scored)
             .withColumn("r", row_number().over(wBeam))
-            .filter(col("r") <= beamWidth)
+            .filter(col("r") <= width)
             .select(col("qid"), col("vid"), col("sm")))
-        frontier = next
+        // round job 2: the next frontier (and the scored set feeding
+        // it) materializes under ITS bucket collect
+        sbs = srcB(frontier)
       }
     }
-    frontier.withColumn("rnk", row_number().over(wBeam))
+    // only the accumulator can hold duplicates (a beam-evicted node
+    // re-scored in a later round); the frontier is dup-free by the
+    // anti-join, so the plain walk skips the distinct exchange. The
+    // accumulator tree is a flat union of per-round LogicalRDD leaves.
+    results.map(_.distinct()).getOrElse(frontier)
+      .withColumn("rnk", row_number().over(wBeam))
       .filter(col("rnk") <= k)
       .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
         col("rnk"), col("sm").as("score_micros"))
@@ -1572,74 +1835,27 @@ object Similarity {
     * the walk ever scored — the oracle unions its per-round scored
     * sets, filters, and ranks (ann_graph_filtered).
     *
-    * Scale shape unchanged: the accumulator adds one filtered union +
-    * checkpoint per round over candidate-bounded rows; partition
-    * pruning and the config-bounded collects are the shared walk's. */
+    * Scale shape unchanged: the accumulator adds one filtered union
+    * per round over candidate-bounded rows; partition pruning and the
+    * config-bounded collects are the shared walk's
+    * ([[beamWalkKnnStored]] — one implementation, so the two entry
+    * points can never drift).
+    *
+    * `widenCap` > 1 adds ACORN-style ADAPTIVE WIDENING for selective
+    * predicates (VERDICT r9 #2): the effective beam width scales by
+    * the estimated inverse selectivity from the entry-scored sample,
+    * capped at `widenCap` — a 5% filter with cap 4 walks a 4× beam, so
+    * the accumulator still gathers ≥ k matches where the fixed-width
+    * walk starves. The estimate is integer arithmetic on two counts,
+    * replayed exactly by the `ann_graph_filtered_rare` oracle.
+    * SHORTFALL CONTRACT (pinned by the same oracle): when the walk
+    * scores fewer than k matching nodes, the result carries exactly
+    * those — fewer than k rows, never padded with non-matching ids. */
   def beamSearchKnnStoredFiltered(path: String, queries: DataFrame,
       vec: Column, id: Column, keep: Column, k: Int, nProbe: Int,
-      beamWidth: Int, rounds: Int): DataFrame = {
-    require(beamWidth >= k, s"beamWidth ($beamWidth) must be >= k ($k)")
-    require(nProbe >= 1 && rounds >= 1, "nProbe and rounds must be >= 1")
-    val spark = queries.sparkSession
-    val m = spark.read.parquet(s"$path/meta").head()
-    val srcBuckets = m.getAs[Int]("src_buckets")
-    val docBuckets = m.getAs[Int]("doc_buckets")
-    val q = withNorm(queries, vec, id)
-      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val micros = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6, 0)
-      .cast("long")
-    val wBeam = Window.partitionBy(col("qid"))
-      .orderBy(col("sm").desc, col("vid"))
-    val entries = spark.read.parquet(s"$path/entry")
-    val entScored = q.join(broadcast(entries), col("vid") =!= col("qid"))
-      .select(col("qid"), col("vid"), micros.as("sm"))
-    var (frontier, _, _) = Iterate.ckpt(
-      entScored.withColumn("r", row_number().over(wBeam))
-        .filter(col("r") <= nProbe)
-        .select(col("qid"), col("vid"), col("sm")))
-    var (results, _, _) = Iterate.ckpt(entScored.filter(keep))
-    var roundNo = 0
-    var converged = false
-    while (roundNo < rounds && !converged) {
-      roundNo += 1
-      val sbs = frontier
-        .select(pmod(xxhash64(col("vid")), lit(srcBuckets.toLong)).as("b"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val adj = spark.read.parquet(s"$path/adj")
-        .filter(col("sb").cast("long").isin(sbs: _*))
-      val (cand, _, nCand) = Iterate.ckpt(
-        frontier.join(adj, col("vid") === col("src"))
-          .select(col("qid"), col("dst").as("vid"))
-          .filter(col("vid") =!= col("qid"))
-          .distinct()
-          .join(frontier.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_anti"))
-      if (nCand == 0L) converged = true
-      else {
-        val dbs = cand
-          .select(pmod(xxhash64(col("vid")), lit(docBuckets.toLong)).as("b"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        val (scored, _, _) = Iterate.ckpt(cand
-          .join(spark.read.parquet(s"$path/vectors")
-            .filter(col("db").cast("long").isin(dbs: _*))
-            .select(col("vid"), col("v"), col("nrm")), Seq("vid"))
-          .join(broadcast(q), Seq("qid"))
-          .select(col("qid"), col("vid"), micros.as("sm")))
-        val (nextResults, _, _) = Iterate.ckpt(
-          results.unionByName(scored.filter(keep)).distinct())
-        results = nextResults
-        val (next, _, _) = Iterate.ckpt(
-          frontier.unionByName(scored)
-            .withColumn("r", row_number().over(wBeam))
-            .filter(col("r") <= beamWidth)
-            .select(col("qid"), col("vid"), col("sm")))
-        frontier = next
-      }
-    }
-    results.withColumn("rnk", row_number().over(wBeam))
-      .filter(col("rnk") <= k)
-      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
-        col("rnk"), col("sm").as("score_micros"))
-  }
+      beamWidth: Int, rounds: Int, widenCap: Int = 1): DataFrame =
+    beamWalkKnnStored(path, queries, vec, id, k, nProbe, beamWidth, rounds,
+      keep = Some(keep), widenCap = widenCap)
 
   /** SEMANTIC benchmark decontamination — the embedding-space
     * complement of [[Curation.decontaminate]]'s exact-shingle overlap:

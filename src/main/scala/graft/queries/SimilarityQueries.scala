@@ -21,9 +21,12 @@ object SimilarityQueries {
       |  FROM e)""".stripMargin
 
   /** Shared by ann_ivf (in-memory) and ann_ivf_stored (storage-served):
-    * seed centroids vec_id < 8, nprobe 2, top-5 — the two serving
-    * paths are value-identical by contract. */
-  private val ivfOracle: String =
+    * seed centroids vec_id < 8, top-5 — the serving paths are
+    * value-identical by contract. Parameterized by probe depth and an
+    * optional candidate predicate (`ann_ivf_filtered`: the filter
+    * composes into the candidate scan before the rank, exactly where
+    * `Similarity.topKIvfStored` applies `keep`). */
+  private def ivfOracleWith(nProbe: Int, candFilter: String): String =
     s"""$normCte,
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
        |asg0 AS (SELECT n.vec_id AS vid, n.v, n.nrm, c.cid,
@@ -36,13 +39,15 @@ object SimilarityQueries {
        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])), (x, y) -> x + y) / (q.qn * c.cn) AS qcos
        |  FROM q CROSS JOIN c),
        |pr AS (SELECT qid, qv, qn, cid FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS qrn FROM pr0) WHERE qrn <= 2),
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS qrn FROM pr0) WHERE qrn <= $nProbe),
        |sc AS (SELECT pr.qid, asg.vid,
        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(pr.qv) + 1), i -> pr.qv[i] * asg.v[i])), (x, y) -> x + y) / (pr.qn * asg.nrm) AS cos
-       |  FROM pr JOIN asg USING (cid) WHERE asg.vid <> pr.qid),
+       |  FROM pr JOIN asg USING (cid) WHERE asg.vid <> pr.qid$candFilter),
        |r AS (SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk FROM sc)
        |SELECT qid AS query_id, vid AS neighbor_id, rnk, round(cos, 6) AS cos
        |FROM r WHERE rnk <= 5""".stripMargin
+
+  private val ivfOracle: String = ivfOracleWith(2, "")
 
   /** ann_ivf_kmeans oracle: Lloyd's algorithm UNROLLED — 2 spherical
     * k-means iterations from the first-8 seed (assignment by max
@@ -98,8 +103,10 @@ object SimilarityQueries {
   /** ann_ivfpq_stored oracle: the ivfOracle probe/assignment CTEs
     * composed with the ann_pq_adc encode/LUT CTEs, an ADC shortlist of
     * 15, and an exact-cosine re-rank — the full IVFPQ+rerank serving
-    * semantics replayed relationally. */
-  private val ivfPqOracle: String =
+    * semantics replayed relationally. The candidate predicate composes
+    * BEFORE the ADC scan (`ann_ivfpq_filtered`), exactly where
+    * `Similarity.topKIvfPqStored` applies `keep`. */
+  private def ivfPqOracleWith(candFilter: String): String =
     s"""$normCte,
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
        |asg0 AS (SELECT n.vec_id AS vid, n.v, n.nrm, c.cid,
@@ -128,7 +135,7 @@ object SimilarityQueries {
        |  FROM pr JOIN asg USING (cid)
        |  JOIN enc ON enc.vid = asg.vid
        |  JOIN lut l ON l.qid = pr.qid AND l.m = enc.m AND l.code = enc.code
-       |  WHERE asg.vid <> pr.qid GROUP BY 1, 2),
+       |  WHERE asg.vid <> pr.qid$candFilter GROUP BY 1, 2),
        |sl AS (SELECT qid, vid, score_micros FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_micros DESC, vid) AS srn FROM adc) WHERE srn <= 15),
        |ex AS (SELECT sl.qid, sl.vid, sl.score_micros,
@@ -138,6 +145,8 @@ object SimilarityQueries {
        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk FROM ex)
        |SELECT qid AS query_id, vid AS neighbor_id, rnk, round(cos, 6) AS cos, score_micros
        |FROM r WHERE rnk <= 5""".stripMargin
+
+  private val ivfPqOracle: String = ivfPqOracleWith("")
 
   /** ann_matryoshka oracle: per prefix length d, brute-force top-5
     * over v[1:d] joined against full-dim ground truth; recall in exact
@@ -276,6 +285,139 @@ object SimilarityQueries {
        |SELECT qid AS query_id, vid AS neighbor_id, rk AS rnk, sm AS score_micros FROM (
        |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
        |  FROM allsc WHERE vid % 2 = 0) WHERE rk <= 5""".stripMargin
+  }
+
+  /** Unrolled replay for ann_graph_filtered_rare — the SAME walk shape
+    * with a 10%-selective filter and ADAPTIVE WIDENING (VERDICT r9 #2,
+    * ACORN posture): the effective beam width is 16 · min(4,
+    * ceil(entries / matchingEntries)), estimated from the entry-scored
+    * sample — integer arithmetic on two counts, computed in the `wf`
+    * CTE and applied to every round's rank cut via a scalar subquery.
+    * The answer is the top-5 by (micros DESC, vid) over the union of
+    * every scored set restricted to vid % 10 = 0; a query whose walk
+    * scored fewer than 5 matches returns exactly those rows (the
+    * shortfall contract). */
+  private def graphFilteredRareOracle: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def sm(qv: String, qn: String, v: String, nrm: String) =
+      s"CAST(round(${fold(qv, v)} / ($qn * $nrm) * 1000000, 0) AS BIGINT)"
+    def round(r: Int): String =
+      s"""cand$r AS (SELECT DISTINCT f.qid, a.dst AS vid
+         |  FROM f${r - 1} f JOIN adj a ON a.src = f.vid
+         |  WHERE a.dst <> f.qid
+         |    AND NOT EXISTS (SELECT 1 FROM f${r - 1} x WHERE x.qid = f.qid AND x.vid = a.dst)),
+         |sc$r AS MATERIALIZED (SELECT c.qid, c.vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm
+         |  FROM cand$r c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vid),
+         |f$r AS MATERIALIZED (SELECT qid, vid, sm FROM (
+         |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+         |  FROM (SELECT * FROM f${r - 1} UNION ALL SELECT * FROM sc$r)) WHERE rk <= (SELECT w FROM wf))""".stripMargin
+    s"""$normCte,
+       |ap AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |  ${fold("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       |adj AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM ap) WHERE rk <= 8),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+       |asg0 AS (SELECT d.vec_id, c.cid,
+       |  ${fold("d.v", "c.cv")} / (d.nrm * c.cn) AS ccos
+       |  FROM n d CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |  FROM asg0) WHERE crn = 1),
+       |ent AS (SELECT min(vec_id) AS vid FROM asg GROUP BY cid),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+       |e0s AS MATERIALIZED (SELECT q.qid, n.vec_id AS vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm
+       |  FROM q JOIN ent ON TRUE JOIN n ON n.vec_id = ent.vid
+       |  WHERE n.vec_id <> q.qid),
+       |wf AS MATERIALIZED (SELECT CASE WHEN m = 0 THEN 16 * 4
+       |    ELSE 16 * least(4, (t + m - 1) // m) END AS w
+       |  FROM (SELECT count(*) AS t,
+       |      count(CASE WHEN vid % 10 = 0 THEN 1 END) AS m FROM e0s)),
+       |f0 AS MATERIALIZED (SELECT qid, vid, sm FROM (
+       |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+       |  FROM e0s) WHERE rk <= 4),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)},
+       |allsc AS (SELECT qid, vid, sm FROM e0s
+       |  UNION SELECT qid, vid, sm FROM sc1
+       |  UNION SELECT qid, vid, sm FROM sc2
+       |  UNION SELECT qid, vid, sm FROM sc3
+       |  UNION SELECT qid, vid, sm FROM sc4)
+       |SELECT qid AS query_id, vid AS neighbor_id, rk AS rnk, sm AS score_micros FROM (
+       |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+       |  FROM allsc WHERE vid % 10 = 0) WHERE rk <= 5""".stripMargin
+  }
+
+  /** Unrolled replay for ann_graph_refine (VERDICT r9 #1): the
+    * SCALABLE construction path — blocked exact kNN over MULTI-probe-2
+    * first-8 IVF-quantizer cells (overlapping blocks: pairs share at
+    * least one of each side's two cells, DISTINCT so a doubly-shared
+    * pair holds one rank slot) — followed by ONE NN-Descent refinement
+    * round: candidates from neighbor-of-neighbor over the SYMMETRIZED
+    * blocked adjacency, exact-cosine scored, each node keeping its 8
+    * best edges from (existing ∪ candidates) in (cos DESC, dst) order;
+    * then the standard 4-round serve walk over the REFINED graph.
+    * Every stage is exact arithmetic (raw-double cosine folds shared
+    * with the engine, integer-micro beam), so the whole
+    * build→refine→serve pipeline replays relationally. */
+  private def graphRefineOracle: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def sm(qv: String, qn: String, v: String, nrm: String) =
+      s"CAST(round(${fold(qv, v)} / ($qn * $nrm) * 1000000, 0) AS BIGINT)"
+    def round(r: Int): String =
+      s"""cand$r AS (SELECT DISTINCT f.qid, a.dst AS vid
+         |  FROM f${r - 1} f JOIN radj a ON a.src = f.vid
+         |  WHERE a.dst <> f.qid
+         |    AND NOT EXISTS (SELECT 1 FROM f${r - 1} x WHERE x.qid = f.qid AND x.vid = a.dst)),
+         |sc$r AS (SELECT c.qid, c.vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm
+         |  FROM cand$r c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vid),
+         |f$r AS MATERIALIZED (SELECT qid, vid, sm FROM (
+         |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+         |  FROM (SELECT * FROM f${r - 1} UNION ALL SELECT * FROM sc$r)) WHERE rk <= 16)""".stripMargin
+    s"""$normCte,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+       |asg0 AS (SELECT d.vec_id, c.cid,
+       |  ${fold("d.v", "c.cv")} / (d.nrm * c.cn) AS ccos
+       |  FROM n d CROSS JOIN c),
+       |asgr AS MATERIALIZED (SELECT vec_id, cid, crn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |  FROM asg0) WHERE crn <= 2),
+       |asg AS (SELECT vec_id, cid FROM asgr WHERE crn = 1),
+       |bp AS (SELECT DISTINCT sa.vec_id AS src, sb.vec_id AS dst
+       |  FROM asgr sa JOIN asgr sb ON sb.cid = sa.cid
+       |  WHERE sa.vec_id <> sb.vec_id),
+       |bap AS (SELECT bp.src, bp.dst,
+       |  ${fold("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM bp JOIN n a ON a.vec_id = bp.src JOIN n b ON b.vec_id = bp.dst),
+       |badj AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM bap) WHERE rk <= 8),
+       |sym AS MATERIALIZED (SELECT src, dst FROM badj UNION SELECT dst, src FROM badj),
+       |cand AS (SELECT src, dst FROM badj
+       |  UNION SELECT a.src, b.dst FROM sym a JOIN sym b ON a.dst = b.src
+       |  WHERE a.src <> b.dst),
+       |rsc AS (SELECT cd.src, cd.dst,
+       |  ${fold("s.v", "t.v")} / (s.nrm * t.nrm) AS cos
+       |  FROM cand cd JOIN n s ON s.vec_id = cd.src JOIN n t ON t.vec_id = cd.dst),
+       |radj AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM rsc) WHERE rk <= 8),
+       |ent AS (SELECT min(vec_id) AS vid FROM asg GROUP BY cid),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+       |f0 AS MATERIALIZED (SELECT qid, vid, sm FROM (
+       |  SELECT q.qid, n.vec_id AS vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY ${sm("q.qv", "q.qn", "n.v", "n.nrm")} DESC, n.vec_id) AS rk
+       |  FROM q JOIN ent ON TRUE JOIN n ON n.vec_id = ent.vid
+       |  WHERE n.vec_id <> q.qid) WHERE rk <= 4),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)}
+       |SELECT qid AS query_id, vid AS neighbor_id, rk AS rnk, sm AS score_micros FROM (
+       |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+       |  FROM f4) WHERE rk <= 5""".stripMargin
   }
 
   /** Unrolled replay for ann_graph_append / ann_graph_prune — two
@@ -544,6 +686,40 @@ object SimilarityQueries {
     pristine
   }
 
+  /** Pristine BLOCKED-BUILT graph index (full corpus, first-8
+    * IVF-quantizer cells at MULTI-probe 2, kGraph 8) — the
+    * scalable-construction artifact `ann_graph_refine` copies then
+    * refines. Multi-probe construction carries the boundary-crossing
+    * seed edges one NN-Descent round then propagates (single-probe
+    * blocks are disjoint, and neighbor-of-neighbor is CLOSED over a
+    * partitioned graph — the refine verb's documented precondition).
+    * Stamp-cached per testdata like [[pristineGraphBase]]. */
+  private def pristineBlockedGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): java.io.File = {
+    val emb = Tables.table(s, d, "embeddings")
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    require(src.exists(), s"blocked-graph source does not exist: $src")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val pristine = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_knngblk2_$key")
+    val ready = new java.io.File(pristine, "_GRAFT_READY")
+    if (!ready.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(pristine)
+      Similarity.writeKnnGraphIndex(
+        Similarity.knnGraphBlockedMulti(emb, col("embedding"), col("vec_id"),
+          Similarity.ivfAssignmentsMulti(emb, col("embedding"), col("vec_id"),
+            nCentroids = 8, nProbe = 2), 8),
+        emb, col("embedding"), col("vec_id"),
+        Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"), 8)
+          .groupBy("cid").agg(min(col("vid")).as("vid")),
+        pristine.getPath)
+      ready.createNewFile(): Unit
+    }
+    pristine
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "ann_topk_bruteforce",
@@ -607,6 +783,43 @@ object SimilarityQueries {
         tmp, m = 8, subDim = 8, nCodes = 8)
       Similarity.topKIvfPqStored(tmp, emb.filter(col("vec_id") % 50 === 0),
           col("embedding"), col("vec_id"), k = 5, nProbe = 2, shortlist = 15)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // FILTERED IVF serving (VERDICT r9 #3 — the production-common
+    // predicate+ANN stack for the quantization tiers): top-5 among
+    // EVEN-id vectors only, the predicate composed into the probed
+    // lists' candidate scan BEFORE the rank, with partition pruning
+    // intact (ScaleSpec pins the pruned scan). Over-fetch posture:
+    // nProbe 3 instead of 2 — a 50% filter halves each list's
+    // matching candidates, so one extra probed list keeps the
+    // shortlist k-deep. The oracle composes the same filter into the
+    // candidate CTE at the same point.
+    QueryDef("ann_ivf_filtered",
+        ivfOracleWith(3, " AND asg.vid % 2 = 0")) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val tmp = Tables.scratchDir("graft_ivf_fidx") // per-process, race-free
+      Similarity.writeIvfIndex(emb, col("embedding"), col("vec_id"),
+        Similarity.firstNCentroids(emb, col("embedding"), col("vec_id"), 8), tmp)
+      Similarity.topKIvfStored(tmp, emb.filter(col("vec_id") % 50 === 0),
+          col("embedding"), col("vec_id"), k = 5, nProbe = 3,
+          keep = col("vid") % 2 === 0)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // FILTERED IVFPQ serving: the same predicate composed BEFORE the
+    // ADC scan — non-matching candidates never pay even the LUT adds,
+    // the shortlist ranks matching candidates only, and the exact
+    // re-rank output is the pipeline's answer over the matching
+    // subset. Oracle: ivfPqOracle with the filter at the adc CTE.
+    QueryDef("ann_ivfpq_filtered",
+        ivfPqOracleWith(" AND asg.vid % 2 = 0")) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val tmp = Tables.scratchDir("graft_ivfpq_fidx") // per-process, race-free
+      Similarity.writeIvfPqIndex(emb, col("embedding"), col("vec_id"),
+        Similarity.firstNCentroids(emb, col("embedding"), col("vec_id"), 8),
+        tmp, m = 8, subDim = 8, nCodes = 8)
+      Similarity.topKIvfPqStored(tmp, emb.filter(col("vec_id") % 50 === 0),
+          col("embedding"), col("vec_id"), k = 5, nProbe = 2, shortlist = 15,
+          keep = col("vid") % 2 === 0)
         .withColumnRenamed("rank", "rnk")
     },
     // IVF with a TRAINED coarse quantizer: 2 spherical-Lloyd
@@ -848,6 +1061,46 @@ object SimilarityQueries {
         col("embedding"), col("vec_id"), keep = col("vid") % 2 === 0,
         k = 5, nProbe = 4, beamWidth = 16, rounds = 4)
     },
+    // SELECTIVE filtered graph serving with ADAPTIVE WIDENING (VERDICT
+    // r9 #2 — the ACORN posture): at 10% selectivity a fixed width-16
+    // beam scores ~1.6 matches per round and starves the accumulator;
+    // here the effective width scales by the inverse selectivity
+    // estimated from the entry-scored sample (integer arithmetic on
+    // two counts, capped at 4×), so the walk gathers ≥ k matches.
+    // The oracle recomputes the widened width in its `wf` CTE and
+    // replays the widened walk verbatim, pinning the shortfall
+    // contract (sub-k matches return as-is, never padded).
+    QueryDef("ann_graph_filtered_rare", graphFilteredRareOracle) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.beamSearchKnnStoredFiltered(servedGraphIndex(s, d),
+        emb.filter(col("vec_id") % 50 === 0),
+        col("embedding"), col("vec_id"), keep = col("vid") % 10 === 0,
+        k = 5, nProbe = 4, beamWidth = 16, rounds = 4, widenCap = 4)
+    },
+    // NN-DESCENT refinement of the SCALABLE builder (VERDICT r9 #1):
+    // the pristine index is blocked-built over MULTI-probe-2 quantizer
+    // cells (overlapping blocks — the seed cross-cell edges NN-Descent
+    // needs, since neighbor-of-neighbor is CLOSED over disjoint
+    // blocks); the run copies it, applies one refinement round
+    // (neighbor-of-neighbor candidates over the symmetrized adjacency,
+    // exact-cosine re-score, keep per-node top-8), then serves the
+    // standard 4-round walk from the REFINED graph. The oracle
+    // replays build → refine → serve relationally.
+    QueryDef("ann_graph_refine", graphRefineOracle) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val pristine = pristineBlockedGraph(s, d)
+      val phase = new Phases("ann_graph_refine")
+      val idx = Tables.scratchDir("graft_knng_refine")
+      phase("copy") {
+        graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
+      }
+      phase("refine") {
+        Similarity.refineKnnGraphIndex(s, idx, kGraph = 8, rounds = 1)
+      }
+      Similarity.beamSearchKnnStored(idx, emb.filter(col("vec_id") % 50 === 0),
+        col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+        rounds = 4)
+    },
     // graph-index INSERT lifecycle (Similarity.appendToKnnGraphIndex —
     // the HNSW-class incremental maintenance verb): the pristine index
     // holds the vec_id % 3 <> 1 two-thirds; the run copies it, batch-
@@ -961,12 +1214,14 @@ object SimilarityQueries {
     },
     // the FULL tf-idf index lifecycle (VERDICT r7 #1, r8 #3): build
     // base → O(delta) append (returns the cumulative staleness
-    // counters) → LSM compact → statistics refresh ON THE DRIFT
-    // BUDGET (Similarity.refreshTfidfIndexIfStale: the appended fifth
+    // counters) → statistics refresh ON THE DRIFT BUDGET
+    // (Similarity.refreshTfidfIndexIfStale: the appended fifth
     // is 25% growth against the 10% budget, so the trigger trips
     // deterministically and re-derives fresh n/df/idf from the stored
     // raw-tf relation — no corpus re-tokenize; a below-budget append
     // would keep serving frozen, the branch TfidfLifecycleSpec pins)
+    // → LSM compact (AFTER the refresh — r9 #6: refresh overwrites the
+    // derived stores, so only tf/ ever needs the compaction pass)
     // → serve. Post-refresh service is value-identical to a
     // from-scratch build on the grown corpus, so the oracle is the
     // shared full-corpus one; per-verb wall cost and the staleness
@@ -982,11 +1237,18 @@ object SimilarityQueries {
         Similarity.appendToTfidfIndex(idx,
           tfidfTerms(s, d).filter(col("doc_id") % 5 === 4))
       }
-      val rewritten = phase("compact") { Similarity.compactTfidfIndex(s, idx) }
+      // refresh BEFORE compact (VERDICT r9 #6 trim): the refresh
+      // overwrites postings/ and vectors/ wholesale, so compacting
+      // their append-fragmented files first was pure waste — after the
+      // reorder the compact pass only ever rewrites tf/ partitions
+      // (the one store the refresh reads instead of replacing). Verb
+      // semantics are order-independent here: both orders end at the
+      // same refreshed, compacted, served state (the shared oracle).
       val refreshed = phase("refresh") {
         Similarity.refreshTfidfIndexIfStale(s, idx, maxGrowthPpm = 100000L)
       }
       require(refreshed, "25% corpus growth must trip the 10% drift budget")
+      val rewritten = phase("compact") { Similarity.compactTfidfIndex(s, idx) }
       phase.emit(s""","compacted_parts":$rewritten""" +
         s""","appended_docs":${st.appendedDocs},"stat_n":${st.statN}""" +
         s""","growth_ppm":${st.growthPpm},"oov_mass_ppm":${st.oovMassPpm}""")
@@ -1024,8 +1286,8 @@ object SimilarityQueries {
       Multimodal.sampleFrames(Tables.table(s, d, "documents"))
     },
     // binary-payload near-dup (Multimodal.mediaNearDup — VERDICT r8
-    // #6): byte-16-gram features over the opaque payload (computed on
-    // the hex rendering, so no charset assumption) → SimHash banding →
+    // #6): byte-16-gram features over the opaque payload (raw binary
+    // substrings — no charset assumption) → SimHash banding →
     // hamming refine → exact byte-gram Jaccard verify, Dedup's banded
     // machinery verbatim. The oracle is the quadratic all-pairs
     // Jaccard the engine never runs (payload = encode(text), so DuckDB

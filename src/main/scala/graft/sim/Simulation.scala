@@ -39,6 +39,7 @@ object Simulation {
       nativeGen: Boolean = false, // Zipf via the native ZipfSource plan
       advise: Boolean = false, // print Joins.adviseStrategy per step
       adviseBudgetMb: Long = 512, // broadcast budget the advisor assumes
+      executeAdvice: Boolean = false, // add the advised arm to multiway sweeps
       multiwayDims: Int = 0, // > 0 → multi-way star sweep instead of binary
       topology: String = "star", // --multiway shape: star | chain
       out: String = "results.csv",
@@ -60,6 +61,7 @@ object Simulation {
       case "--native-gen" :: t           => loop(a.copy(nativeGen = true), t)
       case "--advise" :: t               => loop(a.copy(advise = true), t)
       case "--advise-budget-mb" :: v :: t => loop(a.copy(adviseBudgetMb = v.toLong), t)
+      case "--execute-advice" :: t       => loop(a.copy(executeAdvice = true), t)
       case "--multiway" :: v :: t        => loop(a.copy(multiwayDims = v.toInt), t)
       case "--topology" :: v :: t        => loop(a.copy(topology = v), t)
       case "--out" :: v :: t             => loop(a.copy(out = v), t)
@@ -190,7 +192,8 @@ object Simulation {
     *    exchanges the surviving fact on its key;
     *  - aqe-auto: planner defaults — what Spark picks unassisted.
     *
-    * CSV: rows,dims,strategy,wall_ms,shuffle_records. The advisor's
+    * CSV: rows,dims,topology,skew,strategy,wall_ms,shuffle_records.
+    * The advisor's
     * recommendation for the same star prints as an [advise-multiway]
     * line so the sweep carries its own decision next to the timings. */
   def multiwayStep(spark: SparkSession, a: Args, rows: Long): Seq[String] = {
@@ -254,10 +257,26 @@ object Simulation {
         spark.conf.set("spark.sql.adaptive.enabled", a.aqe.toString)
       }
     }
+    // the ADVISED arm (--execute-advice, VERDICT r9 #4): build exactly
+    // the cascade the skew-aware advisor prescribes — explicit
+    // broadcast hints in admission order, autoSaltedJoin on flagged
+    // dims — with auto-broadcast OFF so the measured plan is the
+    // advisor's decisions, not Catalyst quietly making the same call
+    def advised(): Long = {
+      spark.conf.set(bcastKey, "-1")
+      try Joins.executeAdvisedMultiway(fact,
+        dims.zipWithIndex.map { case ((dn, d), i) =>
+          (dn, d, col(s"k$i"), col(s"dk$i")) },
+        rowBytes = math.max(1L, fileBytes / rows),
+        broadcastBudgetBytes = a.adviseBudgetMb * 1000000L,
+        reducers = a.reducers).count()
+      finally spark.conf.set(bcastKey, prevB)
+    }
     val strategies = Seq[(String, () => Long)](
       "broadcast-cascade" -> (() => cascade(_ => d => broadcast(d))),
       "shuffle-cascade" -> (() => noBroadcast(() => cascade(_ => identity))),
-      "aqe-auto" -> (() => cascade(_ => identity)))
+      "aqe-auto" -> (() => cascade(_ => identity))) ++
+      (if (a.executeAdvice) Seq("advised" -> (() => advised())) else Seq.empty)
     val lines = strategies.map { case (name, body) =>
       val (n, st) = Measure.measured(spark)(body())
       val ms = st.wallClockSec * 1000
@@ -332,12 +351,24 @@ object Simulation {
         spark.conf.set("spark.sql.adaptive.enabled", a.aqe.toString)
       }
     }
+    // the ADVISED arm (--execute-advice): the chain order/broadcast
+    // shape adviseChain prescribes, auto-broadcast off so the measured
+    // plan is the advisor's own (see multiwayStep.advised)
+    def advised(): Long = {
+      spark.conf.set(bcastKey, "-1")
+      try Joins.executeAdvisedChain(fact, dimA, dimB,
+        col("k0"), col("dk0"), col("ak"), col("dk1"),
+        rowBytes = math.max(1L, fileBytes / rows),
+        broadcastBudgetBytes = a.adviseBudgetMb * 1000000L).count()
+      finally spark.conf.set(bcastKey, prevB)
+    }
     val strategies = Seq[(String, () => Long)](
       "fact-first-bc" -> (() => chain(bcast = true, dimsFirst = false)),
       "dims-first-bc" -> (() => chain(bcast = true, dimsFirst = true)),
       "fact-first-shuffle" -> (() => noBroadcast(() => chain(bcast = false, dimsFirst = false))),
       "dims-first-shuffle" -> (() => noBroadcast(() => chain(bcast = false, dimsFirst = true))),
-      "aqe-auto" -> (() => chain(bcast = false, dimsFirst = false)))
+      "aqe-auto" -> (() => chain(bcast = false, dimsFirst = false))) ++
+      (if (a.executeAdvice) Seq("advised" -> (() => advised())) else Seq.empty)
     val lines = strategies.map { case (name, body) =>
       val (n, st) = Measure.measured(spark)(body())
       val ms = st.wallClockSec * 1000

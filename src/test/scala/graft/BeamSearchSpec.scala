@@ -212,6 +212,161 @@ class BeamSearchSpec extends SparkSpec {
     Tables.deleteRecursive(idx)
   }
 
+  test("NN-Descent refinement: recall lifts on planted clusters, edge quality is monotone, exact graph is a fixed point") {
+    import org.apache.spark.sql.DataFrame
+    // planted clusters (the AnnScale generator, small), quantized into
+    // cells FINER than the clusters (96 cells over 24 clusters): a
+    // cluster's true neighborhood straddles cell boundaries, which is
+    // exactly the recall gap blocked construction has at corpus scale.
+    // Multi-probe-2 assignment supplies the boundary-crossing seed
+    // edges (neighbor-of-neighbor is CLOSED over disjoint blocks — the
+    // refine verb's documented precondition); the refinement round
+    // must then propagate them into a measurable recall lift.
+    val n = 1200; val dims = 16; val nClu = 24; val nc = 192
+    val (emb, _, _) = graft.operators.Iterate.ckpt(
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)), j => {
+          val c = pmod(col("id"), lit(nClu.toLong))
+          val cent = (pmod(xxhash64(c, j), lit(2001L)) - 1000L).cast("double") / 1000.0
+          val noise = (pmod(xxhash64(col("id"), j, lit(7L)), lit(2001L)) - 1000L)
+            .cast("double") / 1000.0
+          // DIFFUSE clusters (noise ~ half the centroid spread): a
+          // node's true neighborhood straddles quantizer cells, so
+          // blocked recall has the headroom refinement must close
+          cent + noise * 0.5
+        }).as("embedding")))
+    val isQ = col("vec_id") % 40 === 0
+    val idx = Tables.scratchDir("spec_knn_refine")
+    val asg = Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"), nc)
+    Similarity.writeKnnGraphIndex(
+      Similarity.knnGraphBlockedMulti(emb, col("embedding"), col("vec_id"),
+        Similarity.ivfAssignmentsMulti(emb, col("embedding"), col("vec_id"),
+          nc, nProbe = 2), 8),
+      emb, col("embedding"), col("vec_id"),
+      asg.groupBy("cid").agg(min(col("vid")).as("vid")), idx)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.topKBruteForce(
+      emb, col("embedding"), col("vec_id"), isQ, k = 5))
+    def serveRecall(): Double = {
+      val got = pairs(Similarity.beamSearchKnnStored(idx, emb.filter(isQ),
+        col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+        rounds = 4))
+      (truth intersect got).size.toDouble / truth.size
+    }
+    // EDGE recall — the direct construction-quality sensor (at this
+    // corpus size a 4-round walk saturates serve recall on mediocre
+    // graphs, so the graph itself is what refinement must measurably
+    // improve): fraction of the exact top-8 edges present in the
+    // stored adjacency
+    val exactEdges = Similarity.knnGraphExact(emb, col("embedding"),
+      col("vec_id"), 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def edgeRecall(): Double = {
+      val adj = spark.read.parquet(s"$idx/adj").select("src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exactEdges intersect adj).size.toDouble / exactEdges.size
+    }
+    // per-node ranked edge scores: quality monotonicity is checked at
+    // every (src, rank) slot, not just in aggregate
+    def scoredAdj(): Map[(Long, Int), Double] = {
+      val e = graft.operators.Dedup.withNorm(emb, col("embedding"), col("vec_id"))
+      spark.read.parquet(s"$idx/adj").select(col("src"), col("dst"))
+        .join(e.select(col("vid").as("src"), col("v").as("sv"), col("nrm").as("sn")), Seq("src"))
+        .join(e.select(col("vid").as("dst"), col("v").as("dv"), col("nrm").as("dn")), Seq("dst"))
+        .withColumn("cos", graft.operators.Dedup.dot(col("sv"), col("dv")) / (col("sn") * col("dn")))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")
+            .orderBy(col("cos").desc, col("dst"))))
+        .collect().map(r => (r.getAs[Long]("src"), r.getAs[Int]("rk")) ->
+          r.getAs[Double]("cos")).toMap
+    }
+    val before = serveRecall()
+    val beforeEdges = edgeRecall()
+    val beforeAdj = scoredAdj()
+    Similarity.refineKnnGraphIndex(spark, idx, kGraph = 8, rounds = 1)
+    val afterAdj = scoredAdj()
+    val after = serveRecall()
+    val afterEdges = edgeRecall()
+    info(f"serve recall@5: blocked $before%.3f -> refined $after%.3f; " +
+      f"edge recall@8: $beforeEdges%.3f -> $afterEdges%.3f")
+    // per-node monotone: the kept set is the top-8 of a superset of
+    // the old edges, so the j-th best score can never drop
+    val degraded = beforeAdj.filter { case (key, cb) =>
+      afterAdj.get(key).forall(_ < cb - 1e-12)
+    }
+    assert(degraded.isEmpty,
+      s"refinement degraded ${degraded.size} (src, rank) slots, e.g. ${degraded.take(3)}")
+    // serve recall is NOT guaranteed pointwise-monotone: keeping only
+    // the k best-by-cosine edges can replace a long-range navigation
+    // bridge with a closer edge, costing an occasional walk one hop
+    // (the reason HNSW's neighbor selection keeps diversity, not pure
+    // top-k) — allow a 2% dip while the graph itself must improve
+    assert(after >= before - 0.02,
+      f"refinement lost serve recall beyond the bridge tolerance: $after%.3f < $before%.3f")
+    // premise: the fragmented blocked build must leave a real gap for
+    // the refinement to close — then one round must close at least
+    // 40% of it (measured: 0.96 -> 0.998 at 96 cells, i.e. ~95%)
+    assert(beforeEdges <= 0.97,
+      f"test premise: blocked edge recall $beforeEdges%.3f left no gap to close")
+    assert(afterEdges >= beforeEdges + (1.0 - beforeEdges) * 0.4,
+      f"one refinement round must close >= 40%% of the edge-recall gap: $beforeEdges%.3f -> $afterEdges%.3f")
+    // fixed point: refining an EXACT-built graph changes nothing (no
+    // candidate can beat a global top-8 edge)
+    val idx2 = Tables.scratchDir("spec_knn_refine_exact")
+    Similarity.writeKnnGraphIndex(
+      Similarity.knnGraphExact(emb, col("embedding"), col("vec_id"), 8),
+      emb, col("embedding"), col("vec_id"),
+      asg.groupBy("cid").agg(min(col("vid")).as("vid")), idx2)
+    def adjSet(p: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$p/adj").select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactBefore = adjSet(idx2)
+    Similarity.refineKnnGraphIndex(spark, idx2, kGraph = 8, rounds = 1)
+    assert(adjSet(idx2) == exactBefore,
+      "an exact-built graph must be a fixed point of refinement")
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(idx)
+    Tables.deleteRecursive(idx2)
+  }
+
+  test("adaptive widening recovers filtered recall at low selectivity; results stay matching-only") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val isQ = col("vec_id") % 50 === 0
+    val idx = Tables.scratchDir("spec_knn_widen")
+    Similarity.writeKnnGraphIndex(
+      Similarity.knnGraphExact(emb, col("embedding"), col("vec_id"), 8),
+      emb, col("embedding"), col("vec_id"),
+      Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"), 8)
+        .groupBy("cid").agg(min(col("vid")).as("vid")),
+      idx)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def serve(cap: Int): Set[(Long, Long)] =
+      pairs(Similarity.beamSearchKnnStoredFiltered(idx, emb.filter(isQ),
+        col("embedding"), col("vec_id"), keep = col("vid") % 10 === 0,
+        k = 5, nProbe = 4, beamWidth = 16, rounds = 4, widenCap = cap))
+    val fixed = serve(1)
+    val widened = serve(4)
+    assert(widened.forall(_._2 % 10 == 0),
+      "widened filtered serving must never surface a non-matching neighbor")
+    // truth: brute force over the matching tenth (queries are % 50,
+    // hence themselves % 10 — the filter keeps them)
+    val truth = pairs(Similarity.topKBruteForce(
+      emb.filter(col("vec_id") % 10 === 0), col("embedding"), col("vec_id"),
+      isQ, k = 5))
+    val rFixed = (truth intersect fixed).size.toDouble / truth.size
+    val rWide = (truth intersect widened).size.toDouble / truth.size
+    info(f"10%%-selectivity recall@5: fixed width $rFixed%.3f, widened $rWide%.3f")
+    assert(rWide >= rFixed,
+      f"widening must not lose recall: $rWide%.3f < $rFixed%.3f")
+    // measured 0.860 vs 0.660 fixed-width on this (deterministic) data
+    assert(rWide >= 0.75, f"widened low-selectivity recall collapsed: $rWide%.3f")
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(idx)
+  }
+
   test("a blindly replayed insert batch is repaired to the single-applied state") {
     val emb = Tables.table(spark, sf, "embeddings")
     val base = emb.filter(col("vec_id") % 3 =!= 1)

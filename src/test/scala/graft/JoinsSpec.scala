@@ -237,6 +237,99 @@ class JoinsSpec extends SparkSpec {
       .head().getAs[String]("advice") == "mixed-chain")
   }
 
+  test("executeAdvisedMultiway executes the prescribed cascade per band: BHJs when admitted, salting when flagged, result parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    // k0: Zipf-hot (key 1 holds 50 of 100 rows — fails §6.4 at
+    // reducers=8); k1: uniform over 10 values (passes: 10·8·10 ≤ 900)
+    val fact = ((1L to 50L).map(i => (1L, i % 10L)) ++
+      (51L to 100L).map(i => (i % 30L, i % 10L))).toDF("k0", "k1")
+    val dHot = (0L to 29L).toDF("dk0")  // 3000 B at 100 B/row
+    val dUni = (0L to 9L).toDF("dk1")   // 1000 B
+    val dims = Seq(("dhot", dHot.toDF(), col("k0"), col("dk0")),
+      ("duni", dUni.toDF(), col("k1"), col("dk1")))
+    val plain = fact.join(dHot, col("k0") === col("dk0"))
+      .join(dUni, col("k1") === col("dk1"))
+      .select("k0", "k1", "dk0", "dk1").collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def rows(df: DataFrame) = df.select("k0", "k1", "dk0", "dk1")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    Joins.withSessionConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // band 1: both dims inside the cumulative budget → two pinned
+      // BHJs (ours — auto-broadcast is off), no salting machinery
+      val bc = Joins.executeAdvisedMultiway(fact, dims, rowBytes = 100L,
+        broadcastBudgetBytes = 4000L, reducers = 8)
+      assert(rows(bc) == plain, "broadcast-band cascade diverged from the plain join")
+      val bcPlan = unwrap(bc.queryExecution.executedPlan)
+      assert(bcPlan.collect { case b: BroadcastHashJoinExec => b }.size == 2,
+        s"advised broadcast band must plan 2 BHJs:\n${bcPlan.toString.take(1500)}")
+      assert(!bcPlan.toString.contains("__salt"),
+        "broadcast-admitted dims must not pay the salt machinery")
+      // band 2: budget 0 → both dims shuffle; the skew-flagged k0 dim
+      // goes through autoSaltedJoin (salt columns in the plan), the
+      // uniform one joins plain; neither dim join is a broadcast
+      val sh = Joins.executeAdvisedMultiway(fact, dims, rowBytes = 100L,
+        broadcastBudgetBytes = 0L, reducers = 8)
+      assert(rows(sh) == plain, "shuffle-band cascade diverged from the plain join")
+      val shPlan = unwrap(sh.queryExecution.executedPlan)
+      assert(shPlan.toString.contains("__salt"),
+        "the skew-flagged dim must execute through the salted join")
+      val shuffled = shPlan.collect {
+        case s: SortMergeJoinExec => s: SparkPlan
+        case s: ShuffledHashJoinExec => s: SparkPlan
+      }
+      assert(shuffled.size >= 2,
+        s"both dim joins must stay shuffled under a zero budget:\n${shPlan.toString.take(1500)}")
+    }
+  }
+
+  test("executeAdvisedChain builds each advice band's plan shape with result parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    val fact = (1L to 100L).map(i => (i, i % 30L)).toDF("f", "k0")
+    val dimA = (0L to 29L).map(i => (i, i % 10L)).toDF("dk0", "ak") // 3000 B
+    val dimB = (0L to 9L).toDF("dk1")                               // 1000 B
+    val plain = fact.join(dimA, col("k0") === col("dk0"))
+      .join(dimB, col("ak") === col("dk1"))
+      .select("f", "k0", "dk0", "ak", "dk1").collect().map(_.toSeq).sortBy(_.toString)
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    def run(budget: Long, b: DataFrame = dimB): (Seq[Seq[Any]], Int) = {
+      val df = Joins.executeAdvisedChain(fact, dimA, b,
+        col("k0"), col("dk0"), col("ak"), col("dk1"),
+        rowBytes = 100L, broadcastBudgetBytes = budget)
+      val out = df.select("f", "k0", "dk0", "ak", "dk1")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      (out, unwrap(df.queryExecution.executedPlan)
+        .collect { case x: BroadcastHashJoinExec => x }.size)
+    }
+    Joins.withSessionConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val (r1, b1) = run(4000L) // pipelined-bhj: both broadcast
+      assert(r1.sameElements(plain) && b1 == 2, s"pipelined-bhj: got $b1 BHJs")
+      val (r2, b2) = run(1000L) // dims-first-enrich: only B broadcasts
+      assert(r2.sameElements(plain) && b2 == 1, s"dims-first-enrich: got $b2 BHJs")
+      val (r3, b3) = run(999L) // dims-first-shuffle: nothing broadcasts
+      assert(r3.sameElements(plain) && b3 == 0, s"dims-first-shuffle: got $b3 BHJs")
+      // mixed-chain: A (3000 B) fits, B (5000 B) does not
+      val bBig = (0L to 49L).map(i => i % 10L).toDF("dk1")
+      val plainBig = fact.join(dimA, col("k0") === col("dk0"))
+        .join(bBig, col("ak") === col("dk1"))
+        .select("f", "k0", "dk0", "ak", "dk1").collect().map(_.toSeq).sortBy(_.toString)
+      val (r4, b4) = run(3000L, bBig)
+      assert(r4.sameElements(plainBig) && b4 == 1, s"mixed-chain: got $b4 BHJs")
+    }
+  }
+
   test("bloomSemiJoin equals the plain semi join and prunes at the fact scan") {
     val fact = Tables.table(spark, sf, "lineitem")
     val dim = Tables.table(spark, sf, "orders")

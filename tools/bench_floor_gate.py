@@ -63,6 +63,26 @@ def main():
                 ["git", "rev-parse", "--show-toplevel"]).decode().strip())
         base = load_queries(blob)
 
+    # mechanical regime adjudication (VERDICT r9 #7): the per-query
+    # ratio distribution tells contamination apart from regressions —
+    # a uniformly elevated median is a machine REGIME (reject the run,
+    # rerun quiet), isolated spikes over a clean median are scheduler
+    # STALLs, anything else judges per-query drift as real.
+    ratios = sorted(new[q] / b for q, b in base.items()
+                    if q in new and (b >= MIN_SEC or new[q] >= MIN_SEC))
+    if ratios:
+        mid = len(ratios) // 2
+        median = (ratios[mid] if len(ratios) % 2
+                  else (ratios[mid - 1] + ratios[mid]) / 2)
+        if median > 1.25:
+            verdict = f"regime (median ratio {median:.2f}x — machine contaminated, rerun quiet)"
+        elif ratios[-1] > 3.0:
+            spikes = sum(1 for r in ratios if r > 3.0)
+            verdict = f"stall ({spikes} spike(s) > 3x over a clean {median:.2f}x median)"
+        else:
+            verdict = f"clean (median ratio {median:.2f}x, max {ratios[-1]:.2f}x)"
+        print(f"[bench-floor-gate] verdict: {verdict}")
+
     failures, news = [], []
     for q, b in sorted(base.items()):
         if q not in new:
