@@ -33,6 +33,9 @@ object AnnScale {
     val ops = args.lift(5).getOrElse("all")
     val refineRounds = args.lift(6).map(_.toInt).getOrElse(1)
     val bridge = args.lift(7).map(_.toInt).getOrElse(6)
+    // refine keep rule: "rng" = diversified (HNSW neighbor selection —
+    // moves SERVE recall), "topk" = pure best-k (moves EDGE recall)
+    val refineMode = args.lift(8).getOrElse("rng")
     def want(op: String): Boolean = ops == "all" || ops.split(",").contains(op)
     val k = 10
     val spark = SparkSession.builder()
@@ -157,9 +160,9 @@ object AnnScale {
       }
       recall("graph_beam_preref_w32_r3", gotPre)
       for (ri <- 1 to refineRounds) {
-        timed(s"graph_refine_$ri") {
+        timed(s"graph_refine_${refineMode}_$ri") {
           Similarity.refineKnnGraphIndex(spark, idx, kGraph = 8,
-            rounds = 1, bridge = bridge)
+            rounds = 1, bridge = bridge, diversify = refineMode == "rng")
           spark.read.parquet(s"$idx/adj").count()
         }
         var gotRef: Set[(Long, Long)] = Set.empty

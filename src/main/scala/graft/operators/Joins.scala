@@ -456,15 +456,34 @@ object Joins {
   def executeAdvisedMultiway(fact: DataFrame,
       dims: Seq[(String, DataFrame, Column, Column)], rowBytes: Long,
       broadcastBudgetBytes: Long, reducers: Int,
-      saltFactor: Int = 8): DataFrame = {
-    require(dims.nonEmpty, "executeAdvisedMultiway needs at least one dim")
-    val advice = adviseMultiwaySkew("exec", fact,
-        dims.map { case (dn, d, fk, _) => (dn, d, fk) },
-        rowBytes, broadcastBudgetBytes, reducers)
+      saltFactor: Int = 8): DataFrame =
+    executeMultiwayAdvice(fact, dims,
+      collectMultiwayAdvice(fact, dims.map { case (dn, d, fk, _) => (dn, d, fk) },
+        rowBytes, broadcastBudgetBytes, reducers),
+      reducers, saltFactor)
+
+  /** The advisor pass of [[executeAdvisedMultiway]], separated so a
+    * caller can price PLANNING apart from EXECUTION (the sweep's
+    * advised arm; advice is a handful of bounded aggregates amortized
+    * across every query that reuses the star) and so one advice map
+    * can drive many cascades. Keyed by dim name →
+    * (dim_bytes, fact_rows, dim_advice). */
+  def collectMultiwayAdvice(fact: DataFrame,
+      dims: Seq[(String, DataFrame, Column)], rowBytes: Long,
+      broadcastBudgetBytes: Long, reducers: Int): Map[String, (Long, Long, String)] =
+    adviseMultiwaySkew("exec", fact, dims, rowBytes, broadcastBudgetBytes,
+        reducers)
       .select(col("dim_name"), col("dim_bytes"), col("fact_rows"),
         col("dim_advice"))
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+  /** Build the cascade a [[collectMultiwayAdvice]] map prescribes. */
+  def executeMultiwayAdvice(fact: DataFrame,
+      dims: Seq[(String, DataFrame, Column, Column)],
+      advice: Map[String, (Long, Long, String)], reducers: Int,
+      saltFactor: Int = 8): DataFrame = {
+    require(dims.nonEmpty, "executeMultiwayAdvice needs at least one dim")
     val ordered = dims.sortBy { case (dn, _, _, _) =>
       val (bytes, _, adv) = advice(dn)
       (if (adv == "broadcast") 0 else 1, bytes, dn)
@@ -497,9 +516,22 @@ object Joins {
     *    rows) so the fact is exchanged once, not twice. */
   def executeAdvisedChain(fact: DataFrame, dimA: DataFrame, dimB: DataFrame,
       factKey: Column, aKey: Column, aOutKey: Column, bKey: Column,
-      rowBytes: Long, broadcastBudgetBytes: Long): DataFrame = {
-    val adv = adviseChain("exec", fact, dimA, dimB, rowBytes,
+      rowBytes: Long, broadcastBudgetBytes: Long): DataFrame =
+    executeChainAdvice(fact, dimA, dimB, factKey, aKey, aOutKey, bKey,
+      collectChainAdvice(fact, dimA, dimB, rowBytes, broadcastBudgetBytes))
+
+  /** The advisor pass of [[executeAdvisedChain]], separated so a
+    * caller can price planning apart from execution (three 1-row count
+    * aggregates). */
+  def collectChainAdvice(fact: DataFrame, dimA: DataFrame, dimB: DataFrame,
+      rowBytes: Long, broadcastBudgetBytes: Long): String =
+    adviseChain("exec", fact, dimA, dimB, rowBytes,
       broadcastBudgetBytes).select(col("advice")).head().getString(0)
+
+  /** Build the chain plan a [[collectChainAdvice]] band prescribes. */
+  def executeChainAdvice(fact: DataFrame, dimA: DataFrame, dimB: DataFrame,
+      factKey: Column, aKey: Column, aOutKey: Column, bKey: Column,
+      adv: String): DataFrame = {
     adv match {
       case "pipelined-bhj" =>
         fact.join(broadcast(dimA), factKey === aKey)

@@ -1295,17 +1295,23 @@ object Similarity {
   def knnGraphBlockedMulti(emb: DataFrame, vec: Column, id: Column,
       asg: DataFrame, k: Int): DataFrame = {
     val e = withNorm(emb, vec, id)
-    val cand = asg.select(col("vid").as("src"), col("cid"))
-      .join(asg.select(col("vid").as("dst"), col("cid")), Seq("cid"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
+    def side(p: String) = asg.join(e, Seq("vid"))
+      .select(col("vid").as(p + "id"), col("cid"),
+        col("v").as(p + "v"), col("nrm").as(p + "n"))
+    // score INLINE in the cid join (each side shuffles n·probe rows
+    // once; the pair rows live only inside the join tasks), then
+    // collapse pairs shared by BOTH cells through a slim map-side
+    // (src, dst) aggregate — the duplicate carries an identical score,
+    // so max ≡ either copy. A first cut that materialized DISTINCT id
+    // pairs and re-fetched vectors through two more joins measured 25×
+    // the single-probe builder at 100 k (the pair set crossed the wire
+    // twice more); this shape adds ONE slim exchange to it.
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    cand
-      .join(e.select(col("vid").as("src"), col("v").as("sv"),
-        col("nrm").as("sn")), Seq("src"))
-      .join(e.select(col("vid").as("dst"), col("v").as("dv"),
-        col("nrm").as("dn")), Seq("dst"))
-      .withColumn("cos", dot(col("sv"), col("dv")) / (col("sn") * col("dn")))
+    side("a_").join(side("b_").withColumnRenamed("cid", "b_cid"),
+        col("cid") === col("b_cid") && col("a_id") =!= col("b_id"))
+      .select(col("a_id").as("src"), col("b_id").as("dst"),
+        (dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos"))
+      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("src"), col("dst"))
   }
@@ -1595,6 +1601,15 @@ object Similarity {
     * [[appendToKnnGraphIndex]] (insertion walks traverse entry points
     * across regions, so their edges cross blocks by construction).
     *
+    * `diversify` switches the keep rule from pure top-k to the
+    * HNSW/Vamana neighbor-selection heuristic (keep a candidate only
+    * if it is closer to the node than to every already-kept neighbor,
+    * backfill best-first): top-k maximizes EDGE recall but packs a
+    * node's slots into one tight direction; the diversified keep
+    * spends occluded slots on longer-range links, which is what the
+    * beam walk's SERVE recall needs in large regions (measured in
+    * docs/EXPERIMENTS.md — the two keeps move different metrics).
+    *
     * Scale shape: one adjacency self-join per round — candidates ≤
     * n·(2·deg)² rows of bare (src, dst) ids, vectors fetched once per
     * SURVIVING distinct candidate through two equi-joins against the
@@ -1608,8 +1623,10 @@ object Similarity {
     * verb uses. Serving is construction-agnostic, so the walk contract
     * is unchanged. */
   def refineKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, kGraph: Int, rounds: Int = 1, bridge: Int = 0): Unit = {
+      path: String, kGraph: Int, rounds: Int = 1, bridge: Int = 0,
+      diversify: Boolean = false): Unit = {
     require(kGraph >= 1 && rounds >= 1, "kGraph and rounds must be >= 1")
+    import spark.implicits._
     val srcBuckets = spark.read.parquet(s"$path/meta").head()
       .getAs[Int]("src_buckets")
     val v = spark.read.parquet(s"$path/vectors")
@@ -1644,10 +1661,63 @@ object Similarity {
           .join(v.select(col("vid").as("dst"), col("v").as("dv"),
             col("nrm").as("dn")), Seq("dst"))
           .withColumn("cos", dot(col("sv"), col("dv")) / (col("sn") * col("dn")))
-        val wK = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-        val kept = scored.withColumn("rk", row_number().over(wK))
-          .filter(col("rk") <= kGraph)
-          .select(col("src"), col("dst"))
+        val kept0 =
+          if (!diversify) {
+            // pure top-k keep: best kGraph by (cos DESC, dst) — the
+            // construction order, maximal edge recall
+            val wK = Window.partitionBy(col("src"))
+              .orderBy(col("cos").desc, col("dst"))
+            scored.withColumn("rk", row_number().over(wK))
+              .filter(col("rk") <= kGraph)
+              .select(col("src"), col("dst"))
+          } else {
+            // DIVERSIFIED keep — the HNSW neighbor-selection heuristic
+            // / Vamana RNG rule: scanning candidates best-first, keep
+            // c only if it is closer to the node than to every
+            // already-kept neighbor (cos(src,c) > cos(s,c) ∀ kept s),
+            // then fill remaining slots best-first. Pure top-k packs a
+            // node's edges into one tight direction; occluded slots
+            // become LONG-RANGE links instead, which is what the beam
+            // walk needs to navigate large regions (serve recall, not
+            // edge recall, is the metric this keep rule moves). The
+            // per-node scan is the documented per-group imperative
+            // case (the mmrSelect precedent): candidates per node are
+            // bounded by kGraph + the bridge-capped NoN fan-in, so one
+            // flatMapGroups with in-memory pairwise cosines is the
+            // right shape — k unrolled DataFrame stages are not.
+            scored
+              .select(col("src"), col("dst"), col("cos"), col("dv"), col("dn"))
+              .as[(Long, Long, Double, Seq[Double], Double)]
+              .groupByKey(_._1)
+              .flatMapGroups { (srcId, it) =>
+                val cands = it.toArray.sortBy(t => (-t._3, t._2))
+                val vecs = cands.map(_._4.toArray)
+                val nrms = cands.map(_._5)
+                def cosTo(i: Int, j: Int): Double = {
+                  val a = vecs(i); val b = vecs(j)
+                  var acc = 0.0; var d = 0
+                  val len = math.min(a.length, b.length)
+                  while (d < len) { acc += a(d) * b(d); d += 1 }
+                  acc / (nrms(i) * nrms(j))
+                }
+                val kept = new scala.collection.mutable.ArrayBuffer[Int](kGraph)
+                var i = 0
+                while (i < cands.length && kept.size < kGraph) {
+                  val occluded = kept.exists(s => cosTo(i, s) > cands(i)._3)
+                  if (!occluded) kept += i
+                  i += 1
+                }
+                // backfill best-first (HNSW keepPrunedConnections)
+                var j = 0
+                while (j < cands.length && kept.size < kGraph) {
+                  if (!kept.contains(j)) kept += j
+                  j += 1
+                }
+                kept.map(x => (srcId, cands(x)._2)).iterator
+              }
+              .toDF("src", "dst")
+          }
+        val kept = kept0
           .withColumn("sb", pmod(xxhash64(col("src")), lit(srcBuckets.toLong)))
         val tmp = s"$path/adj.__refine"
         graft.sources.Tables.deleteRecursive(tmp)
