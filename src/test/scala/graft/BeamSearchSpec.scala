@@ -330,6 +330,59 @@ class BeamSearchSpec extends SparkSpec {
     Tables.deleteRecursive(idx2)
   }
 
+  test("diversified refinement keep: deterministic, degree-capped, never drops a node's true nearest neighbor") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    def build(p: String): Unit =
+      Similarity.writeKnnGraphIndex(
+        Similarity.knnGraphExact(emb, col("embedding"), col("vec_id"), 8),
+        emb, col("embedding"), col("vec_id"),
+        Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"), 8)
+          .groupBy("cid").agg(min(col("vid")).as("vid")), p)
+    def adjSet(p: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$p/adj").select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = Tables.scratchDir("spec_knn_rng_a")
+    val b = Tables.scratchDir("spec_knn_rng_b")
+    build(a); build(b)
+    Similarity.refineKnnGraphIndex(spark, a, kGraph = 8, rounds = 1,
+      diversify = true)
+    Similarity.refineKnnGraphIndex(spark, b, kGraph = 8, rounds = 1,
+      diversify = true)
+    val adjA = adjSet(a)
+    // the per-group scan sorts by (cos DESC, dst) and every comparison
+    // is a pure function of the candidate set — two runs must agree
+    // edge-for-edge
+    assert(adjA == adjSet(b), "diversified keep must be deterministic")
+    // degree cap holds everywhere
+    val maxDeg = spark.read.parquet(s"$a/adj").groupBy("src")
+      .agg(count(lit(1)).as("d")).agg(max(col("d"))).head().getLong(0)
+    assert(maxDeg <= 8, s"diversified keep exceeded the degree cap: $maxDeg")
+    // the best-first scan keeps the first candidate unconditionally,
+    // so a node's TRUE nearest neighbor (rank-1 of the exact graph,
+    // which is in the candidate pool by construction) always survives
+    val nn1 = Similarity.knnGraphExact(emb, col("embedding"), col("vec_id"), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dropped = nn1.filterNot(adjA)
+    assert(dropped.isEmpty,
+      s"diversified keep dropped ${dropped.size} true nearest neighbors, e.g. ${dropped.take(3)}")
+    // and the refined graph still serves above the family floor
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val isQ = col("vec_id") % 50 === 0
+    val truth = pairs(Similarity.topKBruteForce(
+      emb, col("embedding"), col("vec_id"), isQ, k = 5))
+    val served = pairs(Similarity.beamSearchKnnStored(a, emb.filter(isQ),
+      col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+      rounds = 4))
+    val recall = (truth intersect served).size.toDouble / truth.size
+    info(f"diversified-refined exact graph serve recall@5 = $recall%.3f")
+    assert(recall >= 0.6, f"diversified refinement broke serving: $recall%.3f")
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(a)
+    Tables.deleteRecursive(b)
+  }
+
   test("adaptive widening recovers filtered recall at low selectivity; results stay matching-only") {
     val emb = Tables.table(spark, sf, "embeddings")
     val isQ = col("vec_id") % 50 === 0
