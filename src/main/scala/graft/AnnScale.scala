@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * Vector model: cluster c = id mod nClusters; component j =
   * centroid(c,j) + 0.15·noise(id,j), both hash-uniform in [-1,1].
   *
-  * Usage: runMain graft.AnnScale <nVecs> [dims=64] [nQueries=100] [nClusters=256] [cpus=32] [ops=all|brute,hamming,ivf,graph,filtered,mmr] [refineRounds=1] [bridge=6]
+  * Usage: runMain graft.AnnScale <nVecs> [dims=64] [nQueries=100] [nClusters=256] [cpus=32] [ops=all|brute,hamming,ivf,graph,filtered,mmr] [refineRounds=1] [bridge=6] [refineMode=rng|rng:<alpha>|topk] [entriesPerRegion=1]
   * Prints one JSON line per op (wall seconds, rows) plus recall@k of
   * each approximate tier against the exact baseline. The graph op
   * measures serve recall BEFORE and AFTER each NN-Descent refinement
   * round (VERDICT r9 #1); the filtered op sweeps filter selectivity ×
-  * adaptive widening over a blocked+refined index (VERDICT r9 #2).
+  * adaptive widening over a blocked+refined index (VERDICT r9 #2);
+  * entriesPerRegion > 1 stores the SPANN-style multi-entry tier
+  * (VERDICT r10 #1 — the walk-budget fix: seeds start inside the
+  * query's region instead of one-per-region far representatives).
   */
 object AnnScale {
   def main(args: Array[String]): Unit = {
@@ -33,9 +36,15 @@ object AnnScale {
     val ops = args.lift(5).getOrElse("all")
     val refineRounds = args.lift(6).map(_.toInt).getOrElse(1)
     val bridge = args.lift(7).map(_.toInt).getOrElse(6)
-    // refine keep rule: "rng" = diversified (HNSW neighbor selection —
-    // moves SERVE recall), "topk" = pure best-k (moves EDGE recall)
-    val refineMode = args.lift(8).getOrElse("rng")
+    // refine keep rule: "rng" = diversified (Vamana α-relaxed neighbor
+    // selection, default α = 1.2; "rng:1.0" forces the strict HNSW
+    // rule — moves SERVE recall), "topk" = pure best-k (EDGE recall)
+    val refineMode0 = args.lift(8).getOrElse("rng")
+    val (refineMode, alpha) = refineMode0.split(":") match {
+      case Array(m, a) => (m, a.toDouble)
+      case _           => (refineMode0, 1.2)
+    }
+    val entriesPerRegion = args.lift(9).map(_.toInt).getOrElse(1)
     def want(op: String): Boolean = ops == "all" || ops.split(",").contains(op)
     val k = 10
     val spark = SparkSession.builder()
@@ -123,7 +132,7 @@ object AnnScale {
           col("vec_id"), col("cid"), 8)
         Similarity.writeKnnGraphIndex(adjacency, base, col("embedding"),
           col("vec_id"),
-          asg.groupBy("cid").agg(min(col("vid")).as("vid")), idx)
+          Similarity.regionEntryPoints(asg, entriesPerRegion), idx)
         spark.read.parquet(s"$idx/adj").count()
       }
       def degree(tag: String): Unit = {
@@ -160,9 +169,10 @@ object AnnScale {
       }
       recall("graph_beam_preref_w32_r3", gotPre)
       for (ri <- 1 to refineRounds) {
-        timed(s"graph_refine_${refineMode}_$ri") {
+        timed(s"graph_refine_${refineMode0}_$ri") {
           Similarity.refineKnnGraphIndex(spark, idx, kGraph = 8,
-            rounds = 1, bridge = bridge, diversify = refineMode == "rng")
+            rounds = 1, bridge = bridge, diversify = refineMode == "rng",
+            alpha = alpha)
           spark.read.parquet(s"$idx/adj").count()
         }
         var gotRef: Set[(Long, Long)] = Set.empty
@@ -209,14 +219,16 @@ object AnnScale {
             Similarity.ivfAssignmentsMulti(emb, col("embedding"),
               col("vec_id"), nClusters, nProbe = 2), 8),
           emb, col("embedding"), col("vec_id"),
-          Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"),
-            nClusters).groupBy("cid").agg(min(col("vid")).as("vid")), idx)
+          Similarity.regionEntryPoints(
+            Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"),
+              nClusters), entriesPerRegion), idx)
         Similarity.refineKnnGraphIndex(spark, idx, kGraph = 8,
           rounds = 1, bridge = bridge)
         spark.read.parquet(s"$idx/adj").count()
       }
       for (mod <- Seq(2L, 10L, 50L)) {
-        require(stride % mod == 0, s"query stride $stride must divide mod $mod")
+        require(stride % mod == 0,
+          s"mod $mod must divide query stride $stride (queries must match their own filter)")
         val keepPred = col("vid") % mod === 0
         val ftruth = pairs(Similarity.topKBruteForce(
           emb.filter(col("vec_id") % mod === 0), col("embedding"),

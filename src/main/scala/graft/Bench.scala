@@ -86,7 +86,6 @@ object Bench {
     diag("start")
     def load1m(): Double =
       ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val loadStart = load1m()
     // committed per-query floors (the bench_local.json in the checkout,
     // i.e. the last committed record) read BEFORE this run overwrites
     // it — the baseline for the regime self-adjudication below
@@ -125,7 +124,8 @@ object Bench {
       sinceGc += 1
       if (sinceGc % 25 == 0) System.gc() // keep full GCs out of timed runs
     }
-    val results = SparkEntry.registry.sortBy(_.name)
+    type RunRes = Seq[(String, (Double, Long), (Double, Long))]
+    def measurePass(): RunRes = SparkEntry.registry.sortBy(_.name)
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>
         val a = run(q)
@@ -139,9 +139,6 @@ object Bench {
         (q.name, a, b)
       }
     def f3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, (a, _), (b, _)) => s""""$k":${f3(math.min(a, b))}""" }
-      .mkString("{", ",", "}")
-    val total = results.map { case (_, (a, _), (b, _)) => math.min(a, b) }.sum
     // regime self-adjudication (VERDICT r9 #7): the per-query ratio
     // distribution vs the COMMITTED floors, encoded into the record so
     // the contaminated-run call the round write-ups made in prose is
@@ -150,25 +147,55 @@ object Bench {
     // clean median are scheduler STALLs, anything else is clean.
     // Queries under 0.5 s on both sides are noise-dominated, excluded
     // (the floor gate's MIN_SEC rule).
-    val ratios = results.flatMap { case (k, (a, _), (b, _)) =>
-      committed.get(k).collect {
-        case base if base >= 0.5 || math.min(a, b) >= 0.5 =>
-          math.min(a, b) / math.max(base, 1e-9)
-      }
-    }.sorted
-    val medianRatio =
-      if (ratios.isEmpty) -1.0
-      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
-      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
-    val maxRatio = if (ratios.isEmpty) -1.0 else ratios.last
-    val regime =
-      if (ratios.isEmpty) "no-baseline"
-      else if (medianRatio > 1.25) "regime"
-      else if (maxRatio > 3.0) "stall"
-      else "clean"
+    def verdict(results: RunRes): (Double, Double, String) = {
+      val ratios = results.flatMap { case (k, (a, _), (b, _)) =>
+        committed.get(k).collect {
+          case base if base >= 0.5 || math.min(a, b) >= 0.5 =>
+            math.min(a, b) / math.max(base, 1e-9)
+        }
+      }.sorted
+      val medianRatio =
+        if (ratios.isEmpty) -1.0
+        else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+      val maxRatio = if (ratios.isEmpty) -1.0 else ratios.last
+      val regime =
+        if (ratios.isEmpty) "no-baseline"
+        else if (medianRatio > 1.25) "regime"
+        else if (maxRatio > 3.0) "stall"
+        else "clean"
+      (medianRatio, maxRatio, regime)
+    }
+    // bounded AUTO-RETRY on a contaminated run (VERDICT r10 #4): the
+    // gate already adjudicated runs mechanically, but the driver's
+    // per-round artifact captured whatever single run it got — r10's
+    // was a stall run even though a clean same-commit record existed.
+    // When this run's own verdict says stall/regime, settle briefly
+    // and re-measure, at most twice; the artifact then carries either
+    // a clean run or the honest final verdict after bounded retries.
+    var attempt = 1
+    var loadStart = load1m()
+    var results = measurePass()
+    var (medianRatio, maxRatio, regime) = verdict(results)
+    val maxAttempts = if (only.isEmpty) 3 else 1
+    while ((regime == "stall" || regime == "regime") && attempt < maxAttempts) {
+      System.err.println(s"[bench] attempt $attempt verdict=$regime " +
+        f"(median=$medianRatio%.3f max=$maxRatio%.3f) — settling 45 s, re-running")
+      Thread.sleep(45000L)
+      System.gc()
+      attempt += 1
+      loadStart = load1m()
+      results = measurePass()
+      val v = verdict(results)
+      medianRatio = v._1; maxRatio = v._2; regime = v._3
+    }
+    val qs = results.map { case (k, (a, _), (b, _)) => s""""$k":${f3(math.min(a, b))}""" }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, (a, _), (b, _)) => math.min(a, b) }.sum
     val loadEnd = load1m()
     val envFields = f""""load1m_start":$loadStart%.2f,"load1m_end":$loadEnd%.2f,""" +
-      s""""median_ratio":${f3(medianRatio)},"max_ratio":${f3(maxRatio)},"regime":"$regime""""
+      s""""median_ratio":${f3(medianRatio)},"max_ratio":${f3(maxRatio)},""" +
+      s""""regime":"$regime","attempt":$attempt"""
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$envFields}"""
     // full-precision record of both runs (+ per-run GC wall-ms deltas,
     // for attributing environment-contaminated runs), for round-over-

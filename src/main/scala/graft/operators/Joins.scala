@@ -333,19 +333,38 @@ object Joins {
     *    joins never partition by the key, so skew is moot (exactly
     *    why low-cardinality dims, where skew lives, should spend
     *    broadcast budget first);
-    *  - `salted-shuffle` when shuffled AND skewed — salt the hot
-    *    keys / let AQE split the oversized partition
-    *    ([[autoSaltedJoin]] is the executable form);
+    *  - `plain-shuffle (AQE handles skew)` when shuffled AND skewed
+    *    AND the session runs AQE with skew-join splitting
+    *    (`spark.sql.adaptive.enabled` + `…adaptive.skewJoin.enabled`,
+    *    both default-on in Spark 4): the capacity-cliff model the salt
+    *    prescription comes from predates AQE, and under AQE the
+    *    measured best arm is the PLAIN shuffle — the salted arm paid
+    *    5.1 s vs 2.4 s at 2 M rows (docs/EXPERIMENTS.md round 19;
+    *    VERDICT r10 #2: wrong advice is a correctness bug in an
+    *    advisor). AQE splits the oversized partition at runtime from
+    *    the actual map output sizes — strictly better information
+    *    than the advisor's pre-shuffle probe — while salting pays its
+    *    key-explode overhead unconditionally;
+    *  - `salted-shuffle` when shuffled AND skewed and AQE skew
+    *    splitting is OFF — salt the hot keys ([[autoSaltedJoin]] is
+    *    the executable form);
     *  - `shuffle` otherwise.
     *
     * The overall cascade advice is unchanged (broadcast feasibility
-    * is orthogonal to skew). All arithmetic integer — any engine
-    * computes identical advice; `join_multiway_advice` pins it
-    * against the SQL replay. */
+    * is orthogonal to skew). All arithmetic integer, and the AQE
+    * branch is a config read — any engine given the same session
+    * flags computes identical advice; `join_multiway_advice` pins the
+    * AQE-on form against the SQL replay and JoinsSpec pins both
+    * branches. */
   def adviseMultiwaySkew(name: String, fact: DataFrame,
       dims: Seq[(String, DataFrame, Column)], rowBytes: Long,
       broadcastBudgetBytes: Long, reducers: Int): DataFrame = {
     require(dims.nonEmpty, "adviseMultiwaySkew needs at least one dim")
+    val conf = fact.sparkSession.conf
+    val aqeSkew = conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+      conf.get("spark.sql.adaptive.skewJoin.enabled", "true").toBoolean
+    val skewedAdvice =
+      if (aqeSkew) "plain-shuffle (AQE handles skew)" else "salted-shuffle"
     val factRows = fact.agg(count(lit(1)).as("fact_rows"))
     // hottest fact key per dim: ONE two-level aggregate per key column,
     // partials map-side — the fact is scanned, never shuffled wide
@@ -379,7 +398,7 @@ object Joins {
         col("fact_rows"), col("key_max_repeats"),
         col("dim_broadcast"), col("dim_skewed"),
         when(col("dim_broadcast") === 1, "broadcast")
-          .when(col("dim_skewed") === 1, "salted-shuffle")
+          .when(col("dim_skewed") === 1, skewedAdvice)
           .otherwise("shuffle").as("dim_advice"),
         when(col("__all") === 1, "broadcast-cascade")
           .when(col("__any") === 0, "shuffle-cascade")
@@ -446,7 +465,11 @@ object Joins {
     *    the thesis-§6.4 skew test runs through [[autoSaltedJoin]] with
     *    the SAME bound as the hot threshold (keys hotter than
     *    0.9·factRows/reducers are exactly the ones one reducer cannot
-    *    absorb), the rest join plain.
+    *    absorb) — but ONLY when the advisor prescribed salting, i.e.
+    *    AQE skew splitting was off at advice time; under AQE the
+    *    advice is `plain-shuffle (AQE handles skew)` and the dim joins
+    *    plain, leaving the runtime split to AQE (the measured winner).
+    *    Unflagged dims join plain.
     *
     * The advice collect is n-dims rows — bounded by the query shape,
     * never data. Result provably equals the plain cascade in any order

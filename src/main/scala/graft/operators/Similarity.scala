@@ -807,26 +807,21 @@ object Similarity {
   def tfidfStaleness(spark: org.apache.spark.sql.SparkSession,
       path: String): TfidfStaleness = {
     val meta = spark.read.parquet(s"$path/meta")
-    // format upgrade (ADVICE r9): an index written before the
-    // staleness counters has no stat_n column — recount it ONCE from
-    // the stored raw tf (the exact value a build would have recorded)
-    // and persist the upgraded meta, instead of throwing on the first
-    // append against an older layout
+    // pre-stat_n format (ADVICE r9/r10): an index written before the
+    // staleness counters has no stat_n column — recount it from the
+    // stored raw tf (the exact value a build would have recorded)
+    // WITHOUT persisting anything: staleness is a READ and must stay
+    // pure (two concurrent readers racing a delete-then-write meta
+    // overwrite, or a read-only mount, were the r10 failure modes).
+    // The recount is re-paid per probe on an old-format index; the
+    // PERSISTED upgrade is [[repairTfidfIndex]]'s job (its refresh
+    // rewrites meta with stat_n) — run the repair verb once to make
+    // later staleness reads O(1) again.
     val statN =
       if (meta.schema.fieldNames.contains("stat_n"))
         meta.head().getAs[Long]("stat_n")
-      else {
-        val mm = meta.head()
-        val n = spark.read.parquet(s"$path/tf")
-          .select(col("doc_id")).distinct().count()
-        spark.range(1).select(
-            lit(mm.getAs[Long]("max_df_ppm")).as("max_df_ppm"),
-            lit(mm.getAs[Int]("term_buckets")).as("term_buckets"),
-            lit(mm.getAs[Int]("doc_buckets")).as("doc_buckets"),
-            lit(n).as("stat_n"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-        n
-      }
+      else spark.read.parquet(s"$path/tf")
+        .select(col("doc_id")).distinct().count()
     if (!new java.io.File(s"$path/staleness").exists())
       return TfidfStaleness(0L, statN, 0L, 0L)
     val r = spark.read.parquet(s"$path/staleness")
@@ -863,7 +858,10 @@ object Similarity {
     * ([[tfTable]] aggregates per pair): distinct-rewrite tf, then
     * [[refreshTfidfIndex]] re-derives every serving store (and the
     * statistics clock) from it. Full rewrite — the rare recovery
-    * path; routine drift repair is the refresh alone. */
+    * path; routine drift repair is the refresh alone. Repair doubles
+    * as the explicit FORMAT-UPGRADE verb (ADVICE r10): the refresh
+    * rewrites meta with a fresh stat_n, so staleness reads on a
+    * pre-stat_n layout stay pure and become O(1) after one repair. */
   def repairTfidfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     Layout.distinctRewrite(spark, s"$path/tf", "tb")
@@ -878,11 +876,24 @@ object Similarity {
     * construction, so distinct-rewrite restores the single-applied
     * state; a following [[pruneKnnGraphIndex]] (which also collapses
     * duplicates in the partitions it rewrites) re-caps degrees if the
-    * replay pushed nodes past the bound. */
+    * replay pushed nodes past the bound. Repair is also the explicit
+    * FORMAT-UPGRADE verb (ADVICE r10): a pre-base_nodes meta is
+    * rewritten here with the recounted node total, so staleness reads
+    * ([[knnGraphStaleness]]) stay pure and O(1) afterwards. */
   def repairKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     Layout.distinctRewrite(spark, s"$path/adj", "sb")
     Layout.distinctRewrite(spark, s"$path/vectors", "db")
+    val meta = spark.read.parquet(s"$path/meta")
+    if (!meta.schema.fieldNames.contains("base_nodes")) {
+      val mm = meta.head()
+      val n = spark.read.parquet(s"$path/vectors").count()
+      spark.range(1).select(
+          lit(mm.getAs[Int]("src_buckets")).as("src_buckets"),
+          lit(mm.getAs[Int]("doc_buckets")).as("doc_buckets"),
+          lit(n).as("base_nodes"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
   }
 
   /** Delta INGEST-GATE probe against a [[writeTfidfIndex]] layout —
@@ -1358,6 +1369,45 @@ object Similarity {
     *
     * Bucket counts auto-size from the corpus like every stored index
     * here (≤ 0 → n/100 clamped to [1, 64]). */
+  /** MULTI-ENTRY tier for a [[writeKnnGraphIndex]] layout (VERDICT r10
+    * #1 — the SPANN answer to walk-budget-bound serve recall): per
+    * quantizer region, the `perRegion` member nodes with the smallest
+    * ids instead of one min-id representative. The measured 1 M
+    * failure mode this fixes: with ONE entry per region, the nProbe
+    * best seeds land in nProbe DIFFERENT regions — at most one seed
+    * starts inside the query's true region, and a w32/r3 walk
+    * (≲ 800 scored candidates) cannot cross a ~4 000-member region
+    * from a single far entry (docs/EXPERIMENTS.md, round 19/20). With
+    * E entries per region the seed scoring picks the nProbe nearest of
+    * E×regions sampled points, so several seeds start NEAR the query
+    * inside its own region and the fixed walk budget is spent
+    * polishing, not traversing.
+    *
+    * Entry choice is smallest-ids-per-region: ids carry no geometry
+    * (any deterministic sample is as good as any other), and this rule
+    * replays in one SQL window (`row_number() OVER (PARTITION BY cid
+    * ORDER BY vid) <= E`) so oracles can rebuild the entry relation
+    * relationally. One window pass over the assignment relation — a
+    * single shuffle on cid at build time, negligible next to the
+    * Σ|block|² adjacency construction.
+    *
+    * Scale posture: the walk broadcast-scores ALL stored entries per
+    * query, so the entry tier must stay broadcast-sized —
+    * regions × perRegion is build config, bounded like every other
+    * collect in this family (e.g. 1 M vectors / 1 024 regions × 16
+    * entries = 16 384 rows ≈ 8 MB at 64-d; at 1 B vectors size regions
+    * to postings and keep the tier ≤ a few hundred MB). Past that the
+    * next tier is a coarse entry GRAPH walked first (the HNSW upper
+    * layer) — not needed at the measured scales. */
+  def regionEntryPoints(asg: DataFrame, perRegion: Int): DataFrame = {
+    require(perRegion >= 1, s"perRegion must be >= 1: $perRegion")
+    val w = Window.partitionBy(col("cid")).orderBy(col("vid"))
+    asg.select(col("vid"), col("cid"))
+      .withColumn("er", row_number().over(w))
+      .filter(col("er") <= perRegion)
+      .select(col("vid"))
+  }
+
   def writeKnnGraphIndex(adjacency: DataFrame, emb: DataFrame, vec: Column,
       id: Column, entryIds: DataFrame, path: String,
       srcBuckets0: Int = 0, docBuckets0: Int = 0): Unit = {
@@ -1456,22 +1506,16 @@ object Similarity {
   def knnGraphStaleness(spark: org.apache.spark.sql.SparkSession,
       path: String): (Long, Long, Long) = {
     val meta = spark.read.parquet(s"$path/meta")
-    // format upgrade (ADVICE r9): a pre-staleness index has no
-    // base_nodes — recount once from the stored vectors (the value a
-    // fresh build records) and persist the upgraded meta
+    // pre-base_nodes format (ADVICE r9/r10): recount from the stored
+    // vectors (the value a fresh build records) WITHOUT persisting —
+    // staleness is a READ and must stay pure (concurrent readers race
+    // a delete-then-write meta overwrite; read-only mounts fail it
+    // outright). The recount is re-paid per probe on an old-format
+    // index; [[repairKnnGraphIndex]] persists the upgrade explicitly.
     val base =
       if (meta.schema.fieldNames.contains("base_nodes"))
         meta.head().getAs[Long]("base_nodes")
-      else {
-        val mm = meta.head()
-        val n = spark.read.parquet(s"$path/vectors").count()
-        spark.range(1).select(
-            lit(mm.getAs[Int]("src_buckets")).as("src_buckets"),
-            lit(mm.getAs[Int]("doc_buckets")).as("doc_buckets"),
-            lit(n).as("base_nodes"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-        n
-      }
+      else spark.read.parquet(s"$path/vectors").count()
     val ins =
       if (!new java.io.File(s"$path/staleness").exists()) 0L
       else spark.read.parquet(s"$path/staleness")
@@ -1603,12 +1647,21 @@ object Similarity {
     *
     * `diversify` switches the keep rule from pure top-k to the
     * HNSW/Vamana neighbor-selection heuristic (keep a candidate only
-    * if it is closer to the node than to every already-kept neighbor,
-    * backfill best-first): top-k maximizes EDGE recall but packs a
-    * node's slots into one tight direction; the diversified keep
-    * spends occluded slots on longer-range links, which is what the
-    * beam walk's SERVE recall needs in large regions (measured in
-    * docs/EXPERIMENTS.md — the two keeps move different metrics).
+    * if no already-kept neighbor α-occludes it — Vamana RobustPrune,
+    * α·d(kept, cand) < d(node, cand); backfill best-first): top-k
+    * maximizes EDGE recall but packs a node's slots into one tight
+    * direction; the diversified keep spends occluded slots on
+    * longer-range links, which is what the beam walk's SERVE recall
+    * needs in large regions (measured in docs/EXPERIMENTS.md — the two
+    * keeps move different metrics). `alpha` > 1 relaxes occlusion
+    * (VERDICT r10 #5): the strict α = 1 rule bought its 1 M lifecycle
+    * gain by trading top-k serve recall at 100 k (0.78 → 0.70); at the
+    * published Vamana default α ≈ 1.2 a kept neighbor must be
+    * decisively closer before it occludes, recovering the near-top
+    * edges while keeping the long-range ones. Diversify REQUIRES
+    * `bridge` ≥ 1: the keep rule buffers each node's candidate fan-in
+    * (with vectors) in one group, and only the bridge cap bounds the
+    * symmetrized in-degree feeding it (ADVICE r10).
     *
     * Scale shape: one adjacency self-join per round — candidates ≤
     * n·(2·deg)² rows of bare (src, dst) ids, vectors fetched once per
@@ -1624,8 +1677,17 @@ object Similarity {
     * is unchanged. */
   def refineKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, kGraph: Int, rounds: Int = 1, bridge: Int = 0,
-      diversify: Boolean = false): Unit = {
+      diversify: Boolean = false, alpha: Double = 1.2): Unit = {
     require(kGraph >= 1 && rounds >= 1, "kGraph and rounds must be >= 1")
+    // the diversified keep buffers each node's full candidate fan-in
+    // (vectors included) in one flatMapGroups group; only the
+    // bridge cap bounds that fan-in — symmetrized in-degree is
+    // unbounded on a drifted graph, so an uncapped diversify pass can
+    // OOM an executor on a hot node (ADVICE r10)
+    require(!diversify || bridge >= 1,
+      s"diversify needs bridge >= 1 to bound the per-node candidate " +
+        s"fan-in buffered by the keep rule (got bridge = $bridge)")
+    require(alpha >= 1.0, s"alpha must be >= 1: $alpha")
     import spark.implicits._
     val srcBuckets = spark.read.parquet(s"$path/meta").head()
       .getAs[Int]("src_buckets")
@@ -1701,9 +1763,20 @@ object Similarity {
                   acc / (nrms(i) * nrms(j))
                 }
                 val kept = new scala.collection.mutable.ArrayBuffer[Int](kGraph)
+                // Vamana's α-relaxed occlusion (RobustPrune, α ≥ 1):
+                // candidate c is occluded when some kept s satisfies
+                // α·d(s,c) < d(src,c); on normalized vectors
+                // d² = 2(1−cos), so the test is α²·(1−cos(s,c)) <
+                // (1−cos(src,c)). α = 1 reduces to the strict HNSW rule
+                // (cos(s,c) > cos(src,c)); α > 1 makes occlusion
+                // HARDER, keeping more near-top edges — the measured
+                // fix for the α=1 keep trading top-k serve recall for
+                // its long-range links (VERDICT r10 #5)
+                val a2 = alpha * alpha
                 var i = 0
                 while (i < cands.length && kept.size < kGraph) {
-                  val occluded = kept.exists(s => cosTo(i, s) > cands(i)._3)
+                  val occluded =
+                    kept.exists(s => a2 * (1.0 - cosTo(i, s)) < 1.0 - cands(i)._3)
                   if (!occluded) kept += i
                   i += 1
                 }
@@ -1820,12 +1893,21 @@ object Similarity {
       .select(pmod(xxhash64(col("vid")), lit(srcBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq
     def lazyCk(df: DataFrame): DataFrame = Iterate.ckptLazy(df)._1
-    val entScored = lazyCk(
+    // entry scoring: one broadcast pass, queries × entries rows
+    // produced TASK-LOCALLY and never materialized whole. A bulk
+    // insertion walk scores |delta| × |entries| rows — 1.6 B at the
+    // measured 1 M corpus / 16-entries-per-region / 100 k-delta config
+    // — and the previous seed path (localCheckpoint of the scored
+    // relation + a window exchange over it) OOMed exactly there; each
+    // consumer below streams this join instead.
+    def entScored: DataFrame =
       q.join(broadcast(entries), col("vid") =!= col("qid"))
-        .select(col("qid"), col("vid"), micros.as("sm")))
+        .select(col("qid"), col("vid"), micros.as("sm"))
     val width: Long =
       if (widenCap == 1) beamWidth.toLong
       else {
+        // widening estimate: a streaming two-count aggregate (map-side
+        // partials), only ever run for filtered SERVING query sets
         val c = entScored.agg(count(lit(1)).as("t"),
           count(when(keep.get, lit(1))).as("mm")).head()
         val (t, mm) = (c.getLong(0), c.getLong(1))
@@ -1833,15 +1915,43 @@ object Similarity {
           else math.min(widenCap.toLong, (t + mm - 1L) / mm)
         beamWidth.toLong * factor
       }
-    var frontier = lazyCk(
-      entScored.withColumn("r", row_number().over(wBeam))
-        .filter(col("r") <= nProbe)
-        .select(col("qid"), col("vid"), col("sm")))
-    // seed job: materialize entry scores + frontier under the seed
-    // frontier's bucket collect — ≤ srcBuckets DISTINCT values however
-    // wide the beam, so every collect here is config-bounded
+    // per-query top-nProbe seed WITHOUT an exchange: the broadcast
+    // join emits ALL of a query's entry scores inside the task that
+    // holds the query row (qid is unique), so a bounded per-partition
+    // selection — (sm DESC, vid) order, exactly the beam rank — is
+    // value-identical to the global window while shuffling nothing
+    // and keeping only queries × nProbe rows
+    import spark.implicits._
+    val seed = entScored.as[(Long, Long, Long)].mapPartitions { it =>
+      val best = scala.collection.mutable.LinkedHashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+      it.foreach { case (qid, vid, sm) =>
+        val buf = best.getOrElseUpdate(qid,
+          new scala.collection.mutable.ArrayBuffer[(Long, Long)](nProbe + 1))
+        var i = 0
+        while (i < buf.length &&
+          (buf(i)._1 > sm || (buf(i)._1 == sm && buf(i)._2 < vid))) i += 1
+        if (i < nProbe) {
+          buf.insert(i, (sm, vid))
+          if (buf.length > nProbe) buf.remove(nProbe): Unit
+        }
+      }
+      best.iterator.flatMap { case (qid, buf) =>
+        buf.map { case (sm, vid) => (qid, vid, sm) }
+      }
+    }.toDF("qid", "vid", "sm")
+    var frontier = lazyCk(seed)
+    // seed job: materialize the bounded frontier under its bucket
+    // collect — ≤ srcBuckets DISTINCT values however wide the beam,
+    // so every collect here is config-bounded
     var sbs = srcB(frontier)
-    var results = keep.map(kc => entScored.filter(kc))
+    // the filtered accumulator keeps the MATCHING entry scores —
+    // checkpointed (filtered first, so only matching rows ever
+    // materialize; filtered serving is a bounded query batch by
+    // contract) so the returned plan stays a union of LogicalRDD
+    // leaves rather than re-running the entry broadcast join at
+    // collection time
+    var results = keep.map(kc => lazyCk(entScored.filter(kc)))
     var roundNo = 0
     var converged = false
     while (roundNo < rounds && !converged) {

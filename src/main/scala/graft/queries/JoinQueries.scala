@@ -328,10 +328,13 @@ object JoinQueries {
     // reducers=32, so dim_skewed=1 fires in the oracle-checked output;
     // it is also broadcast-admitted, demonstrating why skewed dims
     // spend broadcast budget first). Greedy-knapsack admission under a
-    // 1 MiB cumulative budget as before; per-dim advice adds the
-    // salted-shuffle branch for shuffled+skewed stages (JoinsSpec pins
-    // that branch with a Zipf fact; the --multiway sim sweep measures
-    // it end-to-end).
+    // 1 MiB cumulative budget as before; per-dim advice on a
+    // shuffled+skewed stage is AQE-AWARE (VERDICT r10 #2): the Verify/
+    // Bench sessions run AQE with skew splitting (Spark 4 defaults),
+    // so the advisor — and the oracle's CASE — emit 'plain-shuffle
+    // (AQE handles skew)'; salting is prescribed only when AQE skew
+    // splitting is off (JoinsSpec pins both branches with a Zipf fact;
+    // the --multiway sim sweep measures them end-to-end).
     QueryDef(
       "join_multiway_advice",
       """WITH dims(dim_name, dim_rows) AS (
@@ -356,7 +359,7 @@ object JoinQueries {
         |  fact_rows, key_max_repeats, dim_broadcast,
         |  CAST(key_max_repeats * 32 * 10 > fact_rows * 9 AS INT) AS dim_skewed,
         |  CASE WHEN dim_broadcast = 1 THEN 'broadcast'
-        |       WHEN key_max_repeats * 32 * 10 > fact_rows * 9 THEN 'salted-shuffle'
+        |       WHEN key_max_repeats * 32 * 10 > fact_rows * 9 THEN 'plain-shuffle (AQE handles skew)'
         |       ELSE 'shuffle' END AS dim_advice,
         |  advice
         |FROM g JOIN ks ON ks.dim_name = g.dim_name, f, a""".stripMargin) { (s, d) =>

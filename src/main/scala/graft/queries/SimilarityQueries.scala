@@ -180,13 +180,16 @@ object SimilarityQueries {
        |${dims.map(out).mkString("\nUNION ALL\n")}""".stripMargin
   }
 
-  /** Unrolled beam-walk replay for ann_graph_beam: exact global top-8
-    * adjacency, per-quantizer-region min-id entry points, 4-entry seed
-    * beam, 4 expand rounds at width 16 — integer-micro scores end to
-    * end, so each round's keep-set is exact. Round CTEs are
-    * MATERIALIZED (the unigram-EM lesson: multiply-referenced CTEs
+  /** Unrolled beam-walk replay for ann_graph_beam (and, at
+    * `entPerRegion` = 2, ann_graph_beam_multi): exact global top-8
+    * adjacency, the `entPerRegion` SMALLEST-id entry points per
+    * quantizer region ([[Similarity.regionEntryPoints]]'s rule — one
+    * SQL window; entPerRegion = 1 ≡ the historical min-id entries),
+    * 4-entry seed beam, 4 expand rounds at width 16 — integer-micro
+    * scores end to end, so each round's keep-set is exact. Round CTEs
+    * are MATERIALIZED (the unigram-EM lesson: multiply-referenced CTEs
     * otherwise re-inline the whole upstream chain multiplicatively). */
-  private def graphBeamOracle: String = {
+  private def graphBeamOracle(entPerRegion: Int = 1): String = {
     def fold(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
     def sm(qv: String, qn: String, v: String, nrm: String) =
@@ -214,7 +217,9 @@ object SimilarityQueries {
        |asg AS (SELECT vec_id, cid FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
        |  FROM asg0) WHERE crn = 1),
-       |ent AS (SELECT min(vec_id) AS vid FROM asg GROUP BY cid),
+       |ent AS (SELECT vec_id AS vid FROM (
+       |  SELECT vec_id, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS ern
+       |  FROM asg) WHERE ern <= $entPerRegion),
        |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
        |f0 AS MATERIALIZED (SELECT qid, vid, sm FROM (
        |  SELECT q.qid, n.vec_id AS vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm,
@@ -633,25 +638,67 @@ object SimilarityQueries {
       d: String): java.io.File =
     stampedTfidfIndex(s, d, "tfidf_base3_", _ % 5 =!= 4)
 
-  /** Full-corpus serve-only graph index shared by ann_graph_beam and
-    * ann_graph_filtered — immutable, stamp-cached per testdata. */
-  private def servedGraphIndex(s: org.apache.spark.sql.SparkSession,
+  /** Stamp-cached MAINTAINED tf-idf index (VERDICT r10 #3): the full
+    * lifecycle — copy pristine base → append the remaining fifth →
+    * budgeted statistics refresh → compact — applied ONCE per testdata
+    * stamp, so the serve-only query below measures the serving tier
+    * against the maintained layout without re-paying the maintenance
+    * verbs every run. Post-refresh the layout is value-identical to a
+    * fresh full-corpus build (the join_tfidf_append contract), but
+    * physically it is the appended+refreshed+compacted store. */
+  private def maintainedTfidfIndex(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
+    val src = new java.io.File(s"$d/documents.parquet")
+    require(src.exists(), s"maintained-tfidf source does not exist: $src")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_tfidf_maint1_$key")
+    val ready = new java.io.File(root, "_GRAFT_READY")
+    if (!ready.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      graft.sources.Tables.linkCopyDirectory(pristineTfidfBase(s, d), root)
+      // the copy brings the PRISTINE dir's ready marker along — drop it
+      // until this dir's own lifecycle completes, or a crashed
+      // maintenance run would serve a half-maintained index forever
+      new java.io.File(root, "_GRAFT_READY").delete(): Unit
+      Similarity.appendToTfidfIndex(root.getPath,
+        tfidfTerms(s, d).filter(col("doc_id") % 5 === 4))
+      require(Similarity.refreshTfidfIndexIfStale(s, root.getPath,
+          maxGrowthPpm = 100000L),
+        "25% corpus growth must trip the 10% drift budget")
+      Similarity.compactTfidfIndex(s, root.getPath)
+      ready.createNewFile(): Unit
+    }
+    root.getPath
+  }
+
+  /** Full-corpus serve-only graph index shared by ann_graph_beam and
+    * ann_graph_filtered — immutable, stamp-cached per testdata.
+    * `perRegion` > 1 stores the SPANN-style multi-entry tier
+    * ([[Similarity.regionEntryPoints]] — VERDICT r10 #1) in its own
+    * stamped dir; perRegion = 1 is the historical min-id-per-region
+    * layout (identical bytes, so its cache key is unchanged). */
+  private def servedGraphIndex(s: org.apache.spark.sql.SparkSession,
+      d: String, perRegion: Int = 1): String = {
     val emb = Tables.table(s, d, "embeddings")
     val src = new java.io.File(s"$d/embeddings.parquet")
     require(src.exists(), s"beam-index source does not exist: $src")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    val idx = new java.io.File(sys.props("java.io.tmpdir"), s"graft_knng2_$key")
+    val tag = if (perRegion == 1) "graft_knng2_" else s"graft_knng2e${perRegion}_"
+    val idx = new java.io.File(sys.props("java.io.tmpdir"), s"$tag$key")
     val ready = new java.io.File(idx, "_GRAFT_READY")
     if (!ready.exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(idx)
       Similarity.writeKnnGraphIndex(
         Similarity.knnGraphExact(emb, col("embedding"), col("vec_id"), 8),
         emb, col("embedding"), col("vec_id"),
-        Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"), 8)
-          .groupBy("cid").agg(min(col("vid")).as("vid")),
+        Similarity.regionEntryPoints(
+          Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"), 8),
+          perRegion),
         idx.getPath)
       ready.createNewFile(): Unit
     }
@@ -1040,9 +1087,26 @@ object SimilarityQueries {
     // BIGINT-exact, so the oracle replays the whole walk as unrolled
     // rounds (the graph_bfs pattern). Recall@5 vs brute force = 0.78
     // on this data (BeamSearchSpec pins the floor).
-    QueryDef("ann_graph_beam", graphBeamOracle) { (s, d) =>
+    QueryDef("ann_graph_beam", graphBeamOracle()) { (s, d) =>
       val emb = Tables.table(s, d, "embeddings")
       Similarity.beamSearchKnnStored(servedGraphIndex(s, d),
+        emb.filter(col("vec_id") % 50 === 0),
+        col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+        rounds = 4)
+    },
+    // the MULTI-ENTRY serving tier (Similarity.regionEntryPoints —
+    // VERDICT r10 #1, the SPANN answer to walk-budget-bound recall at
+    // corpus scale): the same exact-built graph stored with TWO
+    // smallest-id entries per quantizer region, served by the
+    // identical walk. With one entry per region the nProbe seeds land
+    // in nProbe different regions; multi-entry seeds start inside the
+    // query's own region, which is where the measured 1 M recall went
+    // (0.29 -> 0.73 starved-walk BeamSearchSpec pin; 0.833 vs 0.498
+    // w32/r3 at 100 k). The entry rule is one SQL window, so the
+    // oracle replays the whole layout+walk relationally.
+    QueryDef("ann_graph_beam_multi", graphBeamOracle(entPerRegion = 2)) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.beamSearchKnnStored(servedGraphIndex(s, d, perRegion = 2),
         emb.filter(col("vec_id") % 50 === 0),
         col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
         rounds = 4)
@@ -1253,6 +1317,20 @@ object SimilarityQueries {
         s""","appended_docs":${st.appendedDocs},"stat_n":${st.statN}""" +
         s""","growth_ppm":${st.growthPpm},"oov_mass_ppm":${st.oovMassPpm}""")
       Similarity.tfidfCosinePairsStored(s, idx, threshold = 0.3)
+    },
+    // the serve tier ALONE against the MAINTAINED index (VERDICT r10
+    // #3): join_tfidf_append bundles six lifecycle verbs with the
+    // full-corpus pair join, so a serve regression hides inside the
+    // maintain bound (its 9.9 s floor decomposes ≈6 s maintain + ≈4 s
+    // serve). The maintained layout — base build + appended fifth +
+    // refreshed statistics + compacted tf — is stamp-cached once per
+    // testdata; this query pays ONLY the stored pair join, giving the
+    // serving path its own bench floor. Post-refresh service is
+    // value-identical to a fresh full-corpus build, so the oracle is
+    // the shared full-corpus contract.
+    QueryDef("join_tfidf_serve_stored", tfidfOracle) { (s, d) =>
+      Similarity.tfidfCosinePairsStored(s, maintainedTfidfIndex(s, d),
+        threshold = 0.3)
     },
     // multimodal: binary payload + typed metadata + partition-batched
     // stub decode (see operators.Multimodal — only the codec is fake)

@@ -35,6 +35,62 @@ object StreamingQueries {
       |FROM agg JOIN mx ON mx.user_id = agg.user_id, wm
       |WHERE sid < max_sid OR (last_us // 1000) + 1800000 < wm.w""".stripMargin
 
+  /** Unrolled beam-walk replay for stream_ann_graph_ingest — the
+    * `ann_graph_append` INSERTION tier cut at k = 3: exact top-8
+    * adjacency over the base two-thirds (vec_id % 3 <> 1), min-id
+    * entry points per first-8-quantizer region of the base, every
+    * delta vector's 4-round width-16 walk seeded from the 4 best
+    * entries — integer-micro scores end to end, so the streamed sink
+    * (slicing-independent by the walk's determinism) replays exactly.
+    * Round CTEs MATERIALIZED like every graph oracle here. */
+  private def streamAnnGraphOracle: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def sm(qv: String, qn: String, v: String, nrm: String) =
+      s"CAST(round(${fold(qv, v)} / ($qn * $nrm) * 1000000, 0) AS BIGINT)"
+    def round(r: Int): String =
+      s"""cand$r AS (SELECT DISTINCT f.qid, a.dst AS vid
+         |  FROM f${r - 1} f JOIN badj a ON a.src = f.vid
+         |  WHERE a.dst <> f.qid
+         |    AND NOT EXISTS (SELECT 1 FROM f${r - 1} x WHERE x.qid = f.qid AND x.vid = a.dst)),
+         |sc$r AS (SELECT c.qid, c.vid, ${sm("q.qv", "q.qn", "bn.v", "bn.nrm")} AS sm
+         |  FROM cand$r c JOIN q ON q.qid = c.qid JOIN bn ON bn.vec_id = c.vid),
+         |f$r AS MATERIALIZED (SELECT qid, vid, sm FROM (
+         |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+         |  FROM (SELECT * FROM f${r - 1} UNION ALL SELECT * FROM sc$r)) WHERE rk <= 16)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+       |  FROM e),
+       |bn AS (SELECT * FROM n WHERE vec_id % 3 <> 1),
+       |bap AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |  ${fold("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM bn a JOIN bn b ON a.vec_id <> b.vec_id),
+       |badj AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM bap) WHERE rk <= 8),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM bn WHERE vec_id < 8),
+       |asg0 AS (SELECT d.vec_id, c.cid,
+       |  ${fold("d.v", "c.cv")} / (d.nrm * c.cn) AS ccos
+       |  FROM bn d CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |  FROM asg0) WHERE crn = 1),
+       |ent AS MATERIALIZED (SELECT min(vec_id) AS vid FROM asg GROUP BY cid),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 3 = 1),
+       |f0 AS MATERIALIZED (SELECT qid, vid, sm FROM (
+       |  SELECT q.qid, bn.vec_id AS vid, ${sm("q.qv", "q.qn", "bn.v", "bn.nrm")} AS sm,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY ${sm("q.qv", "q.qn", "bn.v", "bn.nrm")} DESC, bn.vec_id) AS rk
+       |  FROM q JOIN ent ON TRUE JOIN bn ON bn.vec_id = ent.vid
+       |  WHERE bn.vec_id <> q.qid) WHERE rk <= 4),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)}
+       |SELECT qid AS query_id, vid AS neighbor_id, rk AS rnk, sm AS score_micros FROM (
+       |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+       |  FROM f4) WHERE rk <= 3""".stripMargin
+  }
+
   /** Shared by stream_window_append and stream_late_drop: emitted set =
     * windows finalized by the final watermark; the late-drop variant
     * must produce the SAME result because its replayed event is
@@ -333,6 +389,18 @@ object StreamingQueries {
         |SELECT qid AS query_id, vid AS neighbor_id, rnk, round(cos, 6) AS cos
         |FROM r WHERE rnk <= 3""".stripMargin) { (s, d) =>
       Streaming.streamAnnIngest(s, d).withColumnRenamed("rank", "rnk")
+    },
+    // streaming GRAPH-ANN ingest gate (VERDICT r10 #7 —
+    // stream_ann_ingest's graph-tier twin): delta embeddings arrive in
+    // 2 slices and BEAM-SEARCH the stored base graph (exact top-8
+    // adjacency over the two-thirds, min-id region entries — the
+    // ann_graph_append pristine layout) per micro-batch for their
+    // top-3 stored neighbors, without mutating the store. Integer-
+    // micros walk decisions are slicing-independent, so the oracle is
+    // the unrolled insertion-walk replay over all deltas at once —
+    // the graphAppendOracle first tier cut at k = 3.
+    QueryDef("stream_ann_graph_ingest", streamAnnGraphOracle) { (s, d) =>
+      Streaming.streamAnnGraphIngest(s, d)
     },
     // incremental view maintenance: the snapshot's grouped rollup
     // (per last-attr: live keys + exact-decimal total) maintained from

@@ -1252,6 +1252,80 @@ object Streaming {
     root.getPath
   }
 
+  /** Stamp-keyed stored kNN-GRAPH index fixture for
+    * [[streamAnnGraphIngest]] — the corpus two-thirds under exact
+    * top-8 adjacency with min-id-per-region entry points, exactly the
+    * pristine base layout the batch append lifecycle
+    * (`ann_graph_append`) copies-then-mutates. Public so the
+    * slicing-invariance spec can serve the same store in batch. */
+  def annGraphIngestIndex(spark: SparkSession, sfDir: String): String = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idxKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|${srcStamp(s"$sfDir/embeddings.parquet")}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val idxRoot = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_anng_idx_v1_$idxKey")
+    val idxDone = new java.io.File(idxRoot, "_GRAFT_READY")
+    if (!idxDone.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(idxRoot)
+      val base = emb.filter(col("vec_id") % 3 =!= 1)
+      graft.operators.Similarity.writeKnnGraphIndex(
+        graft.operators.Similarity.knnGraphExact(
+          base, col("embedding"), col("vec_id"), 8),
+        base, col("embedding"), col("vec_id"),
+        graft.operators.Similarity.ivfAssignments(
+            base, col("embedding"), col("vec_id"), 8)
+          .groupBy("cid").agg(org.apache.spark.sql.functions.min(col("vid")).as("vid")),
+        idxRoot.getPath)
+      require(idxDone.createNewFile())
+    }
+    idxRoot.getPath
+  }
+
+  /** Streaming GRAPH-ANN ingest gate (VERDICT r10 #7 — the graph
+    * serving tier's streaming twin; [[streamAnnIngest]] covers the IVF
+    * tier): arriving embedding batches BEAM-SEARCH the stored
+    * kNN-graph index ([[annGraphIngestIndex]] — the pristine base
+    * graph the batch append lifecycle mutates) for their top-3 stored
+    * neighbors via foreachBatch. This is exactly the probe tier every
+    * graph insertion pays ([[graft.operators.Similarity
+    * .appendToKnnGraphIndex]]'s walk), run as an admission gate
+    * WITHOUT mutating the store. Each micro-batch pays the
+    * partition-pruned 2-jobs-per-round walk over its own rows only;
+    * verdicts append to a parquet sink. Every beam decision is integer
+    * micros per (vector, corpus) — independent of batch slicing and
+    * arrival order (SimStreamSpec pins streamed ≡ batch) — so the
+    * oracle replays the walks unrolled over all delta vectors at once
+    * (the `ann_graph_append` insertion tier with k = 3). */
+  def streamAnnGraphIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Tables.scratchDir("graft_anng_ingest")
+    val outDir = s"$root/out"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idxDir = annGraphIngestIndex(spark, sfDir)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(embeddingsArrivalDir(spark, sfDir))
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Similarity
+            .beamSearchKnnStored(idxDir, batch, col("embedding"),
+              col("vec_id"), k = 3, nProbe = 4, beamWidth = 16, rounds = 4)
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming ANN ingest gate — [[streamLshIngest]]'s vector twin:
     * arriving embedding batches probe a STORED IVF index
     * ([[graft.operators.Similarity.writeIvfIndex]] over the corpus

@@ -330,6 +330,67 @@ class BeamSearchSpec extends SparkSpec {
     Tables.deleteRecursive(idx2)
   }
 
+  test("multi-entry tier: per-region entries lift starved-walk recall; entry rule is exact") {
+    import org.apache.spark.sql.DataFrame
+    // planted clusters with LARGE quantizer regions (16 cells over 16
+    // clusters, ~250 members each) — the 1 M regime in miniature: with
+    // ONE entry per region the nProbe seeds land in nProbe DIFFERENT
+    // regions, so a starved walk must cross a 250-member region from a
+    // single far entry (VERDICT r10 #1's measured failure mode)
+    val n = 4000; val dims = 16; val nClu = 16
+    val (emb, _, _) = graft.operators.Iterate.ckpt(
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)), j => {
+          val c = pmod(col("id"), lit(nClu.toLong))
+          val cent = (pmod(xxhash64(c, j), lit(2001L)) - 1000L).cast("double") / 1000.0
+          val noise = (pmod(xxhash64(col("id"), j, lit(7L)), lit(2001L)) - 1000L)
+            .cast("double") / 1000.0
+          cent + noise * 0.15
+        }).as("embedding")))
+    val asg = Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"), nClu)
+    // entry rule is exact and SQL-replayable: the perRegion SMALLEST
+    // ids of each region (row_number over (cid ORDER BY vid))
+    val got = Similarity.regionEntryPoints(asg, 16)
+      .collect().map(_.getLong(0)).toSet
+    val expect = asg.select("vid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+      .flatMap(_._2.map(_._1).sorted.take(16).toSeq).toSet
+    assert(got == expect, "regionEntryPoints must be the 16 smallest ids per region")
+    // blocked construction (exact within cells), served under a
+    // STARVED budget: width 8, 2 rounds, 4 seeds
+    val blocked = emb.join(asg, emb("vec_id") === asg("vid"))
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val adjacency = Similarity.knnGraphBlocked(blocked, col("embedding"),
+      col("vec_id"), col("cid"), 8)
+    val isQ = col("vec_id") % 40 === 0
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.topKBruteForce(
+      emb, col("embedding"), col("vec_id"), isQ, k = 5))
+    def recallWith(perRegion: Int, tag: String): Double = {
+      val idx = Tables.scratchDir(s"spec_knn_entry_$tag")
+      Similarity.writeKnnGraphIndex(adjacency, emb, col("embedding"),
+        col("vec_id"), Similarity.regionEntryPoints(asg, perRegion), idx)
+      val served = pairs(Similarity.beamSearchKnnStored(idx, emb.filter(isQ),
+        col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 8,
+        rounds = 2))
+      Tables.deleteRecursive(idx)
+      (truth intersect served).size.toDouble / truth.size
+    }
+    val single = recallWith(1, "e1")
+    val multi = recallWith(16, "e16")
+    info(f"starved-walk recall@5: 1 entry/region $single%.3f -> 16 entries/region $multi%.3f")
+    // the entry tier is pre-walk layout: the SAME walk budget must
+    // serve decisively better when seeds start inside the query's
+    // region (measured ~0.36 -> ~0.85 here; 0.833 vs 0.498 at 100 k,
+    // docs/EXPERIMENTS.md round 20)
+    assert(multi >= single + 0.10,
+      f"multi-entry tier must lift starved-walk recall: $single%.3f -> $multi%.3f")
+    assert(multi >= 0.6, f"multi-entry starved-walk recall floor: $multi%.3f < 0.6")
+    spark.catalog.clearCache()
+  }
+
   test("diversified refinement keep: deterministic, degree-capped, never drops a node's true nearest neighbor") {
     val emb = Tables.table(spark, sf, "embeddings")
     def build(p: String): Unit =
@@ -344,10 +405,13 @@ class BeamSearchSpec extends SparkSpec {
     val a = Tables.scratchDir("spec_knn_rng_a")
     val b = Tables.scratchDir("spec_knn_rng_b")
     build(a); build(b)
+    // bridge >= 1 is now REQUIRED with diversify (ADVICE r10): it is
+    // the only bound on the per-node candidate fan-in the keep rule
+    // buffers; 8 caps the symmetrized NoN degree at the graph degree
     Similarity.refineKnnGraphIndex(spark, a, kGraph = 8, rounds = 1,
-      diversify = true)
+      bridge = 8, diversify = true)
     Similarity.refineKnnGraphIndex(spark, b, kGraph = 8, rounds = 1,
-      diversify = true)
+      bridge = 8, diversify = true)
     val adjA = adjSet(a)
     // the per-group scan sorts by (cos DESC, dst) and every comparison
     // is a pure function of the candidate set — two runs must agree
@@ -377,7 +441,11 @@ class BeamSearchSpec extends SparkSpec {
       rounds = 4))
     val recall = (truth intersect served).size.toDouble / truth.size
     info(f"diversified-refined exact graph serve recall@5 = $recall%.3f")
-    assert(recall >= 0.6, f"diversified refinement broke serving: $recall%.3f")
+    // floor RAISED 0.6 -> 0.72 (VERDICT r10 #5): the strict α = 1 keep
+    // measured 0.70 here — trading top-k serve recall for long-range
+    // links; the α = 1.2 Vamana relaxation measures 0.780, back at the
+    // plain exact-graph serve level
+    assert(recall >= 0.72, f"diversified refinement broke serving: $recall%.3f")
     spark.catalog.clearCache()
     Tables.deleteRecursive(a)
     Tables.deleteRecursive(b)

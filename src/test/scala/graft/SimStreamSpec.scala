@@ -344,6 +344,28 @@ class SimStreamSpec extends SparkSpec {
     assert(dir.listFiles().count(_.getName.startsWith("slice_")) == 4)
   }
 
+  test("streaming graph-ANN ingest gate equals the batch beam walk, any slicing") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.Streaming.streamAnnGraphIngest(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    // the batch twin: the SAME stored base graph served over all delta
+    // vectors at once — integer-micros walk decisions make the streamed
+    // sink independent of batch slicing and arrival order
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = graft.streaming.Streaming.annGraphIngestIndex(spark, sf)
+    val expect = graft.operators.Similarity.beamSearchKnnStored(idx,
+        emb.filter(col("vec_id") % 3 === 1), col("embedding"), col("vec_id"),
+        k = 3, nProbe = 4, beamWidth = 16, rounds = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // arrival dir really is multi-slice → the drain ran multiple batches
+    val dir = new java.io.File(
+      graft.streaming.Streaming.embeddingsArrivalDir(spark, sf))
+    assert(dir.listFiles().count(_.getName.startsWith("slice_")) == 2)
+  }
+
   test("AvailableNow run 2 processes ONLY the delta slice, total is exact") {
     val (agg, run1, run2) =
       graft.streaming.Streaming.streamAvailableNowWithStats(spark, sf)
