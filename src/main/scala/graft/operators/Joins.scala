@@ -345,9 +345,17 @@ object Joins {
     *    the actual map output sizes — strictly better information
     *    than the advisor's pre-shuffle probe — while salting pays its
     *    key-explode overhead unconditionally;
-    *  - `salted-shuffle` when shuffled AND skewed and AQE skew
-    *    splitting is OFF — salt the hot keys ([[autoSaltedJoin]] is
-    *    the executable form);
+    *  - with AQE skew splitting OFF, `salted-shuffle` ONLY past the
+    *    measured break-even — the hottest key above 3/4 of the fact
+    *    (key_max_repeats·4 > fact_rows·3): [[autoSaltedJoin]]'s
+    *    runtime probe + replication re-execute the fact-side input,
+    *    so salting a merely-§6.4-skewed key is a measured REGRESSION
+    *    (61% hot share: salted 5.75 s vs plain 2.70 s at 2 M, 46.4 s
+    *    vs 10.8 s at 20 M) while a truly-dominant key pays (83%
+    *    share: salted 17.6 s vs plain 22.1 s at 20 M —
+    *    docs/EXPERIMENTS.md round 20). Below break-even a skewed
+    *    shuffled dim gets `plain-shuffle (skew below salting
+    *    break-even)`;
     *  - `shuffle` otherwise.
     *
     * The overall cascade advice is unchanged (broadcast feasibility
@@ -363,8 +371,6 @@ object Joins {
     val conf = fact.sparkSession.conf
     val aqeSkew = conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
       conf.get("spark.sql.adaptive.skewJoin.enabled", "true").toBoolean
-    val skewedAdvice =
-      if (aqeSkew) "plain-shuffle (AQE handles skew)" else "salted-shuffle"
     val factRows = fact.agg(count(lit(1)).as("fact_rows"))
     // hottest fact key per dim: ONE two-level aggregate per key column,
     // partials map-side — the fact is scanned, never shuffled wide
@@ -398,7 +404,13 @@ object Joins {
         col("fact_rows"), col("key_max_repeats"),
         col("dim_broadcast"), col("dim_skewed"),
         when(col("dim_broadcast") === 1, "broadcast")
-          .when(col("dim_skewed") === 1, skewedAdvice)
+          .when(col("dim_skewed") === 1 && lit(aqeSkew),
+            "plain-shuffle (AQE handles skew)")
+          .when(col("dim_skewed") === 1 &&
+              col("key_max_repeats") * 4 > col("fact_rows") * 3,
+            "salted-shuffle")
+          .when(col("dim_skewed") === 1,
+            "plain-shuffle (skew below salting break-even)")
           .otherwise("shuffle").as("dim_advice"),
         when(col("__all") === 1, "broadcast-cascade")
           .when(col("__any") === 0, "shuffle-cascade")

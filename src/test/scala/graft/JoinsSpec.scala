@@ -211,12 +211,29 @@ class JoinsSpec extends SparkSpec {
     assert(aqe("dhot") == ((0, 1, "plain-shuffle (AQE handles skew)")),
       s"got ${aqe("dhot")}")
     assert(aqe("duni") == ((0, 0, "shuffle")), s"got ${aqe("duni")}")
-    // AQE skew splitting OFF → the capacity-cliff model stands: salt
     Joins.withSessionConfs(spark,
       "spark.sql.adaptive.skewJoin.enabled" -> "false") {
+      // AQE off, hot share 50% — §6.4-skewed but BELOW the measured
+      // salting break-even (~3/4 of the fact: the runtime probe +
+      // replication re-execute the input, a measured regression up to
+      // 61% share, a measured win at 83% — docs/EXPERIMENTS.md r20)
       val none = advise(0L)
-      assert(none("dhot") == ((0, 1, "salted-shuffle")), s"got ${none("dhot")}")
+      assert(none("dhot") == ((0, 1, "plain-shuffle (skew below salting break-even)")),
+        s"got ${none("dhot")}")
       assert(none("duni") == ((0, 0, "shuffle")), s"got ${none("duni")}")
+      // AQE off, hot share 80% (> 3/4) → the one regime where salting
+      // measured faster than the plain shuffle: salt
+      val factHot = (1L to 80L).map(i => (1L, i))
+        .++((81L to 100L).map(i => (i, i)))
+        .toDF("hot_k", "uni_k")
+      val dominant = Joins.adviseMultiwaySkew("t", factHot,
+          Seq(("dhot", dHot, col("hot_k"))),
+          rowBytes = 100L, broadcastBudgetBytes = 0L, reducers = 8)
+        .collect()
+        .map(r => r.getString(1) ->
+          ((r.getInt(6), r.getInt(7), r.getString(8)))).toMap
+      assert(dominant("dhot") == ((0, 1, "salted-shuffle")),
+        s"got ${dominant("dhot")}")
     }
     // both admitted: broadcast never partitions by the key, so the
     // skew flag stays informational and the advice is broadcast
@@ -252,10 +269,12 @@ class JoinsSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.SparkPlan
-    // k0: Zipf-hot (key 1 holds 50 of 100 rows — fails §6.4 at
-    // reducers=8); k1: uniform over 10 values (passes: 10·8·10 ≤ 900)
-    val fact = ((1L to 50L).map(i => (1L, i % 10L)) ++
-      (51L to 100L).map(i => (i % 30L, i % 10L))).toDF("k0", "k1")
+    // k0: DOMINANT-hot (key 1 holds 80 of 100 rows — fails §6.4 at
+    // reducers=8 AND clears the 3/4 salting break-even, so the
+    // AQE-off advice is salted-shuffle); k1: uniform over 10 values
+    // (passes §6.4: 10·8·10 ≤ 900)
+    val fact = ((1L to 80L).map(i => (1L, i % 10L)) ++
+      (81L to 100L).map(i => (i % 30L, i % 10L))).toDF("k0", "k1")
     val dHot = (0L to 29L).toDF("dk0")  // 3000 B at 100 B/row
     val dUni = (0L to 9L).toDF("dk1")   // 1000 B
     val dims = Seq(("dhot", dHot.toDF(), col("k0"), col("dk0")),
