@@ -1892,7 +1892,25 @@ object Similarity {
     def srcB(df: DataFrame): Seq[Long] = df
       .select(pmod(xxhash64(col("vid")), lit(srcBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq
-    def lazyCk(df: DataFrame): DataFrame = Iterate.ckptLazy(df)._1
+    // every lazy checkpoint's RDD handle is tracked so its blocks can
+    // be FREED — superseded rounds eagerly (the walk's peak block
+    // residency stays O(1) rounds instead of O(rounds): a 100 k-query
+    // insertion walk pins ~3 M rows per round otherwise), and
+    // everything at the end once the bounded result materializes.
+    // DataFrame.localCheckpoint has no unpersist path, which made
+    // every beam walk leak its round frames into the block manager
+    // for the session's lifetime (measured: the stream_ann_graph
+    // ingest drain's residue inflated the NEXT streaming queries'
+    // walls 1.6-2.4× in the bench run — round 20).
+    val handles = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]
+    def lazyCkH(df: DataFrame): (DataFrame,
+        org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+      val p = Iterate.ckptLazy(df)
+      handles += p._2
+      p
+    }
+    def lazyCk(df: DataFrame): DataFrame = lazyCkH(df)._1
     // entry scoring: one broadcast pass, queries × entries rows
     // produced TASK-LOCALLY and never materialized whole. A bulk
     // insertion walk scores |delta| × |entries| rows — 1.6 B at the
@@ -1940,7 +1958,9 @@ object Similarity {
         buf.map { case (sm, vid) => (qid, vid, sm) }
       }
     }.toDF("qid", "vid", "sm")
-    var frontier = lazyCk(seed)
+    val seedP = lazyCkH(seed)
+    var frontier = seedP._1
+    var fHandle = seedP._2
     // seed job: materialize the bounded frontier under its bucket
     // collect — ≤ srcBuckets DISTINCT values however wide the beam,
     // so every collect here is config-bounded
@@ -1957,7 +1977,7 @@ object Similarity {
     while (roundNo < rounds && !converged) {
       roundNo += 1
       val adj = adjAll.filter(col("sb").cast("long").isin(sbs: _*))
-      val cand = lazyCk(
+      val (cand, candH) = lazyCkH(
         frontier.join(adj, col("vid") === col("src"))
           .select(col("qid"), col("dst").as("vid"))
           .filter(col("vid") =!= col("qid"))
@@ -1967,33 +1987,51 @@ object Similarity {
       val dbs = cand
         .select(pmod(xxhash64(col("vid")), lit(docBuckets.toLong)).as("b"))
         .distinct().collect().map(_.getLong(0)).toIndexedSeq
-      if (dbs.isEmpty) converged = true
-      else {
-        val scored = lazyCk(cand
+      if (dbs.isEmpty) {
+        converged = true
+        candH.unpersist(false): Unit
+      } else {
+        val (scored, scoredH) = lazyCkH(cand
           .join(vecAll.filter(col("db").cast("long").isin(dbs: _*))
             .select(col("vid"), col("v"), col("nrm")), Seq("vid"))
           .join(broadcast(q), Seq("qid"))
           .select(col("qid"), col("vid"), micros.as("sm")))
         results = results.map(_.unionByName(scored.filter(keep.get)))
-        frontier = lazyCk(
+        val prevH = fHandle
+        val fp = lazyCkH(
           frontier.unionByName(scored)
             .withColumn("r", row_number().over(wBeam))
             .filter(col("r") <= width)
             .select(col("qid"), col("vid"), col("sm")))
+        frontier = fp._1
+        fHandle = fp._2
         // round job 2: the next frontier (and the scored set feeding
         // it) materializes under ITS bucket collect
         sbs = srcB(frontier)
+        // the new frontier is materialized rows now — the previous
+        // round's frontier and this round's expansion are superseded;
+        // the scored frame too unless the accumulator references it
+        prevH.unpersist(false)
+        candH.unpersist(false)
+        if (keep.isEmpty) scoredH.unpersist(false): Unit
       }
     }
     // only the accumulator can hold duplicates (a beam-evicted node
     // re-scored in a later round); the frontier is dup-free by the
     // anti-join, so the plain walk skips the distinct exchange. The
     // accumulator tree is a flat union of per-round LogicalRDD leaves.
-    results.map(_.distinct()).getOrElse(frontier)
-      .withColumn("rnk", row_number().over(wBeam))
-      .filter(col("rnk") <= k)
-      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
-        col("rnk"), col("sm").as("score_micros"))
+    // The bounded (queries × k) answer materializes through one final
+    // checkpoint — one small count job — so EVERY walk-internal block
+    // can then be freed: without this, each walk leaked its round
+    // frames into the block manager for the session's lifetime.
+    val (out, _, _) = Iterate.ckpt(
+      results.map(_.distinct()).getOrElse(frontier)
+        .withColumn("rnk", row_number().over(wBeam))
+        .filter(col("rnk") <= k)
+        .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+          col("rnk"), col("sm").as("score_micros")))
+    handles.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** FILTERED beam search over a [[writeKnnGraphIndex]] layout — the
