@@ -179,11 +179,21 @@ object SourceQueries {
               r.getString(1).getBytes("UTF-8")): Unit
           }
         }
-      s.read.format("binaryFile").load(tmp)
-        .select(
-          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
-          md5(col("content")).as("content_md5"),
-          length(col("content")).cast("long").as("n_bytes"))
+      // materialize the binaryFile scan, then delete the blob dir
+      // EAGERLY (VERDICT r11 #4): the query used to return a lazy scan
+      // over its scratch files, so every run left ~|documents| small
+      // files in /tmp until the NEXT run's scratchDir reap — and the
+      // floor tracked /tmp's accumulated dirent count instead of the
+      // engine. The checkpoint pins the result rows; the files are
+      // dead weight the moment it lands.
+      val (out, _, _) = graft.operators.Iterate.ckpt(
+        s.read.format("binaryFile").load(tmp)
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+            md5(col("content")).as("content_md5"),
+            length(col("content")).cast("long").as("n_bytes")))
+      Tables.deleteRecursive(tmp)
+      out
     },
     // deterministic hash-mod sampling — reproducible corpus subsetting
     // (multiplicative hashing, same integer arithmetic in both engines)

@@ -108,15 +108,26 @@ object Tables {
   /** Process-unique scratch directory path under java.io.tmpdir, with
     * bounded accumulation: this PROCESS's previous dirs for the same
     * prefix are deleted first (safe — harness invocations within a
-    * process are sequential and fully consume their outputs), while
-    * other processes' dirs are never touched, so concurrent Verify ∥
+    * process are sequential and fully consume their outputs), and so
+    * are DEAD processes' dirs for the same prefix (VERDICT r11 #4:
+    * every JVM gets a fresh pid, so same-pid-only reaping let each
+    * bench/verify run's leftovers accumulate in /tmp forever — the
+    * `media_binary_ingest` floor tracked that small-file count).
+    * LIVE foreign pids are never touched, so concurrent Verify ∥
     * Bench ∥ test JVMs cannot race each other's files. */
   def scratchDir(prefix: String): String = {
     val pid = ProcessHandle.current().pid()
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val owned = s"${prefix}_p(\\d+)_.*".r
     Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(s"${prefix}_p${pid}_"))
-      .foreach(f => deleteRecursive(f.getPath))
+      .foreach { f =>
+        f.getName match {
+          case owned(p) if p.toLong == pid ||
+              !ProcessHandle.of(p.toLong).map[Boolean](_.isAlive).orElse(false) =>
+            deleteRecursive(f.getPath)
+          case _ => ()
+        }
+      }
     s"${tmp.getPath}/${prefix}_p${pid}_${java.util.UUID.randomUUID().toString.take(8)}"
   }
 
