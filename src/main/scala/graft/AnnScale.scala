@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * Vector model: cluster c = id mod nClusters; component j =
   * centroid(c,j) + 0.15·noise(id,j), both hash-uniform in [-1,1].
   *
-  * Usage: runMain graft.AnnScale <nVecs> [dims=64] [nQueries=100] [nClusters=256] [cpus=32] [ops=all|brute,hamming,ivf,graph,filtered,mmr] [refineRounds=1] [bridge=6] [refineMode=rng|rng:<alpha>|topk] [entriesPerRegion=1]
+  * Usage: runMain graft.AnnScale <nVecs> [dims=64] [nQueries=100] [nClusters=256] [cpus=32] [ops=all|brute,hamming,ivf,graph,filtered,mmr] [refineRounds=1] [bridge=6] [refineMode=rng|rng:<alpha>|topk] [entriesPerRegion=1] [appendShift=0]
   * Prints one JSON line per op (wall seconds, rows) plus recall@k of
   * each approximate tier against the exact baseline. The graph op
   * measures serve recall BEFORE and AFTER each NN-Descent refinement
@@ -40,11 +40,28 @@ object AnnScale {
     // selection, default α = 1.2; "rng:1.0" forces the strict HNSW
     // rule — moves SERVE recall), "topk" = pure best-k (EDGE recall)
     val refineMode0 = args.lift(8).getOrElse("rng")
-    val (refineMode, alpha) = refineMode0.split(":") match {
-      case Array(m, a) => (m, a.toDouble)
-      case _           => (refineMode0, 1.2)
+    // strict parse (ADVICE r11): "rng:" / "rng:x:y" / a non-numeric
+    // alpha previously either threw a raw NumberFormatException or
+    // silently fell through to the default case, treating the whole
+    // string as an (unknown) mode and disabling diversify
+    val (refineMode, alpha) = refineMode0.split(":", -1) match {
+      case Array(m) => (m, 1.2)
+      case Array(m, a) =>
+        val alphaV = try a.toDouble catch { case _: NumberFormatException =>
+          sys.error(s"refineMode '$refineMode0': alpha '$a' is not a number (usage: rng | rng:<alpha> | topk)") }
+        (m, alphaV)
+      case _ => sys.error(
+        s"refineMode '$refineMode0' has too many ':' segments (usage: rng | rng:<alpha> | topk)")
     }
+    require(refineMode == "rng" || refineMode == "topk",
+      s"refineMode must be rng or topk, got '$refineMode' (usage: rng | rng:<alpha> | topk)")
     val entriesPerRegion = args.lift(9).map(_.toInt).getOrElse(1)
+    // appendShift=1: the streamed-in 30% (id % 10 ∈ {7,8,9}) draws from
+    // nClusters NEW cluster centers the base never saw — the
+    // distribution-shift ingest regime where the entry tier's
+    // staleness actually bites (the stationary regime measured no
+    // decay: docs/EXPERIMENTS.md round 21)
+    val appendShift = args.lift(10).map(_.toInt).getOrElse(0) == 1
     def want(op: String): Boolean = ops == "all" || ops.split(",").contains(op)
     val k = 10
     val spark = SparkSession.builder()
@@ -58,7 +75,10 @@ object AnnScale {
 
     val plan = spark.range(nVecs).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(dims - 1)), j => {
-        val c = pmod(col("id"), lit(nClusters.toLong))
+        val c0 = pmod(col("id"), lit(nClusters.toLong))
+        val c = if (appendShift)
+          when(col("id") % 10 >= 7, c0 + nClusters).otherwise(c0)
+        else c0
         val cent = (pmod(xxhash64(c, j), lit(2001L)) - 1000L).cast("double") / 1000.0
         val noise = (pmod(xxhash64(col("id"), j, lit(7L)), lit(2001L)) - 1000L)
           .cast("double") / 1000.0
@@ -132,7 +152,9 @@ object AnnScale {
           col("vec_id"), col("cid"), 8)
         Similarity.writeKnnGraphIndex(adjacency, base, col("embedding"),
           col("vec_id"),
-          Similarity.regionEntryPoints(asg, entriesPerRegion), idx)
+          Similarity.regionEntryPoints(asg, entriesPerRegion), idx,
+          centroids = Similarity.firstNCentroids(base, col("embedding"),
+            col("vec_id"), nClusters))
         spark.read.parquet(s"$idx/adj").count()
       }
       def degree(tag: String): Unit = {
@@ -196,6 +218,41 @@ object AnnScale {
         }
         recall(s"graph_beam_w${bw}_r$rounds", got)
       }
+      // ENTRY-TIER refresh probe (VERDICT r11 #2): the entry tier was
+      // sampled from the 70% base, so the three appended batches (30%
+      // of the corpus) can never seed a walk from one of their own.
+      // Measure serve recall FOR QUERIES DRAWN FROM THE APPENDED
+      // VECTORS before/after refreshKnnGraphEntries over the grown
+      // corpus, plus the original query set after (no-regression arm).
+      val q2 = col("vec_id") % math.max(10L, nVecs / math.max(1L, nQueries.toLong) / 10L * 10L) === 7
+      val truth2 = pairs(Similarity.topKBruteForce(
+        emb, col("embedding"), col("vec_id"), q2, k))
+      def appendedServe(tag: String): Unit = {
+        var g: Set[(Long, Long)] = Set.empty
+        timed(s"entry_${tag}_appended_serve_w32_r3") {
+          val r = Similarity.beamSearchKnnStored(idx, emb.filter(q2),
+            col("embedding"), col("vec_id"), k = k, nProbe = 8,
+            beamWidth = 32, rounds = 3)
+          g = pairs(r); g.size.toLong
+        }
+        if (truth2.nonEmpty)
+          println(f"""{"op":"entry_${tag}_appended_recall","recall":${g.intersect(truth2).size.toDouble / truth2.size}%.4f,"q":${truth2.size / k}}""")
+      }
+      val (_, _, entPpm) = Similarity.knnGraphEntryStaleness(spark, idx)
+      println(s"""{"op":"entry_staleness_ppm","ppm":$entPpm}""")
+      appendedServe("stale")
+      timed("entry_refresh") {
+        Similarity.refreshKnnGraphEntries(spark, idx, entriesPerRegion)
+      }
+      appendedServe("fresh")
+      var gotAfter: Set[(Long, Long)] = Set.empty
+      timed("graph_beam_postrefresh_w32_r3") {
+        val r = Similarity.beamSearchKnnStored(idx, emb.filter(isQ),
+          col("embedding"), col("vec_id"), k = k, nProbe = 8,
+          beamWidth = 32, rounds = 3)
+        gotAfter = pairs(r); gotAfter.size.toLong
+      }
+      recall("graph_beam_postrefresh_w32_r3", gotAfter)
       graft.sources.Tables.deleteRecursive(idx)
     }
     // FILTERED-serving selectivity sweep (VERDICT r9 #2): over a

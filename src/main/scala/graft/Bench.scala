@@ -118,6 +118,16 @@ object Bench {
     var sinceGc = 0
     def scrub(): Unit = {
       spark.catalog.clearCache()
+      // also free every still-registered RDD (cache() AND
+      // localCheckpoint blocks): a query whose RESULT is a local
+      // checkpoint (e.g. media_binary_ingest pinning rows so its
+      // scratch files can be deleted) legitimately leaves its blocks
+      // pinned while the count consumes them — but after the count
+      // they are residue the next 300 queries would carry in the
+      // block manager (VERDICT r11 #1's unattributed-regression
+      // direction: in-run floors measuring the head's garbage)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       spark.catalog.listTables().collect()
         .filter(t => t.isTemporary)
         .foreach(t => spark.catalog.dropTempView(t.name))

@@ -46,6 +46,20 @@ final case class TfidfStaleness(appendedDocs: Long, statN: Long,
 }
 
 object Similarity {
+  /** One-time (per path, per process) stderr note when a staleness
+    * probe hits a pre-counter index layout (ADVICE r11): the recount
+    * is a full distinct-count over the stored corpus on EVERY probe
+    * until the repair verb persists the counter — an operator should
+    * see that O(n)-per-probe mode named, not discover it in a profile. */
+  private val legacyRecountWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def warnLegacyRecount(path: String, family: String,
+      repairVerb: String): Unit =
+    if (legacyRecountWarned.add(s"$family|$path"))
+      System.err.println(s"[graft] $family index at $path predates the " +
+        s"persisted staleness counter — this probe (and every later one) " +
+        s"recounts the stored corpus, O(n) per probe; run $repairVerb once " +
+        "to persist the counter and restore O(1) staleness reads")
 
   import Dedup.{dot, withNorm}
 
@@ -820,8 +834,11 @@ object Similarity {
     val statN =
       if (meta.schema.fieldNames.contains("stat_n"))
         meta.head().getAs[Long]("stat_n")
-      else spark.read.parquet(s"$path/tf")
-        .select(col("doc_id")).distinct().count()
+      else {
+        warnLegacyRecount(path, "tfidf", "repairTfidfIndex")
+        spark.read.parquet(s"$path/tf")
+          .select(col("doc_id")).distinct().count()
+      }
     if (!new java.io.File(s"$path/staleness").exists())
       return TfidfStaleness(0L, statN, 0L, 0L)
     val r = spark.read.parquet(s"$path/staleness")
@@ -1408,9 +1425,34 @@ object Similarity {
       .select(col("vid"))
   }
 
+  /** EPOCH-AWARE entry sample — [[regionEntryPoints]]' refresh-tier
+    * twin: per region, the ⌈E/2⌉ SMALLEST plus ⌊E/2⌋ LARGEST member
+    * ids (deduplicated when a region is smaller than E). On a fresh
+    * build ids carry no geometry and this is just another arbitrary
+    * deterministic sample; under an APPEND workload ids carry arrival
+    * epoch, so the all-smallest rule is structurally append-blind — a
+    * region holding any base members re-elects them on every refresh,
+    * and freshly-ingested mass (e.g. a distribution shift: new content
+    * clusters landing in an old region) never gains an entry. The
+    * largest-id half automatically covers the newest epoch. Replays
+    * as two SQL windows (row_number ASC/DESC) unioned DISTINCT. */
+  def regionEntryPointsEpochAware(asg: DataFrame, perRegion: Int): DataFrame = {
+    require(perRegion >= 1, s"perRegion must be >= 1: $perRegion")
+    val lo = (perRegion + 1) / 2
+    val hi = perRegion / 2
+    val wAsc = Window.partitionBy(col("cid")).orderBy(col("vid"))
+    val wDesc = Window.partitionBy(col("cid")).orderBy(col("vid").desc)
+    asg.select(col("vid"), col("cid"))
+      .withColumn("ra", row_number().over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+      .filter(col("ra") <= lo || col("rd") <= hi)
+      .select(col("vid")).distinct()
+  }
+
   def writeKnnGraphIndex(adjacency: DataFrame, emb: DataFrame, vec: Column,
       id: Column, entryIds: DataFrame, path: String,
-      srcBuckets0: Int = 0, docBuckets0: Int = 0): Unit = {
+      srcBuckets0: Int = 0, docBuckets0: Int = 0,
+      centroids: DataFrame = null): Unit = {
     val spark = emb.sparkSession
     // always counted: base_nodes denominates the insert-volume
     // staleness budget ([[knnGraphStaleness]]), stored in meta
@@ -1431,6 +1473,24 @@ object Similarity {
       .join(e, Seq("vid"))
       .select(col("vid"), col("v"), col("nrm"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
+    // optional stored quantizer ((cid, cv, cn) — the centroid table the
+    // build's region assignment used): with it persisted, INSERTION
+    // walks seed from the delta's OWN region's entries instead of
+    // broadcast-scoring every stored entry (VERDICT r11 #1 — the
+    // |delta| × |entries| ingest term), and the entry tier becomes
+    // refreshable after appends shift region membership. Centroids are
+    // corpus members by construction ([[firstNCentroids]]), so every
+    // centroid's region holds at least the centroid itself and a
+    // region-restricted seed can never come up empty. Legacy layouts
+    // without `centroids/` keep the all-entries seed.
+    if (centroids != null) {
+      centroids.select(col("cid"), col("cv"), col("cn"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      // entry clock epoch ([[knnGraphEntryStaleness]]): the node count
+      // the entry sample was drawn from
+      spark.range(1).select(lit(n).as("entry_built_n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/entry_meta")
+    }
     spark.range(1).select(
         lit(srcBuckets).as("src_buckets"), lit(docBuckets).as("doc_buckets"),
         lit(n).as("base_nodes"))
@@ -1471,10 +1531,15 @@ object Similarity {
     val srcBuckets = m.getAs[Int]("src_buckets")
     val docBuckets = m.getAs[Int]("doc_buckets")
     // materialize the insertion walks BEFORE any write: the beam reads
-    // the same stores the appends below mutate
+    // the same stores the appends below mutate. With a stored
+    // quantizer the walk is REGION-seeded (VERDICT r11 #1): each delta
+    // seeds from its own region's entries — |delta| × E seed scores
+    // instead of |delta| × regions × E, the measured ingest dominator
+    // at 1 M. Legacy layouts (no centroids/) keep the all-entries seed.
     val (edges, _, nEdges) = Iterate.ckpt(
-      beamSearchKnnStored(path, delta, vec, id, k = kGraph, nProbe,
-          beamWidth, rounds)
+      beamWalkKnnStored(path, delta, vec, id, k = kGraph, nProbe,
+          beamWidth, rounds, keep = None, widenCap = 1,
+          regionSeed = new java.io.File(s"$path/centroids").exists())
         .select(col("query_id").as("d"), col("neighbor_id").as("nb")))
     require(nEdges > 0L, "insertion beam found no neighbors — empty index?")
     edges.select(col("d").as("src"), col("nb").as("dst"))
@@ -1515,7 +1580,10 @@ object Similarity {
     val base =
       if (meta.schema.fieldNames.contains("base_nodes"))
         meta.head().getAs[Long]("base_nodes")
-      else spark.read.parquet(s"$path/vectors").count()
+      else {
+        warnLegacyRecount(path, "knn-graph", "repairKnnGraphIndex")
+        spark.read.parquet(s"$path/vectors").count()
+      }
     val ins =
       if (!new java.io.File(s"$path/staleness").exists()) 0L
       else spark.read.parquet(s"$path/staleness")
@@ -1546,6 +1614,97 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
       graft.sources.Tables.deleteRecursive(s"$path/staleness")
     }
+    stale
+  }
+
+  /** ENTRY-TIER staleness of a [[writeKnnGraphIndex]] layout —
+    * (insertedSinceEntryBuild, nodesAtEntryBuild, ppm). The entry tier
+    * is a fixed sample of region members taken at build time
+    * ([[regionEntryPoints]]); appended vectors shift region membership
+    * but can never become entries until [[refreshKnnGraphEntries]]
+    * re-samples, so serve walks near append-dense regions seed from an
+    * ever-staler snapshot. This clock is INDEPENDENT of the prune
+    * clock ([[knnGraphStaleness]]): a prune re-caps degrees without
+    * touching entries, and both derive the current node count as
+    * `base_nodes + Σ staleness` so neither resets the other. Layouts
+    * written before `entry_meta/` fall back to `base_nodes` as the
+    * entry epoch — O(1); exact before the first prune, and after one
+    * it UNDERCOUNTS entry staleness (base_nodes advanced past the
+    * entry build), so legacy layouts should refresh entries once and
+    * gain the real clock. */
+  def knnGraphEntryStaleness(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long, Long) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val base = m.getAs[Long]("base_nodes")
+    val ins =
+      if (!new java.io.File(s"$path/staleness").exists()) 0L
+      else spark.read.parquet(s"$path/staleness")
+        .agg(coalesce(sum(col("n_inserted")), lit(0L))).head().getLong(0)
+    val current = base + ins
+    val builtN =
+      if (new java.io.File(s"$path/entry_meta").exists())
+        spark.read.parquet(s"$path/entry_meta").head()
+          .getAs[Long]("entry_built_n")
+      else base
+    val since = math.max(0L, current - builtN)
+    val ppm = if (builtN == 0L) Long.MaxValue else since * 1000000L / builtN
+    (since, builtN, ppm)
+  }
+
+  /** REBUILD the entry tier over the CURRENT stored corpus — the
+    * entry tier's refresh verb (VERDICT r11 #2), completing the
+    * lifecycle triple every other stored tier already has (append
+    * drifts → staleness counts → budgeted refresh). Requires the
+    * stored quantizer (`centroids/`): every stored vector (base AND
+    * appended) is re-assigned to its region and [[regionEntryPoints]]'
+    * smallest-ids rule re-samples `perRegion` entries per region, so
+    * freshly-appended vectors become seedable entry points. The
+    * sample rule is [[regionEntryPointsEpochAware]] (smallest+largest
+    * ids per region), NOT the build's all-smallest rule: measured at
+    * 1 M, re-sampling by smallest ids re-elected the same base
+    * entries in every region that held any base member — an
+    * append-blind refresh (docs/EXPERIMENTS.md round 21, the
+    * stationary counter-finding) — while the largest-id half covers
+    * the newest epoch and recovers the shifted-distribution decay.
+    * One corpus pass (broadcast assignment + windows on cid) + a
+    * broadcast-sized overwrite of `entry/` — the same budget class as
+    * [[refreshTfidfIndex]]. Resets the entry clock (`entry_meta/`).
+    * Returns the entry count. */
+  def refreshKnnGraphEntries(spark: org.apache.spark.sql.SparkSession,
+      path: String, perRegion: Int): Long = {
+    require(new java.io.File(s"$path/centroids").exists(),
+      s"entry refresh needs the stored quantizer: $path/centroids " +
+        "(write the index with writeKnnGraphIndex(..., centroids = ...))")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .select(col("vid"), col("v"), col("nrm"))
+    val asg = assignNearest(vecs, cents, Seq.empty)
+    val entries = regionEntryPointsEpochAware(asg, perRegion)
+      .join(vecs, Seq("vid"))
+      .select(col("vid"), col("v"), col("nrm"))
+    entries.coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
+    val n = spark.read.parquet(s"$path/entry").count()
+    val m = spark.read.parquet(s"$path/meta").head()
+    val insNow =
+      if (!new java.io.File(s"$path/staleness").exists()) 0L
+      else spark.read.parquet(s"$path/staleness")
+        .agg(coalesce(sum(col("n_inserted")), lit(0L))).head().getLong(0)
+    spark.range(1).select(
+        lit(m.getAs[Long]("base_nodes") + insNow).as("entry_built_n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/entry_meta")
+    n
+  }
+
+  /** The entry tier's budgeted refresh TRIGGER —
+    * [[refreshTfidfIndexIfStale]]'s shape applied to entries: refresh
+    * only when insert volume since the last entry (re)build exceeds
+    * `maxInsertedPpm` of the nodes it sampled from. Returns whether a
+    * refresh ran. */
+  def refreshKnnGraphEntriesIfStale(spark: org.apache.spark.sql.SparkSession,
+      path: String, perRegion: Int, maxInsertedPpm: Long = 100000L): Boolean = {
+    val (_, _, ppm) = knnGraphEntryStaleness(spark, path)
+    val stale = ppm > maxInsertedPpm
+    if (stale) refreshKnnGraphEntries(spark, path, perRegion): Unit
     stale
   }
 
@@ -1823,6 +1982,14 @@ object Similarity {
     * billion-vector index. The beam state itself is
     * queries × beamWidth rows, localCheckpoint-ed per round
     * ([[Iterate.ckpt]]) to keep lineage O(1). */
+  /** PRECONDITION (shared with [[beamSearchKnnStoredFiltered]]): query
+    * ids must be DISTINCT — one row per qid. The exchange-free seed
+    * selects its per-query top-nProbe inside the task holding the
+    * query row; duplicate qids split across partitions would each earn
+    * their own nProbe seeds (up to partitions × nProbe per qid) where
+    * the old global-window path capped at nProbe. Every engine caller
+    * passes a keyed relation (vec_id-filtered corpus, delta batches),
+    * and BeamSearchSpec asserts the distinctness contract. */
   def beamSearchKnnStored(path: String, queries: DataFrame, vec: Column,
       id: Column, k: Int, nProbe: Int, beamWidth: Int,
       rounds: Int): DataFrame =
@@ -1870,12 +2037,15 @@ object Similarity {
     * counts, so an oracle replays the widened width exactly. */
   private def beamWalkKnnStored(path: String, queries: DataFrame,
       vec: Column, id: Column, k: Int, nProbe: Int, beamWidth: Int,
-      rounds: Int, keep: Option[Column], widenCap: Int): DataFrame = {
+      rounds: Int, keep: Option[Column], widenCap: Int,
+      regionSeed: Boolean = false): DataFrame = {
     require(beamWidth >= k, s"beamWidth ($beamWidth) must be >= k ($k)")
     require(nProbe >= 1 && rounds >= 1, "nProbe and rounds must be >= 1")
     require(widenCap >= 1, s"widenCap must be >= 1: $widenCap")
     require(widenCap == 1 || keep.nonEmpty,
       "adaptive widening needs a filter to estimate selectivity from")
+    require(!regionSeed || (keep.isEmpty && widenCap == 1),
+      "region seeding is the insertion-walk mode — filtered serving keeps the all-entries seed")
     val spark = queries.sparkSession
     val m = spark.read.parquet(s"$path/meta").head()
     val srcBuckets = m.getAs[Int]("src_buckets")
@@ -1940,7 +2110,7 @@ object Similarity {
     // value-identical to the global window while shuffling nothing
     // and keeping only queries × nProbe rows
     import spark.implicits._
-    val seed = entScored.as[(Long, Long, Long)].mapPartitions { it =>
+    val allEntriesSeed = entScored.as[(Long, Long, Long)].mapPartitions { it =>
       val best = scala.collection.mutable.LinkedHashMap
         .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
       it.foreach { case (qid, vid, sm) =>
@@ -1958,6 +2128,78 @@ object Similarity {
         buf.map { case (sm, vid) => (qid, vid, sm) }
       }
     }.toDF("qid", "vid", "sm")
+    // REGION-seeded insertion seed (VERDICT r11 #1): one fused
+    // task-local pass — each delta scores the broadcast quantizer
+    // (argmax ccos, tie to smaller cid — assignNearest's rule), then
+    // only its OWN region's entries: |delta| × (|centroids| + E) work
+    // instead of the |delta| × regions × E term that dominated 1 M
+    // ingest (~120 s per 100 k batch at E=16). Zero exchanges; the one
+    // extra job is the entry-tier assignment collect, bounded by the
+    // entry tier's broadcast-size contract. Scalar arithmetic mirrors
+    // the Column path bit-for-bit: left-to-right dot fold from 0.0
+    // (DotProduct's loop ≡ DuckDB list_reduce) and HALF_UP micros
+    // (Spark round() on doubles goes through BigDecimal.decimal).
+    def regionSeedDf: DataFrame = {
+      def dotD(a: Array[Double], b: Array[Double]): Double = {
+        val n = math.min(a.length, b.length)
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      def microsOf(c: Double): Long = BigDecimal.decimal(c * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      val cents0 = spark.read.parquet(s"$path/centroids")
+        .select(col("cid"), col("cv"), col("cn"))
+        .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+      require(cents0.nonEmpty, s"region seeding needs a non-empty quantizer: $path/centroids")
+      val bcCents = spark.sparkContext.broadcast(cents0)
+      def nearestCid(v: Array[Double], nrm: Double): Long = {
+        val cents = bcCents.value
+        var bestCid = cents(0)._1
+        var bestCos = Double.NegativeInfinity
+        var i = 0
+        while (i < cents.length) {
+          val c = cents(i)
+          val cos = dotD(v, c._2) / (nrm * c._3)
+          if (cos > bestCos) { bestCos = cos; bestCid = c._1 } // ties keep the smaller cid (ascending scan)
+          i += 1
+        }
+        bestCid
+      }
+      // distributed entry assignment, then a bounded collect: the
+      // entry tier must stay broadcast-sized (the stored-graph
+      // contract), so grouping it on the driver is the same order of
+      // memory as the broadcast every all-entries walk already ships
+      val entByCid: Map[Long, Array[(Long, Array[Double], Double)]] =
+        entries.select(col("vid"), col("v"), col("nrm"))
+          .as[(Long, Array[Double], Double)].mapPartitions { it =>
+            it.map { case (vid, v, nrm) => (nearestCid(v, nrm), vid, v, nrm) }
+          }.collect().groupBy(_._1)
+          .map { case (cid, a) => cid -> a.map(e => (e._2, e._3, e._4)) }
+      val bcEnt = spark.sparkContext.broadcast(entByCid)
+      q.select(col("qid"), col("qv"), col("qn"))
+        .as[(Long, Array[Double], Double)].mapPartitions { it =>
+          it.flatMap { case (qid, qv, qn) =>
+            val mine = bcEnt.value.getOrElse(nearestCid(qv, qn),
+              Array.empty[(Long, Array[Double], Double)])
+            val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nProbe + 1)
+            mine.foreach { case (vid, v, nrm) =>
+              if (vid != qid) {
+                val sm = microsOf(dotD(qv, v) / (qn * nrm))
+                var i = 0
+                while (i < buf.length &&
+                  (buf(i)._1 > sm || (buf(i)._1 == sm && buf(i)._2 < vid))) i += 1
+                if (i < nProbe) {
+                  buf.insert(i, (sm, vid))
+                  if (buf.length > nProbe) buf.remove(nProbe): Unit
+                }
+              }
+            }
+            buf.map { case (sm, vid) => (qid, vid, sm) }
+          }
+        }.toDF("qid", "vid", "sm")
+    }
+    val seed = if (regionSeed) regionSeedDf else allEntriesSeed
     val seedP = lazyCkH(seed)
     var frontier = seedP._1
     var fHandle = seedP._2

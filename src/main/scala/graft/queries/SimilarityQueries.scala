@@ -428,8 +428,12 @@ object SimilarityQueries {
   /** Unrolled replay for ann_graph_append / ann_graph_prune — two
     * chained beam tiers: (1) every delta node's INSERTION walk over
     * the pristine base graph (top-8 of the final beam = its forward
-    * edges), (2) the serve walk over the GROWN graph (base ∪ forward ∪
-    * reverse edges). With `prune` the grown adjacency is first
+    * edges) — REGION-seeded since r12 (VERDICT r11 #1): the delta is
+    * assigned to its nearest stored centroid (ccos DESC, cid — the
+    * assignNearest tie-break) and seeds only from its own region's
+    * entries, replayed by the `dasg`/`if0` CTEs; (2) the serve walk
+    * over the GROWN graph (base ∪ forward ∪ reverse edges), still
+    * all-entries-seeded. With `prune` the grown adjacency is first
     * degree-bounded: per src, keep the 8 best edges by exact raw
     * cosine (cos DESC, dst — Similarity.pruneKnnGraphIndex's order;
     * under-cap nodes keep everything, so the universal top-8 here
@@ -478,9 +482,18 @@ object SimilarityQueries {
        |asg AS (SELECT vec_id, cid FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
        |  FROM asg0) WHERE crn = 1),
-       |ent AS MATERIALIZED (SELECT min(vec_id) AS vid FROM asg GROUP BY cid),
+       |ent AS MATERIALIZED (SELECT cid, min(vec_id) AS vid FROM asg GROUP BY cid),
        |dq AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 3 = 1),
-       |${seed("i", "dq")},
+       |dasg AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT d.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY d.vec_id ORDER BY ${fold("d.v", "c.cv")} / (d.nrm * c.cn) DESC, c.cid) AS crn
+       |  FROM n d CROSS JOIN c WHERE d.vec_id % 3 = 1) WHERE crn = 1),
+       |if0 AS MATERIALIZED (SELECT qid, vid, sm FROM (
+       |  SELECT q.qid, nx.vec_id AS vid, ${sm("q.qv", "q.qn", "nx.v", "nx.nrm")} AS sm,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY ${sm("q.qv", "q.qn", "nx.v", "nx.nrm")} DESC, nx.vec_id) AS rk
+       |  FROM dq q JOIN dasg ON dasg.vec_id = q.qid
+       |    JOIN ent e ON e.cid = dasg.cid JOIN n nx ON nx.vec_id = e.vid
+       |  WHERE nx.vec_id <> q.qid) WHERE rk <= 4),
        |${round("i", 1, "badj", "dq")},
        |${round("i", 2, "badj", "dq")},
        |${round("i", 3, "badj", "dq")},
@@ -717,8 +730,11 @@ object SimilarityQueries {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|${src.length()}_${src.lastModified()}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
+    // _v3 layout: the build quantizer is persisted (centroids/), so the
+    // append lifecycle's insertion walks REGION-seed (VERDICT r11 #1) —
+    // prefix bumped per the stored-layout cache rule
     val pristine = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_knngb2_$key")
+      sys.props("java.io.tmpdir"), s"graft_knngb3_$key")
     val ready = new java.io.File(pristine, "_GRAFT_READY")
     if (!ready.exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(pristine)
@@ -727,7 +743,9 @@ object SimilarityQueries {
         base, col("embedding"), col("vec_id"),
         Similarity.ivfAssignments(base, col("embedding"), col("vec_id"), 8)
           .groupBy("cid").agg(min(col("vid")).as("vid")),
-        pristine.getPath)
+        pristine.getPath,
+        centroids = Similarity.firstNCentroids(base, col("embedding"),
+          col("vec_id"), 8))
       ready.createNewFile(): Unit
     }
     pristine

@@ -1312,10 +1312,22 @@ object Streaming {
         .parquet(embeddingsArrivalDir(spark, sfDir))
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // the walk frees its ROUND frames itself; its RESULT is one
+          // bounded final checkpoint whose blocks the caller owns.
+          // Free exactly those once the sink append consumed them —
+          // at depth (1000s of micro-batches) even bounded per-batch
+          // results are an unbounded block-manager residue (VERDICT
+          // r11 #3's scaling question; StreamScale measures the
+          // depth-10+ profile, SimStreamSpec pins zero growth)
+          val sc = batch.sparkSession.sparkContext
+          val before = sc.getPersistentRDDs.keySet
           graft.operators.Similarity
             .beamSearchKnnStored(idxDir, batch, col("embedding"),
               col("vec_id"), k = 3, nProbe = 4, beamWidth = 16, rounds = 4)
             .write.mode("append").parquet(outDir)
+          sc.getPersistentRDDs
+            .foreach { case (id, rdd) =>
+              if (!before.contains(id)) rdd.unpersist(blocking = false) }
         }
         .option("checkpointLocation", s"$root/ckpt")
         .start()

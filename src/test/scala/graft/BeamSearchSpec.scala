@@ -540,4 +540,66 @@ class BeamSearchSpec extends SparkSpec {
     Tables.deleteRecursive(ref)
     Tables.deleteRecursive(rep)
   }
+
+  test("region-seeded insert (stored quantizer): single-region ≡ all-entries; multi-region holds the grown floor") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 1)
+    val delta = emb.filter(col("vec_id") % 3 === 1)
+    val isQ = col("vec_id") % 50 === 0
+    // the exchange-free seed's documented precondition (ADVICE r11):
+    // every engine caller passes a keyed relation — assert it here for
+    // the representative insertion batch
+    assert(delta.count() == delta.select("vec_id").distinct().count(),
+      "insertion batches must carry distinct query ids")
+    def build(path: String, nCents: Int, withQuantizer: Boolean): Unit =
+      Similarity.writeKnnGraphIndex(
+        Similarity.knnGraphExact(base, col("embedding"), col("vec_id"), 8),
+        base, col("embedding"), col("vec_id"),
+        // multi-entry tier (4 per region) so the equivalence pin below
+        // exercises the top-nProbe selection over several region
+        // entries, not a degenerate single seed
+        Similarity.regionEntryPoints(
+          Similarity.ivfAssignments(base, col("embedding"), col("vec_id"), nCents), 4),
+        path,
+        centroids = if (withQuantizer)
+          Similarity.firstNCentroids(base, col("embedding"), col("vec_id"), nCents)
+        else null)
+    def grownEdges(path: String): Set[(Long, Long)] = {
+      Similarity.appendToKnnGraphIndex(path, delta, col("embedding"),
+        col("vec_id"), kGraph = 8, nProbe = 4, beamWidth = 16, rounds = 4)
+      spark.read.parquet(s"$path/adj")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // 1 centroid ⇒ one region holds ALL entries, so the region-seeded
+    // walk must reproduce the legacy all-entries walk VERBATIM — the
+    // plumbing equivalence pin (same seeds ⇒ same rounds ⇒ same edges)
+    val one = Tables.scratchDir("spec_knn_rseed_one")
+    val leg = Tables.scratchDir("spec_knn_rseed_leg")
+    build(one, nCents = 1, withQuantizer = true)
+    build(leg, nCents = 1, withQuantizer = false)
+    assert(new java.io.File(s"$one/centroids").exists(), "quantizer must persist")
+    assert(!new java.io.File(s"$leg/centroids").exists(), "legacy layout premise")
+    assert(grownEdges(one) == grownEdges(leg),
+      "single-region region-seeded insert must equal the all-entries insert verbatim")
+    // 8 regions: seeds now come from the delta's OWN region only —
+    // fewer, nearer seeds; inserted vectors stay reachable and the
+    // grown-graph serve floor holds (the legacy test's 0.5 bar)
+    val idx = Tables.scratchDir("spec_knn_rseed_multi")
+    build(idx, nCents = 8, withQuantizer = true)
+    grownEdges(idx)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = pairs(Similarity.beamSearchKnnStored(idx, emb.filter(isQ),
+      col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+      rounds = 4).select("query_id", "neighbor_id"))
+    assert(served.exists(_._2 % 3 == 1),
+      "region-seeded insert must keep inserted vectors reachable")
+    val truth = pairs(Similarity.topKBruteForce(emb, col("embedding"),
+      col("vec_id"), isQ, k = 5).select("query_id", "neighbor_id"))
+    val recall = (truth intersect served).size.toDouble / truth.size
+    info(f"region-seeded grown-graph recall@5 = $recall%.3f")
+    assert(recall >= 0.5, f"region-seeded grown recall collapsed: $recall%.3f")
+    spark.catalog.clearCache()
+    Seq(one, leg, idx).foreach(Tables.deleteRecursive)
+  }
 }

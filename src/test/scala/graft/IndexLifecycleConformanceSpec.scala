@@ -71,20 +71,29 @@ class IndexLifecycleConformanceSpec extends SparkSpec {
       serve = p => Similarity.tfidfCosinePairsStored(spark, p, threshold = 0.3)),
     Family(
       name = "graph-ann",
+      // quantizer persisted (r12): appends region-seed their insertion
+      // walks, and the maintenance verb below exercises the ENTRY
+      // tier's refresh alongside the prune — both value-preserving
+      // given identical inputs, which the serve-parity checks pin
       build = p => Similarity.writeKnnGraphIndex(
         Similarity.knnGraphExact(emb.filter(baseVec), col("embedding"),
           col("vec_id"), 8),
         emb.filter(baseVec), col("embedding"), col("vec_id"),
         Similarity.ivfAssignments(emb.filter(baseVec), col("embedding"),
           col("vec_id"), 8).groupBy("cid").agg(min(col("vid")).as("vid")),
-        p),
+        p,
+        centroids = Similarity.firstNCentroids(emb.filter(baseVec),
+          col("embedding"), col("vec_id"), 8)),
       append = p => { Similarity.appendToKnnGraphIndex(p,
         emb.filter(deltaVec), col("embedding"), col("vec_id"),
         kGraph = 8, nProbe = 4, beamWidth = 16, rounds = 4): Unit },
       stores = Seq("adj" -> Seq("sb"), "vectors" -> Seq("db")),
       repair = p => Similarity.repairKnnGraphIndex(spark, p),
       budgetTripped = Some(p => Similarity.knnGraphStaleness(spark, p)._3 > 100000L),
-      maintain = p => { Similarity.pruneKnnGraphIndex(spark, p, 8): Unit },
+      maintain = p => {
+        Similarity.pruneKnnGraphIndex(spark, p, 8): Unit
+        Similarity.refreshKnnGraphEntries(spark, p, perRegion = 1): Unit
+      },
       serve = p => Similarity.beamSearchKnnStored(p,
         emb.filter(col("vec_id") % 50 === 0), col("embedding"), col("vec_id"),
         k = 5, nProbe = 4, beamWidth = 16, rounds = 4)),
@@ -167,4 +176,64 @@ class IndexLifecycleConformanceSpec extends SparkSpec {
       spark.catalog.clearCache()
       Seq(pristine, ref, torn).foreach(Tables.deleteRecursive)
     }
+
+  test("[graph-ann] entry tier: own clock, budgeted refresh re-samples appended vectors, prune leaves it alone") {
+    val base = emb.filter(baseVec)
+    val idx = Tables.scratchDir("conf_entry_tier")
+    Similarity.writeKnnGraphIndex(
+      Similarity.knnGraphExact(base, col("embedding"), col("vec_id"), 8),
+      base, col("embedding"), col("vec_id"),
+      Similarity.regionEntryPoints(
+        Similarity.ivfAssignments(base, col("embedding"), col("vec_id"), 8), 2),
+      idx,
+      centroids = Similarity.firstNCentroids(base, col("embedding"), col("vec_id"), 8))
+    val (s0, n0, p0) = Similarity.knnGraphEntryStaleness(spark, idx)
+    assert(s0 == 0L && p0 == 0L, s"fresh build must start entry-fresh: $s0/$p0")
+    assert(n0 == base.count(), "entry epoch must be the build's node count")
+    // a 33%-of-base append must trip the 10% entry budget — and the
+    // refresh must re-sample entries over the GROWN corpus exactly as
+    // regionEntryPoints over the stored quantizer's assignments would
+    Similarity.appendToKnnGraphIndex(idx, emb.filter(deltaVec),
+      col("embedding"), col("vec_id"), kGraph = 8, nProbe = 4,
+      beamWidth = 16, rounds = 4)
+    val (_, _, p1) = Similarity.knnGraphEntryStaleness(spark, idx)
+    assert(p1 > 100000L, s"33% insert volume must exceed the 10% entry budget: $p1")
+    assert(Similarity.refreshKnnGraphEntriesIfStale(spark, idx, perRegion = 2),
+      "above-budget volume must trigger the entry refresh")
+    val (s2, n2, p2) = Similarity.knnGraphEntryStaleness(spark, idx)
+    assert(s2 == 0L && p2 == 0L, s"refresh must reset the entry clock: $s2/$p2")
+    assert(n2 == emb.filter(baseVec || deltaVec).count(),
+      "refreshed epoch must be the grown node count")
+    val expected = Similarity.regionEntryPointsEpochAware(
+      graft.operators.Similarity.assignNearest(
+        spark.read.parquet(s"$idx/vectors").select(col("vid"), col("v"), col("nrm")),
+        spark.read.parquet(s"$idx/centroids"), Seq.empty), 2)
+      .collect().map(_.getLong(0)).toSet
+    val stored = spark.read.parquet(s"$idx/entry")
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(stored == expected,
+      "refreshed entries must be the epoch-aware sample over the grown corpus")
+    // the epoch-aware rule must actually surface the newest epoch:
+    // with perRegion=2 the largest-id half of each non-singleton
+    // region is its largest member id — under this 33% append some
+    // appended (deltaVec) id must hold an entry slot
+    assert(stored.exists(_ % 5 == 3),
+      "refresh must elect at least one appended vector as an entry")
+    // a below-budget state must NOT refresh
+    assert(!Similarity.refreshKnnGraphEntriesIfStale(spark, idx, perRegion = 2),
+      "fresh entry clock must not trigger a refresh")
+    // prune advances the GRAPH clock's base but must leave the entry
+    // clock alone (independent clocks — current = base + Σstaleness on
+    // both sides of the prune)
+    Similarity.pruneKnnGraphIndexIfStale(spark, idx, degreeCap = 8,
+      maxInsertedPpm = 100000L): Unit
+    val (s3, _, _) = Similarity.knnGraphEntryStaleness(spark, idx)
+    assert(s3 == 0L, s"prune must not move the entry clock: $s3")
+    // and the refreshed tier still serves
+    assert(Similarity.beamSearchKnnStored(idx,
+      emb.filter(col("vec_id") % 50 === 0), col("embedding"), col("vec_id"),
+      k = 5, nProbe = 4, beamWidth = 16, rounds = 4).count() > 0L)
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(idx)
+  }
 }

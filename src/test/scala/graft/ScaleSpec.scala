@@ -379,6 +379,7 @@ class ScaleSpec extends SparkSpec {
     val filesRead = scan.inputRDDs().head.partitions.length
     assert(filesRead < allFiles,
       s"no pruning: read $filesRead of $allFiles band-index files")
+    graft.sources.Tables.deleteRecursive(idx)
   }
 
   test("stored incremental index: append folds a delta in, later gates see it") {
@@ -446,6 +447,8 @@ class ScaleSpec extends SparkSpec {
     val bhj = joined.queryExecution.executedPlan.toString()
     assert(bhj.contains("BroadcastHashJoin"),
       s"kv side not broadcast despite file-size stats:\n$bhj")
+    graft.sources.Tables.deleteRecursive(
+      new java.io.File(tmp).getParent)
   }
 
   test("stored IVF index: serve equals the in-memory form and partition-prunes the scan") {
@@ -487,7 +490,10 @@ class ScaleSpec extends SparkSpec {
       val filesRead = scan.inputRDDs().head.partitions.length
       assert(filesRead < allFiles,
         s"no pruning: read $filesRead of $allFiles vector files")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.sources.Tables.deleteRecursive(idx)
+    }
   }
 
   test("stored IVF index: append folds a delta in, queries see the grown corpus") {
@@ -570,7 +576,10 @@ class ScaleSpec extends SparkSpec {
       }.get
       assert(scan.metadata("PartitionFilters").contains("cid"),
         s"no partition filter: ${scan.metadata("PartitionFilters")}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.sources.Tables.deleteRecursive(idx)
+    }
   }
 
   test("tfidf prefix filter: candidates well under the Σ df² bound, output unchanged") {

@@ -346,9 +346,18 @@ class SimStreamSpec extends SparkSpec {
 
   test("streaming graph-ANN ingest gate equals the batch beam walk, any slicing") {
     import org.apache.spark.sql.functions._
+    // residency pin (VERDICT r11 #3): a long-lived ingest stream must
+    // not grow the block manager per micro-batch — snapshot the
+    // persistent-RDD set before the drain and require ZERO new
+    // entries after it (walk rounds freed by the walk, per-batch
+    // results freed by the gate once the sink consumed them)
+    val residentBefore = spark.sparkContext.getPersistentRDDs.keySet
     val got = graft.streaming.Streaming.streamAnnGraphIngest(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- residentBefore
+    assert(leaked.isEmpty,
+      s"ingest drain leaked ${leaked.size} persistent RDDs into the block manager")
     // the batch twin: the SAME stored base graph served over all delta
     // vectors at once — integer-micros walk decisions make the streamed
     // sink independent of batch slicing and arrival order
