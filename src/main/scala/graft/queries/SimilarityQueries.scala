@@ -444,7 +444,18 @@ object SimilarityQueries {
 
   private def graphPruneOracle: String = graphGrownOracle(prune = true)
 
-  private def graphGrownOracle(prune: Boolean): String = {
+  /** ann_graph_entry_refresh: the append tier unchanged, then the
+    * ENTRY-TIER refresh (Similarity.refreshKnnGraphEntries, budget
+    * tripped at 50% insert volume) re-samples perRegion=2 entries
+    * EPOCH-AWARE over the grown corpus — per region the smallest AND
+    * largest member vid (`entR`: two row_number windows over the full
+    * assignment, union DISTINCT) — and the serve walk seeds from the
+    * refreshed tier. */
+  private def graphEntryRefreshOracle: String =
+    graphGrownOracle(prune = false, entryRefresh = true)
+
+  private def graphGrownOracle(prune: Boolean,
+      entryRefresh: Boolean = false): String = {
     def fold(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
     def sm(qv: String, qn: String, v: String, nrm: String) =
@@ -462,11 +473,11 @@ object SimilarityQueries {
          |${pfx}f$r AS MATERIALIZED (SELECT qid, vid, sm FROM (
          |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
          |  FROM (SELECT * FROM ${pfx}f${r - 1} UNION ALL SELECT * FROM ${pfx}sc$r)) WHERE rk <= 16)""".stripMargin
-    def seed(pfx: String, qRel: String): String =
+    def seed(pfx: String, qRel: String, entRel: String = "ent"): String =
       s"""${pfx}f0 AS MATERIALIZED (SELECT qid, vid, sm FROM (
          |  SELECT q.qid, n.vec_id AS vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm,
          |    row_number() OVER (PARTITION BY q.qid ORDER BY ${sm("q.qv", "q.qn", "n.v", "n.nrm")} DESC, n.vec_id) AS rk
-         |  FROM $qRel q JOIN ent ON TRUE JOIN n ON n.vec_id = ent.vid
+         |  FROM $qRel q JOIN $entRel e2 ON TRUE JOIN n ON n.vec_id = e2.vid
          |  WHERE n.vec_id <> q.qid) WHERE rk <= 4)""".stripMargin
     s"""$normCte,
        |bn AS (SELECT * FROM n WHERE vec_id % 3 <> 1),
@@ -512,8 +523,16 @@ object SimilarityQueries {
               |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
               |  FROM padj0) WHERE rk <= 8),""".stripMargin
          else ""}
+       |${if (entryRefresh)
+           """asgf AS (SELECT vec_id, cid FROM asg UNION ALL SELECT vec_id, cid FROM dasg),
+              |entr AS MATERIALIZED (SELECT DISTINCT vec_id AS vid FROM (
+              |  SELECT vec_id,
+              |    row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS ra,
+              |    row_number() OVER (PARTITION BY cid ORDER BY vec_id DESC) AS rd
+              |  FROM asgf) WHERE ra <= 1 OR rd <= 1),""".stripMargin
+         else ""}
        |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
-       |${seed("s", "q")},
+       |${seed("s", "q", if (entryRefresh) "entr" else "ent")},
        |${round("s", 1, if (prune) "padj" else "adj", "q")},
        |${round("s", 2, if (prune) "padj" else "adj", "q")},
        |${round("s", 3, if (prune) "padj" else "adj", "q")},
@@ -1243,6 +1262,41 @@ object SimilarityQueries {
       }
       require(pruned, "50% insert volume must trip the 10% prune budget")
       phase.emit(s""","inserted":$ins,"base_nodes":$base,"inserted_ppm":$ppm""")
+      Similarity.beamSearchKnnStored(idx, emb.filter(col("vec_id") % 50 === 0),
+        col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+        rounds = 4)
+    },
+    // ENTRY-TIER refresh lifecycle (Similarity.refreshKnnGraphEntries —
+    // VERDICT r11 #2, the tier's missing refresh verb): copy the
+    // pristine two-thirds, batch-insert the remaining third (50%
+    // insert volume trips the 10% ENTRY budget — an independent clock
+    // from the prune's), then the budgeted refresh re-samples
+    // perRegion=2 entries EPOCH-AWARE over the grown corpus (smallest
+    // + largest member id per region — the append-blind all-smallest
+    // rule measured as a no-op at 1 M, docs/EXPERIMENTS.md round 21)
+    // and the serve walk seeds from the REFRESHED tier. The oracle
+    // replays the insertion walks, the dual-window re-sample (`entr`),
+    // and the serve walk unrolled.
+    QueryDef("ann_graph_entry_refresh", graphEntryRefreshOracle) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val pristine = pristineGraphBase(s, d)
+      val phase = new Phases("ann_graph_entry_refresh")
+      val idx = Tables.scratchDir("graft_knng_entref")
+      phase("copy") {
+        graft.sources.Tables.linkCopyDirectory(pristine, new java.io.File(idx))
+      }
+      phase("insert") {
+        Similarity.appendToKnnGraphIndex(idx, emb.filter(col("vec_id") % 3 === 1),
+          col("embedding"), col("vec_id"), kGraph = 8, nProbe = 4,
+          beamWidth = 16, rounds = 4)
+      }
+      val (_, _, entPpm) = Similarity.knnGraphEntryStaleness(s, idx)
+      val refreshed = phase("refresh") {
+        Similarity.refreshKnnGraphEntriesIfStale(s, idx, perRegion = 2,
+          maxInsertedPpm = 100000L)
+      }
+      require(refreshed, "50% insert volume must trip the 10% entry budget")
+      phase.emit(s""","entry_staleness_ppm":$entPpm""")
       Similarity.beamSearchKnnStored(idx, emb.filter(col("vec_id") % 50 === 0),
         col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
         rounds = 4)
