@@ -253,6 +253,43 @@ object AnnScale {
         gotAfter = pairs(r); gotAfter.size.toLong
       }
       recall("graph_beam_postrefresh_w32_r3", gotAfter)
+      // COARSE ENTRY-GRAPH tier probe (VERDICT r11 "missing #2"): walk
+      // a k=8 graph over the entry tier (4 roots, width 16, 2 rounds)
+      // instead of scoring all regions × E entries per query. Measured
+      // both per-100-query serve (seed cost amortized by the walk) and
+      // a BULK 10 k-query batch, where queries × entries seed scoring
+      // is the term that dominates (the E=64 saturation finding's
+      // 6.5 B-dot arm).
+      timed("entry_graph_build_k8") {
+        Similarity.buildKnnEntryGraph(spark, idx, kEntry = 8)
+      }
+      // entry-walk budget at this scale: ~11.5 k entries need the walk
+      // to DESCEND from global roots — (roots 4, width 32, 8 rounds) ≈
+      // ≤ 4 + 8·32·(8+2) ≈ 2.6 k scored entries per query, still 4×
+      // under the flat tier's 11.5 k
+      for ((eb, er) <- Seq((32, 8))) {
+        var gotHier: Set[(Long, Long)] = Set.empty
+        timed(s"graph_beam_hier_eb${eb}_er${er}_w32_r3") {
+          val r = Similarity.beamSearchKnnStoredHier(idx, emb.filter(isQ),
+            col("embedding"), col("vec_id"), k = k, nProbe = 8,
+            beamWidth = 32, rounds = 3, nRoots = 4, entryBeam = eb,
+            entryRounds = er)
+          gotHier = pairs(r); gotHier.size.toLong
+        }
+        recall(s"graph_beam_hier_eb${eb}_er${er}_w32_r3", gotHier)
+      }
+      val isBulk = col("vec_id") % 100 === 1
+      timed("graph_beam_bulk10k_flat_w32_r3") {
+        Similarity.beamSearchKnnStored(idx, emb.filter(isBulk),
+          col("embedding"), col("vec_id"), k = k, nProbe = 8,
+          beamWidth = 32, rounds = 3).count()
+      }
+      timed("graph_beam_bulk10k_hier_w32_r3") {
+        Similarity.beamSearchKnnStoredHier(idx, emb.filter(isBulk),
+          col("embedding"), col("vec_id"), k = k, nProbe = 8,
+          beamWidth = 32, rounds = 3, nRoots = 4, entryBeam = 32,
+          entryRounds = 8).count()
+      }
       graft.sources.Tables.deleteRecursive(idx)
     }
     // FILTERED-serving selectivity sweep (VERDICT r9 #2): over a

@@ -45,12 +45,30 @@ final case class TfidfStaleness(appendedDocs: Long, statN: Long,
     math.log10((statN + appendedDocs).toDouble / math.max(1L, statN).toDouble)
 }
 
-object Similarity {
+// Serializable: the task-local seed/walk tiers close over the scalar
+// helpers ([[dotD]]/[[microsOf]]) — method references on the singleton
+// put it in the closure's captured args, and executors deserialize the
+// (stateless) marker
+object Similarity extends Serializable {
   /** One-time (per path, per process) stderr note when a staleness
     * probe hits a pre-counter index layout (ADVICE r11): the recount
     * is a full distinct-count over the stored corpus on EVERY probe
     * until the repair verb persists the counter — an operator should
     * see that O(n)-per-probe mode named, not discover it in a profile. */
+  /** Scalar twins of the Column hot path, bit-identical by
+    * construction (used by the task-local seed/walk tiers):
+    * left-to-right dot fold from 0.0 ≡ [[graft.functions.DotProduct]]
+    * ≡ the oracle's list_reduce; HALF_UP micros through
+    * BigDecimal.decimal ≡ Spark round() on doubles ≡ DuckDB round. */
+  private[graft] def dotD(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private[graft] def microsOf(c: Double): Long = BigDecimal.decimal(c * 1e6)
+    .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+
   private val legacyRecountWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def warnLegacyRecount(path: String, family: String,
@@ -1996,6 +2014,118 @@ object Similarity {
     beamWalkKnnStored(path, queries, vec, id, k, nProbe, beamWidth, rounds,
       keep = None, widenCap = 1)
 
+  /** COARSE ENTRY-GRAPH tier over a [[writeKnnGraphIndex]] layout —
+    * the HNSW upper layer the flat entry tier defers to past its
+    * broadcast bound (docs/EXPERIMENTS.md: at 1 B vectors the entry
+    * tier outgrows per-query exhaustive scoring; and ALREADY at bulk
+    * query batches, queries × entries seed scoring is the dominant
+    * term — the measured 6.5 B-dot arm at E=64). Builds the exact
+    * kNN graph AMONG THE STORED ENTRIES ([[knnGraphExact]]'s
+    * (cos DESC, dst) rule — entries are broadcast-sized by contract,
+    * so Σ|E|² pair work is bounded build config) into `entry_adj/`.
+    * [[beamSearchKnnStoredHier]] then replaces exhaustive entry
+    * scoring with a walk over this graph. Returns the edge count. */
+  def buildKnnEntryGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String, kEntry: Int): Long = {
+    require(kEntry >= 1, s"kEntry must be >= 1: $kEntry")
+    val entries = spark.read.parquet(s"$path/entry")
+    // kNN edges + a vid-ordered CHAIN backbone (consecutive entry ids,
+    // both directions): a plain kNN graph over a multi-entry tier is
+    // CLIQUE-PARTITIONED by region (an entry's k nearest are its
+    // region-mates — measured at 1 M: hier recall 0.03, the walk never
+    // leaves the roots' components), and the chain guarantees ONE
+    // component at 2 edges/entry. It is an escape hatch, not a
+    // navigation structure — see docs/EXPERIMENTS.md round 21 for the
+    // measured budget this costs and the named next step
+    // (cross-region/diversified entry edges).
+    val w = Window.orderBy(col("vid"))
+    val chain0 = entries.select(col("vid"))
+      .withColumn("nxt", lead(col("vid"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val chain = chain0.select(col("vid").as("src"), col("nxt").as("dst"))
+      .unionByName(chain0.select(col("nxt").as("src"), col("vid").as("dst")))
+    val eadj = knnGraphExact(entries, col("v"), col("vid"), kEntry)
+      .unionByName(chain).distinct()
+    eadj.coalesce(1).write.mode("overwrite").parquet(s"$path/entry_adj")
+    spark.range(1).select(lit(kEntry).as("k_entry"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/entry_graph_meta")
+    spark.read.parquet(s"$path/entry_adj").count()
+  }
+
+  /** HIERARCHICAL beam serve — [[beamSearchKnnStored]] with the seed
+    * tier computed by walking the COARSE ENTRY GRAPH
+    * ([[buildKnnEntryGraph]]) instead of scoring every stored entry:
+    * per query, `nRoots` smallest-id entries seed a task-local
+    * best-first walk (round semantics EXACTLY the stored walk's:
+    * candidates = unvisited neighbors of the current beam, beam =
+    * top-`entryBeam` of beam ∪ scored by (micros DESC, vid),
+    * `entryRounds` rounds), and the final beam's top-`nProbe` become
+    * the main walk's seeds. Per query the seed cost falls from
+    * |entries| to ~nRoots + entryRounds · entryBeam · kEntry scored
+    * entries — the bulk-batch and beyond-broadcast-entry-tier regime.
+    * The entry tier itself is still collected/broadcast here (its
+    * size contract); past THAT bound the same walk runs distributed
+    * over a bucket-partitioned entry store — the main walk's own
+    * shape one level up. All scalar arithmetic is the bit-exact
+    * Column twin ([[dotD]]/[[microsOf]]), so an oracle replays the
+    * entry walk unrolled exactly like the main one. With a COMPLETE
+    * entry graph (kEntry ≥ |entries|−1) and entryBeam ≥ nProbe this
+    * is VALUE-IDENTICAL to the flat all-entries seed — the
+    * BeamSearchSpec equivalence pin. */
+  def beamSearchKnnStoredHier(path: String, queries: DataFrame, vec: Column,
+      id: Column, k: Int, nProbe: Int, beamWidth: Int, rounds: Int,
+      nRoots: Int, entryBeam: Int, entryRounds: Int): DataFrame = {
+    require(nRoots >= 1 && entryBeam >= nProbe && entryRounds >= 1,
+      s"need nRoots >= 1, entryBeam >= nProbe, entryRounds >= 1: $nRoots/$entryBeam/$entryRounds")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val entries = spark.read.parquet(s"$path/entry")
+      .select(col("vid"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)].collect()
+    require(entries.nonEmpty, s"empty entry tier: $path/entry")
+    val vecMap = entries.map(e => e._1 -> ((e._2, e._3))).toMap
+    val adjMap = spark.read.parquet(s"$path/entry_adj")
+      .select(col("src"), col("dst")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (s, a) => s -> a.map(_._2) }
+    val roots = entries.map(_._1).sorted.take(nRoots)
+    val bc = spark.sparkContext.broadcast((vecMap, adjMap, roots))
+    val q = withNorm(queries, vec, id)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val seeds = q.as[(Long, Array[Double], Double)].mapPartitions { it =>
+      val (vm, am, rts) = bc.value
+      it.flatMap { case (qid, qv, qn) =>
+        def smOf(vid: Long): (Long, Long) = {
+          val (v, nrm) = vm(vid)
+          (microsOf(dotD(qv, v) / (qn * nrm)), vid)
+        }
+        // qid may appear in the ENTRY beam as a waypoint (a corpus
+        // member serving as an entry — excluding it from the walk
+        // strands a query whose own id is the only root); it is
+        // filtered from the emitted SEEDS, matching the flat seed's
+        // vid ≠ qid contract
+        var ef = rts.map(smOf).toVector
+          .sortBy { case (sm, vid) => (-sm, vid) }
+        var r = 0
+        var done = ef.isEmpty
+        while (r < entryRounds && !done) {
+          r += 1
+          val inBeam = ef.map(_._2).toSet
+          val cand = ef.iterator
+            .flatMap(e => am.getOrElse(e._2, Array.empty[Long]))
+            .filter(d => !inBeam.contains(d))
+            .toArray.distinct
+          if (cand.isEmpty) done = true
+          else ef = (ef ++ cand.map(smOf))
+            .sortBy { case (sm, vid) => (-sm, vid) }.take(entryBeam)
+        }
+        ef.filter(_._2 != qid).take(nProbe)
+          .map { case (sm, vid) => (qid, vid, sm) }
+      }
+    }.toDF("qid", "vid", "sm")
+    beamWalkKnnStored(path, queries, vec, id, k, nProbe, beamWidth, rounds,
+      keep = None, widenCap = 1, seedOverride = Some(seeds))
+  }
+
   /** The shared walk core of [[beamSearchKnnStored]] and
     * [[beamSearchKnnStoredFiltered]] — exactly ONE implementation of
     * seeding, per-round expansion, scoring, convergence exit and beam
@@ -2038,7 +2168,8 @@ object Similarity {
   private def beamWalkKnnStored(path: String, queries: DataFrame,
       vec: Column, id: Column, k: Int, nProbe: Int, beamWidth: Int,
       rounds: Int, keep: Option[Column], widenCap: Int,
-      regionSeed: Boolean = false): DataFrame = {
+      regionSeed: Boolean = false,
+      seedOverride: Option[DataFrame] = None): DataFrame = {
     require(beamWidth >= k, s"beamWidth ($beamWidth) must be >= k ($k)")
     require(nProbe >= 1 && rounds >= 1, "nProbe and rounds must be >= 1")
     require(widenCap >= 1, s"widenCap must be >= 1: $widenCap")
@@ -2046,6 +2177,8 @@ object Similarity {
       "adaptive widening needs a filter to estimate selectivity from")
     require(!regionSeed || (keep.isEmpty && widenCap == 1),
       "region seeding is the insertion-walk mode — filtered serving keeps the all-entries seed")
+    require(seedOverride.isEmpty || (keep.isEmpty && widenCap == 1 && !regionSeed),
+      "an external seed ((qid, vid, sm) micros rows) composes only with the plain walk")
     val spark = queries.sparkSession
     val m = spark.read.parquet(s"$path/meta").head()
     val srcBuckets = m.getAs[Int]("src_buckets")
@@ -2140,14 +2273,6 @@ object Similarity {
     // (DotProduct's loop ≡ DuckDB list_reduce) and HALF_UP micros
     // (Spark round() on doubles goes through BigDecimal.decimal).
     def regionSeedDf: DataFrame = {
-      def dotD(a: Array[Double], b: Array[Double]): Double = {
-        val n = math.min(a.length, b.length)
-        var acc = 0.0; var i = 0
-        while (i < n) { acc += a(i) * b(i); i += 1 }
-        acc
-      }
-      def microsOf(c: Double): Long = BigDecimal.decimal(c * 1e6)
-        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
       val cents0 = spark.read.parquet(s"$path/centroids")
         .select(col("cid"), col("cv"), col("cn"))
         .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
@@ -2199,7 +2324,8 @@ object Similarity {
           }
         }.toDF("qid", "vid", "sm")
     }
-    val seed = if (regionSeed) regionSeedDf else allEntriesSeed
+    val seed = seedOverride.getOrElse(
+      if (regionSeed) regionSeedDf else allEntriesSeed)
     val seedP = lazyCkH(seed)
     var frontier = seedP._1
     var fHandle = seedP._2

@@ -235,6 +235,85 @@ object SimilarityQueries {
        |  FROM f4) WHERE rk <= 5""".stripMargin
   }
 
+  /** Unrolled replay for ann_graph_beam_hier — the COARSE ENTRY-GRAPH
+    * serve: the 2-entries-per-region tier's exact k=4 kNN graph among
+    * entries (`eadj`, (cos DESC, dst) — knnGraphExact's rule), walked
+    * task-locally from the 2 smallest-id roots for 2 rounds at width
+    * 8 with EXACTLY the main walk's round semantics (candidates =
+    * unvisited beam neighbors, keep top-width by (micros DESC, vid)),
+    * then the final entry beam's top-4 seed the ordinary 4-round
+    * width-16 main walk. Both walks integer-micros; every
+    * multiply-referenced CTE MATERIALIZED. */
+  private def graphHierOracle: String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def sm(qv: String, qn: String, v: String, nrm: String) =
+      s"CAST(round(${fold(qv, v)} / ($qn * $nrm) * 1000000, 0) AS BIGINT)"
+    def round(r: Int): String =
+      s"""cand$r AS (SELECT DISTINCT f.qid, a.dst AS vid
+         |  FROM f${r - 1} f JOIN adj a ON a.src = f.vid
+         |  WHERE a.dst <> f.qid
+         |    AND NOT EXISTS (SELECT 1 FROM f${r - 1} x WHERE x.qid = f.qid AND x.vid = a.dst)),
+         |sc$r AS (SELECT c.qid, c.vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm
+         |  FROM cand$r c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vid),
+         |f$r AS MATERIALIZED (SELECT qid, vid, sm FROM (
+         |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+         |  FROM (SELECT * FROM f${r - 1} UNION ALL SELECT * FROM sc$r)) WHERE rk <= 16)""".stripMargin
+    def eround(r: Int): String =
+      s"""ecand$r AS (SELECT DISTINCT f.qid, a.dst AS vid
+         |  FROM ef${r - 1} f JOIN eadj a ON a.src = f.vid
+         |  WHERE NOT EXISTS (SELECT 1 FROM ef${r - 1} x WHERE x.qid = f.qid AND x.vid = a.dst)),
+         |esc$r AS (SELECT c.qid, c.vid, ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm
+         |  FROM ecand$r c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vid),
+         |ef$r AS MATERIALIZED (SELECT qid, vid, sm FROM (
+         |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+         |  FROM (SELECT * FROM ef${r - 1} UNION ALL SELECT * FROM esc$r)) WHERE rk <= 8)""".stripMargin
+    s"""$normCte,
+       |ap AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |  ${fold("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       |adj AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM ap) WHERE rk <= 8),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+       |asg0 AS (SELECT d.vec_id, c.cid,
+       |  ${fold("d.v", "c.cv")} / (d.nrm * c.cn) AS ccos
+       |  FROM n d CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |  FROM asg0) WHERE crn = 1),
+       |ent AS (SELECT vec_id AS vid FROM (
+       |  SELECT vec_id, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS ern
+       |  FROM asg) WHERE ern <= 2),
+       |entv AS (SELECT ent.vid, n.v, n.nrm FROM ent JOIN n ON n.vec_id = ent.vid),
+       |eap AS (SELECT a.vid AS src, b.vid AS dst,
+       |  ${fold("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM entv a JOIN entv b ON a.vid <> b.vid),
+       |ech0 AS (SELECT vid, lead(vid) OVER (ORDER BY vid) AS nxt FROM ent),
+       |ech AS (SELECT vid AS src, nxt AS dst FROM ech0 WHERE nxt IS NOT NULL
+       |  UNION ALL SELECT nxt AS src, vid AS dst FROM ech0 WHERE nxt IS NOT NULL),
+       |eadj AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM eap) WHERE rk <= 4
+       |  UNION ALL SELECT src, dst FROM ech)),
+       |roots AS (SELECT vid FROM ent ORDER BY vid LIMIT 2),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+       |ef0 AS MATERIALIZED (SELECT q.qid, n.vec_id AS vid,
+       |    ${sm("q.qv", "q.qn", "n.v", "n.nrm")} AS sm
+       |  FROM q JOIN roots ON TRUE JOIN n ON n.vec_id = roots.vid),
+       |${eround(1)},
+       |${eround(2)},
+       |f0 AS MATERIALIZED (SELECT qid, vid, sm FROM (
+       |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+       |  FROM ef2 WHERE vid <> qid) WHERE rk <= 4),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)}
+       |SELECT qid AS query_id, vid AS neighbor_id, rk AS rnk, sm AS score_micros FROM (
+       |  SELECT qid, vid, sm, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vid) AS rk
+       |  FROM f4) WHERE rk <= 5""".stripMargin
+  }
+
   /** Unrolled replay for ann_graph_filtered: the SAME walk as
     * graphBeamOracle (navigation is unfiltered), but the answer is the
     * top-5 by (micros DESC, vid) over the UNION of every scored set —
@@ -1147,6 +1226,27 @@ object SimilarityQueries {
         emb.filter(col("vec_id") % 50 === 0),
         col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
         rounds = 4)
+    },
+    // COARSE ENTRY-GRAPH serving (Similarity.buildKnnEntryGraph /
+    // beamSearchKnnStoredHier — the HNSW upper layer, VERDICT r11
+    // "missing #2"): the seed tier is a WALK over the exact k=4 kNN
+    // graph among the stored entries (2 smallest-id roots, 2 rounds,
+    // width 8) instead of exhaustively scoring every entry — the
+    // regime for entry tiers past the broadcast bound and for bulk
+    // query batches, where queries × entries seed scoring dominates.
+    // Entry-walk rounds share the main walk's exact semantics, so the
+    // oracle replays BOTH tiers unrolled (eround + round CTEs).
+    QueryDef("ann_graph_beam_hier", graphHierOracle) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val idx = servedGraphIndex(s, d, perRegion = 2)
+      // additive, stamp-guarded: the entry graph is part of the served
+      // fixture, built once per testdata version
+      if (!new java.io.File(s"$idx/entry_adj").exists())
+        Similarity.buildKnnEntryGraph(s, idx, kEntry = 4): Unit
+      Similarity.beamSearchKnnStoredHier(idx,
+        emb.filter(col("vec_id") % 50 === 0),
+        col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+        rounds = 4, nRoots = 2, entryBeam = 8, entryRounds = 2)
     },
     // FILTERED graph serving (Similarity.beamSearchKnnStoredFiltered —
     // the filtered-ANN posture): top-5 among EVEN-id neighbors only,

@@ -602,4 +602,49 @@ class BeamSearchSpec extends SparkSpec {
     spark.catalog.clearCache()
     Seq(one, leg, idx).foreach(Tables.deleteRecursive)
   }
+
+  test("coarse entry-graph serve: complete graph ≡ flat entry seed verbatim; sparse graph holds the floor") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val isQ = col("vec_id") % 50 === 0
+    val idx = Tables.scratchDir("spec_knn_hier")
+    Similarity.writeKnnGraphIndex(
+      Similarity.knnGraphExact(emb, col("embedding"), col("vec_id"), 8),
+      emb, col("embedding"), col("vec_id"),
+      Similarity.regionEntryPoints(
+        Similarity.ivfAssignments(emb, col("embedding"), col("vec_id"), 8), 2),
+      idx)
+    val nEntries = spark.read.parquet(s"$idx/entry").count().toInt
+    def serve(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val flat = serve(Similarity.beamSearchKnnStored(idx, emb.filter(isQ),
+      col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+      rounds = 4))
+    // COMPLETE entry graph + entryBeam covering every entry: one
+    // entry-walk round scores every entry from any single root, so
+    // the hier seeds ARE the global top-nProbe — results must equal
+    // the flat all-entries serve VERBATIM
+    Similarity.buildKnnEntryGraph(spark, idx, kEntry = nEntries - 1)
+    val hierComplete = serve(Similarity.beamSearchKnnStoredHier(idx,
+      emb.filter(isQ), col("embedding"), col("vec_id"), k = 5, nProbe = 4,
+      beamWidth = 16, rounds = 4, nRoots = 1, entryBeam = nEntries,
+      entryRounds = 1))
+    assert(hierComplete == flat,
+      "complete-entry-graph hier serve must equal the flat entry seed verbatim")
+    // SPARSE entry graph (k=4, 2 roots, width 8, 2 rounds — the
+    // registry config): the walk-seeded serve must still clear the
+    // recall floor the flat serve clears
+    Similarity.buildKnnEntryGraph(spark, idx, kEntry = math.min(4, nEntries - 1))
+    val hier = serve(Similarity.beamSearchKnnStoredHier(idx, emb.filter(isQ),
+      col("embedding"), col("vec_id"), k = 5, nProbe = 4, beamWidth = 16,
+      rounds = 4, nRoots = 2, entryBeam = 8, entryRounds = 2))
+    val truth = Similarity.topKBruteForce(emb, col("embedding"), col("vec_id"),
+        isQ, k = 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hierPairs = hier.map(t => (t._1, t._2))
+    val recall = (truth intersect hierPairs).size.toDouble / truth.size
+    info(f"sparse entry-graph serve recall@5 = $recall%.3f")
+    assert(recall >= 0.5, f"hier serve recall collapsed: $recall%.3f")
+    spark.catalog.clearCache()
+    Tables.deleteRecursive(idx)
+  }
 }
