@@ -680,6 +680,64 @@ object Dedup {
       Iterate.ckpt(df)
 
     var (e, eRdd, eCount) = ckpt(canon(edges.select(col("a"), col("b"))))
+    // LOCAL CONTRACTION TIER (optimization r12, guide §1.2 — pick the
+    // right distributed algorithm, which below a size floor is "don't
+    // distribute the iteration"): the star-contraction rounds cost
+    // ~6 exchanges + 2 jobs per round however small the edge set, and
+    // every caller here feeds VERIFIED near-dup/core edges — orders of
+    // magnitude smaller than the corpus. When the canonical edge set
+    // fits the driver budget (`spark.graft.cc.localEdges`, default 2 M
+    // edges ≈ 32 MB — the broadcast class; 0 disables), run union-find
+    // with union-by-minimum directly: the labels are IDENTICAL (any
+    // correct CC yields component-minimum reps — DedupSpec pins
+    // local ≡ distributed on randomized graphs), rounds report 0, and
+    // the log n distributed rounds remain the over-budget path (their
+    // convergence pin forces the conf to 0). incrementalConnected-
+    // Components inherits the tier through its contracted-graph CC.
+    val localBudget = spark.conf.getOption("spark.graft.cc.localEdges")
+      .map(_.toLong).getOrElse(2000000L)
+    if (eCount <= localBudget &&
+        e.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)) {
+      import spark.implicits._
+      val es = e.as[(Long, Long)].collect()
+      eRdd.unpersist(blocking = false): Unit
+      val parent = new java.util.HashMap[Long, Long](es.length * 4)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path-halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a)
+        val rb = find(b)
+        // union-by-minimum: a root only ever changes to a smaller id,
+        // so the final root IS the component minimum
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val nodes = new java.util.HashSet[Long](es.length * 4)
+      es.foreach { case (a, b) => nodes.add(a); nodes.add(b): Unit }
+      val labelRows = {
+        val it = nodes.iterator()
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size())
+        while (it.hasNext) { val n = it.next(); buf += ((n, find(n))) }
+        buf.toSeq
+      }
+      val parts = math.max(1, labelRows.length / 500000)
+      val starLabels = spark.sparkContext.parallelize(labelRows, parts)
+        .toDF("node", "rep")
+      val selfOnly = edges.filter(col("a") === col("b"))
+        .select(col("a").as("node"), col("a").as("rep")).distinct()
+        .join(starLabels.select("node"), Seq("node"), "left_anti")
+      return (starLabels.union(selfOnly), 0)
+    }
     var rounds = 0
     var converged = false
     // NOTE on round shuffle width: a measured experiment (round 13)

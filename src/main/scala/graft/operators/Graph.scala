@@ -26,6 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Driver edge budget for the LOCAL iteration tier (optimization
+    * r12): at or below it, a fixed-point operator's rounds run over
+    * the collected edge list instead of per-round join/aggregate
+    * exchanges — legitimate because every round here is integral and
+    * order-free by the determinism contract, so the scalar replay is
+    * bit-identical to the distributed rounds (GraphSpec pins each).
+    * `spark.graft.graph.localEdges` overrides (0 disables); default
+    * 4 M edges ≈ tens of MB on the driver — the broadcast class. A
+    * 100 TB edge list exceeds it by orders of magnitude and keeps the
+    * Pregel-style distributed rounds. */
+  private def localEdgeBudget(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.localEdges")
+      .map(_.toLong).getOrElse(4000000L)
+
+  private def allLong(df: DataFrame, cols: String*): Boolean =
+    cols.forall(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+
   /** `iters` rounds of damped PageRank over directed `edges(src, dst)`.
     * rank₀ = scale; rankᵢ₊₁(v) = (scale−damping) + damping·Σ_{u→v}
     * (rankᵢ(u) div outdeg(u)) div scale. Nodes = all edge endpoints
@@ -70,7 +88,53 @@ object Graph {
     val e = if (edgesDistinct) e0 else e0.distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) materialized once, reused by every round
-    val (edC, edRdd) = ckpt(e.join(deg, "src"))
+    val (edC, edRdd, nEdges) = Iterate.ckpt(e.join(deg, "src"))
+    // LOCAL ITERATION TIER (optimization r12, guide §1.2): below the
+    // driver edge budget, run the power iteration over the collected
+    // edge list — every operation here is integral and order-free by
+    // the determinism contract, so the scalar replay is bit-identical
+    // (GraphSpec pins local ≡ distributed), and the per-round
+    // join + aggregate + join exchanges vanish. Past the budget the
+    // Pregel-style rounds below are unchanged — the 100 TB shape.
+    if (nEdges <= localEdgeBudget(spark) && allLong(edC, "src", "dst")) {
+      import spark.implicits._
+      val rows = edC.select(col("src"), col("dst"), col("outdeg"))
+        .as[(Long, Long, Long)].collect()
+      edRdd.unpersist(blocking = false): Unit
+      val seedSet: Set[Long] = sources match {
+        case None => null
+        case Some(s) => s.select(col("node")).as[Long].collect().toSet
+      }
+      val isrc = new java.util.HashMap[Long, Long](rows.length * 2)
+      rows.foreach { case (u, _, _) =>
+        if (!isrc.containsKey(u))
+          isrc.put(u, if (seedSet == null || seedSet(u)) 1L else 0L): Unit
+      }
+      val ranks = new java.util.HashMap[Long, Long](isrc.size() * 2)
+      isrc.forEach((n, f) => ranks.put(n, f * scale): Unit)
+      for (_ <- 1 to iters) {
+        val sums = new java.util.HashMap[Long, Long](isrc.size() * 2)
+        rows.foreach { case (u, v, od) =>
+          val r = ranks.get(u) // every src is a node — always present
+          if (r > 0L) { // matches the rank>0 pre-filter (a no-op on sums)
+            val c = r / od
+            sums.merge(v, c, (a, b) => a + b): Unit
+          }
+        }
+        isrc.forEach { (n, f) =>
+          val s = sums.getOrDefault(n, 0L) // contribs to non-nodes drop (left join)
+          ranks.put(n,
+            base * f + damping * (s / scale) + (damping * (s % scale)) / scale): Unit
+        }
+      }
+      val out = {
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ranks.size())
+        ranks.forEach((n, r) => buf += ((n, r)))
+        buf.toSeq
+      }
+      return spark.sparkContext.parallelize(out,
+          math.max(1, out.length / 500000)).toDF("node", "rank")
+    }
     // nodes materialized once too — left lazy it would re-run a full
     // edge-list distinct inside EVERY round's plan (6× the edge scan)
     // (personalized: the 0/1 seed flag rides along in the same
@@ -225,7 +289,37 @@ object Graph {
     * with superseded blocks freed (Iterate.ckpt). */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       broadcastFrontier: Boolean = false): DataFrame = {
-    val (eC, eRdd, _) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    val (eC, eRdd, nE) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    val spark0 = edges.sparkSession
+    // local tier (see [[localEdgeBudget]]): hop distances are integers
+    // under an order-free min — the scalar BFS is bit-identical
+    if (nE <= localEdgeBudget(spark0) && allLong(eC, "src", "dst")) {
+      import spark0.implicits._
+      val adj = eC.select(col("src"), col("dst")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (s, a) => s -> a.map(_._2) }
+      eRdd.unpersist(blocking = false): Unit
+      val d = new java.util.HashMap[Long, Int]()
+      var frontier = seeds.select(col("node")).distinct().as[Long].collect()
+      frontier.foreach(n => d.put(n, 0): Unit)
+      var hop = 0
+      while (hop < maxHops && frontier.nonEmpty) {
+        hop += 1
+        val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+        frontier.foreach { u =>
+          adj.getOrElse(u, Array.empty[Long]).foreach { v =>
+            if (!d.containsKey(v)) { d.put(v, hop); next += v }
+          }
+        }
+        frontier = next.toArray
+      }
+      val out = {
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Int)](d.size())
+        d.forEach((n, dd) => buf += ((n, dd)))
+        buf.toSeq
+      }
+      return spark0.sparkContext.parallelize(out,
+        math.max(1, out.length / 500000)).toDF("node", "dist")
+    }
     var (dist, distRdd, _) =
       Iterate.ckpt(seeds.select(col("node")).distinct().withColumn("dist", lit(0)))
     for (i <- 1 to maxHops) {
@@ -256,7 +350,38 @@ object Graph {
     * expansion, order-free min merge, checkpoint per round). */
   def multiSourceHops(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
-    val (eC, eRdd, _) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    val (eC, eRdd, nE) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    val spark0 = edges.sparkSession
+    // local tier (see [[localEdgeBudget]]): per-seed BFS, bit-identical
+    // to the keyed min-merge rounds for the same reason [[bfs]]'s is
+    if (nE <= localEdgeBudget(spark0) && allLong(eC, "src", "dst")) {
+      import spark0.implicits._
+      val adj = eC.select(col("src"), col("dst")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (s, a) => s -> a.map(_._2) }
+      eRdd.unpersist(blocking = false): Unit
+      val seedArr = seeds.select(col("node")).distinct().as[Long].collect()
+      val out = seedArr.iterator.flatMap { s =>
+        val d = new java.util.HashMap[Long, Int]()
+        d.put(s, 0)
+        var frontier = Array(s)
+        var hop = 0
+        while (hop < maxHops && frontier.nonEmpty) {
+          hop += 1
+          val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+          frontier.foreach { u =>
+            adj.getOrElse(u, Array.empty[Long]).foreach { v =>
+              if (!d.containsKey(v)) { d.put(v, hop); next += v }
+            }
+          }
+          frontier = next.toArray
+        }
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long, Int)](d.size())
+        d.forEach((n, dd) => buf += ((s, n, dd)))
+        buf
+      }.toSeq
+      return spark0.sparkContext.parallelize(out,
+        math.max(1, out.length / 500000)).toDF("seed", "node", "dist")
+    }
     var (dist, distRdd, _) = Iterate.ckpt(seeds.select(col("node")).distinct()
       .select(col("node").as("seed"), col("node"), lit(0).as("dist")))
     for (i <- 1 to maxHops) {
@@ -310,7 +435,51 @@ object Graph {
     * frontier, both checkpointed with superseded blocks freed. Early
     * exit when a round improves nothing. */
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    val (eC, eRdd, _) = Iterate.ckpt(edges.select(col("src"), col("dst"), col("w")))
+    val (eC, eRdd, nE) = Iterate.ckpt(edges.select(col("src"), col("dst"), col("w")))
+    val spark0 = edges.sparkSession
+    // local tier (see [[localEdgeBudget]]): exact BIGINT distances
+    // under an order-free min — the scalar frontier relaxation is
+    // bit-identical to the keyed min-merge rounds, including the
+    // improved-flag semantics (a tie keeps the settled distance)
+    if (nE <= localEdgeBudget(spark0) && allLong(eC, "src", "dst", "w")) {
+      import spark0.implicits._
+      val adj = eC.select(col("src"), col("dst"), col("w"))
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (s, a) => s -> a.map(e => (e._2, e._3)) }
+      eRdd.unpersist(blocking = false): Unit
+      val d = new java.util.HashMap[Long, Long]()
+      var frontier: Array[Long] = seeds.select(col("node")).distinct().as[Long].collect()
+      frontier.foreach(n => d.put(n, 0L): Unit)
+      var i = 0
+      while (i < rounds && frontier.nonEmpty) {
+        // snapshot ROUND-START distances for the frontier: the
+        // distributed round relaxes from `cur`, so an in-round
+        // improvement must not feed later relaxations of the same
+        // round (it propagates next round)
+        val startDist = frontier.map(u => (u, d.get(u)))
+        val improved = scala.collection.mutable.LinkedHashSet.empty[Long]
+        startDist.foreach { case (u, du) =>
+          adj.getOrElse(u, Array.empty[(Long, Long)]).foreach { case (v, w) =>
+            val nd = du + w
+            val old = d.get(v)
+            // strict improvement only — a tie keeps the settled row
+            // (min(struct(dist, tag)) prefers tag 0 on equal dist);
+            // two same-round candidates for v fold to their min, same
+            // as the keyed aggregate
+            if (!d.containsKey(v) || nd < old) { d.put(v, nd); improved += v: Unit }
+          }
+        }
+        frontier = improved.toArray
+        i += 1
+      }
+      val out = {
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](d.size())
+        d.forEach((n, dd) => buf += ((n, dd)))
+        buf.toSeq
+      }
+      return spark0.sparkContext.parallelize(out,
+        math.max(1, out.length / 500000)).toDF("node", "dist")
+    }
     // the distance vector carries an `improved` flag from the round
     // that produced it — the next round's frontier at zero extra cost:
     // candidates tag 1, carried distances tag 0, and min(struct(dist,
@@ -372,7 +541,48 @@ object Graph {
     * superseded checkpoints freed (same dataflow as [[pageRank]]). */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     val B = 4294967296L // 2^32: pack (cnt, label) monotonically
-    val (eC, eRdd, _) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    val (eC, eRdd, nE) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    val spark0 = edges.sparkSession
+    // local tier (see [[localEdgeBudget]]): the synchronous update with
+    // the (count DESC, label ASC) tie order is a pure function of the
+    // graph — the scalar replay uses the SAME monotonic packing, so
+    // labels are bit-identical to the keyed aggregate rounds
+    if (nE <= localEdgeBudget(spark0) && allLong(eC, "src", "dst")) {
+      import spark0.implicits._
+      val rows = eC.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      eRdd.unpersist(blocking = false): Unit
+      var labels = new java.util.HashMap[Long, Long]()
+      rows.foreach { case (s, _) => labels.putIfAbsent(s, s): Unit }
+      for (_ <- 1 to iters) {
+        // per (dst, srcLabel) counts, then per-dst max of the packed
+        // (cnt · B + (B−1−label)) — exactly the distributed aggregate;
+        // note the re-keying: after one round the label table is keyed
+        // by nodes that appear as a DST (join → groupBy(dst)), so
+        // src-only nodes drop out, mirrored here by building the next
+        // table from dst keys only
+        val cnt = new java.util.HashMap[(Long, Long), Long]()
+        rows.foreach { case (s, dd) =>
+          if (labels.containsKey(s)) {
+            cnt.merge((dd, labels.get(s)), 1L, (a, b) => a + b): Unit
+          }
+        }
+        val packed = new java.util.HashMap[Long, Long]()
+        cnt.forEach { (k, c) =>
+          val p = c * B + (B - 1L - k._2)
+          packed.merge(k._1, p, (a, b) => math.max(a, b)): Unit
+        }
+        val next = new java.util.HashMap[Long, Long](packed.size() * 2)
+        packed.forEach((n, p) => next.put(n, B - 1L - (p % B)): Unit)
+        labels = next
+      }
+      val out = {
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](labels.size())
+        labels.forEach((n, l) => buf += ((n, l)))
+        buf.toSeq
+      }
+      return spark0.sparkContext.parallelize(out,
+        math.max(1, out.length / 500000)).toDF("node", "label")
+    }
     var (labels, labelsRdd, _) = Iterate.ckpt(
       eC.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label")))
@@ -408,7 +618,31 @@ object Graph {
     * checkpointed and the superseded round freed. No round ever
     * shuffles more than the current subgraph. */
   def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
-    var (e, eRdd, _) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    var (e, eRdd, nE0) = Iterate.ckpt(edges.select(col("src"), col("dst")))
+    val spark0 = edges.sparkSession
+    // local tier (see [[localEdgeBudget]]): peeling is a pure set
+    // fixpoint (degree counts and semi-joins), bit-identical locally
+    if (nE0 <= localEdgeBudget(spark0) && allLong(e, "src", "dst")) {
+      import spark0.implicits._
+      var rows = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      eRdd.unpersist(blocking = false): Unit
+      for (_ <- 1 to iters) {
+        val deg = new java.util.HashMap[Long, Long]()
+        rows.foreach { case (s, _) => deg.merge(s, 1L, (a, b) => a + b): Unit }
+        rows = rows.filter { case (s, d) =>
+          deg.getOrDefault(s, 0L) >= k && deg.getOrDefault(d, 0L) >= k
+        }
+      }
+      val core = new java.util.HashMap[Long, Long]()
+      rows.foreach { case (s, _) => core.merge(s, 1L, (a, b) => a + b): Unit }
+      val out = {
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](core.size())
+        core.forEach((n, d) => buf += ((n, d)))
+        buf.toSeq
+      }
+      return spark0.sparkContext.parallelize(out,
+        math.max(1, out.length / 500000)).toDF("node", "core_deg")
+    }
     for (_ <- 1 to iters) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))

@@ -615,10 +615,18 @@ object Similarity extends Serializable {
       .join(if (broadcastSide == "idf") broadcast(idf) else idf, Seq("t"))
       .select(col("doc_id"), col("t"), col("idf"),
         round(col("tf") * col("idf"), 6).as("w"))
-    val norms = w.groupBy("doc_id")
-      .agg(sqrt(sum(expr("CAST(round(w * w, 6) AS DECIMAL(28,12))")).cast("double"))
-        .as("nrm"))
-    w.join(norms, Seq("doc_id"))
+    // norm + normalize in ONE pass over w via a whole-partition window
+    // (optimization r12, guide §2.4): the groupBy(doc_id) + join form
+    // evaluated the tok ⋈ idf join TWICE (once under the aggregate,
+    // once as the join probe) and paid two exchanges — measured 2.4 s
+    // → 1.6 s on the sf0.1 corpus build. Value-identical: the window
+    // sums the same DECIMAL(28,12) terms per doc (decimal addition is
+    // exact, so order cannot change the sum), and each row's u is the
+    // same round(w / nrm, 6).
+    val whole = Window.partitionBy(col("doc_id"))
+    w.withColumn("nrm",
+        sqrt(sum(expr("CAST(round(w * w, 6) AS DECIMAL(28,12))")).over(whole)
+          .cast("double")))
       .select(col("doc_id"), col("t"), col("idf"),
         round(col("w") / col("nrm"), 6).as("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1760,6 +1768,67 @@ object Similarity extends Serializable {
   def pruneKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, degreeCap: Int): Long = {
     require(degreeCap >= 1, s"degreeCap must be >= 1: $degreeCap")
+    // MEMORY-RESIDENT prune tier (optimization r12): under the same
+    // broadcast-class budget the walk tier uses, the degree scan, the
+    // hot-bucket re-score and the top-cap keep run driver-locally over
+    // one collect of the stores — the distributed form below paid a
+    // degree aggregate + two vector joins + a window (≈6 exchanges) on
+    // an index that fits in memory by contract. The kept edges are
+    // IDENTICAL: same (cos DESC, dst) order on the same doubles
+    // ([[dotD]] ≡ the Column dot), same per-(sb, src) over-cap count
+    // returned (LocalWalkSpec pins tier equality); only hot buckets
+    // are rewritten either way. Past the budget the distributed form
+    // is unchanged.
+    if (localWalkEligible(spark, path)) {
+      import spark.implicits._
+      val adjRows = spark.read.parquet(s"$path/adj")
+        .select(col("src"), col("dst"), col("sb").cast("long"))
+        .as[(Long, Long, Long)].collect()
+      val degs = new java.util.HashMap[Long, Int](adjRows.length * 2)
+      adjRows.foreach { case (s, _, _) =>
+        degs.merge(s, 1, (a, b) => a + b): Unit }
+      val overSrcs = {
+        val it = degs.entrySet().iterator()
+        val b = scala.collection.mutable.HashSet.empty[Long]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > degreeCap) b += e.getKey
+        }
+        b
+      }
+      if (overSrcs.isEmpty) return 0L
+      val hot = adjRows.iterator.filter(r => overSrcs(r._1)).map(_._3).toSet
+      val aff = adjRows.filter(r => hot(r._3)).distinct
+      val vm: Map[Long, (Array[Double], Double)] =
+        spark.read.parquet(s"$path/vectors")
+          .select(col("vid"), col("v"), col("nrm"))
+          .as[(Long, Array[Double], Double)].collect()
+          .map(e => e._1 -> ((e._2, e._3))).toMap
+      // inner-join semantics on both vector lookups, exactly the
+      // distributed form: an endpoint missing from vectors/ drops the
+      // edge from the re-score (and so from the kept set)
+      val kept = aff.groupBy(_._1).iterator.flatMap { case (s, es) =>
+        vm.get(s).iterator.flatMap { case (sv, sn) =>
+          es.iterator.flatMap { case (_, d, sb) =>
+            vm.get(d).map { case (dv, dn) =>
+              (dotD(sv, dv) / (sn * dn), s, d, sb)
+            }
+          }.toVector.sortBy { case (cos, _, d, _) => (-cos, d) }
+            .take(degreeCap)
+            .map { case (_, s2, d, sb) => (s2, d, sb) }
+        }
+      }.toSeq
+      val tmp = s"$path/adj.__prune"
+      graft.sources.Tables.deleteRecursive(tmp)
+      spark.sparkContext.parallelize(kept,
+          math.max(1, math.min(hot.size, kept.length)))
+        .toDF("src", "dst", "sb")
+        .repartition(col("sb"))
+        .write.mode("overwrite").partitionBy("sb").parquet(tmp)
+      Layout.swapPartitionLeaves(s"$path/adj", tmp, 1)
+      graft.sources.Tables.deleteRecursive(tmp)
+      return overSrcs.size.toLong
+    }
     val adj = spark.read.parquet(s"$path/adj")
     val over = adj.groupBy(col("sb"), col("src"))
       .agg(count(lit(1)).as("deg")).filter(col("deg") > degreeCap)
@@ -2126,6 +2195,155 @@ object Similarity extends Serializable {
       keep = None, widenCap = 1, seedOverride = Some(seeds))
   }
 
+  /** Recursive on-disk size of a stored relation — the eligibility
+    * input for the memory-resident walk tier (local java.io paths, the
+    * layout contract every store-verb here already assumes). */
+  private def dirBytes(f: java.io.File): Long =
+    if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else {
+      val c = f.listFiles()
+      if (c == null) 0L else c.foldLeft(0L)((a, x) => a + dirBytes(x))
+    }
+
+  /** Budget for serving a stored graph MEMORY-RESIDENT (adj + vectors
+    * on-disk bytes): at or below it the beam walk runs task-locally
+    * over a broadcast of the index — the HNSW posture, and the same
+    * budget class as the entry tier's existing broadcast contract.
+    * `spark.graft.ann.localWalkIndexBytes` overrides (0 disables);
+    * default 64 MB — parquet double arrays are near-incompressible, so
+    * the broadcast is ~1-2× this, comfortably inside executor memory
+    * at any deployment size, while a 100 TB corpus index exceeds it by
+    * six orders of magnitude and keeps the distributed walk. */
+  private[graft] def localWalkEligible(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val budget = spark.conf.getOption("spark.graft.ann.localWalkIndexBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    budget > 0L &&
+      dirBytes(new java.io.File(s"$path/adj")) +
+        dirBytes(new java.io.File(s"$path/vectors")) <= budget
+  }
+
+  /** The plain/insertion beam walk executed TASK-LOCALLY over a
+    * broadcast of the stored graph — value-identical to the
+    * distributed rounds of [[beamWalkKnnStored]] by construction:
+    *
+    *  - seed: top-nProbe entry scores per query by (micros DESC, vid),
+    *    vid ≠ qid — all-entries or region-restricted exactly as the
+    *    distributed seeds ([[dotD]]/[[microsOf]] are the bit-exact
+    *    Column twins, the regionSeedDf precedent);
+    *  - per round: candidates = distinct adjacency expansions of the
+    *    beam minus the beam and the query itself; scored candidates
+    *    join the beam; beam = top-beamWidth by (micros DESC, vid) —
+    *    the wBeam rank. A round with no candidates converges; a round
+    *    whose candidates all miss `vectors/` leaves the beam unchanged
+    *    (the distributed inner join drops them), which can never
+    *    change again, so converging there early is output-identical;
+    *  - result: top-k of the final beam, (query_id, neighbor_id, rnk,
+    *    score_micros).
+    *
+    * The index is snapshotted by the driver-side collect BEFORE the
+    * caller mutates any store (the appendToKnnGraphIndex read-then-
+    * append ordering), queries stream through one mapPartitions (never
+    * collected — bulk insertion batches stay distributed), and the
+    * walk runs zero jobs per round instead of two. */
+  private def localBeamWalkKnnStored(path: String, queries: DataFrame,
+      vec: Column, id: Column, k: Int, nProbe: Int, beamWidth: Int,
+      rounds: Int, regionSeed: Boolean): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val adjMap: Map[Long, Array[Long]] = spark.read.parquet(s"$path/adj")
+      .select(col("src"), col("dst")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (s, a) => s -> a.map(_._2) }
+    val vecMap: Map[Long, (Array[Double], Double)] =
+      spark.read.parquet(s"$path/vectors")
+        .select(col("vid"), col("v"), col("nrm"))
+        .as[(Long, Array[Double], Double)].collect()
+        .map(e => e._1 -> ((e._2, e._3))).toMap
+    val entries: Array[(Long, Array[Double], Double)] =
+      spark.read.parquet(s"$path/entry")
+        .select(col("vid"), col("v"), col("nrm"))
+        .as[(Long, Array[Double], Double)].collect()
+    val cents: Array[(Long, Array[Double], Double)] =
+      if (!regionSeed) Array.empty
+      else spark.read.parquet(s"$path/centroids")
+        .select(col("cid"), col("cv"), col("cn"))
+        .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    require(!regionSeed || cents.nonEmpty,
+      s"region seeding needs a non-empty quantizer: $path/centroids")
+    val bc = spark.sparkContext.broadcast((adjMap, vecMap, entries, cents))
+    val q = withNorm(queries, vec, id)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    q.as[(Long, Array[Double], Double)].mapPartitions { it =>
+      val (am, vm, ent, cs) = bc.value
+      def nearestCid(v: Array[Double], nrm: Double): Long = {
+        var bestCid = cs(0)._1
+        var bestCos = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)
+          val cos = dotD(v, c._2) / (nrm * c._3)
+          if (cos > bestCos) { bestCos = cos; bestCid = c._1 } // ties keep the smaller cid (ascending scan)
+          i += 1
+        }
+        bestCid
+      }
+      // region-seeded mode: entries grouped by region once per task —
+      // assignNearest's rule, identical to regionSeedDf's entByCid
+      lazy val entByCid: Map[Long, Array[(Long, Array[Double], Double)]] =
+        ent.map(e => (nearestCid(e._2, e._3), e)).groupBy(_._1)
+          .map { case (cid, a) => cid -> a.map(_._2) }
+      it.flatMap { case (qid, qv, qn) =>
+        val seedPool =
+          if (regionSeed) entByCid.getOrElse(nearestCid(qv, qn),
+            Array.empty[(Long, Array[Double], Double)])
+          else ent
+        // top-nProbe seed by (sm DESC, vid) — the allEntriesSeed rank
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nProbe + 1)
+        seedPool.foreach { case (vid, v, nrm) =>
+          if (vid != qid) {
+            val sm = microsOf(dotD(qv, v) / (qn * nrm))
+            var i = 0
+            while (i < buf.length &&
+              (buf(i)._1 > sm || (buf(i)._1 == sm && buf(i)._2 < vid))) i += 1
+            if (i < nProbe) {
+              buf.insert(i, (sm, vid))
+              if (buf.length > nProbe) buf.remove(nProbe): Unit
+            }
+          }
+        }
+        var frontier = buf.toVector // sorted (sm DESC, vid) by construction
+        var r = 0
+        var done = frontier.isEmpty
+        while (r < rounds && !done) {
+          r += 1
+          val inF = frontier.iterator.map(_._2).toSet
+          val cand = frontier.iterator
+            .flatMap(e => am.getOrElse(e._2, Array.empty[Long]))
+            .filter(d => d != qid && !inF.contains(d))
+            .toArray.distinct
+          if (cand.isEmpty) done = true
+          else {
+            val scored = cand.iterator.flatMap { vid =>
+              vm.get(vid).map { case (v, nrm) =>
+                (microsOf(dotD(qv, v) / (qn * nrm)), vid)
+              }
+            }.toVector
+            // candidates all absent from vectors/: beam unchanged —
+            // every later round recomputes the same empty expansion,
+            // so exiting now is output-identical
+            if (scored.isEmpty) done = true
+            else frontier = (frontier ++ scored)
+              .sortBy { case (sm, vid) => (-sm, vid) }.take(beamWidth)
+          }
+        }
+        frontier.iterator.take(k).zipWithIndex.map {
+          case ((sm, vid), i) => (qid, vid, i + 1, sm)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "rnk", "score_micros")
+  }
+
   /** The shared walk core of [[beamSearchKnnStored]] and
     * [[beamSearchKnnStoredFiltered]] — exactly ONE implementation of
     * seeding, per-round expansion, scoring, convergence exit and beam
@@ -2180,6 +2398,24 @@ object Similarity extends Serializable {
     require(seedOverride.isEmpty || (keep.isEmpty && widenCap == 1 && !regionSeed),
       "an external seed ((qid, vid, sm) micros rows) composes only with the plain walk")
     val spark = queries.sparkSession
+    // MEMORY-RESIDENT serve tier (optimization r12, guide §1.2 "the
+    // distributed algorithm" + §2.4 "remove shuffles outright"): when
+    // the WHOLE stored graph fits the same broadcast-class budget the
+    // entry tier already lives under, walk it task-locally — the HNSW
+    // serving posture (graph resident per node, queries streamed), and
+    // exactly the mechanism [[beamSearchKnnStoredHier]]'s entry walk
+    // already runs one level up. Rounds, scoring, eviction and
+    // tie-breaks are the bit-exact scalar twins of the Column path
+    // ([[dotD]]/[[microsOf]] — the regionSeedDf/hier precedent), so
+    // results are VALUE-IDENTICAL (LocalWalkSpec pins it; the shared
+    // oracle hash-checks it per query). Past the budget — the 100 TB
+    // regime — the bucket-pruned distributed walk below is unchanged.
+    // The filtered/widened serving modes keep the distributed walk
+    // (their `keep` predicate is an arbitrary Column).
+    if (keep.isEmpty && widenCap == 1 && seedOverride.isEmpty &&
+        localWalkEligible(spark, path))
+      return localBeamWalkKnnStored(path, queries, vec, id, k, nProbe,
+        beamWidth, rounds, regionSeed)
     val m = spark.read.parquet(s"$path/meta").head()
     val srcBuckets = m.getAs[Int]("src_buckets")
     val docBuckets = m.getAs[Int]("doc_buckets")

@@ -34,4 +34,22 @@ object Bridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** DataFrame over a checkpointed RDD that PRESERVES the origin plan's
+    * output partitioning and ordering — `LogicalRDD.fromDataset`, the
+    * exact helper `Dataset.checkpoint` uses internally. [[internalDf]]
+    * drops both (its LogicalRDD defaults to UnknownPartitioning), so
+    * every downstream join/aggregate/window keyed like the checkpointed
+    * frame re-shuffled rows that were already placed — one avoidable
+    * Exchange per iteration round in the fixed-point operators
+    * (PageRank, connected components, beam walks). The origin Dataset
+    * must already be EXECUTED (queryExecution.toRdd forces AQE's final
+    * plan, so the captured partitioning is the one the rows actually
+    * have). */
+  def checkpointedDf(origin: DataFrame,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
+    val ds = origin.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ofRows(origin.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
+  }
 }

@@ -148,11 +148,37 @@ class DedupSpec extends SparkSpec {
     // logarithmic
     val n = 64
     val path = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
-    val (labels, rounds) = Dedup.connectedComponentsWithRounds(path)
+    // force the DISTRIBUTED star rounds: the local union-find tier
+    // would answer in 0 rounds and void the logarithmic-convergence pin
+    spark.conf.set("spark.graft.cc.localEdges", "0")
+    val (labels, rounds) =
+      try Dedup.connectedComponentsWithRounds(path)
+      finally spark.conf.unset("spark.graft.cc.localEdges")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0 until n).map(_.toLong -> 0L).toMap)
     val bound = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 3
     assert(rounds <= bound, s"path-$n took $rounds rounds (bound $bound)")
+  }
+
+  test("local union-find tier ≡ distributed star rounds on randomized graphs") {
+    import spark.implicits._
+    // the optimization-r12 local tier must return the IDENTICAL label
+    // table the distributed contraction computes — same component-
+    // minimum reps, same node coverage, self-loop singletons included
+    val rnd = new scala.util.Random(0x10ca1cc)
+    for (trial <- 0 until 4) {
+      val n = 60
+      val edges = (Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        ++ Seq((n + 5L, n + 5L))).toDF("a", "b") // a self-loop singleton
+      def labelsOf(): Map[Long, Long] =
+        Dedup.connectedComponents(edges)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = labelsOf() // default budget: local tier
+      spark.conf.set("spark.graft.cc.localEdges", "0")
+      val dist = try labelsOf() finally spark.conf.unset("spark.graft.cc.localEdges")
+      assert(local == dist, s"trial $trial: local ≠ distributed")
+      assert(local.contains(n + 5L), s"trial $trial: singleton dropped")
+    }
   }
 
   test("incremental connected components equal full recompute on random deltas") {

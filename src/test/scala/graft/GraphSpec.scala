@@ -277,4 +277,41 @@ class GraphSpec extends SparkSpec {
     assert(run(1) == Map(
       1L -> (1000000L, 1L), 2L -> (2000000L, 2L), 8L -> (1000000L, 1L)))
   }
+
+  test("local iteration tier ≡ distributed rounds for every fixed-point operator") {
+    import spark.implicits._
+    // optimization-r12 contract: `spark.graft.graph.localEdges` moves
+    // WHERE the rounds execute, never what they return. Randomized
+    // directed graphs, every operator, full-row-set equality.
+    val rnd = new scala.util.Random(0x60a1)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    for (trial <- 0 until 3) {
+      val n = 40
+      val es = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val edges = es.toDF("src", "dst")
+      val wEdges = es.map { case (a, b) => (a, b, (a + b) % 7 + 1) }.toDF("src", "dst", "w")
+      val seeds = Seq(0L, 3L, 7L).toDF("node")
+      def all(): Seq[Set[Seq[Any]]] = Seq(
+        rows(Graph.pageRank(edges, 5)),
+        rows(Graph.personalizedPageRank(edges, seeds, 5)),
+        rows(Graph.bfs(edges, seeds, 4)),
+        rows(Graph.multiSourceHops(edges, seeds, 4)),
+        rows(Graph.sssp(wEdges, seeds, 4)),
+        rows(Graph.labelPropagation(edges, 4)),
+        rows(Graph.kCore(edges, 2, 4)))
+      val local = all()
+      spark.conf.set("spark.graft.graph.localEdges", "0")
+      val dist = try all() finally spark.conf.unset("spark.graft.graph.localEdges")
+      val names = Seq("pageRank", "ppr", "bfs", "multiSourceHops", "sssp",
+        "labelPropagation", "kCore")
+      names.indices.foreach { i =>
+        assert(local(i) == dist(i),
+          s"trial $trial: ${names(i)} local ≠ distributed " +
+            s"(${(local(i) diff dist(i)).take(2)} vs ${(dist(i) diff local(i)).take(2)})")
+        assert(local(i).nonEmpty, s"trial $trial: ${names(i)} empty")
+      }
+    }
+  }
 }
