@@ -580,6 +580,23 @@ object Dedup {
       (m.getAs[Int]("k"), m.getAs[Int]("num_hashes"), m.getAs[Int]("rows"))
     val bandBuckets = m.getAs[Int]("band_buckets")
     val docBuckets = m.getAs[Int]("doc_buckets")
+    // MEMORY-RESIDENT gate tier (optimization r12, guide §1.2): when
+    // the stored index fits the same broadcast-class budget the other
+    // local tiers use (`spark.graft.dedup.localGateBytes`, default
+    // 64 MB, 0 disables), the band probe and the Jaccard verify run
+    // driver-locally over the delta's collected shingles/signatures
+    // and the PRUNED store reads — the distributed gate's ~15 AQE
+    // stages (two persists, two bounded collects, five joins) become
+    // four jobs. Identical verdicts by construction: signatures come
+    // from the SAME Spark aggregate, band hashes are the same
+    // XXH64-fold the xxhash64 Column computes, and the Jaccard is the
+    // same |∩| / (na + nb − c) on the same distinct shingle sets with
+    // the same HALF_UP rounding (DedupSpec pins gate tier equality).
+    // Past the budget — the 100 TB regime — the partition-pruned
+    // distributed gate below is unchanged.
+    if (localGateEligible(spark, path))
+      return incrementalDedupStoredLocal(spark, path, delta, text, id,
+        threshold, k, numHashes, rows, bandBuckets, docBuckets)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shDelta = shingles(delta, text, id, k).persist(lvl)
     val deltaBands =
@@ -615,6 +632,119 @@ object Dedup {
           .localCheckpoint(true)
       } finally cands.unpersist(): Unit
     } finally { deltaBands.unpersist(); shDelta.unpersist(): Unit }
+  }
+
+  private def dirBytes(f: java.io.File): Long =
+    if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else {
+      val c = f.listFiles()
+      if (c == null) 0L else c.foldLeft(0L)((a, x) => a + dirBytes(x))
+    }
+
+  private def localGateEligible(spark: SparkSession, path: String): Boolean = {
+    val budget = spark.conf.getOption("spark.graft.dedup.localGateBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    budget > 0L &&
+      dirBytes(new java.io.File(s"$path/bands")) +
+        dirBytes(new java.io.File(s"$path/shingles")) <= budget
+  }
+
+  /** [[incrementalDedupStored]]'s memory-resident tier — see the gate
+    * comment at the dispatch site for the equivalence argument. */
+  private def incrementalDedupStoredLocal(spark: SparkSession, path: String,
+      delta: DataFrame, text: Column, id: Column, threshold: Double,
+      k: Int, numHashes: Int, rows: Int, bandBuckets: Int,
+      docBuckets: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def pmodL(x: Long, n: Long): Long = ((x % n) + n) % n
+    val bands = minhashBandsFor(numHashes, rows)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shDelta = shingles(delta, text, id, k).persist(lvl)
+    try {
+      val shD = shDelta.as[(Long, String)].collect()
+      // signatures via the SAME Spark aggregate over the cached
+      // shingles (one job); banding folded locally with the identical
+      // XXH64 chain the xxhash64(m0..m_{r-1}) Column computes
+      // (seed 42, each long folded into the running hash)
+      val sigRows = minhashSignatures(shDelta, numHashes).collect()
+      val deltaBands: Array[(Long, Long, Long)] = sigRows.flatMap { r =>
+        val docId = r.getLong(0)
+        (0 until bands).map { b =>
+          var h = 42L
+          var i = b * rows
+          while (i < (b + 1) * rows) { h = XXH64.hashLong(r.getLong(1 + i), h); i += 1 }
+          (docId, b.toLong, h)
+        }
+      }
+      // touched (band, hb) partitions — the same combined-key pruning
+      // predicate the distributed gate pushes into the scan
+      val touchedKeys = deltaBands
+        .map { case (_, b, h) => b * bandBuckets + pmodL(h, bandBuckets.toLong) }
+        .distinct.toSeq
+      val bandScan = spark.read.parquet(s"$path/bands")
+        .filter((col("band").cast("long") * bandBuckets + col("hb").cast("long"))
+          .isin(touchedKeys: _*))
+        .select(col("band").cast("long"), col("h"), col("doc_id"))
+        .as[(Long, Long, Long)].collect()
+      val byKey = new java.util.HashMap[(Long, Long),
+        scala.collection.mutable.ArrayBuffer[Long]]()
+      bandScan.foreach { case (b, h, d) =>
+        byKey.computeIfAbsent((b, h),
+          _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += d
+      }
+      val cands: Set[(Long, Long)] = deltaBands.iterator.flatMap {
+        case (da, b, h) =>
+          val hit = byKey.get((b, h))
+          if (hit == null) Iterator.empty else hit.iterator.map(db => (da, db))
+      }.toSet
+      if (cands.isEmpty)
+        return Seq.empty[(Long, Long, Double)]
+          .toDF("new_doc", "dup_of", "jaccard")
+      // candidate corpus docs' shingle buckets only — the pruned read
+      val dbs = cands.iterator.map { case (_, db) =>
+        pmodL(XXH64.hashLong(db, 42L), docBuckets.toLong)
+      }.toSeq.distinct
+      val shStored = spark.read.parquet(s"$path/shingles")
+        .filter(col("db").cast("long").isin(dbs: _*))
+        .select(col("doc_id"), col("s"))
+        .as[(Long, String)].collect()
+      val daSet = cands.map(_._1)
+      val dbSet = cands.map(_._2)
+      val aSets = new java.util.HashMap[Long, java.util.HashSet[String]]()
+      shD.foreach { case (d, s) =>
+        if (daSet(d))
+          aSets.computeIfAbsent(d, _ => new java.util.HashSet[String]()).add(s): Unit
+      }
+      val bSets = new java.util.HashMap[Long, java.util.HashSet[String]]()
+      shStored.foreach { case (d, s) =>
+        if (dbSet(d))
+          bSets.computeIfAbsent(d, _ => new java.util.HashSet[String]()).add(s): Unit
+      }
+      val out = cands.toSeq.flatMap { case (da, db) =>
+        val a = aSets.get(da)
+        val b = bSets.get(db)
+        // inner semantics: a candidate endpoint with no shingle rows
+        // drops out, exactly the distributed semi-join chain
+        if (a == null || b == null) None
+        else {
+          val (small, large) = if (a.size <= b.size) (a, b) else (b, a)
+          var c = 0
+          val it = small.iterator()
+          while (it.hasNext) if (large.contains(it.next())) c += 1
+          val j = c.toDouble / (a.size + b.size - c)
+          if (j >= threshold)
+            Some((da, db,
+              BigDecimal.decimal(j)
+                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toDouble))
+          else None
+        }
+      }
+      spark.sparkContext.parallelize(out, math.max(1, out.length / 500000))
+        .toDF("new_doc", "dup_of", "jaccard")
+    } finally shDelta.unpersist(): Unit
   }
 
   /** Connected components over an undirected edge list → (node, rep)

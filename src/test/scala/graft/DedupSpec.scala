@@ -160,6 +160,27 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= bound, s"path-$n took $rounds rounds (bound $bound)")
   }
 
+  test("stored-gate local tier ≡ distributed partition-pruned gate") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val base = docs.filter(col("doc_id") % 5 =!= 1)
+    val delta = docs.filter(col("doc_id") % 5 === 1)
+    val idx = graft.sources.Tables.scratchDir("spec_gate_tier")
+    Dedup.writeIncrementalIndex(base, col("text"), col("doc_id"), idx)
+    def verdicts(): Set[(Long, Long, Double)] =
+      Dedup.incrementalDedupStored(idx, delta, col("text"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val local = verdicts()
+    spark.conf.set("spark.graft.dedup.localGateBytes", "0")
+    val dist = try verdicts()
+      finally spark.conf.unset("spark.graft.dedup.localGateBytes")
+    assert(local == dist, s"gate tiers diverged: " +
+      s"${(local diff dist).take(3)} vs ${(dist diff local).take(3)}")
+    assert(local.nonEmpty, "gate equivalence over an empty verdict set proves nothing")
+    spark.catalog.clearCache()
+    graft.sources.Tables.deleteRecursive(idx)
+  }
+
   test("local union-find tier ≡ distributed star rounds on randomized graphs") {
     import spark.implicits._
     // the optimization-r12 local tier must return the IDENTICAL label
