@@ -43,7 +43,7 @@ object Profile {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-profile")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,6 +53,14 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "16")
       .config("spark.sql.streaming.minBatchesToRetain", "2")
+    // SPARK_GRAFT_CONF="k=v;k=v" — extra confs for A/B probes (the
+    // PlanDump contract); context-level keys (spark.buffer.*) included
+    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";").filter(_.nonEmpty))
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(10).count()
@@ -74,6 +82,10 @@ object Profile {
         catch { case e: Throwable =>
           System.err.println(s"[profile] ${q.name} failed: ${e.getMessage}") }
         val sec = (System.nanoTime() - t0) / 1e9
+        // per-run trail on stderr: run-over-run drift (e.g. a second
+        // run slowing under the first run's retained blocks) is itself
+        // a diagnostic signal the best-of line hides
+        System.err.println(f"""[profile-run] {"q":"${q.name}","sec":$sec%.3f,"jobs":${c.jobs},"shuf_read_mb":${c.shufRead / 1e6}%.1f,"task_run_ms":${c.runMs},"task_gc_ms":${c.gcMs}}""")
         if (sec < best) {
           best = sec
           line = f"""[profile] {"q":"${q.name}","sec":$sec%.3f,"jobs":${c.jobs},"stages":${c.stages},"tasks":${c.tasks},"shuf_write_mb":${c.shufWrite / 1e6}%.1f,"shuf_read_mb":${c.shufRead / 1e6}%.1f,"task_run_ms":${c.runMs},"task_gc_ms":${c.gcMs}}"""

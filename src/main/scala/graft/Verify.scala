@@ -18,6 +18,15 @@ object Verify {
       .config("spark.sql.streaming.minBatchesToRetain", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v" — session confs for this pass (the
+    // PlanDump contract). Used by the tier-off oracle run: setting the
+    // four local-tier budgets to 0 forces every operator's DISTRIBUTED
+    // shape through the same correctness gate (VERDICT r12 #3).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     new java.io.File(outDir).mkdirs()
     // Optional local-debug filter: SPARK_GRAFT_ONLY="a,b" runs a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -436,8 +436,12 @@ object Similarity extends Serializable {
     *
     * Determinism contract: unit weights are rounded to 6 dp, per-pair
     * products are rounded to 6 dp, and BOTH the norm accumulation and
-    * the pair accumulation run in DECIMAL(28,12) — order-independent,
-    * so the DuckDB oracle hash-matches float-for-float.
+    * the pair accumulation run in exact integer MICROS (bit-identical
+    * to the DECIMAL(28,12) form they replaced: every 6 dp-rounded term
+    * ·10⁶ is integral, the BIGINT sum is exactly 10⁶ × the decimal
+    * sum, and /10⁶ correctly rounds the same exact rational) —
+    * order-independent, so the DuckDB oracle hash-matches
+    * float-for-float.
     *
     * Scale shape: one corpus scan → (doc, term, tf) partial aggregate;
     * df and N are vocabulary-sized/scalar broadcasts. The pair
@@ -510,12 +514,21 @@ object Similarity extends Serializable {
         if (sumDf2 <= directRowBudget) "direct" else "prefix"
       }
     if (pick == "direct") {
+      // accumulate in integer MICROS, not DECIMAL(28,12) (optimization
+      // r13, guide §2.3 narrower shuffle types / §4 cheaper per-row
+      // work): each shared-term product is 6 dp-rounded, so p·10⁶ is
+      // integral, the long sum is exactly 10⁶ × the decimal sum, and
+      // round(sum/10⁶, 6) is bit-identical (division by 10⁶ and
+      // DECIMAL→DOUBLE both correctly round the same exact rational;
+      // the micro sum stays far under 2⁵³) — the established
+      // [[verifyCandidatePairs]] equivalence, applied to the direct
+      // strategy's (much larger) Σ df² aggregation
       uu.alias("a").join(uu.alias("b"),
           col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("CAST(round(a.u * b.u, 6) AS DECIMAL(28,12))").as("p"))
+          expr("CAST(round(round(a.u * b.u, 6) * 1000000, 0) AS BIGINT)").as("p"))
         .groupBy("doc_a", "doc_b")
-        .agg(round(sum(col("p")).cast("double"), 6).as("cos"))
+        .agg(round(sum(col("p")) / 1000000d, 6).as("cos"))
         .filter(col("cos") >= threshold)
     } else {
       verifyCandidatePairs(candidatesFromRem(remDf, threshold), vecs, threshold)
@@ -582,8 +595,15 @@ object Similarity extends Serializable {
     * from a persisted raw-tf relation: corpus size n → document
     * frequencies under the `maxDfPpm` vocabulary cap → idf → the
     * shared [[unitVectors]] tail. */
-  private def derivedFromTf(tok: DataFrame, maxDfPpm: Long): (DataFrame, DataFrame) = {
-    val n = tok.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
+  private def derivedFromTf(tok: DataFrame, maxDfPpm: Long,
+      nDocs0: Option[Long] = None): (DataFrame, DataFrame) = {
+    // build/refresh callers already count the corpus for meta's stat_n —
+    // passing it in drops the embedded distinct-count aggregate (and its
+    // broadcast join) from the df/idf subtree (optimization r13)
+    val n = nDocs0 match {
+      case Some(v) => tok.sparkSession.range(1).select(lit(v).as("n"))
+      case None => tok.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
+    }
     val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
       .join(broadcast(n), lit(true))
       .filter(col("df") * 1000000L <= col("n") * maxDfPpm)
@@ -620,13 +640,15 @@ object Similarity extends Serializable {
     // evaluated the tok ⋈ idf join TWICE (once under the aggregate,
     // once as the join probe) and paid two exchanges — measured 2.4 s
     // → 1.6 s on the sf0.1 corpus build. Value-identical: the window
-    // sums the same DECIMAL(28,12) terms per doc (decimal addition is
-    // exact, so order cannot change the sum), and each row's u is the
-    // same round(w / nrm, 6).
+    // sums the same 6 dp-rounded terms per doc in exact integer MICROS
+    // (r13 — round(w², 6)·10⁶ is integral, the BIGINT sum is exactly
+    // 10⁶ × the old DECIMAL(28,12) sum, and dividing by 10⁶ correctly
+    // rounds the same exact rational the DECIMAL→DOUBLE cast did), and
+    // each row's u is the same round(w / nrm, 6).
     val whole = Window.partitionBy(col("doc_id"))
     w.withColumn("nrm",
-        sqrt(sum(expr("CAST(round(w * w, 6) AS DECIMAL(28,12))")).over(whole)
-          .cast("double")))
+        sqrt(sum(expr("CAST(round(round(w * w, 6) * 1000000, 0) AS BIGINT)")).over(whole)
+          / 1000000d))
       .select(col("doc_id"), col("t"), col("idf"),
         round(col("w") / col("nrm"), 6).as("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -715,11 +737,13 @@ object Similarity extends Serializable {
       termBuckets0: Int = 0, docBuckets0: Int = 0): Unit = {
     val tok = tfTable(terms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (idf, u) = derivedFromTf(tok, maxDfPpm)
+    // always counted: stat_n (docs the frozen statistics cover) is
+    // the denominator of the staleness budget, stored in meta — and
+    // passed into the idf derivation so its subtree skips a second
+    // distinct-count aggregate
+    val nDocs = tok.select(col("doc_id")).distinct().count()
+    val (idf, u) = derivedFromTf(tok, maxDfPpm, Some(nDocs))
     try {
-      // always counted: stat_n (docs the frozen statistics cover) is
-      // the denominator of the staleness budget, stored in meta
-      val nDocs = tok.select(col("doc_id")).distinct().count()
       val termBuckets = if (termBuckets0 > 0) termBuckets0
         else math.max(1L, math.min(256L, nDocs / 2000L)).toInt
       val docBuckets = if (docBuckets0 > 0) docBuckets0
@@ -743,20 +767,23 @@ object Similarity extends Serializable {
     * rem-carrying postings, sparse doc vectors, and the `(t, idf)`
     * statistics table serving/append freeze against. */
   private def writeTfidfDerived(u: DataFrame, idf: DataFrame, path: String,
-      termBuckets: Int, docBuckets: Int): Unit = {
-    withRem(u)
-      .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
-      .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-    docVectors(u.select(col("doc_id"), col("t"), col("u")))
-      .withColumn("db", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)))
-      .repartition(col("db"))
-      .write.mode("overwrite").partitionBy("db").parquet(s"$path/vectors")
-    idf
-      .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
-      .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/idf")
-  }
+      termBuckets: Int, docBuckets: Int): Unit =
+    // three independent stores off the shared (persisted) unit-vector
+    // relation — submit the write jobs concurrently (guide §2.6): their
+    // wall is dominated by per-job fixed latency, not data volume
+    Par.unit(
+      () => withRem(u)
+        .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings"),
+      () => docVectors(u.select(col("doc_id"), col("t"), col("u")))
+        .withColumn("db", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)))
+        .repartition(col("db"))
+        .write.mode("overwrite").partitionBy("db").parquet(s"$path/vectors"),
+      () => idf
+        .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/idf"))
 
   /** Fold a delta batch of term streams into a [[writeTfidfIndex]]
     * layout in O(delta) — the ingest verb the other serving indexes
@@ -783,11 +810,13 @@ object Similarity extends Serializable {
     * Returns the CUMULATIVE [[TfidfStaleness]] after this batch — the
     * drift counters [[refreshTfidfIndexIfStale]] budgets on.
     *
-    * Durability: the four stores append in the fixed order tf →
-    * postings → vectors → staleness. A crash mid-sequence (torn
+    * Durability: the raw-tf base relation appends FIRST; the three
+    * derived stores (postings, vectors, staleness) then land in any
+    * order (submitted concurrently). A crash leaving any subset (torn
     * append) or a blind full retry (double-applied batch) is repaired
     * exactly by [[repairTfidfIndex]] — tf's `(doc_id, t)` uniqueness
-    * makes the single-applied state recoverable by construction. */
+    * makes the single-applied state recoverable by construction, and
+    * the repair re-derives every other store from tf alone. */
   def appendToTfidfIndex(path: String, delta: DataFrame): TfidfStaleness = {
     val spark = delta.sparkSession
     val m = spark.read.parquet(s"$path/meta").head()
@@ -808,34 +837,45 @@ object Similarity extends Serializable {
       .select(col("t"), col("idf"))
     val u = unitVectors(tok, idf, broadcastSide = "tok")
     try {
-      // batch staleness counters in ONE delta-sized aggregate: docs
-      // this batch adds, and the term mass the frozen vocabulary
-      // refuses (OOV — exactly the rows the unitVectors inner join
-      // drops). These land as one tiny staleness/ row per batch, so
-      // the cumulative drift is always readable without recounting
-      // anything corpus-sized.
-      val sRow = tok
-        .join(idf.select(col("t"), lit(1).as("__inv")), Seq("t"), "left")
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          coalesce(sum(when(col("__inv").isNull, col("tf"))), lit(0L)).as("oov_tf"),
-          coalesce(sum(col("tf")), lit(0L)).as("total_tf"))
-        .head()
+      // tf lands FIRST (the raw base relation repair re-derives from),
+      // then the three derived appends go out concurrently (guide
+      // §2.6): any subset of them landing repairs exactly like the old
+      // fixed postings → vectors → staleness order did —
+      // [[repairTfidfIndex]] distinct-rewrites tf and re-derives every
+      // serving store from it, so the recoverable state depends only
+      // on tf's contents
       tok
         .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
         .repartition(col("tb"))
         .write.mode("append").partitionBy("tb").parquet(s"$path/tf")
-      withRem(u)
-        .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
-        .repartition(col("tb"))
-        .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
-      docVectors(u.select(col("doc_id"), col("t"), col("u")))
-        .withColumn("db", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)))
-        .repartition(col("db"))
-        .write.mode("append").partitionBy("db").parquet(s"$path/vectors")
-      spark.range(1).select(lit(sRow.getAs[Long]("n_docs")).as("n_docs"),
-          lit(sRow.getAs[Long]("oov_tf")).as("oov_tf"),
-          lit(sRow.getAs[Long]("total_tf")).as("total_tf"))
-        .coalesce(1).write.mode("append").parquet(s"$path/staleness")
+      Par.unit(
+        () => withRem(u)
+          .withColumn("tb", pmod(xxhash64(col("t")), lit(termBuckets.toLong)))
+          .repartition(col("tb"))
+          .write.mode("append").partitionBy("tb").parquet(s"$path/postings"),
+        () => docVectors(u.select(col("doc_id"), col("t"), col("u")))
+          .withColumn("db", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)))
+          .repartition(col("db"))
+          .write.mode("append").partitionBy("db").parquet(s"$path/vectors"),
+        () => {
+          // batch staleness counters in ONE delta-sized aggregate: docs
+          // this batch adds, and the term mass the frozen vocabulary
+          // refuses (OOV — exactly the rows the unitVectors inner join
+          // drops). These land as one tiny staleness/ row per batch, so
+          // the cumulative drift is always readable without recounting
+          // anything corpus-sized. Runs inside the concurrent batch —
+          // it scans only the persisted delta tf and the pruned idf.
+          val sRow = tok
+            .join(idf.select(col("t"), lit(1).as("__inv")), Seq("t"), "left")
+            .agg(countDistinct(col("doc_id")).as("n_docs"),
+              coalesce(sum(when(col("__inv").isNull, col("tf"))), lit(0L)).as("oov_tf"),
+              coalesce(sum(col("tf")), lit(0L)).as("total_tf"))
+            .head()
+          spark.range(1).select(lit(sRow.getAs[Long]("n_docs")).as("n_docs"),
+              lit(sRow.getAs[Long]("oov_tf")).as("oov_tf"),
+              lit(sRow.getAs[Long]("total_tf")).as("total_tf"))
+            .coalesce(1).write.mode("append").parquet(s"$path/staleness")
+        })
       tfidfStaleness(spark, path)
     } finally { u.unpersist(); tok.unpersist(): Unit }
   }
@@ -885,8 +925,12 @@ object Similarity extends Serializable {
     * refresh ran. */
   def refreshTfidfIndexIfStale(spark: org.apache.spark.sql.SparkSession,
       path: String, maxGrowthPpm: Long = 100000L,
-      maxOovPpm: Long = 50000L): Boolean = {
-    val st = tfidfStaleness(spark, path)
+      maxOovPpm: Long = 50000L,
+      st0: Option[TfidfStaleness] = None): Boolean = {
+    // `st0`: callers that just appended already hold the cumulative
+    // staleness the append returned — re-probing the store would re-pay
+    // two (tiny) read jobs for the identical value
+    val st = st0.getOrElse(tfidfStaleness(spark, path))
     val stale = st.growthPpm > maxGrowthPpm || st.oovMassPpm > maxOovPpm
     if (stale) refreshTfidfIndex(spark, path)
     stale
@@ -971,9 +1015,12 @@ object Similarity extends Serializable {
         u.select(col("doc_id").as("new_doc"), col("t"), col("u").as("au"))
           .join(posts, Seq("t"))
           .select(col("new_doc"), col("dup_of"),
-            expr("CAST(round(au * bu, 6) AS DECIMAL(28,12))").as("p"))
+            // integer-micros accumulation — the same bit-identical
+            // DECIMAL→BIGINT rewrite as the direct strategy (see
+            // pairsFromPostings)
+            expr("CAST(round(round(au * bu, 6) * 1000000, 0) AS BIGINT)").as("p"))
           .groupBy("new_doc", "dup_of")
-          .agg(round(sum(col("p")).cast("double"), 6).as("cos"))
+          .agg(round(sum(col("p")) / 1000000d, 6).as("cos"))
           .filter(col("cos") >= threshold)
           .localCheckpoint(true)
       } finally u.unpersist(): Unit
@@ -1001,12 +1048,13 @@ object Similarity extends Serializable {
     val tok = spark.read.parquet(s"$path/tf")
       .select(col("doc_id"), col("t"), col("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (idf, u) = derivedFromTf(tok, maxDfPpm)
+    // the refreshed statistics cover the FULL stored corpus: count it
+    // once, up front — stat_n for the meta rewrite AND the literal n
+    // the idf derivation embeds (one distinct-count aggregate, not two)
+    val nDocs = tok.select(col("doc_id")).distinct().count()
+    val (idf, u) = derivedFromTf(tok, maxDfPpm, Some(nDocs))
     try {
       writeTfidfDerived(u, idf, path, termBuckets, docBuckets)
-      // the refreshed statistics now cover the FULL stored corpus:
-      // reset the staleness clock (stat_n := fresh n, counters := 0)
-      val nDocs = tok.select(col("doc_id")).distinct().count()
       spark.range(1).select(
           lit(maxDfPpm).as("max_df_ppm"), lit(termBuckets).as("term_buckets"),
           lit(docBuckets).as("doc_buckets"), lit(nDocs).as("stat_n"))
@@ -1021,9 +1069,14 @@ object Similarity extends Serializable {
     * number of partitions rewritten. */
   def compactTfidfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, maxFilesPerPartition: Int = 1): Int =
-    Layout.compactPartitioned(spark, s"$path/tf", Seq("tb"), maxFilesPerPartition) +
-      Layout.compactPartitioned(spark, s"$path/postings", Seq("tb"), maxFilesPerPartition) +
-      Layout.compactPartitioned(spark, s"$path/vectors", Seq("db"), maxFilesPerPartition)
+    // independent stores — compact all three concurrently (guide §2.6)
+    Par.run[Int](Seq(
+      () => Layout.compactPartitioned(spark, s"$path/tf", Seq("tb"),
+        maxFilesPerPartition),
+      () => Layout.compactPartitioned(spark, s"$path/postings", Seq("tb"),
+        maxFilesPerPartition),
+      () => Layout.compactPartitioned(spark, s"$path/vectors", Seq("db"),
+        maxFilesPerPartition))).sum
 
   /** [[tfidfCosinePairs]] served from a [[writeTfidfIndex]] layout:
     * the SAME auto strategy (direct under the Σ df² budget, prefix +
@@ -1568,15 +1621,20 @@ object Similarity extends Serializable {
           regionSeed = new java.io.File(s"$path/centroids").exists())
         .select(col("query_id").as("d"), col("neighbor_id").as("nb")))
     require(nEdges > 0L, "insertion beam found no neighbors — empty index?")
-    edges.select(col("d").as("src"), col("nb").as("dst"))
-      .unionByName(edges.select(col("nb").as("src"), col("d").as("dst")))
-      .withColumn("sb", pmod(xxhash64(col("src")), lit(srcBuckets.toLong)))
-      .repartition(col("sb"))
-      .write.mode("append").partitionBy("sb").parquet(s"$path/adj")
     val e = withNorm(delta, vec, id)
-    e.withColumn("db", pmod(xxhash64(col("vid")), lit(docBuckets.toLong)))
-      .repartition(col("db"))
-      .write.mode("append").partitionBy("db").parquet(s"$path/vectors")
+    // adj (from the checkpointed walk edges) and vectors (from the
+    // delta) are independent appends — submit both at once (guide
+    // §2.6); the repair contract (distinct-rewrite both stores) covers
+    // any subset landing, exactly as it covered the old fixed order
+    Par.unit(
+      () => edges.select(col("d").as("src"), col("nb").as("dst"))
+        .unionByName(edges.select(col("nb").as("src"), col("d").as("dst")))
+        .withColumn("sb", pmod(xxhash64(col("src")), lit(srcBuckets.toLong)))
+        .repartition(col("sb"))
+        .write.mode("append").partitionBy("sb").parquet(s"$path/adj"),
+      () => e.withColumn("db", pmod(xxhash64(col("vid")), lit(docBuckets.toLong)))
+        .repartition(col("db"))
+        .write.mode("append").partitionBy("db").parquet(s"$path/vectors"))
     val inserted = e.select(count(lit(1))).head().getLong(0)
     // one tiny staleness row per batch — the insert-volume counter the
     // prune trigger budgets on (degree drift is bounded by ingest
@@ -2219,9 +2277,15 @@ object Similarity extends Serializable {
       spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
     val budget = spark.conf.getOption("spark.graft.ann.localWalkIndexBytes")
       .map(_.toLong).getOrElse(64L << 20)
+    // fail CLOSED on anything that is not a readable local directory
+    // (hdfs://, s3://, missing stores): an unsizable index must take the
+    // distributed walk, never be collected to the driver on a 0-byte
+    // misread (VERDICT r12 #2)
+    val adj = new java.io.File(s"$path/adj")
+    val vecs = new java.io.File(s"$path/vectors")
     budget > 0L &&
-      dirBytes(new java.io.File(s"$path/adj")) +
-        dirBytes(new java.io.File(s"$path/vectors")) <= budget
+      adj.isDirectory && adj.canRead && vecs.isDirectory && vecs.canRead &&
+      dirBytes(adj) + dirBytes(vecs) <= budget
   }
 
   /** The plain/insertion beam walk executed TASK-LOCALLY over a

@@ -1481,7 +1481,8 @@ object SimilarityQueries {
       // semantics are order-independent here: both orders end at the
       // same refreshed, compacted, served state (the shared oracle).
       val refreshed = phase("refresh") {
-        Similarity.refreshTfidfIndexIfStale(s, idx, maxGrowthPpm = 100000L)
+        Similarity.refreshTfidfIndexIfStale(s, idx, maxGrowthPpm = 100000L,
+          st0 = Some(st))
       }
       require(refreshed, "25% corpus growth must trip the 10% drift budget")
       val rewritten = phase("compact") { Similarity.compactTfidfIndex(s, idx) }

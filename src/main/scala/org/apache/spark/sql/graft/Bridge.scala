@@ -46,6 +46,14 @@ object Bridge {
     * must already be EXECUTED (queryExecution.toRdd forces AQE's final
     * plan, so the captured partitioning is the one the rows actually
     * have). */
+  /** Whether `df` is already a materialized leaf (LogicalRDD — e.g. a
+    * frame [[checkpointedDf]]/localCheckpoint produced): re-scanning it
+    * is cheap, so operators that checkpoint shared subtrees can skip
+    * re-checkpointing one. */
+  def isMaterializedLeaf(df: DataFrame): Boolean =
+    df.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
   def checkpointedDf(origin: DataFrame,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
     val ds = origin.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]

@@ -34,6 +34,19 @@ class LocalWalkSpec extends SparkSpec {
     idx
   }
 
+  test("eligibility fails CLOSED on paths that are not readable local dirs") {
+    // a store the sizer cannot see (remote URI, missing directory) must
+    // take the DISTRIBUTED path — never the collect-to-driver tier on a
+    // 0-byte misread (VERDICT r12 #2)
+    assert(!Similarity.localWalkEligible(spark, "hdfs://nn:8020/idx"))
+    assert(!Similarity.localWalkEligible(spark, "s3://bucket/idx"))
+    assert(!Similarity.localWalkEligible(spark,
+      Tables.scratchDir("spec_localwalk_nonexistent") + "/never_written"))
+    assert(!graft.operators.Dedup.localGateEligible(spark, "hdfs://nn:8020/dd"))
+    assert(!graft.operators.Dedup.localGateEligible(spark,
+      Tables.scratchDir("spec_localgate_nonexistent") + "/never_written"))
+  }
+
   test("serve walk: local tier ≡ distributed rounds, all four columns") {
     val emb = Tables.table(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") % 50 === 0)
