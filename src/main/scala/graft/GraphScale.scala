@@ -36,6 +36,13 @@ object GraphScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v" — extra session confs (the PlanDump
+    // contract): tier kill-switches, pin kill-switch, round-plan dir
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
 
     // deterministic pseudo-random directed multigraph: src is a block
     // sweep (every node appears as a source, out-degree nEdges/nNodes),
@@ -60,11 +67,14 @@ object GraphScale {
     // window-cumsum + explode is generator cost, not graph cost)
     val (edges, _, _) = graft.operators.Iterate.ckpt(edgePlan)
 
+    val counters = new Profile.Counters
+    spark.sparkContext.addSparkListener(counters)
     def timed(name: String)(body: => Long): Unit = {
+      counters.reset()
       val t0 = System.nanoTime()
       val rows = body
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$name","edges":$nEdges,"nodes":$nNodes,"sec":$s%.2f,"rows":$rows}""")
+      println(f"""{"op":"$name","edges":$nEdges,"nodes":$nNodes,"sec":$s%.2f,"rows":$rows,"jobs":${counters.jobs},"stages":${counters.stages},"tasks":${counters.tasks},"shuf_write_mb":${counters.shufWrite / 1e6}%.1f,"shuf_read_mb":${counters.shufRead / 1e6}%.1f,"task_run_ms":${counters.runMs},"task_gc_ms":${counters.gcMs}}""")
       Console.out.flush()
     }
 

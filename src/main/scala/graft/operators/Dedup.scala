@@ -900,15 +900,22 @@ object Dedup {
     }
     var rounds = 0
     var converged = false
-    // NOTE on round shuffle width: a measured experiment (round 13)
-    // pinned the rounds' shuffle.partitions to an edge-count-sized
-    // width (4 at near-dup scale) expecting to shed per-task overhead —
-    // it was consistently ~50 % SLOWER at sf0.1 than leaving the
-    // session default with AQE coalescing; AQE already folds the tiny
-    // exchanges, and the narrow setting only removed its headroom. Kept
-    // at session default deliberately.
+    // NOTE on round shuffle width: pinning measured SLOWER here, twice.
+    // A build-round experiment pinned shuffle.partitions to an
+    // edge-count-sized width (4 at near-dup scale): ~50 % slower at
+    // sf0.1. The r13 Iterate.pinnedRounds wrapper (width = session
+    // default, AQE re-coalescing off) was then A/B'd at 10 M edges /
+    // local[32]: 139.3 s vs 68.5 s UNPINNED (task CPU 3794 s vs
+    // 1671 s, same ~2.4 GB shuffle). Star contraction re-keys between
+    // a/b/sym every step, so no round-over-round co-partitioning
+    // exists to preserve — coalescing's fewer/bigger tasks is pure
+    // win. Kept UNPINNED deliberately (the opposite call from
+    // pageRank, where the edge checkpoint is reused by key every
+    // round — docs/EXPERIMENTS.md r13).
     while (!converged && rounds < maxIters) {
-      val (next, nextRdd, nextCount) = ckpt(smallStar(largeStar(e)))
+      val roundBody = smallStar(largeStar(e))
+      val (next, nextRdd, nextCount) = ckpt(roundBody)
+      if (rounds == 1) Iterate.dumpRoundPlan(roundBody, "cc_round")
       // both sides are distinct sets: equal count + empty one-sided
       // difference ⇒ set equality ⇒ fixpoint (forest of min-stars)
       converged = nextCount == eCount && next.except(e).limit(1).count() == 0

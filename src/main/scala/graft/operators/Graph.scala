@@ -135,12 +135,23 @@ object Graph {
       return spark.sparkContext.parallelize(out,
           math.max(1, out.length / 500000)).toDF("node", "rank")
     }
+    // DISTRIBUTED branch runs under the pinned round width (r13, guide
+    // §2.4 — see Iterate.pinnedRounds): every round's exchange lands at
+    // one width, so the placed edge checkpoint below keeps satisfying
+    // the per-round join requirement. The below-budget path above runs
+    // unpinned (AQE coalescing wins for the one-shot edge build).
+    Iterate.pinnedRounds(spark) {
+    // place + order the edge list by src ONCE: with the pin and the
+    // AQE-unwrapping checkpoint, no round exchanges or re-sorts it
+    val (edP, edPRdd, _) = Iterate.ckpt(
+      edC.repartition(col("src")).sortWithinPartitions("src"))
+    edRdd.unpersist(blocking = false): Unit
     // nodes materialized once too — left lazy it would re-run a full
     // edge-list distinct inside EVERY round's plan (6× the edge scan)
     // (personalized: the 0/1 seed flag rides along in the same
     // checkpoint, so the per-round teleport term is a column read,
     // never a re-join)
-    val nodesBare = edC.select(col("src").as("node")).distinct()
+    val nodesBare = edP.select(col("src").as("node")).distinct()
     val (nodes, nodesRdd) = ckpt(sources match {
       case None => nodesBare.withColumn("__isrc", lit(1L))
       case Some(s) => nodesBare
@@ -150,7 +161,7 @@ object Graph {
 
     var ranks = nodes.select(col("node"), (col("__isrc") * scale).as("rank"))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       // `broadcastRanks`: when the node set is dimension-scale (fits an
       // executor), shipping the rank table to the edge partitions keeps
       // the big edge list entirely UNSHUFFLED every round — the only
@@ -163,7 +174,7 @@ object Graph {
       // spreading out from the seeds
       val rhs0 = ranks.filter(col("rank") > 0)
       val rhs = if (broadcastRanks) broadcast(rhs0) else rhs0
-      val contribs = edC.join(rhs, edC("src") === ranks("node"))
+      val contribs = edP.join(rhs, edP("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       // (damping·s) div scale via the exact identity
@@ -178,6 +189,9 @@ object Graph {
           expr(s"CAST($base * __isrc + $damping * (coalesce(s, 0) div $scale) " +
             s"+ ($damping * (coalesce(s, 0) % $scale)) div $scale AS BIGINT)").as("rank"))
       val (nextDf, rdd) = ckpt(next)
+      // steady-state round plan for the plans/ evidence (round ≥ 2:
+      // round 1's rank side comes straight off the nodes checkpoint)
+      if (round == 2) Iterate.dumpRoundPlan(next, "pagerank_round")
       if (prevRdd != null) prevRdd.unpersist(blocking = false): Unit
       ranks = nextDf
       prevRdd = rdd
@@ -186,10 +200,11 @@ object Graph {
     // free the edge-list/nodes copies now rather than leaking them for
     // the session lifetime (the round-2 block-manager-leak class)
     if (iters > 0) {
-      edRdd.unpersist(blocking = false): Unit
+      edPRdd.unpersist(blocking = false): Unit
       nodesRdd.unpersist(blocking = false): Unit
     }
     ranks
+    } // pinnedRounds
   }
 
   /** Exact triangle count over undirected `edges(u, v)` (distinct,
@@ -289,6 +304,12 @@ object Graph {
     * with superseded blocks freed (Iterate.ckpt). */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       broadcastFrontier: Boolean = false): DataFrame = {
+    // UNPINNED, deliberately (A/B'd at 10 M edges, docs/EXPERIMENTS.md
+    // r13): the frontier collapses after the first hops, so most
+    // rounds are tiny and AQE's coalescing + runtime broadcast-join
+    // conversion win (pin measured ~2× slower task CPU, twice);
+    // contrast sssp/LPA, whose frontiers stay full and where the pin
+    // wins ~2×. The src placement below still applies in both modes.
     val (eC, eRdd, nE) = Iterate.ckpt(edges.select(col("src"), col("dst")))
     val spark0 = edges.sparkSession
     // local tier (see [[localEdgeBudget]]): hop distances are integers
@@ -320,6 +341,14 @@ object Graph {
       return spark0.sparkContext.parallelize(out,
         math.max(1, out.length / 500000)).toDF("node", "dist")
     }
+    // place + order the edge list by src ONCE (r13): under pinnedRounds
+    // the checkpoint's hash(src) partitioning and [src ASC] ordering
+    // satisfy every round's frontier-join requirement, so no round
+    // exchanges or re-sorts the (big) edge list — only the frontier and
+    // the merge aggregate move (guide §2.4)
+    val (eP, ePRdd, _) = Iterate.ckpt(
+      eC.repartition(col("src")).sortWithinPartitions("src"))
+    eRdd.unpersist(blocking = false): Unit
     var (dist, distRdd, _) =
       Iterate.ckpt(seeds.select(col("node")).distinct().withColumn("dist", lit(0)))
     for (i <- 1 to maxHops) {
@@ -328,7 +357,7 @@ object Graph {
       // edge list never re-shuffles per hop
       val frontier = dist.where(col("dist") === i - 1)
       val cand = (if (broadcastFrontier) broadcast(frontier) else frontier)
-        .join(eC, col("node") === col("src"))
+        .join(eP, col("node") === col("src"))
         .select(col("dst").as("node"), lit(i).as("dist"))
       val merged = dist.union(cand).groupBy("node").agg(min("dist").as("dist"))
       val (m, mRdd, _) = Iterate.ckpt(merged)
@@ -337,7 +366,7 @@ object Graph {
       distRdd = mRdd
     }
     // final dist reads only its own checkpoint — free the edge copy
-    eRdd.unpersist(blocking = false): Unit
+    ePRdd.unpersist(blocking = false): Unit
     dist
   }
 
@@ -350,6 +379,7 @@ object Graph {
     * expansion, order-free min merge, checkpoint per round). */
   def multiSourceHops(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
+    // unpinned like [[bfs]] — per-seed frontiers collapse the same way
     val (eC, eRdd, nE) = Iterate.ckpt(edges.select(col("src"), col("dst")))
     val spark0 = edges.sparkSession
     // local tier (see [[localEdgeBudget]]): per-seed BFS, bit-identical
@@ -382,11 +412,15 @@ object Graph {
       return spark0.sparkContext.parallelize(out,
         math.max(1, out.length / 500000)).toDF("seed", "node", "dist")
     }
+    // one-time src placement — see [[bfs]] (r13)
+    val (eP, ePRdd, _) = Iterate.ckpt(
+      eC.repartition(col("src")).sortWithinPartitions("src"))
+    eRdd.unpersist(blocking = false): Unit
     var (dist, distRdd, _) = Iterate.ckpt(seeds.select(col("node")).distinct()
       .select(col("node").as("seed"), col("node"), lit(0).as("dist")))
     for (i <- 1 to maxHops) {
       val frontier = dist.where(col("dist") === i - 1)
-      val cand = frontier.join(eC, col("node") === col("src"))
+      val cand = frontier.join(eP, col("node") === col("src"))
         .select(col("seed"), col("dst").as("node"), lit(i).as("dist"))
       val merged = dist.union(cand)
         .groupBy("seed", "node").agg(min("dist").as("dist"))
@@ -395,7 +429,7 @@ object Graph {
       dist = m
       distRdd = mRdd
     }
-    eRdd.unpersist(blocking = false): Unit
+    ePRdd.unpersist(blocking = false): Unit
     dist
   }
 
@@ -489,13 +523,22 @@ object Graph {
     // separate improved-set join tripled the per-round
     // materializations (measured 14.1 s at sf0.1, vs pageRank's 3.3 s
     // over the same graph with one checkpoint per round).
+    // DISTRIBUTED rounds run PINNED (A/B at 10 M edges: 46.1 s pinned
+    // vs 95.6 s unpinned — the frontier here never settles, so every
+    // round re-joins the placed edges and co-partitioning pays;
+    // docs/EXPERIMENTS.md r13)
+    Iterate.pinnedRounds(spark0) {
+    // one-time src placement — see [[bfs]] (r13)
+    val (eP, ePRdd, _) = Iterate.ckpt(
+      eC.repartition(col("src")).sortWithinPartitions("src"))
+    eRdd.unpersist(blocking = false): Unit
     var (cur, curRdd, _) = Iterate.ckpt(
       seeds.select(col("node")).distinct()
         .withColumn("dist", lit(0L)).withColumn("improved", lit(true)))
     var i = 0
     var done = false
     while (i < rounds && !done) {
-      val cand = cur.where(col("improved")).join(eC, col("node") === col("src"))
+      val cand = cur.where(col("improved")).join(eP, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"),
           lit(1).as("tag"))
       val base = cur.select(col("node"), col("dist"), lit(0).as("tag"))
@@ -504,14 +547,16 @@ object Graph {
         .select(col("node"), col("best.dist").as("dist"),
           (col("best.tag") === 1).as("improved"))
       val (m, mRdd, _) = Iterate.ckpt(merged)
+      if (i == 1) Iterate.dumpRoundPlan(merged, "sssp_round")
       curRdd.unpersist(blocking = false): Unit
       cur = m; curRdd = mRdd
       // early exit scans the fresh checkpoint — no shuffle
       done = cur.where(col("improved")).isEmpty
       i += 1
     }
-    eRdd.unpersist(blocking = false): Unit
+    ePRdd.unpersist(blocking = false): Unit
     cur.select(col("node"), col("dist"))
+    } // pinnedRounds
   }
 
   /** `iters` rounds of synchronous label propagation (community
@@ -583,11 +628,19 @@ object Graph {
       return spark0.sparkContext.parallelize(out,
         math.max(1, out.length / 500000)).toDF("node", "label")
     }
+    // DISTRIBUTED rounds run PINNED (A/B at 10 M edges: 34.4 s pinned
+    // vs 58.9 s unpinned — every node relabels every round, so the
+    // placed edge join pays each round; docs/EXPERIMENTS.md r13)
+    Iterate.pinnedRounds(spark0) {
+    // one-time src placement — see [[bfs]] (r13)
+    val (eP, ePRdd, _) = Iterate.ckpt(
+      eC.repartition(col("src")).sortWithinPartitions("src"))
+    eRdd.unpersist(blocking = false): Unit
     var (labels, labelsRdd, _) = Iterate.ckpt(
-      eC.select(col("src").as("node")).distinct()
+      eP.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label")))
     for (_ <- 1 to iters) {
-      val next = labels.join(eC, col("node") === col("src"))
+      val next = labels.join(eP, col("node") === col("src"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
@@ -599,8 +652,9 @@ object Graph {
       labels = n
       labelsRdd = nRdd
     }
-    eRdd.unpersist(blocking = false): Unit
+    ePRdd.unpersist(blocking = false): Unit
     labels
+    } // pinnedRounds
   }
 
   /** `iters` rounds of k-core peeling over symmetrized `edges(src,
@@ -618,6 +672,10 @@ object Graph {
     * checkpointed and the superseded round freed. No round ever
     * shuffles more than the current subgraph. */
   def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    // unpinned like CC: the rounds re-checkpoint a SHRINKING edge list
+    // and the second semi-join is keyed by dst — no stable
+    // co-partitioning to preserve, so AQE coalescing's fewer/bigger
+    // tasks win (the CC A/B at 10 M edges, docs/EXPERIMENTS.md r13)
     var (e, eRdd, nE0) = Iterate.ckpt(edges.select(col("src"), col("dst")))
     val spark0 = edges.sparkSession
     // local tier (see [[localEdgeBudget]]): peeling is a pure set

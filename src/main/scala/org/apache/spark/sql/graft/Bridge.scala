@@ -56,8 +56,72 @@ object Bridge {
 
   def checkpointedDf(origin: DataFrame,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, ExprId, Expression, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.physical._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val ds = origin.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-    ofRows(origin.sparkSession,
-      org.apache.spark.sql.execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
+    val base = LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
+    // Under AQE the executed plan is an AdaptiveSparkPlanExec wrapper
+    // whose outputPartitioning is ALWAYS UnknownPartitioning(0), so
+    // fromDataset silently drops the partitioning/ordering for every
+    // adaptively-planned frame — exactly the frames the iterative
+    // operators checkpoint (r13; the r12 change only helped plans that
+    // never went through AQE). Unwrap to the FINAL physical plan and
+    // rewrite its hash/range partitioning onto the checkpoint leaf's
+    // output attributes; anything not provably rewritable stays
+    // Unknown (fail-soft — a wrong partitioning claim would corrupt
+    // joins, a missing one only costs an Exchange).
+    val fixed = ds.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec
+          if base.outputPartitioning.isInstanceOf[UnknownPartitioning] =>
+        val phys = a.finalPhysicalPlan
+        def firstLeaf(p: Partitioning): Partitioning = p match {
+          case c: PartitioningCollection => firstLeaf(c.partitionings.head)
+          case o => o
+        }
+        // physical output exprIds match the optimized plan's (Spark's
+        // planning invariant); fromDataset's own assoc helper maps
+        // those onto the logical output the LogicalRDD advertises
+        LogicalRDD.buildOutputAssocForRewrite(
+            ds.queryExecution.optimizedPlan.output, ds.logicalPlan.output) match {
+          case Some(assoc) =>
+            val byId: Map[ExprId, Attribute] =
+              assoc.map { case (k, v) => k.exprId -> v }
+            def rewrite[E <: Expression](e: E): Option[Expression] = {
+              var ok = true
+              val r = e.transformUp { case attr: Attribute =>
+                byId.get(attr.exprId) match {
+                  case Some(na) => na
+                  case None => ok = false; attr
+                }
+              }
+              if (ok) Some(r) else None
+            }
+            val np = firstLeaf(phys.outputPartitioning) match {
+              case h: HashPartitioning =>
+                rewrite(h).map(_.asInstanceOf[Partitioning])
+                  .getOrElse(UnknownPartitioning(0))
+              case r: RangePartitioning =>
+                rewrite(r).map(_.asInstanceOf[Partitioning])
+                  .getOrElse(UnknownPartitioning(0))
+              case SinglePartition => SinglePartition
+              case _ => UnknownPartitioning(0) // coalesced/skew-split etc.
+            }
+            val no = phys.outputOrdering.map(so => rewrite(so))
+            val ordering: Seq[SortOrder] =
+              if (no.nonEmpty && no.forall(_.isDefined))
+                no.map(_.get.asInstanceOf[SortOrder])
+              else Nil
+            val (stats, constraints) = LogicalRDD.rewriteStatsAndConstraints(
+              ds.logicalPlan, ds.queryExecution.optimizedPlan)
+            LogicalRDD(base.output, rdd, np, ordering, isStreaming = false)(
+              ds.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+              stats, constraints)
+          case None => base
+        }
+      case _ => base
+    }
+    ofRows(origin.sparkSession, fixed)
   }
 }
